@@ -1,0 +1,37 @@
+package graft.runtime
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's canonical configuration.
+  *
+  * Tuned for correctness parity with the DuckDB oracle (UTC session
+  * timezone, ANSI-ish defaults) and for scale-out behavior that holds on a
+  * real cluster (AQE, skew-join handling, partition coalescing). On a 1000-
+  * executor cluster only `master`/memory change; the SQL-layer settings are
+  * identical.
+  *
+  * Mirrors the reference's Spark tuning surface
+  * (`config/spark/spark-defaults.conf:19-21` — AQE on, coalesce partitions,
+  * small shuffle-partition count) re-expressed for Spark 4.
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft", cores: String = "*"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      .config("spark.ui.enabled", "false")
+
+  def get(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.CoreQueries
+
+class CoreQueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.runtime.GraftSession
+    .builder("graft-test", "8").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("every query has a matching oracle entry or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only queries are allowed, but must be a deliberate, small set
+    assert(missing.forall(n => n.contains("_ro_")), s"un-oracled: $missing")
+  }
+
+  test("all queries run and return rows on sf0.001") {
+    val empties = Seq("q10_anti_join") // legitimately small; may be empty at tiny SF
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      if (!empties.contains(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("haversine matches known NYC->LA distance (DEVELOPER_GUIDE.md:1246)") {
+    import spark.implicits._
+    val df = Seq((40.7128, -74.0060, 34.0522, -118.2437)).toDF("a", "b", "c", "d")
+    val km = df.select(
+      CoreQueries.haversineKm(col("a"), col("b"), col("c"), col("d")).as("km"))
+      .head().getDouble(0)
+    assert(km > 3900 && km < 4000, s"NYC->LA was $km")
+  }
+
+  test("haversine is symmetric and zero at identical points") {
+    import spark.implicits._
+    val df = Seq((48.85, 2.35, 40.71, -74.0)).toDF("a", "b", "c", "d")
+    val fwd = df.select(CoreQueries.haversineKm(col("a"), col("b"), col("c"), col("d"))).head().getDouble(0)
+    val bwd = df.select(CoreQueries.haversineKm(col("c"), col("d"), col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(fwd - bwd) < 1e-9)
+    val zero = df.select(CoreQueries.haversineKm(col("a"), col("b"), col("a"), col("b"))).head().getDouble(0)
+    assert(zero == 0.0)
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("q03_topk_orders")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("broadcast joins are actually broadcast in q08") {
+    val plan = SparkEntry.queries("q08_revenue_by_nation")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
