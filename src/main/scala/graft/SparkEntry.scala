@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(CoreQueries)
+  private val packs: Seq[QueryPack] = Seq(CoreQueries, TextQueries, VectorQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

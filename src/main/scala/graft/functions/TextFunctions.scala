@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/** Text-analysis Column library for large-scale training-data pipelines:
+  * tokenization, language ID (marker-word n-gram heuristic), quality
+  * scoring, and document fingerprinting.
+  *
+  * Everything here is a pure `Column` composition over Spark built-ins
+  * (split / higher-order filter / md5 ...), so it stays inside whole-stage
+  * codegen and scales linearly with no shuffle of its own — the shuffle
+  * profile is decided by the queries that aggregate these columns.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; trim first so trailing blanks don't produce
+    * empty tokens (the driver's document texts end with a space).
+    */
+  def tokens(text: Column): Column = F.split(F.trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = F.size(tokens(text))
+
+  /** Word n-gram shingles as an array<string>, distinct. Empty for docs
+    * shorter than n tokens (guard: sequence() on a negative range would
+    * produce a descending sequence, not an empty one).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val idx = F.sequence(F.lit(0), F.size(w) - n)
+    val grams = F.transform(idx, i => F.concat_ws(" ", F.slice(w, i + 1, F.lit(n))))
+    F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(F.array()))
+  }
+
+  /** Marker-word sets per language (common function words — public
+    * linguistic knowledge). Used by the n-gram-heuristic language ID.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "in", "to"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "des", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Hits of a marker set in the token array (occurrences, not distinct). */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    F.size(F.filter(tokens(text), t => t.isin(markers.map(x => x: Any): _*)))
+
+  /** Heuristic language ID: argmax of marker-set hits with a fixed
+    * priority order for ties; "und" when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val hits = langMarkers.map { case (lang, m) => lang -> markerHits(text, m) }
+    val maxHits = hits.map(_._2).reduce((a, b) => F.greatest(a, b))
+    hits.foldRight(F.lit("und"): Column) { case ((lang, h), els) =>
+      F.when(h === maxHits && h > 0, lang).otherwise(els)
+    }
+  }
+
+  def punctRatio(text: Column): Column =
+    F.length(F.regexp_replace(text, "[^.,!?;:]", "")).cast("double") /
+      F.length(text)
+
+  /** Ratio of English stopwords among tokens — the classic fasttext-style
+    * quality signal for web-scraped corpora.
+    */
+  def stopwordRatio(text: Column): Column =
+    markerHits(text, langMarkers.head._2).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: length saturation + low punctuation
+    * + stopword density (shape follows published quality-filter heuristics
+    * for LLM corpora: C4/Gopher-style rules).
+    */
+  def qualityScore(text: Column): Column =
+    F.round(
+      F.least(tokenCount(text) / F.lit(20.0), F.lit(1.0)) * 0.4 +
+        (F.lit(1.0) - punctRatio(text)) * 0.3 +
+        F.least(stopwordRatio(text) * 5.0, F.lit(1.0)) * 0.3,
+      6)
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set. Equal for bag-of-words-identical documents.
+    */
+  def contentFingerprint(text: Column): Column =
+    F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+  /** Order-sensitive fingerprint of the first n tokens — the cheap
+    * prefix-dedup key (near-dup docs share long prefixes).
+    */
+  def prefixFingerprint(text: Column, n: Int): Column =
+    F.md5(F.concat_ws(" ", F.slice(tokens(text), 1, n)))
+
+  /** Polynomial rolling hash over the token stream (base-31 fold of
+    * per-token xxhash64, mod 1e9+7 so ANSI-mode long arithmetic cannot
+    * overflow) — a true streaming fingerprint; not oracle-expressible in
+    * ANSI SQL, covered by ScalaTest instead.
+    */
+  def rollingHash(text: Column): Column = {
+    val p = F.lit(1000000007L)
+    F.aggregate(
+      tokens(text),
+      F.lit(0L),
+      (acc, t) => F.pmod(acc * 31L + F.pmod(F.xxhash64(t), p), p))
+  }
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.runtime.Tables
+
+/** Training-data text operators over the `documents` table: token stats,
+  * exact/near dedup (prefix key, n-gram Jaccard, MinHash+LSH, SimHash),
+  * language ID, quality scoring, fingerprinting.
+  *
+  * Oracle notes: the DuckDB twins build shingles with a bounded
+  * cross-join on range(1,64) + filter (documents are short); the Spark
+  * side uses sequence/transform. Both produce identical (id, shingle)
+  * relations, so Jaccard numbers match exactly (integer ratios).
+  */
+object TextQueries extends QueryPack {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+
+  // DuckDB-side shingle relation (word trigrams, distinct per doc).
+  private val oracleShingles =
+    """sh AS (
+         SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+              (SELECT unnest(range(1, 512)) AS i)
+         WHERE i <= array_length(w) - 2),
+       cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + per-language corpus stats.
+    "qd01_token_stats" -> ((s, d) => {
+      docs(s, d)
+        .select(F.col("lang"), tokenCount(F.col("text")).as("n_tok"), F.col("n_chars"))
+        .groupBy("lang")
+        .agg(
+          F.count(F.lit(1)).as("n_docs"),
+          F.round(F.avg("n_tok"), 4).as("avg_tokens"),
+          F.round(F.avg("n_chars"), 4).as("avg_chars"),
+          F.max("n_tok").as("max_tokens"))
+        .orderBy("lang")
+    }),
+
+    // Exact dedup on a normalized prefix key (8 tokens): duplicate groups
+    // with deterministic min-id representative.
+    "qd02_exact_dedup" -> ((s, d) => {
+      Dedup.exactDuplicateGroups(docs(s, d), "doc_id", prefixFingerprint(F.col("text"), 8))
+        .orderBy("dup_key")
+    }),
+
+    // Global dedup summary: distinct full texts / content fingerprints.
+    "qd03_dedup_summary" -> ((s, d) => {
+      docs(s, d).agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).as("n_distinct_texts"),
+        F.countDistinct(contentFingerprint(F.col("text"))).as("n_distinct_bags"),
+        F.countDistinct(prefixFingerprint(F.col("text"), 8)).as("n_distinct_prefix8"))
+    }),
+
+    // Language-ID confusion matrix (declared lang × predicted lang).
+    "qd04_lang_id" -> ((s, d) => {
+      docs(s, d)
+        .select(F.col("lang"), langId(F.col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // Quality-score histogram (decile buckets).
+    "qd05_quality_score" -> ((s, d) => {
+      docs(s, d)
+        .select(qualityScore(F.col("text")).as("qs"))
+        .withColumn("bucket", F.floor(F.col("qs") * 10).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).as("n"), F.round(F.avg("qs"), 4).as("avg_qs"))
+        .orderBy("bucket")
+    }),
+
+    // Brute-force word-trigram Jaccard near-dup pairs (J >= 0.3).
+    "qd06_jaccard_pairs" -> ((s, d) => {
+      Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.3)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // MinHash+LSH near-dup pipeline verified with exact Jaccard at
+    // J >= 0.6 — banding (32×2 over 64 hashes) has recall ~1-3e-7 at
+    // 0.6, so the result equals the brute-force oracle.
+    "qd07_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text", 3, 0.6)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash near-dup pairs — rows-only (hash-family internals are not
+    // ANSI-SQL-expressible); correctness covered by DedupSpec.
+    "qd08_ro_simhash" -> ((s, d) => {
+      Dedup.simhashNearDupPairs(docs(s, d), "doc_id", "text", 3)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Rolling-hash fingerprints — rows-only, covered by ScalaTest.
+    "qd09_ro_fingerprints" -> ((s, d) => {
+      docs(s, d)
+        .select(
+          F.col("doc_id"),
+          rollingHash(F.col("text")).as("rolling_hash"),
+          contentFingerprint(F.col("text")).as("content_fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "qd01_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         round(avg(array_length(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
+         round(avg(n_chars), 4) AS avg_chars,
+         CAST(max(array_length(regexp_split_to_array(trim(text), '\s+'))) AS INTEGER) AS max_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "qd02_exact_dedup" ->
+      """SELECT md5(array_to_string(l[1:8], ' ')) AS dup_key,
+         count(*) AS n_members, min(doc_id) AS keep_id
+         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l FROM documents)
+         GROUP BY 1 HAVING count(*) > 1 ORDER BY dup_key""",
+    "qd03_dedup_summary" ->
+      """SELECT count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_distinct_texts,
+         count(DISTINCT md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' '))) AS n_distinct_bags,
+         count(DISTINCT md5(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:8], ' '))) AS n_distinct_prefix8
+         FROM documents""",
+    "qd04_lang_id" ->
+      """SELECT lang, pred_lang, count(*) AS n FROM (
+           SELECT lang,
+             CASE
+               WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_zh AND h_en > 0 THEN 'en'
+               WHEN h_es >= h_fr AND h_es >= h_de AND h_es >= h_zh AND h_es > 0 THEN 'es'
+               WHEN h_fr >= h_de AND h_fr >= h_zh AND h_fr > 0 THEN 'fr'
+               WHEN h_de >= h_zh AND h_de > 0 THEN 'de'
+               WHEN h_zh > 0 THEN 'zh'
+               ELSE 'und' END AS pred_lang
+           FROM (SELECT lang,
+             len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS h_en,
+             len(list_filter(w, t -> t IN ('el','la','los','las','y','es'))) AS h_es,
+             len(list_filter(w, t -> t IN ('le','les','et','est','des','une'))) AS h_fr,
+             len(list_filter(w, t -> t IN ('der','die','das','und','ist','ein'))) AS h_de,
+             len(list_filter(w, t -> t IN ('的','是','了','在'))) AS h_zh
+             FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)))
+         GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
+    "qd05_quality_score" ->
+      """SELECT CAST(floor(qs * 10) AS INTEGER) AS bucket, count(*) AS n,
+         round(avg(qs), 4) AS avg_qs FROM (
+           SELECT round(
+             least(array_length(w) / 20.0, 1.0) * 0.4 +
+             (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
+             least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3,
+             6) AS qs
+           FROM (SELECT text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
+         GROUP BY bucket ORDER BY bucket""",
+    "qd06_jaccard_pairs" ->
+      s"""WITH $oracleShingles
+         SELECT a_id, b_id, shared, jaccard FROM (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+             round(CAST(count(*) AS DOUBLE) /
+               (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)), 4) AS jaccard
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           JOIN cnt ca ON ca.doc_id = a.doc_id
+           JOIN cnt cb ON cb.doc_id = b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         WHERE jaccard >= 0.3 ORDER BY a_id, b_id""",
+    "qd07_minhash_lsh" ->
+      s"""WITH $oracleShingles
+         SELECT a_id, b_id, shared, jaccard FROM (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
+             round(CAST(count(*) AS DOUBLE) /
+               (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)), 4) AS jaccard
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           JOIN cnt ca ON ca.doc_id = a.doc_id
+           JOIN cnt cb ON cb.doc_id = b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         WHERE jaccard >= 0.6 ORDER BY a_id, b_id"""
+  )
+}
