@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{functions => F}
+
+import graft.ingest.Debezium
+import graft.layers.{Hwm, Silver}
+import graft.scoring.RuleModel
+
+/** Real-time scoring loop (`spark/app/realtime_prediction_job.py`),
+  * collapsed from the reference's 4-process round-trip (Spark → HTTP →
+  * FastAPI → Postgres) into one in-process pipeline (SURVEY §3.4):
+  * parse → silver features → rule score → idempotent predictions sink +
+  * alert log, all inside foreachBatch.
+  *
+  * No `collect()`: the reference iterates rows on the driver
+  * (`realtime_prediction_job.py:314`); here scoring is a Column expression
+  * and the dedup check is a distributed left-anti join, so the path scales
+  * with executors.
+  */
+object ScoringStream {
+
+  /** Batch-side scoring kernel, also used by the streaming query.
+    * Returns only predictions for trans_nums not yet present.
+    */
+  def scoreBatch(batch: DataFrame, existing: Option[DataFrame]): DataFrame = {
+    val silver = graft.functions.FraudFeatures.withFeatures(
+      Silver.filled(Silver.typed(batch)))
+    // crude late-data guard, as the reference does (year 2019-2025 filter,
+    // realtime_prediction_job.py:293-295)
+    val bounded = silver.filter(F.year(F.col("trans_timestamp")).between(2019, 2030))
+    RuleModel.newPredictionsOnly(RuleModel.predict(bounded), existing)
+  }
+
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      predictionsPath: String,
+      alertsPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    val parsed = Debezium.parse(BronzeStream.readEnvelopes(spark, inputDir))
+    parsed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing = Hwm.readIfExists(spark, predictionsPath)
+        val preds = scoreBatch(batch, existing).cache()
+        preds.write.mode("append").parquet(predictionsPath)
+        // the Slack-alert leg (`realtime_prediction_job.py:115-209`)
+        // becomes an alert-log table of the would-be notifications
+        preds.filter(F.col("is_fraud_predicted") === 1)
+          .select("trans_num", "prediction_score", "risk_level", "prediction_time")
+          .write.mode("append").parquet(alertsPath)
+        preds.unpersist()
+        ()
+      }
+      .start()
+  }
+}
