@@ -13,7 +13,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(CoreQueries, TextQueries, VectorQueries)
+  private val packs: Seq[QueryPack] =
+    Seq(CoreQueries, TextQueries, VectorQueries, LakehouseQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

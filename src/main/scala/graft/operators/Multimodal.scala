@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/
+  * video travel as opaque `binary` columns with typed metadata, processed
+  * per-partition in batches.
+  *
+  * The DECODE step is a clearly-marked deterministic STUB (`fakeDecode`):
+  * this container has no image/audio codecs, so the stub derives pixel
+  * statistics from the bytes themselves. Everything around it — schema,
+  * partition sizing, batch shape, the mapPartitions pipeline — is the real
+  * production plumbing (in PySpark this would be `mapInPandas`; the Scala
+  * equivalent is a typed mapPartitions over an iterator, which keeps the
+  * same batch-at-a-time memory profile).
+  *
+  * Scale notes: media blobs dominate row size, so the operators here
+  * repartition by byte budget, not row count — the knob that keeps
+  * executor memory flat at 100 TB.
+  */
+object Multimodal {
+
+  /** One media asset: content plus the typed metadata a lakehouse keeps
+    * alongside the blob.
+    */
+  case class MediaRecord(
+      media_id: Long,
+      kind: String,          // "image" | "audio" | "video"
+      mime: String,
+      width: Int,
+      height: Int,
+      duration_ms: Long,     // 0 for stills
+      content: Array[Byte])
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      checksum: Long,
+      mean_byte: Double,
+      feature: Array[Float]) // stub embedding
+
+  /** ??? in spirit: a deterministic fake decoder standing in for
+    * libjpeg/ffmpeg. Derives a checksum, byte statistics, and a 16-dim
+    * "embedding" from the raw bytes so downstream operators (dedup,
+    * similarity, stats) are fully exercisable.
+    */
+  def fakeDecode(r: MediaRecord): MediaFeatures = {
+    val bytes = r.content
+    var sum = 0L
+    var hash = 1125899906842597L // deterministic FNV-ish fold
+    var i = 0
+    while (i < bytes.length) {
+      sum += bytes(i) & 0xff
+      hash = hash * 31 + (bytes(i) & 0xff)
+      i += 1
+    }
+    val feat = Array.tabulate(16) { k =>
+      (((hash >>> (k * 4)) & 0xffL).toFloat / 255f) - 0.5f
+    }
+    MediaFeatures(r.media_id, r.kind, bytes.length.toLong, hash,
+      if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length, feat)
+  }
+
+  /** Per-partition batch decode — the mapInPandas analog. The iterator is
+    * consumed lazily, so only one batch of blobs is resident per task.
+    */
+  def decodeAll(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(fakeDecode))
+  }
+
+  /** Repartition by byte budget: blobs are skewed, so partition count is
+    * computed from total bytes, not rows.
+    */
+  def repartitionByBytes(media: Dataset[MediaRecord], targetBytesPerPartition: Long): Dataset[MediaRecord] = {
+    val totalBytes = media.select(F.sum(F.length(F.col("content")))).head().getLong(0)
+    val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
+    media.repartition(parts)
+  }
+
+  /** Frame sampling for video rows: emit one logical frame row per
+    * sampleEveryMs of duration (the explode is the real plumbing; frame
+    * extraction itself would live in the decode stub).
+    */
+  def sampleFrames(media: DataFrame, sampleEveryMs: Long): DataFrame =
+    media.filter(F.col("kind") === "video")
+      .withColumn("frame_ts_ms",
+        F.explode(F.sequence(F.lit(0L), F.col("duration_ms") - 1, F.lit(sampleEveryMs))))
+      .select("media_id", "frame_ts_ms", "width", "height")
+
+  /** Deterministic synthetic corpus (stands in for a real media table). */
+  def syntheticCorpus(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val kind = Seq("image", "audio", "video")(rnd.nextInt(3))
+      val len = 64 + rnd.nextInt(4096)
+      val bytes = new Array[Byte](len)
+      rnd.nextBytes(bytes)
+      MediaRecord(i.toLong, kind,
+        Map("image" -> "image/jpeg", "audio" -> "audio/wav", "video" -> "video/mp4")(kind),
+        width = 16 + rnd.nextInt(1024), height = 16 + rnd.nextInt(1024),
+        duration_ms = if (kind == "video") 1000L + rnd.nextInt(60000) else 0L,
+        content = bytes)
+    }.toDS()
+  }
+}
