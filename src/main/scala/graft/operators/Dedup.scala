@@ -23,10 +23,23 @@ object Dedup {
 
   /** (id, shingle) pairs, distinct — the exploded shingle relation that
     * drives both exact-Jaccard and MinHash.
+    *
+    * The token array is materialized in its own projection BEFORE the
+    * per-shingle lambda runs: referencing `tokens(text)` inside the
+    * transform would re-execute the regexp split once per shingle
+    * (~100× per document — measured as the dominant cost of the whole
+    * MinHash pipeline).
     */
-  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(F.col(idCol), F.explode(TextFunctions.wordShingles(F.col(textCol), n)).as("shingle"))
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = F.col("__w")
+    val grams = F.transform(
+      F.sequence(F.lit(0), F.size(w) - n),
+      i => F.concat_ws(" ", F.slice(w, i + 1, F.lit(n))))
+    df.select(F.col(idCol), TextFunctions.tokens(F.col(textCol)).as("__w"))
+      .select(F.col(idCol),
+        F.explode(F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(F.array()))).as("shingle"))
       .distinct()
+  }
 
   /** Exact duplicate groups by an arbitrary key expression: groups with
     * >1 member, with the min id as the deterministic representative

@@ -123,6 +123,23 @@ class LakehouseSpec extends AnyFunSuite {
     assert(preds("RT_NORMAL_0001") == ((0.0, 0, "LOW")))
   }
 
+  test("all 18 dashboard chart queries run over the star schema") {
+    GoldViews.registerAll(spark, gold)
+    RuleModel.predict(silver).createOrReplaceTempView("fraud_predictions")
+    graft.views.DashboardQueries.all.keys.foreach { name =>
+      val df = graft.views.DashboardQueries.run(spark, name)
+      assert(df.columns.nonEmpty, s"$name produced no columns")
+      df.collect() // must execute
+    }
+    val overview = graft.views.DashboardQueries.run(spark, "c1_1_overview").head()
+    assert(overview.getAs[Long]("total_transactions") == 304)
+    val acc = graft.views.DashboardQueries.run(spark, "c8_1_model_accuracy").head()
+      .getAs[Double]("accuracy")
+    assert(acc >= 0 && acc <= 100)
+    val grid = graft.views.DashboardQueries.run(spark, "c10_1_multi_factor_risk").collect()
+    assert(grid.length <= 8 && grid.map(_.getAs[Long]("total")).sum == 304)
+  }
+
   test("incremental: HWM slices only new rows; dims dedup across runs") {
     // second batch strictly later than batch 1 (days 20-29 of March)
     val batch2 = TestFixtures.randomRows(80, seed = 99L, startDay = 20)
