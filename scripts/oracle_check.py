@@ -16,6 +16,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:  # unify datetime64[us] vs [ns] (NaT-safe compare)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 

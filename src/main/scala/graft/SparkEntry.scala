@@ -14,7 +14,7 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(CoreQueries, TextQueries, VectorQueries, LakehouseQueries)
+    Seq(CoreQueries, TextQueries, VectorQueries, LakehouseQueries, AdvancedQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators.{AsOfJoin, SkewJoin}
+import graft.runtime.Tables
+
+/** Operators beyond the reference's surface that a native engine would
+  * ship: point-in-time (as-of) join and explicit skew salting. Both are
+  * oracle-checked — the as-of against DuckDB's native ASOF JOIN, the
+  * salted join against the plain join it must be indistinguishable from.
+  */
+object AdvancedQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // For every error event: the user's most recent purchase at or before
+    // the error (the feature-store "latest prior signal" lookup).
+    "qa01_asof_join" -> ((s, d) => {
+      val e = CoreQueries.events(s, d)
+      val errors = e.filter(F.col("event_type") === "error")
+        .select("user_id", "event_id", "ts", "value")
+      val purchases = e.filter(F.col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      AsOfJoin.leftAsOf(errors, purchases, Seq("user_id"), "ts", "ts", Seq("value"))
+        .select(
+          F.col("event_id"), F.col("user_id"), F.col("ts"), F.col("value"),
+          F.col("asof_ts"), F.col("asof_value"))
+        .orderBy("event_id")
+    }),
+
+    // Salted fact⋈dim join — must produce exactly the plain-join rollup.
+    "qa02_salted_join" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders")
+      val customer = Tables.load(s, d, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      SkewJoin.saltedEquiJoin(orders, customer, Seq("o_custkey"), "o_orderkey", 8)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).as("n_orders"),
+          F.round(F.sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "qa01_asof_join" ->
+      """SELECT a.event_id, a.user_id, a.ts, a.value, b.ts AS asof_ts, b.value AS asof_value
+         FROM (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'error') a
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b
+           ON a.user_id = b.user_id AND a.ts >= b.ts
+         ORDER BY a.event_id""",
+    "qa02_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+  )
+}
