@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions — the scale contract: pushdown reaches the scan,
+  * pruning trims columns, bucketing removes the shuffle, extensions load.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.runtime.GraftSession
+    .builder("graft-test", "8")
+    .config("spark.sql.warehouse.dir", TestFixtures.tmpDir("warehouse").toString)
+    .getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("filters push down to the parquet scan") {
+    val df = graft.runtime.Tables.load(spark, sf, "lineitem")
+      .filter(F.col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), scan)
+  }
+
+  test("column pruning reaches ReadSchema (2-col projection reads 2 cols)") {
+    val df = graft.runtime.Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"), scan)
+  }
+
+  test("partitioned layer write prunes partitions on the read side") {
+    val work = TestFixtures.tmpDir("prune")
+    graft.queries.CoreQueries.events(spark, sf)
+      .withColumn("d", F.dayofmonth(F.col("ts")))
+      .write.partitionBy("d").mode("overwrite").parquet(work.toString)
+    val one = spark.read.parquet(work.toString).filter(F.col("d") === 3)
+    one.count()
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(d"), scan)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    graft.runtime.Tables.load(spark, sf, "orders")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    graft.runtime.Tables.load(spark, sf, "customer")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer").hint("merge"),
+        F.col("o_custkey") === F.col("c_custkey"))
+    joined.count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+  }
+
+  test("GraftExtensions injects native functions at session build") {
+    spark // materialize the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("ext-test")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      val km = s2.sql("SELECT haversine_km(40.7128, -74.0060, 34.0522, -118.2437) AS km")
+        .head().getDouble(0)
+      assert(km > 3900 && km < 4000)
+      val d = s2.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
