@@ -95,5 +95,6 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     HaversineExpression.register(spark)
     DotProduct.register(spark)
+    TopKAggregate.register(spark)
   }
 }

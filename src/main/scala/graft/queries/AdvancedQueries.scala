@@ -29,6 +29,26 @@ object AdvancedQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Per-key top-k via the custom TypedImperativeAggregate: bounded
+    // k-heaps reduced map-side BEFORE the shuffle — must equal the
+    // window row_number formulation (q14's oracle).
+    "qa03_topk_aggregate" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      Tables.load(s, d, "orders")
+        .join(F.broadcast(Tables.load(s, d, "customer")),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.call_function("topk_rows",
+          F.struct(F.col("o_totalprice"), F.col("o_orderkey")), F.lit(3)).as("top"))
+        .select(F.col("c_nationkey"), F.posexplode(F.col("top")))
+        .select(
+          F.col("c_nationkey"),
+          (F.col("pos") + 1).cast("int").as("rn"),
+          F.col("col.o_orderkey").as("o_orderkey"),
+          F.col("col.o_totalprice").as("o_totalprice"))
+        .orderBy("c_nationkey", "rn")
+    }),
+
     // Salted fact⋈dim join — must produce exactly the plain-join rollup.
     "qa02_salted_join" -> ((s, d) => {
       val orders = Tables.load(s, d, "orders")
@@ -49,6 +69,13 @@ object AdvancedQueries extends QueryPack {
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b
            ON a.user_id = b.user_id AND a.ts >= b.ts
          ORDER BY a.event_id""",
+    "qa03_topk_aggregate" ->
+      """SELECT c_nationkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT c_nationkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (PARTITION BY c_nationkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rn <= 3 ORDER BY c_nationkey, rn""",
     "qa02_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey

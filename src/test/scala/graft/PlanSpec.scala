@@ -42,14 +42,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without a shuffle") {
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // unique names: the in-memory catalog's warehouse dir outlives the
+    // session, so a fixed name collides on LOCATION_ALREADY_EXISTS
+    val suffix = System.nanoTime()
+    val tOrders = s"b_orders_$suffix"
+    val tCustomer = s"b_customer_$suffix"
     graft.runtime.Tables.load(spark, sf, "orders")
-      .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(tOrders)
     graft.runtime.Tables.load(spark, sf, "customer")
-      .write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
-    val joined = spark.table("b_orders")
-      .join(spark.table("b_customer").hint("merge"),
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(tCustomer)
+    val joined = spark.table(tOrders)
+      .join(spark.table(tCustomer).hint("merge"),
         F.col("o_custkey") === F.col("c_custkey"))
     joined.count()
     val plan = joined.queryExecution.executedPlan.toString

@@ -35,6 +35,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.columns.contains("year"))
   }
 
+  test("gold stream builds the star schema incrementally without rescans") {
+    val work = TestFixtures.tmpDir("gold-stream")
+    val spark2 = spark
+    import graft.ingest.Debezium
+    import graft.layers.Silver
+
+    def silverOf(lines: Seq[String], mode: String): Unit = {
+      val dir = TestFixtures.writeEnvelopes(
+        work.resolve(s"cdc-$mode"), "b.jsonl", lines)
+      val raw = spark2.read.text(dir.toString).withColumnRenamed("value", "json_string")
+      val silver = Silver.transform(
+        Debezium.withBronzeColumns(Debezium.parse(raw)), None)
+      silver.write.mode("append").parquet(work.resolve("silver").toString)
+    }
+    silverOf(TestFixtures.randomRows(60), "1")
+    val silverSchema = spark2.read.parquet(work.resolve("silver").toString).schema
+
+    val goldDir = work.resolve("gold").toString
+    val ckpt = work.resolve("ckpt").toString
+    val q1 = graft.streaming.GoldStream.start(
+      spark2, work.resolve("silver").toString, goldDir, ckpt, silverSchema)
+    q1.processAllAvailable(); q1.stop()
+    val fact1 = spark2.read.parquet(s"$goldDir/fact_transactions").count()
+    assert(fact1 == 60)
+
+    // second silver batch: stream restart picks up ONLY the new files;
+    // dims stay duplicate-free across runs
+    silverOf(TestFixtures.randomRows(30, seed = 123L, startDay = 15), "2")
+    val q2 = graft.streaming.GoldStream.start(
+      spark2, work.resolve("silver").toString, goldDir, ckpt, silverSchema)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark2.read.parquet(s"$goldDir/fact_transactions").count() == 90)
+    val custKeys = spark2.read.parquet(s"$goldDir/dim_customer")
+      .select("customer_key").collect().map(_.getLong(0))
+    assert(custKeys.distinct.length == custKeys.length, "dims accumulated duplicates")
+  }
+
   test("scoring stream writes idempotent predictions and fraud-only alerts") {
     val work = TestFixtures.tmpDir("stream-score")
     val in = work.resolve("in")
