@@ -62,6 +62,59 @@ object Similarity {
       .select("a_id", "b_id", "cos_sim")
   }
 
+  /** Random-hyperplane (SimHash-for-vectors) LSH near-dup pairs:
+    * `bits` hyperplanes drawn deterministically from `seed`; the sign
+    * pattern is banded into chunks; pairs sharing any chunk are verified
+    * with exact cosine >= minCos.
+    *
+    * This is the 100 TB path for [[cosinePairs]]: candidate generation is
+    * bucket-local and the signature is `bits` codegen'd `vec_dot` calls
+    * against literal hyperplane arrays. The collision probability of one
+    * bit is 1 - θ/π, so the method prunes well for HIGH thresholds
+    * (cos >= ~0.8, near-duplicate territory); at low thresholds use IVF
+    * blocking instead.
+    */
+  def rpLshNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      dim: Int, bits: Int = 24, chunkBits: Int = 3, seed: Long = 42L): DataFrame = {
+    require(bits % chunkBits == 0, "bits must divide into chunks")
+    GraftFunctions.register(df.sparkSession)
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Column] = Seq.fill(bits)(
+      F.array(Seq.fill(dim)(F.lit(rnd.nextGaussian())): _*))
+
+    val sig = planes.zipWithIndex
+      .map { case (h, j) =>
+        F.when(F.call_function("vec_dot", F.col(vecCol), h) > 0, F.lit(1L << j))
+          .otherwise(F.lit(0L))
+      }
+      .reduce((a, b) => a.bitwiseOR(b))
+
+    val nChunks = bits / chunkBits
+    val mask = (1L << chunkBits) - 1
+    val sigs = df.select(F.col(idCol), F.col(vecCol), sig.as("__sig"),
+      norm(F.col(vecCol)).as("__norm"))
+    val chunks = sigs.select(F.col(idCol),
+      F.explode(F.array((0 until nChunks).map(j =>
+        F.struct(F.lit(j).as("chunk_idx"),
+          F.shiftrightunsigned(F.col("__sig"), j * chunkBits).bitwiseAND(mask).as("chunk"))): _*)).as("c"))
+      .select(F.col(idCol), F.col("c.chunk_idx"), F.col("c.chunk"))
+
+    val a = chunks.toDF("a_id", "chunk_idx", "chunk")
+    val b = chunks.toDF("b_id", "chunk_idx", "chunk")
+    val cands = a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(F.col("a_id") < F.col("b_id"))
+      .select("a_id", "b_id").distinct()
+
+    val lhs = sigs.select(F.col(idCol).as("a_id"), F.col(vecCol).as("a_vec"), F.col("__norm").as("a_norm"))
+    val rhs = sigs.select(F.col(idCol).as("b_id"), F.col(vecCol).as("b_vec"), F.col("__norm").as("b_norm"))
+    cands.join(lhs, "a_id").join(rhs, "b_id")
+      .withColumn("cos_sim",
+        F.round(dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")), 4))
+      .filter(F.col("cos_sim") >= minCos)
+      .select("a_id", "b_id", "cos_sim")
+  }
+
   /** IVF approximate top-k: KMeans the corpus into numCentroids cells,
     * rank cells by centroid distance to the query, brute-force only the
     * nProbe nearest cells. Deterministic given the seed.

@@ -31,6 +31,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sims.forall(s => s >= -1.0 && s <= 1.0))
   }
 
+  test("RP-LSH finds near-dup pairs with high recall on clustered vectors") {
+    import spark.implicits._
+    // 40 clusters × 5 members: members are the base + small noise, so
+    // intra-cluster cosines are > 0.95 and inter-cluster ~0
+    val rnd = new scala.util.Random(7L)
+    val dim = 32
+    val rows = (0 until 40).flatMap { c =>
+      val base = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 5).map { m =>
+        val v = base.zipWithIndex.map { case (x, _) => x + rnd.nextGaussian() * 0.05 }
+        (c * 5L + m, v)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val brute = Similarity.cosinePairs(df, "vec_id", "embedding", 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.rpLshNearDupPairs(df, "vec_id", "embedding", 0.9, dim)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(lsh.subsetOf(brute), "LSH must never emit a below-threshold pair (exact verify)")
+    val recall = lsh.size.toDouble / brute.size
+    info(s"RP-LSH recall = $recall over ${brute.size} true pairs")
+    assert(recall >= 0.85, s"recall collapsed: $recall")
+  }
+
   test("ivfTopK returns correct cosine values (a subset of the corpus scan)") {
     val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 500).collect()
       .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cos_sim")).toMap
