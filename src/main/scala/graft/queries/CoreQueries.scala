@@ -353,6 +353,31 @@ object CoreQueries extends QueryPack {
         .orderBy("y", "m")
     }),
 
+    // Set ops beyond the reference (SURVEY §2.7 notes their absence):
+    // INTERSECT/EXCEPT over nation keys of customers vs suppliers.
+    "q27_intersect" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    }),
+    "q28_except" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    }),
+
+    // Pivot: event-type counts as columns per day (explicit value list so
+    // the output schema is deterministic in both engines).
+    "q29_pivot" -> ((s, d) => {
+      events(s, d)
+        .withColumn("day", dayofmonth(col("ts")))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")
+    }),
+
     // A1: high-water-mark incremental filter — broadcast scalar agg instead
     // of the reference's driver collect() (silver_job.py:127-137).
     "q24_hwm_incremental" -> ((s, d) => {
@@ -535,6 +560,20 @@ object CoreQueries extends QueryPack {
              count(*) AS n, round(sum(o_totalprice), 2) AS total
            FROM orders GROUP BY ROLLUP (1, 2))
          ORDER BY y, m""",
+    "q27_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "q28_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+    "q29_pivot" ->
+      """SELECT CAST(EXTRACT(day FROM ts) AS INTEGER) AS day,
+         count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY 1 ORDER BY day""",
     "q24_hwm_incremental" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS total
          FROM orders

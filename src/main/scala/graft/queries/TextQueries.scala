@@ -99,6 +99,25 @@ object TextQueries extends QueryPack {
         .orderBy("a_id", "b_id")
     }),
 
+    // UDTF surface: explode tokens → corpus word count (top 20).
+    "qd10_word_count" -> ((s, d) => {
+      docs(s, d)
+        .select(F.explode(tokens(F.col("text"))).as("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).as("n"))
+        .orderBy(F.col("n").desc, F.col("token"))
+        .limit(20)
+    }),
+
+    // collect_set with deterministic ordering: sources per language.
+    "qd11_collect_set" -> ((s, d) => {
+      docs(s, d)
+        .groupBy("lang")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_set(F.col("source")))).as("sources"),
+          F.countDistinct(F.col("source")).as("n_sources"))
+        .orderBy("lang")
+    }),
+
     // Rolling-hash fingerprints — rows-only, covered by ScalaTest.
     "qd09_ro_fingerprints" -> ((s, d) => {
       docs(s, d)
@@ -156,6 +175,14 @@ object TextQueries extends QueryPack {
              6) AS qs
            FROM (SELECT text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
          GROUP BY bucket ORDER BY bucket""",
+    "qd10_word_count" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "qd11_collect_set" ->
+      """SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+         count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang""",
     "qd06_jaccard_pairs" ->
       s"""WITH $oracleShingles
          SELECT a_id, b_id, shared, jaccard FROM (
