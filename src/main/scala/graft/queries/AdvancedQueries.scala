@@ -49,6 +49,21 @@ object AdvancedQueries extends QueryPack {
         .orderBy("c_nationkey", "rn")
     }),
 
+    // Custom band-join operator (LogicalPlan+Strategy+SparkPlan): error
+    // events paired with same-user purchases within ±10 minutes.
+    "qa04_band_join" -> ((s, d) => {
+      val e = CoreQueries.events(s, d)
+      val errors = e.filter(F.col("event_type") === "error")
+        .select(F.col("user_id"), F.col("event_id").as("e_id"), F.col("ts").as("e_ts"))
+      val purchases = e.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id").as("r_user_id"), F.col("event_id").as("p_id"),
+          F.col("ts").as("p_ts"))
+      graft.plans.BandJoin.join(errors, purchases,
+          "user_id", "r_user_id", "e_ts", "p_ts", bandUs = 10L * 60 * 1000000)
+        .select("e_id", "p_id", "user_id", "e_ts", "p_ts")
+        .orderBy("e_id", "p_id")
+    }),
+
     // Salted fact⋈dim join — must produce exactly the plain-join rollup.
     "qa02_salted_join" -> ((s, d) => {
       val orders = Tables.load(s, d, "orders")
@@ -76,6 +91,14 @@ object AdvancedQueries extends QueryPack {
              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
            FROM orders JOIN customer ON o_custkey = c_custkey)
          WHERE rn <= 3 ORDER BY c_nationkey, rn""",
+    "qa04_band_join" ->
+      """SELECT a.event_id AS e_id, b.event_id AS p_id, a.user_id,
+         a.ts AS e_ts, b.ts AS p_ts
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND a.event_type = 'error' AND b.event_type = 'purchase'
+          AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts + INTERVAL 10 MINUTE
+         ORDER BY e_id, p_id""",
     "qa02_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
