@@ -35,5 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "vec_dot(a, b)")
         DotProduct(exprs(0), exprs(1))
       }))
+    e.injectPlannerStrategy(_ => BandJoin.BandJoinStrategy)
   }
 }

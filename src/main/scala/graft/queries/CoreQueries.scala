@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 import graft.runtime.Tables
 
@@ -28,16 +27,8 @@ object CoreQueries extends QueryPack {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
-  /** events.ts is parquet TIMESTAMP(NANOS); normalize to Spark TimestampType
-    * (µs) with integer division — identical truncation to DuckDB's ns→µs.
-    */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = t(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
-  }
+  /** events with ts normalized to µs TimestampType (see Tables.loadEvents). */
+  def events(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "events")
 
   private val isWeekend: Column => Column = ts => dayofweek(ts).isin(1, 7)
   private val isLateNight: Column => Column = ts => hour(ts) >= 23 || hour(ts) <= 5

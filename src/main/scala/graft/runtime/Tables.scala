@@ -1,6 +1,7 @@
 package graft.runtime
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F, DataFrame, SparkSession}
+import org.apache.spark.sql.types.LongType
 
 /** Loader for the driver-provided star-schema parquet tables (TESTDATA.md).
   *
@@ -20,7 +21,20 @@ object Tables {
   val broadcastableAlways: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    * read it as long and truncate to µs with integer division — identical
+    * to DuckDB's ns→µs truncation, so oracle timestamps match.
+    */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else df
+  }
 
   /** Register every table as a temp view for the spark.sql query layer
     * (the analog of the reference's Hive-catalog registration,

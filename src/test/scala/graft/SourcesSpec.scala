@@ -54,6 +54,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.count() + b.count() == orders.count())
   }
 
+  test("schema-conflict probe write: append when compatible, overwrite on drift (S5)") {
+    import graft.layers.SchemaEvolution
+    val work = TestFixtures.tmpDir("schema-evo")
+    val p = work.resolve("layer").toString
+    val base = orders.limit(50)
+    assert(SchemaEvolution.writeWithSchemaFallback(base, p) == "append")
+    assert(SchemaEvolution.writeWithSchemaFallback(base, p) == "append")
+    assert(spark.read.parquet(p).count() == 100)
+    val drifted = base.withColumn("new_col", F.lit(1))
+    assert(SchemaEvolution.writeWithSchemaFallback(drifted, p) == "overwrite")
+    val after = spark.read.parquet(p)
+    assert(after.count() == 50)
+    assert(after.columns.contains("new_col"))
+  }
+
+  test("feature-variant contracts differ exactly where documented (§7.4(3))") {
+    import graft.functions.FraudFeatures
+    import spark.implicits._
+    val df = Seq((150.0, "M", 60.0)).toDF("amt", "gender", "dist")
+    val row = df.select(
+      FraudFeatures.amountBin(F.col("amt")).as("bin_silver"),
+      FraudFeatures.ApiVariant.amountBin(F.col("amt")).as("bin_api"),
+      FraudFeatures.genderEncoded(F.col("gender")).as("g_silver"),
+      FraudFeatures.ApiVariant.genderEncoded(F.col("gender")).as("g_api"),
+      FraudFeatures.isDistantTransaction(F.col("dist")).as("d_silver"),
+      FraudFeatures.ApiVariant.isDistantTransaction(F.col("dist")).as("d_api")).head()
+    assert(row.getAs[Int]("bin_silver") == 4) // 150 < 500
+    assert(row.getAs[Int]("bin_api") == 2)    // 150 < 300
+    assert(row.getAs[Int]("g_silver") == 1 && row.getAs[Int]("g_api") == 0)
+    assert(row.getAs[Int]("d_silver") == 0)   // 60 <= 100
+    assert(row.getAs[Int]("d_api") == 1)      // 60 > 50
+  }
+
   test("catalog registration makes tables queryable via spark.sql (S14)") {
     graft.runtime.Tables.registerAll(spark, sf)
     val n = spark.sql(
