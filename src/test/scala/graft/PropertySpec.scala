@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.HaversineExpression
+
+/** Property-based tests (SURVEY §5(d)): haversine geometry invariants,
+  * amount-bin monotonicity, rolling-hash determinism — ScalaCheck
+  * generators sampled deterministically (no scalatestplus bridge in the
+  * offline cache, so sampling is driven manually).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.runtime.GraftSession
+    .builder("graft-test", "8").getOrCreate()
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  val lat: Gen[Double] = Gen.choose(-90.0, 90.0)
+  val lon: Gen[Double] = Gen.choose(-180.0, 180.0)
+  val point: Gen[(Double, Double)] = for { a <- lat; o <- lon } yield (a, o)
+
+  test("haversine: symmetric, non-negative, bounded by half the circumference") {
+    samples(for { p <- point; q <- point } yield (p, q), 200).foreach {
+      case ((a, b), (c, d)) =>
+        val fwd = HaversineExpression.compute(a, b, c, d)
+        val bwd = HaversineExpression.compute(c, d, a, b)
+        assert(math.abs(fwd - bwd) < 1e-9, s"asym at ($a,$b)-($c,$d)")
+        assert(fwd >= 0)
+        assert(fwd <= math.Pi * HaversineExpression.EarthRadiusKm + 1e-6)
+    }
+  }
+
+  test("haversine: zero at identical coordinates") {
+    samples(point, 200).foreach { case (a, b) =>
+      assert(HaversineExpression.compute(a, b, a, b) == 0.0)
+    }
+  }
+
+  test("haversine: triangle inequality on generated triples") {
+    samples(for { p <- point; q <- point; r <- point } yield (p, q, r), 200).foreach {
+      case ((a1, o1), (a2, o2), (a3, o3)) =>
+        val ab = HaversineExpression.compute(a1, o1, a2, o2)
+        val bc = HaversineExpression.compute(a2, o2, a3, o3)
+        val ac = HaversineExpression.compute(a1, o1, a3, o3)
+        assert(ac <= ab + bc + 1e-6, s"triangle violated: $ac > $ab + $bc")
+    }
+  }
+
+  test("amount_bin is monotonic in amount") {
+    import spark.implicits._
+    val amounts = samples(Gen.choose(0.0, 2000.0), 200).sorted
+    val bins = amounts.toDF("amt").coalesce(1)
+      .select(F.col("amt"), graft.functions.FraudFeatures.amountBin(F.col("amt")).as("bin"))
+      .collect().map(r => r.getDouble(0) -> r.getInt(1)).sortBy(_._1).map(_._2)
+    assert(bins.zip(bins.tail).forall { case (x, y) => x <= y })
+  }
+
+  test("rolling hash: deterministic and in [0, p)") {
+    import spark.implicits._
+    val texts = samples(Gen.listOfN(8, Gen.alphaStr.suchThat(_.nonEmpty)), 30)
+      .map(_.mkString(" "))
+    val df = (texts ++ texts).toDF("text")
+      .select(F.col("text"), graft.functions.TextFunctions.rollingHash(F.col("text")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    df.groupBy(_._1).foreach { case (_, vs) =>
+      assert(vs.map(_._2).distinct.length == 1, "hash not deterministic")
+    }
+    df.foreach { case (_, h) => assert(h >= 0 && h < 1000000007L) }
+  }
+
+  test("vec_dot edge cases: empty, mismatched length, mixed element types") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val empty = spark.sql(
+      "SELECT vec_dot(CAST(array() AS ARRAY<DOUBLE>), CAST(array() AS ARRAY<DOUBLE>))")
+      .head().getDouble(0)
+    assert(empty == 0.0)
+    // mismatched lengths -> min-length prefix (documented truncation)
+    val pre = spark.sql("SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(10.0d))")
+      .head().getDouble(0)
+    assert(pre == 10.0)
+    val fd = Seq((Seq(1.5f, 2.5f), Seq(2.0, 4.0))).toDF("f", "d")
+      .select(F.call_function("vec_dot", F.col("f"), F.col("d"))).head().getDouble(0)
+    assert(fd == 1.5f.toDouble * 2.0 + 2.5f.toDouble * 4.0)
+  }
+}
