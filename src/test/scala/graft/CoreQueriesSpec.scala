@@ -16,6 +16,20 @@ class CoreQueriesSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only queries are allowed, but must be a deliberate, small set
     assert(missing.forall(n => n.contains("_ro_")), s"un-oracled: $missing")
+    // and no oracle may point at a query that doesn't exist (silent no-op)
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("data-quality profile: nulls, class distribution, contract check") {
+    import graft.operators.DataQuality
+    val ev = graft.queries.CoreQueries.events(spark, sf)
+    val nulls = DataQuality.nullProfile(ev).collect()
+    assert(nulls.length == ev.columns.length)
+    assert(nulls.forall(_.getAs[Long]("n_null") == 0L)) // synthetic events are dense
+    val dist = DataQuality.classDistribution(ev, "event_type").collect()
+    assert(math.abs(dist.map(_.getAs[Double]("fraction")).sum - 1.0) < 1e-6)
+    assert(DataQuality.missingColumns(ev, Seq("ts", "value", "nope")) == Seq("nope"))
   }
 
   test("all queries run and return rows on sf0.001") {
