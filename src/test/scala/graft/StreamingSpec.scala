@@ -35,6 +35,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.columns.contains("year"))
   }
 
+  test("idempotent sink: a replayed batch id writes nothing twice") {
+    val work = TestFixtures.tmpDir("idem")
+    val base = work.resolve("layer").toString
+    import spark.implicits._
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(graft.streaming.IdempotentSink.writeBatch(batch, base, batchId = 7L))
+    // replay of the SAME epoch (post-crash rerun) is a no-op
+    assert(!graft.streaming.IdempotentSink.writeBatch(batch, base, batchId = 7L))
+    assert(graft.streaming.IdempotentSink.writeBatch(batch, base, batchId = 8L))
+    val all = graft.streaming.IdempotentSink.read(spark, base)
+    assert(all.count() == 4)
+  }
+
   test("gold stream builds the star schema incrementally without rescans") {
     val work = TestFixtures.tmpDir("gold-stream")
     val spark2 = spark
