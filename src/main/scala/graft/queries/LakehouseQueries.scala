@@ -78,6 +78,37 @@ object LakehouseQueries extends QueryPack {
         .orderBy("time_period", "is_weekend")
     }),
 
+    // state_summary shape: stream table ⋈ broadcast dim, rollup by the
+    // dim attribute (events.user_id plays the customer FK).
+    "ql05_segment_summary" -> ((s, d) => {
+      val e = ev(s, d)
+      val c = graft.runtime.Tables.load(s, d, "customer")
+      e.join(F.broadcast(c), e("user_id") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          F.count(F.lit(1)).as("total_events"),
+          F.count(F.when(F.col("event_type") === "error", F.lit(1))).as("error_events"),
+          F.round(F.avg("value"), 4).as("avg_value"))
+        .withColumn("error_rate",
+          F.round(F.col("error_events").cast("double") / F.col("total_events"), 6))
+        .orderBy("c_mktsegment")
+    }),
+
+    // fraud_patterns shape: filtered-population rollup (errors only).
+    "ql06_error_patterns" -> ((s, d) => {
+      ev(s, d).filter(F.col("event_type") === "error")
+        .withColumn("value_bin",
+          F.when(F.col("value") < 50, 1).when(F.col("value") < 150, 2)
+            .when(F.col("value") < 300, 3).otherwise(4))
+        .groupBy("value_bin")
+        .agg(
+          F.count(F.lit(1)).as("error_count"),
+          F.round(F.avg("value"), 4).as("avg_error_value"),
+          F.round(F.avg(F.hour(F.col("ts"))), 4).as("avg_hour"),
+          F.count(F.when(F.dayofweek(F.col("ts")).isin(1, 7), F.lit(1))).as("weekend_errors"))
+        .orderBy("value_bin")
+    }),
+
     // latest_metrics shape: single-row global metrics + alert ladder.
     "ql04_latest_metrics" -> ((s, d) => {
       ev(s, d).agg(
@@ -136,6 +167,25 @@ object LakehouseQueries extends QueryPack {
              round(avg(value), 4) AS avg_value
            FROM events GROUP BY 1, 2)
          ORDER BY time_period, is_weekend""",
+    "ql05_segment_summary" ->
+      """SELECT c_mktsegment, total_events, error_events, avg_value,
+         round(CAST(error_events AS DOUBLE) / total_events, 6) AS error_rate
+         FROM (
+           SELECT c_mktsegment, count(*) AS total_events,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS error_events,
+             round(avg(value), 4) AS avg_value
+           FROM events JOIN customer ON user_id = c_custkey
+           GROUP BY c_mktsegment)
+         ORDER BY c_mktsegment""",
+    "ql06_error_patterns" ->
+      """SELECT CASE WHEN value < 50 THEN 1 WHEN value < 150 THEN 2
+                    WHEN value < 300 THEN 3 ELSE 4 END AS value_bin,
+         count(*) AS error_count,
+         round(avg(value), 4) AS avg_error_value,
+         round(avg(EXTRACT(hour FROM ts)), 4) AS avg_hour,
+         count(CASE WHEN EXTRACT(dow FROM ts) IN (0, 6) THEN 1 END) AS weekend_errors
+         FROM events WHERE event_type = 'error'
+         GROUP BY 1 ORDER BY value_bin""",
     "ql04_latest_metrics" ->
       """SELECT total_events, errors_detected, avg_value, last_update,
          round(CAST(errors_detected AS DOUBLE) / total_events, 6) AS error_rate,
