@@ -45,6 +45,21 @@ object FraudMl {
     }
   }
 
+  /** Stratified alternative to [[balance]]: per-class fractions in one
+    * pass via `stat.sampleBy` (keeps all fraud, downsamples normal to
+    * the target ratio) — the idiomatic Spark form of the reference's
+    * two-filter union.
+    */
+  def balanceStratified(df: DataFrame, labelCol: String = "is_fraud", seed: Long = 42L): DataFrame = {
+    val counts = df.groupBy(labelCol).count().collect()
+      .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+    val nFraud = counts.getOrElse(1, 0L)
+    val nNormal = counts.getOrElse(0, 0L)
+    if (nFraud == 0 || nNormal <= nFraud) df
+    else df.stat.sampleBy(labelCol,
+      Map(0 -> nFraud.toDouble / nNormal, 1 -> 1.0), seed)
+  }
+
   def pipeline(algorithm: String = "rf"): Pipeline = {
     val assembler = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features_raw")

@@ -47,6 +47,14 @@ class FraudMlSpec extends AnyFunSuite {
     assert(math.abs(counts(0) - counts(1)) <= 25, s"imbalanced: $counts")
   }
 
+  test("stratified sampleBy balance approximates 1:1 and keeps all fraud") {
+    val b = FraudMl.balanceStratified(silver)
+    val counts = b.groupBy("is_fraud").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(1) == 120) // fraction 1.0 keeps every fraud row
+    assert(math.abs(counts(0) - counts(1)) <= 35, s"imbalanced: $counts")
+  }
+
   test("median imputation removes nulls/NaNs") {
     val withNull = silver.withColumn("amt",
       F.when(F.col("trans_num") === "ML_00001", F.lit(null)).otherwise(F.col("amt")))
