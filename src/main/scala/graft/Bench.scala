@@ -38,11 +38,15 @@ object Bench {
     }
 
     // best-of-2: a single timing at this scale carries 25%+ noise from
-    // GC/JIT scheduling; min-of-two is the standard robust estimator
+    // GC/JIT scheduling; min-of-two is the standard robust estimator.
+    // A query that throws yields the -1 sentinel (and min(-1, t) keeps
+    // it) so a broken query can never masquerade as a fast one.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] query failed: ${t.getMessage}"); -1.0
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> math.min(timeOnce(fn), timeOnce(fn))
@@ -50,7 +54,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // the bare JSON line is the LAST thing on stdout — the driver's record
+    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -14,20 +14,21 @@ import org.apache.spark.sql.{functions => F}
   */
 object FraudFeatures {
 
-  /** Haversine km with the reference's null quirk: a missing coordinate
-    * zeroes the individual term rather than nulling the result
-    * (`silver_job.py:37-40`), and a fully-null pair yields -1 via the
-    * caller's sentinel (`silver_job.py:57-58`).
+  /** Haversine km with the reference's null quirks reproduced exactly
+    * (`silver_job.py:37-44`): a missing endpoint zeroes the *delta* term
+    * (not the coordinate before subtracting), phi terms coalesce the
+    * single coordinate to 0, and the UDF always returns a number — so the
+    * caller's null→-1 sentinel (`silver_job.py:57-58`) never fires and an
+    * all-null pair yields 0.0. Same atan2 formulation as the reference.
     */
   def distanceKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
-    val z: Column => Column = c => F.coalesce(c, F.lit(0.0))
-    val dLat = F.radians(z(lat2) - z(lat1)) / 2
-    val dLon = F.radians(z(lon2) - z(lon1)) / 2
-    val a = F.pow(F.sin(dLat), 2) +
-      F.cos(F.radians(z(lat1))) * F.cos(F.radians(z(lat2))) * F.pow(F.sin(dLon), 2)
-    val km = F.lit(2 * 6371.0) * F.asin(F.sqrt(a))
-    F.when(lat1.isNull && lon1.isNull && lat2.isNull && lon2.isNull, F.lit(-1.0))
-      .otherwise(F.round(km, 6))
+    val phi1 = F.radians(F.coalesce(lat1, F.lit(0.0)))
+    val phi2 = F.radians(F.coalesce(lat2, F.lit(0.0)))
+    val dLat = F.when(lat1.isNull || lat2.isNull, F.lit(0.0)).otherwise(F.radians(lat2 - lat1))
+    val dLon = F.when(lon1.isNull || lon2.isNull, F.lit(0.0)).otherwise(F.radians(lon2 - lon1))
+    val a = F.pow(F.sin(dLat / 2), 2) +
+      F.cos(phi1) * F.cos(phi2) * F.pow(F.sin(dLon / 2), 2)
+    F.lit(6371.0) * F.lit(2.0) * F.atan2(F.sqrt(a), F.sqrt(F.lit(1.0) - a))
   }
 
   /** Age in years at transaction time: floor(datediff/365.25), null→-1
@@ -46,10 +47,16 @@ object FraudFeatures {
     */
   def isWeekend(ts: Column): Column = dayOfWeek(ts).isin(1, 7).cast("int")
 
+  /** The reference uses the truncated constant 3.14159 and the operand
+    * order `(2 * 3.14159 * hour) / 24` (`silver_job.py:71-72`) — kept
+    * bit-exact here so silver output hashes match reference-produced
+    * silver. (q22's oracle twin pins full-precision pi on both sides
+    * instead; the two contracts are deliberately separate.)
+    */
   def hourSin(ts: Column): Column =
-    F.sin(hourOf(ts) * F.lit(2.0 * math.Pi / 24))
+    F.sin(F.lit(2.0 * 3.14159) * hourOf(ts) / 24)
   def hourCos(ts: Column): Column =
-    F.cos(hourOf(ts) * F.lit(2.0 * math.Pi / 24))
+    F.cos(F.lit(2.0 * 3.14159) * hourOf(ts) / 24)
 
   /** log1p(amt) for positive amounts else 0 (`silver_job.py:74-78`). */
   def logAmount(amt: Column): Column =

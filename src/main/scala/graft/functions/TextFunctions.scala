@@ -90,16 +90,31 @@ object TextFunctions {
   def prefixFingerprint(text: Column, n: Int): Column =
     F.md5(F.concat_ws(" ", F.slice(tokens(text), 1, n)))
 
-  /** Polynomial rolling hash over the token stream (base-31 fold of
-    * per-token xxhash64, mod 1e9+7 so ANSI-mode long arithmetic cannot
-    * overflow) — a true streaming fingerprint; not oracle-expressible in
-    * ANSI SQL, covered by ScalaTest instead.
+  /** 60-bit engine-portable hash: the first 15 hex chars of md5, read as
+    * an integer. Slower than xxhash64 but computable bit-for-bit in any
+    * engine with md5 (DuckDB: `CAST('0x' || substr(md5(x), 1, 15) AS
+    * BIGINT)`), which makes hash-family-dependent operators (SimHash,
+    * rolling fingerprints) oracle-checkable end to end instead of
+    * rows-only. 15 chars keep the value inside a signed 64-bit long in
+    * both dialects (DuckDB's 1<<63 shift overflows, so bit 63 is never
+    * used).
     */
-  def rollingHash(text: Column): Column = {
+  def portableHash64(c: Column): Column =
+    F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Polynomial rolling hash over the token stream (base-31 fold of a
+    * per-token hash, mod 1e9+7 so ANSI-mode long arithmetic cannot
+    * overflow) — a true streaming fingerprint. The token-hash family is
+    * pluggable: xxhash64 (default, fastest) for production pipelines,
+    * [[portableHash64]] for the oracle-checked query twin (DuckDB folds
+    * the same values with `list_reduce`).
+    */
+  def rollingHash(text: Column,
+      tokenHash: Column => Column = c => F.xxhash64(c)): Column = {
     val p = F.lit(1000000007L)
     F.aggregate(
       tokens(text),
       F.lit(0L),
-      (acc, t) => F.pmod(acc * 31L + F.pmod(F.xxhash64(t), p), p))
+      (acc, t) => F.pmod(acc * 31L + F.pmod(tokenHash(t), p), p))
   }
 }

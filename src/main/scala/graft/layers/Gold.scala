@@ -6,9 +6,13 @@ import org.apache.spark.sql.{functions => F}
 /** Silver → gold star schema: 4 dimensions + 1 fact
   * (`spark/app/gold_job.py:73-223`).
   *
-  * Key scheme follows the reference: natural key for customer (cc_num)
-  * and time (yyyyMMddHH string), surrogate `abs(hash(concat(...)))` for
-  * merchant and location.
+  * Key scheme follows the reference bit-for-bit: natural key for customer
+  * (cc_num) and time (yyyyMMddHH string), surrogate
+  * `abs(hash(concat(...)))` with NO separator for merchant and location
+  * (`gold_job.py:111,170`) — including concat's null-propagation
+  * (hash(NULL) = the seed 42), so keys match reference-produced gold
+  * tables exactly. The safer separator/null-skipping scheme was
+  * deliberately dropped for cross-compatibility.
   *
   * Dedup semantics: the reference deduplicates per batch only and appends,
   * so dims accumulate duplicates across runs (`gold_job.py:93-98` — SURVEY
@@ -39,7 +43,7 @@ object Gold {
 
   def dimMerchant(silver: DataFrame): DataFrame =
     silver.select(
-        F.abs(F.hash(F.concat_ws("|", F.col("merchant"), F.col("merch_lat"), F.col("merch_long"))))
+        F.abs(F.hash(F.concat(F.col("merchant"), F.col("merch_lat"), F.col("merch_long"))))
           .as("merchant_key"),
         F.col("merchant"),
         F.col("category").as("merchant_category"),
@@ -73,7 +77,7 @@ object Gold {
 
   def dimLocation(silver: DataFrame): DataFrame =
     silver.select(
-        F.abs(F.hash(F.concat_ws("|", F.col("city"), F.col("state"), F.col("zip"))))
+        F.abs(F.hash(F.concat(F.col("city"), F.col("state"), F.col("zip"))))
           .as("location_key"),
         F.col("city"),
         F.col("state"),

@@ -25,8 +25,15 @@ object Hwm {
     }
 
   /** Read a parquet layer if it exists (the target may not have been
-    * written yet on a first incremental run).
+    * written yet on a first incremental run). Existence goes through the
+    * Hadoop FileSystem resolved from the path's own scheme + session conf,
+    * so s3a://, hdfs:// and file:// warehouses all work — a local
+    * java.io.File check would silently report "absent" for every
+    * object-store path and re-process the full history.
     */
-  def readIfExists(spark: SparkSession, path: String): Option[DataFrame] =
-    if (new java.io.File(path).exists()) Some(spark.read.parquet(path)) else None
+  def readIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
 }

@@ -147,35 +147,49 @@ object Dedup {
       .select("a_id", "b_id", "shared", "jaccard")
   }
 
-  /** 64-bit SimHash over distinct tokens: bit b of the signature is the
-    * sign of sum(±1) of bit b across per-token xxhash64 values.
+  /** `bits`-wide SimHash over distinct tokens: bit b of the signature is
+    * the sign of sum(±1) of bit b across per-token hash values. The
+    * token-hash family is pluggable: xxhash64 (default, fastest; 64 bits)
+    * for production, [[TextFunctions.portableHash64]] (60 bits) for the
+    * oracle-checked twin — the DuckDB oracle re-derives the identical
+    * signatures from md5.
     */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column, bits: Int): DataFrame = {
+    require(bits >= 4 && bits <= 64, "bits in [4, 64]")
     val toks = df
       .select(F.col(idCol), F.explode(F.array_distinct(TextFunctions.tokens(F.col(textCol)))).as("tok"))
-      .withColumn("h", F.xxhash64(F.col("tok")))
-    val bitSums = (0 until 64).map(b =>
+      .withColumn("h", tokenHash(F.col("tok")))
+    val bitSums = (0 until bits).map(b =>
       F.sum(F.shiftright(F.col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b"))
-    val sig = (0 until 64)
+    val sig = (0 until bits)
       .map(b => F.when(F.col(s"b$b") >= 0, F.lit(1L << b)).otherwise(F.lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
     toks.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
       .select(F.col(idCol), sig.as("simhash"))
   }
 
+  /** 64-bit SimHash with the xxhash64 family (the production default). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash(df, idCol, textCol, c => F.xxhash64(c), 64)
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming, using
-    * 16-bit chunk banding for candidates (pigeonhole: any pair within
-    * hamming 3×16/16... with maxHamming < 4 chunks, at least one chunk is
-    * equal, so 4 chunks give exact recall for maxHamming <= 3; larger
-    * budgets are heuristic-recall, standard for simhash dedup).
+    * (bits/4)-wide chunk banding for candidates (pigeonhole: with
+    * maxHamming < 4 chunks, at least one chunk is equal, so 4 chunks give
+    * exact recall for maxHamming <= 3; larger budgets are
+    * heuristic-recall, standard for simhash dedup).
     */
-  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val sigs = simhash64(df, idCol, textCol).cache()
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int,
+      tokenHash: Column => Column = c => F.xxhash64(c), bits: Int = 64): DataFrame = {
+    require(bits % 4 == 0, "bits must split into 4 chunks")
+    val cw = bits / 4
+    val mask = (1L << cw) - 1
+    val sigs = simhash(df, idCol, textCol, tokenHash, bits).cache()
     val chunks = sigs.select(
       F.col(idCol),
       F.explode(F.array((0 until 4).map(j =>
         F.struct(F.lit(j).as("chunk_idx"),
-          F.shiftrightunsigned(F.col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("c"))
+          F.shiftrightunsigned(F.col("simhash"), j * cw).bitwiseAND(mask).as("chunk"))): _*)).as("c"))
       .select(F.col(idCol), F.col("c.chunk_idx"), F.col("c.chunk"))
     val a = chunks.toDF("a_id", "chunk_idx", "chunk")
     val b = chunks.toDF("b_id", "chunk_idx", "chunk")

@@ -45,6 +45,99 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic Gaussian hyperplanes for RP-LSH, shared between the
+    * Spark operators and the DuckDB oracle builder (which embeds these
+    * exact constants as SQL literals so both engines compute identical
+    * sign bits).
+    */
+  def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[IndexedSeq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(IndexedSeq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Exact all-pairs cosine >= minCos WITHOUT a corpus broadcast: the
+    * classic blocked (triangle) all-pairs distribution. Each vector is
+    * assigned a block by id hash; the B(B+1)/2 ordered block pairs form a
+    * tiny relation; each side replicates its rows to the block pairs it
+    * participates in, and the pair computation happens inside an
+    * equi-join on (block_a, block_b) — a shuffle-distributed
+    * SortMergeJoin, never a BroadcastNestedLoopJoin of the corpus.
+    *
+    * Still O(N²) compute (it is the exact answer), but it scales
+    * horizontally: communication is O(N·B), per-reducer work (N/B)², so
+    * B ≈ sqrt(cluster parallelism) keeps every executor busy and nothing
+    * needs the whole corpus in memory. For true near-dup thresholds
+    * (>= ~0.8) prefer [[rpLshNearDupPairs]], which prunes candidates
+    * instead of distributing the full quadratic.
+    */
+  def cosinePairsBlocked(
+      df: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      blocks: Int = 8): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blockPairs = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+      .toDF("ba", "bb")
+    val base = df.select(F.col(idCol).as("id"), F.col(vecCol).as("vec"),
+        norm(F.col(vecCol)).as("nrm"),
+        F.pmod(F.hash(F.col(idCol)), F.lit(blocks)).as("blk"))
+    val lhs = base.select(F.col("id").as("a_id"), F.col("vec").as("a_vec"),
+        F.col("nrm").as("a_norm"), F.col("blk").as("ba"))
+      .join(blockPairs, "ba")
+    val rhs = base.select(F.col("id").as("b_id"), F.col("vec").as("b_vec"),
+        F.col("nrm").as("b_norm"), F.col("blk").as("bb"))
+      .join(blockPairs, "bb")
+    lhs.join(rhs, Seq("ba", "bb"))
+      // distinct blocks meet once (each unordered pair lands in exactly one
+      // ordered block pair); the diagonal needs the id tiebreak
+      .filter(F.col("ba") < F.col("bb") || F.col("a_id") < F.col("b_id"))
+      .withColumn("cos_sim",
+        F.round(dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")), 4))
+      .filter(F.col("cos_sim") >= minCos)
+      .select(
+        F.least(F.col("a_id"), F.col("b_id")).as("a_id"),
+        F.greatest(F.col("a_id"), F.col("b_id")).as("b_id"),
+        F.col("cos_sim"))
+  }
+
+  /** Multi-probe RP-LSH approximate top-k (Lv et al., VLDB 2007 shape):
+    * `planes` seeded hyperplanes give every vector a sign-bit cell code;
+    * the probe set is the query's own cell plus all single-bit-flip
+    * neighbors (hamming <= 1), so only ~ (planes+1)/2^planes of the
+    * corpus is ranked. Fully deterministic given the seed — the DuckDB
+    * oracle recomputes identical cells from the same literal hyperplanes
+    * (integer probing, no centroid averages, no iterative fit), which is
+    * what makes this ANN tier hash-checkable where KMeans IVF is not.
+    * At scale, write the corpus partitioned by cell ([[graft.operators.IvfIndex]]
+    * does this for the KMeans tier) and the probe filter becomes physical
+    * partition pruning.
+    */
+  def lshMultiProbeTopK(
+      df: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
+      planes: Int = 4, dim: Int = 64, seed: Long = 7L): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val hp = hyperplanes(planes, dim, seed)
+    val code = hp.zipWithIndex
+      .map { case (p, j) =>
+        F.when(dot(F.col(vecCol), F.array(p.map(F.lit(_)): _*)) > 0, F.lit(1 << j))
+          .otherwise(F.lit(0))
+      }
+      .reduce((a, b) => a.bitwiseOR(b))
+    val coded = df.select(F.col(idCol), F.col(vecCol), code.as("cell"))
+    val q = coded.filter(F.col(idCol) === queryId)
+      .select(F.col(vecCol).as("q_vec"), norm(F.col(vecCol)).as("q_norm"),
+        F.col("cell").as("q_cell"))
+    coded.filter(F.col(idCol) =!= queryId)
+      .crossJoin(F.broadcast(q)) // 1-row broadcast scalar, like cosineTopK
+      .filter(F.expr("bit_count(cell ^ q_cell)") <= 1)
+      .select(
+        F.col(idCol).as("neighbor_id"),
+        F.round(dot(F.col(vecCol), F.col("q_vec")) / (norm(F.col(vecCol)) * F.col("q_norm")), 4)
+          .as("cos_sim"))
+      .orderBy(F.col("cos_sim").desc, F.col("neighbor_id"))
+      .limit(k)
+  }
+
   /** All pairs (a < b) with cosine >= minCos. Brute-force kernel — the
     * verification stage of an LSH/IVF pipeline, or a direct answer for
     * bounded slices.

@@ -514,9 +514,9 @@ object CoreQueries extends QueryPack {
          CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
          CAST(EXTRACT(dow FROM ts) + 1 AS INTEGER) AS day_of_week,
          CAST(EXTRACT(dow FROM ts) IN (0,6) AS INTEGER) AS is_weekend,
-         round(sin(EXTRACT(hour FROM ts) * 2.0 * 3.141592653589793 / 24), 6) AS hour_sin,
-         round(cos(EXTRACT(hour FROM ts) * 2.0 * 3.141592653589793 / 24), 6) AS hour_cos,
-         round(CASE WHEN value > 0 THEN ln(1 + value) ELSE 0.0 END, 6) AS log_value,
+         round(sin(EXTRACT(hour FROM ts) * 2.0 * 3.141592653589793 / 24), 6) + 0.0 AS hour_sin,
+         round(cos(EXTRACT(hour FROM ts) * 2.0 * 3.141592653589793 / 24), 6) + 0.0 AS hour_cos,
+         round(CASE WHEN value > 0 THEN ln(1 + value) ELSE 0.0 END, 6) + 0.0 AS log_value,
          CAST(value = 0 AS INTEGER) AS is_zero,
          CAST(value > 250 AS INTEGER) AS is_high,
          CASE WHEN value < 10 THEN 1 WHEN value < 50 THEN 2 WHEN value < 100 THEN 3

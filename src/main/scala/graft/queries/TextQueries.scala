@@ -92,10 +92,14 @@ object TextQueries extends QueryPack {
         .orderBy("a_id", "b_id")
     }),
 
-    // SimHash near-dup pairs — rows-only (hash-family internals are not
-    // ANSI-SQL-expressible); correctness covered by DedupSpec.
-    "qd08_ro_simhash" -> ((s, d) => {
-      Dedup.simhashNearDupPairs(docs(s, d), "doc_id", "text", 3)
+    // SimHash near-dup pairs, fully oracle-checked: the portable
+    // md5-derived 60-bit hash family lets DuckDB re-derive the identical
+    // signatures and brute-force hamming<=3 pairs; chunk banding is exact
+    // for hamming<=3, so the banded Spark result equals the brute-force
+    // oracle. The xxhash64 production family is covered by DedupSpec.
+    "qd08_simhash" -> ((s, d) => {
+      Dedup.simhashNearDupPairs(docs(s, d), "doc_id", "text", 3,
+          tokenHash = portableHash64, bits = 60)
         .orderBy("a_id", "b_id")
     }),
 
@@ -118,18 +122,55 @@ object TextQueries extends QueryPack {
         .orderBy("lang")
     }),
 
-    // Rolling-hash fingerprints — rows-only, covered by ScalaTest.
-    "qd09_ro_fingerprints" -> ((s, d) => {
+    // Rolling-hash + content fingerprints, fully oracle-checked: DuckDB
+    // folds the identical portable token hashes with list_reduce. The
+    // xxhash64 production family is covered by ScalaTest.
+    "qd09_fingerprints" -> ((s, d) => {
       docs(s, d)
         .select(
           F.col("doc_id"),
-          rollingHash(F.col("text")).as("rolling_hash"),
+          rollingHash(F.col("text"), tokenHash = portableHash64).as("rolling_hash"),
           contentFingerprint(F.col("text")).as("content_fp"))
         .orderBy("doc_id")
     })
   )
 
+  // DuckDB twin of the portable 60-bit SimHash pipeline (qd08): re-derive
+  // per-token hashes from md5, per-doc sign-bit sums, assemble the
+  // signature with shifts (bit 59 max — DuckDB's 1<<63 overflows), then
+  // brute-force all-pairs hamming <= 3. Generated programmatically so the
+  // 60 bit terms stay in lockstep with Dedup.simhash.
+  private val simhashOracle: String = {
+    val bitSums = (0 until 60)
+      .map(b => s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val sigTerms = (0 until 60)
+      .map(b => s"(CASE WHEN s$b >= 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+         SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         FROM documents),
+       h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv FROM toks),
+       bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       sigs AS (SELECT doc_id, $sigTerms AS sig FROM bits)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       ORDER BY a_id, b_id"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "qd08_simhash" -> simhashOracle,
+    "qd09_fingerprints" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(regexp_split_to_array(trim(text), '\s+'),
+               t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1000000007)),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash,
+         md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS content_fp
+         FROM documents ORDER BY doc_id""",
     "qd01_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
          round(avg(array_length(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,

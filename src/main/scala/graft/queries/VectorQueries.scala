@@ -45,17 +45,24 @@ object VectorQueries extends QueryPack {
         .orderBy("label")
     }),
 
-    // Embedding-cosine near-duplicate pairs (threshold 0.4).
+    // Embedding-cosine near-duplicate pairs (threshold 0.4): the exact
+    // answer via the blocked all-pairs distribution — same result as the
+    // brute-force oracle, but planned as a shuffle-distributed
+    // SortMergeJoin over block pairs instead of a corpus-broadcast
+    // nested loop (PlanSpec asserts no BroadcastNestedLoopJoin).
     "qe03_cosine_neardup" -> ((s, d) => {
-      Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.4)
+      Similarity.cosinePairsBlocked(emb(s, d), "vec_id", "embedding", 0.4)
         .orderBy("a_id", "b_id")
     }),
 
-    // IVF (KMeans inverted file, probe 4/16 cells) — approximate by
-    // construction, so rows-only; recall vs brute force is asserted in
-    // SimilaritySpec.
-    "qe04_ro_ivf_ann" -> ((s, d) => {
-      Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", queryId = 0L, k = 10)
+    // Multi-probe RP-LSH ANN top-10 — deterministic seeded hyperplanes,
+    // integer cell probing (hamming <= 1), so the DuckDB oracle
+    // recomputes the identical result from the same literal hyperplanes.
+    // The KMeans-IVF tier (offline fit + partitionBy(cell) pruning) is
+    // covered by SimilaritySpec/PlanSpec instead — its iterative fit is
+    // not SQL-expressible.
+    "qe04_lsh_ann" -> ((s, d) => {
+      Similarity.lshMultiProbeTopK(emb(s, d), "vec_id", "embedding", queryId = 0L, k = 10)
     })
   )
 
@@ -82,6 +89,33 @@ object VectorQueries extends QueryPack {
          JOIN norms na ON na.vec_id = a_id
          JOIN norms nb ON nb.vec_id = b_id
          WHERE a_id < b_id AND round(dp / (na.nrm * nb.nrm), 4) >= 0.4
-         ORDER BY a_id, b_id"""
+         ORDER BY a_id, b_id""",
+    "qe04_lsh_ann" -> lshAnnOracle
   )
+
+  // DuckDB twin of the multi-probe RP-LSH ANN (qe04): the exact hyperplane
+  // constants are embedded as list literals, so cell codes (sign bits of
+  // in-order double dot products — list_dot_product matches vec_dot's
+  // left-to-right float→double summation bit-for-bit), the hamming<=1
+  // probe set, and the final rounded cosine ranking are all identical.
+  private lazy val lshAnnOracle: String = {
+    val hp = Similarity.hyperplanes(planes = 4, dim = 64, seed = 7L)
+    val codeExpr = hp.zipWithIndex
+      .map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(e, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << j} ELSE 0 END)"
+      }
+      .mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       codes AS (SELECT vec_id, $codeExpr AS cell FROM v),
+       qc AS (SELECT cell AS q_cell FROM codes WHERE vec_id = 0),
+       cand AS (SELECT c.vec_id FROM codes c, qc
+         WHERE c.vec_id <> 0
+           AND bit_count(xor(CAST(c.cell AS BIGINT), CAST(q_cell AS BIGINT))) <= 1),
+       qv AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+       SELECT v.vec_id AS neighbor_id,
+         round(list_dot_product(v.e, qv.qe) /
+           (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(qv.qe, qv.qe))), 4) AS cos_sim
+       FROM v JOIN cand ON cand.vec_id = v.vec_id, qv
+       ORDER BY cos_sim DESC, neighbor_id LIMIT 10"""
+  }
 }

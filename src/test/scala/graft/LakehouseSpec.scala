@@ -67,7 +67,7 @@ class LakehouseSpec extends AnyFunSuite {
     assert(zero.count() == 1)
     assert(zero.head().getAs[Double]("log_amount") == 0.0)
 
-    // null coords → individual terms zeroed, not -1 (only all-4-null is -1)
+    // null coords → delta terms zeroed (silver_job.py:37-40); never -1
     val nullCoord = silver.filter(F.col("lat").isNull)
     assert(nullCoord.count() == 1)
   }
