@@ -4,9 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.{functions => F}
 
+import org.apache.spark.ml.PipelineModel
+
 import graft.ingest.Debezium
 import graft.layers.{Hwm, Silver}
-import graft.scoring.RuleModel
+import graft.ml.ModelRegistry
+import graft.scoring.{MlModel, RuleModel}
 
 /** Real-time scoring loop (`spark/app/realtime_prediction_job.py`),
   * collapsed from the reference's 4-process round-trip (Spark → HTTP →
@@ -22,15 +25,25 @@ import graft.scoring.RuleModel
 object ScoringStream {
 
   /** Batch-side scoring kernel, also used by the streaming query.
-    * Returns only predictions for trans_nums not yet present.
+    * Scores with the registered ML model when one is supplied (the
+    * reference's Production-model path), otherwise with the rule model
+    * (its no-artifact fallback). Returns only predictions for trans_nums
+    * not yet present.
     */
-  def scoreBatch(batch: DataFrame, existing: Option[DataFrame]): DataFrame = {
+  def scoreBatch(
+      batch: DataFrame,
+      existing: Option[DataFrame],
+      model: Option[(PipelineModel, String)] = None): DataFrame = {
     val silver = graft.functions.FraudFeatures.withFeatures(
       Silver.filled(Silver.typed(batch)))
     // crude late-data guard, as the reference does (year 2019-2025 filter,
     // realtime_prediction_job.py:293-295)
     val bounded = silver.filter(F.year(F.col("trans_timestamp")).between(2019, 2030))
-    RuleModel.newPredictionsOnly(RuleModel.predict(bounded), existing)
+    val preds = model match {
+      case Some((m, version)) => MlModel.predict(bounded, m, version)
+      case None => RuleModel.predict(bounded)
+    }
+    RuleModel.newPredictionsOnly(preds, existing)
   }
 
   def start(
@@ -39,7 +52,8 @@ object ScoringStream {
       predictionsPath: String,
       alertsPath: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      model: Option[(PipelineModel, String)] = None): StreamingQuery = {
     val parsed = Debezium.parse(BronzeStream.readEnvelopes(spark, inputDir))
     parsed.writeStream
       .outputMode("append")
@@ -47,7 +61,7 @@ object ScoringStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val existing = Hwm.readIfExists(spark, predictionsPath)
-        val preds = scoreBatch(batch, existing).cache()
+        val preds = scoreBatch(batch, existing, model).cache()
         preds.write.mode("append").parquet(predictionsPath)
         // the Slack-alert leg (`realtime_prediction_job.py:115-209`)
         // becomes an alert-log table of the would-be notifications
@@ -59,4 +73,21 @@ object ScoringStream {
       }
       .start()
   }
+
+  /** The reference's realtime topology: load the current Production model
+    * from the registry at stream start (`realtime_prediction_job.py:414-436`
+    * + the API's MLflow load, `main.py:386-393`) and score with it, falling
+    * back to the rule model when nothing has been promoted yet.
+    */
+  def startWithRegistry(
+      spark: SparkSession,
+      inputDir: String,
+      predictionsPath: String,
+      alertsPath: String,
+      checkpointDir: String,
+      modelRoot: String,
+      modelName: String = "fraud_detection_rf",
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    start(spark, inputDir, predictionsPath, alertsPath, checkpointDir, trigger,
+      model = ModelRegistry.loadProduction(spark, modelRoot, modelName))
 }

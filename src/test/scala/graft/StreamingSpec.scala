@@ -111,4 +111,39 @@ class StreamingSpec extends AnyFunSuite {
     q2.processAllAvailable(); q2.stop()
     assert(spark.read.parquet(predsPath).count() == 44, "duplicate predictions written")
   }
+
+  test("e2e: train → auto-promote → scoring stream scores with the Production ML model") {
+    import graft.ml.{FraudMl, ModelRegistry}
+    val work = TestFixtures.tmpDir("ml-stream")
+
+    // train on the planted signal and run the reference's auto-promotion flow
+    val silver = TestFixtures.plantedSilver(spark)
+    val (model, metrics, _) = FraudMl.train(silver, algorithm = "lr")
+    val root = work.resolve("registry").toString
+    val (v, promoted) = ModelRegistry.registerAndMaybePromote(
+      spark, root, "fraud_detection_lr", model, metrics)
+    assert(promoted, s"planted signal failed the promotion gate: $metrics")
+
+    // stream scores with the registered Production model (not the rule model)
+    val in = work.resolve("in")
+    TestFixtures.writeEnvelopes(in, "s1.jsonl",
+      TestFixtures.randomRows(30) ++ TestFixtures.smokeRows)
+    val predsPath = work.resolve("preds").toString
+    val alertsPath = work.resolve("alerts").toString
+    val q = ScoringStream.startWithRegistry(spark, in.toString, predsPath, alertsPath,
+      work.resolve("ckpt").toString, root, "fraud_detection_lr")
+    q.processAllAvailable(); q.stop()
+
+    val preds = spark.read.parquet(predsPath)
+    assert(preds.count() == 34)
+    val versions = preds.select("model_version").distinct().collect().map(_.getString(0))
+    assert(versions.toSeq == Seq(s"fraud_detection_lr/v$v"),
+      s"stream did not score with the registered model: ${versions.mkString(",")}")
+    // the model learned the big-amount signal: the $1850 smoke row is flagged
+    assert(spark.read.parquet(alertsPath)
+      .filter(F.col("trans_num") === "RT_HIGH_0001").count() == 1)
+    // probabilities, not rule scores: all within [0,1]
+    assert(preds.filter(F.col("prediction_score") < 0 ||
+      F.col("prediction_score") > 1).count() == 0)
+  }
 }

@@ -5,6 +5,8 @@ import java.time.{LocalDate, LocalDateTime, ZoneOffset}
 
 import scala.util.Random
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Deterministic Sparkov-shaped Debezium fixtures (FIXTURES.md §2/§6):
   * JSON envelopes incl. a tombstone, null coords, amt=0, and the 4
   * smoke-test transactions spanning the rule-model risk ladder.
@@ -91,6 +93,32 @@ object TestFixtures {
     Files.createDirectories(dir)
     Files.write(dir.resolve(file), String.join("\n", lines: _*).getBytes("UTF-8"))
     dir
+  }
+
+  /** Silver frame with a learnable planted signal (fraud rows get big
+    * amounts and long distances) for ML specs — perfectly separable by
+    * `amt`, so a logistic model clears the reference's promotion gate.
+    */
+  def plantedSilver(spark: SparkSession, n: Int = 600, seed: Long = 5L): DataFrame = {
+    import graft.ingest.Debezium
+    import graft.layers.Silver
+    val work = tmpDir("planted")
+    val rnd = new Random(seed)
+    val lines = (0 until n).map { i =>
+      val fraud = i % 5 == 0 // 20% fraud, balanced enough to train on
+      envelope(
+        LocalDateTime.of(2024, 3, 1 + rnd.nextInt(20), rnd.nextInt(24), 0, 0),
+        9000L + i, "fraud_M1", "misc_net",
+        if (fraud) 600 + rnd.nextDouble() * 800 else rnd.nextDouble() * 120,
+        "F", "Austin", "TX", 73301,
+        Some(30.0), Some(-97.0), 100000L,
+        LocalDate.of(1980, 1, 1), f"ML_$i%05d",
+        Some(if (fraud) 34.0 else 30.01), Some(-97.0),
+        if (fraud) 1 else 0)
+    }
+    val dir = writeEnvelopes(work.resolve("in"), "ml.jsonl", lines)
+    val raw = spark.read.text(dir.toString).withColumnRenamed("value", "json_string")
+    Silver.transform(Debezium.withBronzeColumns(Debezium.parse(raw)), None)
   }
 
   def tmpDir(prefix: String): Path = {
