@@ -29,6 +29,24 @@ object GraftSession {
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       .config("spark.ui.enabled", "false")
 
+  /** Builder whose catalog survives the session AND the JVM: Hive catalog
+    * over an embedded Derby metastore at `metastoreDir`. With
+    * [[Catalog.registerExternal]] this reproduces the reference's durable
+    * table registration (`register_tables_to_hive.py`) without a thrift
+    * service; swapping `metastoreDir` for a `hive.metastore.uris` config
+    * is the only change needed on a real cluster.
+    */
+  def persistentBuilder(
+      appName: String,
+      warehouseDir: String,
+      metastoreDir: String,
+      cores: String = "*"): SparkSession.Builder =
+    builder(appName, cores)
+      .config("spark.sql.warehouse.dir", warehouseDir)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$metastoreDir/metastore_db;create=true")
+      .enableHiveSupport()
+
   def get(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
