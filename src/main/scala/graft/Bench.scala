@@ -5,12 +5,25 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — prints ONE JSON line with per-query seconds at
   * SPARK_GRAFT_SF_DIR.
   *
-  * A warmup pass runs every query once at sf0.001 first so the timed pass
-  * measures steady state (JIT + whole-stage-codegen compilation costs
-  * otherwise land arbitrarily on whichever query runs first — at sf0.1
-  * that skew is bigger than many queries' own runtime).
+  * Measurement protocol (tuned until two consecutive sf0.1 runs agree,
+  * round-2 showed ±40% run-over-run drift with best-of-2 and no per-query
+  * warm rep):
+  *   1. one pass of every query at sf0.001 (JIT + codegen compilation);
+  *   2. per query at the target SF: one UNTIMED rep (first-touch file
+  *      listing, page cache, per-plan codegen), then 3 timed reps;
+  *   3. per-query value = min of the timed reps (robust location
+  *      estimator); every rep is reported under "reps" so variance is
+  *      visible to the reader, not averaged away.
+  *
+  * Failure accounting: a rep that throws yields a -1 sentinel. A query
+  * whose every rep failed reports -1 and is listed under "failed", and is
+  * EXCLUDED from the "total" sum — so a broken build can neither
+  * masquerade as fast nor subtract time from the headline number.
   */
 object Bench {
+
+  val TimedReps = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -30,33 +43,41 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
-    // warm target-SF file listings + page cache so timed queries measure
-    // compute, not first-touch I/O metadata
-    graft.runtime.Tables.all.foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => () }
-    }
 
-    // best-of-2: a single timing at this scale carries 25%+ noise from
-    // GC/JIT scheduling; min-of-two is the standard robust estimator.
-    // A query that throws yields the -1 sentinel (and min(-1, t) keeps
-    // it) so a broken query can never masquerade as a fast one.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case t: Throwable =>
-        System.err.println(s"[bench] query failed: ${t.getMessage}"); -1.0
+        System.err.println(s"[bench] $name failed: ${t.getMessage}"); -1.0
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+
+    val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.map {
+      case (name, fn) =>
+        timeOnce(name, fn) // untimed warm rep at the target SF
+        name -> (1 to TimedReps).map(_ => timeOnce(name, fn))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def fmt(v: Double): String = (math.round(v * 10000) / 10000.0).toString
+    val perQuery = results.map { case (name, reps) =>
+      name -> reps.filter(_ >= 0).minOption.getOrElse(-1.0)
+    }
+    val failed = perQuery.collect { case (name, v) if v < 0 => name }
+    val total = perQuery.collect { case (_, v) if v >= 0 => v }.sum
+
+    val qs = perQuery.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val repsJson = results.map { case (k, reps) =>
+      s"\"$k\":[${reps.map(fmt).mkString(",")}]"
+    }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+
     spark.stop()
     // the bare JSON line is the LAST thing on stdout — the driver's record
-    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""reps":$repsJson,"failed":$failedJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
