@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.VectorFunctions.asDouble
+import graft.plans.GraftFunctions
+
+/** Persisted IVF (inverted-file) ANN index — the scale tier of
+  * [[Similarity]]: the expensive work (KMeans fit + cell assignment)
+  * happens ONCE, offline, and every query afterwards scans only the
+  * `nProbe` probed cells via physical partition pruning. This is the ANN
+  * analog of the reference's "train offline, serve the registered
+  * artifact" split (`ml_training_job.py` vs `main.py:386-393`), applied
+  * to search instead of classification.
+  *
+  * Layout under an index root:
+  * {{{
+  *   <root>/centroids.parquet          (cell, centroid) — C rows
+  *   <root>/vectors/cell=<i>/...       (id, vec, nrm) partitioned by cell
+  * }}}
+  *
+  * Query cost: rank C centroids (index metadata, driver-side O(C·d)),
+  * then scan ~nProbe/C of the corpus. The probe list becomes a LITERAL
+  * `cell IN (...)` predicate, so the parquet scan's `PartitionFilters`
+  * prune unprobed cells without listing them (PlanSpec asserts this) —
+  * at 100 TB the probe reads nProbe directories, not the table.
+  */
+object IvfIndex {
+
+  /** Build the index: fit KMeans on (a sample of) the corpus, assign every
+    * vector to its nearest centroid, write vectors partitioned by cell.
+    * `trainFraction < 1` fits centroids on a sample — at large N the
+    * centroid quality is sample-stable and the fit stays cheap; assignment
+    * is always over the full corpus (one distributed transform).
+    */
+  def build(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      root: String,
+      numCentroids: Int = 16,
+      seed: Long = 42L,
+      trainFraction: Double = 1.0): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    GraftFunctions.register(df.sparkSession)
+    val vecs = df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
+      .withColumn("features", array_to_vector(F.col("vec")))
+    val train =
+      if (trainFraction < 1.0) vecs.sample(withReplacement = false, trainFraction, seed)
+      else vecs
+    val model = new KMeans().setK(numCentroids).setSeed(seed)
+      .setFeaturesCol("features").fit(train)
+
+    model.transform(vecs)
+      .select(F.col("id"), F.col("vec"),
+        F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))).as("nrm"),
+        F.col("prediction").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/vectors")
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids.parquet")
+  }
+
+  /** Rank centroids by cosine to the query and return the nProbe nearest
+    * cells. The centroid table is index METADATA (numCentroids rows, set
+    * at build time) — ranking it on the driver is O(C·d) and is what lets
+    * the probe list become a literal partition filter.
+    */
+  def probeCells(spark: SparkSession, root: String, query: Array[Double], nProbe: Int): Seq[Int] = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    spark.read.parquet(s"$root/centroids.parquet").collect()
+      .map { r =>
+        val cell = r.getAs[Int]("cell")
+        val c = r.getAs[Seq[Double]]("centroid").toArray
+        val dot = c.zip(query).map { case (a, b) => a * b }.sum
+        val cNorm = math.sqrt(c.map(x => x * x).sum)
+        cell -> (if (cNorm == 0 || qNorm == 0) -1.0 else dot / (cNorm * qNorm))
+      }
+      .sortBy { case (cell, sim) => (-sim, cell) }
+      .take(nProbe).map(_._1).toSeq
+  }
+
+  /** Approximate top-k by query vector: scan ONLY the probed cells
+    * (partition-pruned), exact cosine within them, TakeOrdered k.
+    */
+  def topKByVector(
+      spark: SparkSession,
+      root: String,
+      query: Array[Double],
+      k: Int,
+      nProbe: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    GraftFunctions.register(spark)
+    val cells = probeCells(spark, root, query, nProbe)
+    val qArr = F.array(query.map(F.lit(_)).toSeq: _*)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val scan = spark.read.parquet(s"$root/vectors")
+      .filter(F.col("cell").isin(cells: _*)) // literal IN → PartitionFilters
+    excludeId.fold(scan)(id => scan.filter(F.col("id") =!= id))
+      .select(
+        F.col("id").as("neighbor_id"),
+        F.round(F.call_function("vec_dot", F.col("vec"), qArr) / (F.col("nrm") * F.lit(qNorm)), 4)
+          .as("cos_sim"))
+      .orderBy(F.col("cos_sim").desc, F.col("neighbor_id"))
+      .limit(k)
+  }
+
+  /** Approximate top-k by the id of an indexed vector: fetch that vector
+    * (pushed-down id filter — at serving scale this is a key-value lookup,
+    * not a query-path scan), then [[topKByVector]] excluding the query
+    * itself.
+    */
+  def topK(spark: SparkSession, root: String, queryId: Long, k: Int, nProbe: Int = 4): DataFrame = {
+    val q = spark.read.parquet(s"$root/vectors")
+      .filter(F.col("id") === queryId).select("vec")
+      .head().getAs[Seq[Double]]("vec").toArray
+    topKByVector(spark, root, q, k, nProbe, excludeId = Some(queryId))
+  }
+}

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
-import graft.functions.VectorFunctions.{asDouble, cosine}
 import graft.plans.GraftFunctions
 
 /** Approximate/exact nearest-neighbor search over an embedding column.
@@ -13,10 +12,10 @@ import graft.plans.GraftFunctions
   *      O(N·d), embarrassingly parallel, the correctness baseline.
   *   2. [[cosinePairs]] — all-pairs above a threshold. Quadratic; only
   *      for corpus slices that fit a bucket. At 100 TB, use [[Dedup]]-style
-  *      LSH or [[ivfTopK]] buckets first and verify within buckets.
-  *   3. [[ivfTopK]] — IVF: KMeans-partition the corpus (the "inverted
-  *      file"), probe the nProbe nearest centroids only. The scan cost
-  *      drops by ~numCentroids/nProbe; recall is tunable via nProbe.
+  *      LSH or [[IvfIndex]] cells first and verify within buckets.
+  *   3. [[IvfIndex]] — the persisted scale tier: offline KMeans fit,
+  *      vectors written `partitionBy(cell)`, queries scan only the nProbe
+  *      probed cells via physical partition pruning.
   *
   * Hot loops use the native [[graft.plans.DotProduct]] expression (the
   * higher-order-function composition is interpreted — see its scaladoc);
@@ -65,22 +64,32 @@ object Similarity {
     *
     * Still O(N²) compute (it is the exact answer), but it scales
     * horizontally: communication is O(N·B), per-reducer work (N/B)², so
-    * B ≈ sqrt(cluster parallelism) keeps every executor busy and nothing
-    * needs the whole corpus in memory. For true near-dup thresholds
+    * B ≈ sqrt(2·cluster parallelism) keeps every executor busy and nothing
+    * needs the whole corpus in memory. `blocks = 0` (default) derives B
+    * from `defaultParallelism` so the same call saturates a 1000-executor
+    * cluster; pass an explicit B to pin it. For true near-dup thresholds
     * (>= ~0.8) prefer [[rpLshNearDupPairs]], which prunes candidates
     * instead of distributing the full quadratic.
     */
   def cosinePairsBlocked(
       df: DataFrame, idCol: String, vecCol: String, minCos: Double,
-      blocks: Int = 8): DataFrame = {
+      blocks: Int = 0): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val spark = df.sparkSession
     import spark.implicits._
-    val blockPairs = (for { i <- 0 until blocks; j <- i until blocks } yield (i, j))
+    val blockCount =
+      if (blocks > 0) blocks
+      else {
+        // B(B+1)/2 block pairs ≈ parallelism → B ≈ sqrt(2P); floor of 8
+        // keeps the sf0.001 spec corpus distributed too
+        val p = spark.sparkContext.defaultParallelism
+        math.max(8, math.round(math.sqrt(2.0 * p)).toInt)
+      }
+    val blockPairs = (for { i <- 0 until blockCount; j <- i until blockCount } yield (i, j))
       .toDF("ba", "bb")
     val base = df.select(F.col(idCol).as("id"), F.col(vecCol).as("vec"),
         norm(F.col(vecCol)).as("nrm"),
-        F.pmod(F.hash(F.col(idCol)), F.lit(blocks)).as("blk"))
+        F.pmod(F.hash(F.col(idCol)), F.lit(blockCount)).as("blk"))
     val lhs = base.select(F.col("id").as("a_id"), F.col("vec").as("a_vec"),
         F.col("nrm").as("a_norm"), F.col("blk").as("ba"))
       .join(blockPairs, "ba")
@@ -208,46 +217,4 @@ object Similarity {
       .select("a_id", "b_id", "cos_sim")
   }
 
-  /** IVF approximate top-k: KMeans the corpus into numCentroids cells,
-    * rank cells by centroid distance to the query, brute-force only the
-    * nProbe nearest cells. Deterministic given the seed.
-    */
-  def ivfTopK(
-      df: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
-      numCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    GraftFunctions.register(df.sparkSession)
-    val vecs = df.withColumn("features", array_to_vector(asDouble(F.col(vecCol))))
-    val model = new KMeans().setK(numCentroids).setSeed(seed).setFeaturesCol("features")
-      .fit(vecs)
-    val assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
-
-    val spark = df.sparkSession
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
-
-    val q = assigned.filter(F.col(idCol) === queryId)
-      .select(F.col(vecCol).as("q_vec"))
-    val probeCells = centroids.crossJoin(F.broadcast(q))
-      .select(F.col("cell"),
-        cosine(F.col("centroid"), F.col("q_vec")).as("c_sim"))
-      .orderBy(F.col("c_sim").desc)
-      .limit(nProbe)
-      .select("cell")
-
-    assigned
-      .join(F.broadcast(probeCells), "cell") // partition pruning: only probed cells scanned
-      .filter(F.col(idCol) =!= queryId)
-      .crossJoin(F.broadcast(q))
-      .select(
-        F.col(idCol).as("neighbor_id"),
-        F.round(dot(F.col(vecCol), F.col("q_vec")) /
-          (norm(F.col(vecCol)) * norm(F.col("q_vec"))), 4).as("cos_sim"))
-      .orderBy(F.col("cos_sim").desc, F.col("neighbor_id"))
-      .limit(k)
-  }
 }

@@ -60,6 +60,26 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed join should not shuffle:\n$plan")
   }
 
+  test("qe03 blocked all-pairs plans a shuffle join, never a corpus BroadcastNestedLoopJoin") {
+    val qe03 = graft.queries.VectorQueries.queries("qe03_cosine_neardup")(spark, sf)
+    qe03.count()
+    val plan = qe03.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"qe03 regressed to a corpus nested loop:\n$plan")
+  }
+
+  test("persisted IvfIndex probe is a partition-pruned scan (cell IN ...)") {
+    val root = TestFixtures.tmpDir("ivf-plan").toString
+    val emb = graft.runtime.Tables.load(spark, sf, "embeddings")
+    graft.operators.IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
+    val q = Array.fill(64)(0.1)
+    val top = graft.operators.IvfIndex.topKByVector(spark, root, q, k = 5, nProbe = 2)
+    top.count()
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"probe did not prune partitions:\n$plan")
+  }
+
   test("GraftExtensions injects native functions at session build") {
     spark // materialize the shared session first
     SparkSession.clearActiveSession()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{functions => F}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.VectorFunctions
-import graft.operators.Similarity
+import graft.operators.{IvfIndex, Similarity}
 
 class SimilaritySpec extends AnyFunSuite {
 
@@ -56,10 +56,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall collapsed: $recall")
   }
 
-  test("ivfTopK returns correct cosine values (a subset of the corpus scan)") {
+  test("persisted IvfIndex: probed query returns correct cosines with useful recall") {
+    val root = TestFixtures.tmpDir("ivf").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root)
+
     val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 500).collect()
       .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cos_sim")).toMap
-    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10).collect()
+    val ivf = IvfIndex.topK(spark, root, queryId = 0L, k = 10).collect()
     assert(ivf.length == 10)
     ivf.foreach { r =>
       val id = r.getAs[Long]("neighbor_id")
@@ -70,5 +73,72 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = ivf.map(_.getAs[Long]("neighbor_id")).count(trueTop) / 10.0
     info(s"IVF recall@10 = $recall")
     assert(recall >= 0.2, s"recall collapsed: $recall")
+    // probing every cell makes the index exact: identical to brute force
+    val all = IvfIndex.topK(spark, root, queryId = 0L, k = 10, nProbe = 16)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(all == brute.toSeq.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1),
+      "nProbe = numCentroids must equal the exact scan")
+  }
+
+  test("IvfIndex.topKByVector finds an indexed vector at cos 1.0") {
+    val root = TestFixtures.tmpDir("ivf-byvec").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
+    val q = emb.filter(F.col("vec_id") === 3L)
+      .select(VectorFunctions.asDouble(F.col("embedding")))
+      .head().getAs[Seq[Double]](0).toArray
+    val top = IvfIndex.topKByVector(spark, root, q, k = 1).collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 3L)
+    assert(top.head.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("cosinePairsBlocked covers every unordered pair exactly once (any block count)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val n = 60
+    val df = (0 until n).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    // threshold -1 admits ALL pairs, so coverage must be exhaustive:
+    // n(n-1)/2 rows, no duplicates — for degenerate (1), uneven (3), and
+    // even (8) block counts
+    for (blocks <- Seq(1, 3, 8)) {
+      val rows = Similarity.cosinePairsBlocked(df, "vec_id", "embedding", -1.0, blocks)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == n * (n - 1) / 2, s"blocks=$blocks missed/duplicated pairs")
+      assert(rows.distinct.length == rows.length, s"blocks=$blocks emitted duplicates")
+      assert(rows.forall { case (a, b) => a < b })
+    }
+    val brute = Similarity.cosinePairs(df, "vec_id", "embedding", 0.2)
+      .select("a_id", "b_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Similarity.cosinePairsBlocked(df, "vec_id", "embedding", 0.2)
+      .select("a_id", "b_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked == brute, "blocked distribution changed the answer")
+  }
+
+  test("lshMultiProbeTopK returns true cosines; full recall on a tight cluster") {
+    import spark.implicits._
+    // 10 clusters × 5 members (dim matches the operator's default 64)
+    val rnd = new scala.util.Random(3L)
+    val dim = 64
+    val rows = (0 until 10).flatMap { c =>
+      val base = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 5).map { m =>
+        (c * 5L + m, base.map(_ + rnd.nextGaussian() * 0.02))
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val res = Similarity.lshMultiProbeTopK(df, "vec_id", "embedding", queryId = 0L, k = 4)
+      .collect()
+    val brute = Similarity.cosineTopK(df, "vec_id", "embedding", 0L, 49).collect()
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cos_sim")).toMap
+    // candidate values are exact (the probe only prunes, never alters)
+    res.foreach { r =>
+      assert(brute(r.getAs[Long]("neighbor_id")) == r.getAs[Double]("cos_sim"))
+    }
+    // near-identical vectors share the query's cell (hamming 0 <= 1), so
+    // the probe set must contain all 4 cluster mates of vec 0
+    assert(res.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L, 3L, 4L),
+      s"cluster mates escaped the probe set: ${res.map(_.get(0)).mkString(",")}")
   }
 }
