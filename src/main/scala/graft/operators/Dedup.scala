@@ -13,9 +13,15 @@ import graft.functions.TextFunctions
   *     buckets* (LSH bands / simhash chunks / shared shingles) — never a
   *     global crossJoin;
   *   - shingle → doc joins shuffle on the shingle (content) key, which is
-  *     near-uniform for natural text; a hot shingle (boilerplate) can be
-  *     handled by AQE skew-join or by dropping top-frequency shingles
-  *     (standard practice in MinHash pipelines);
+  *     near-uniform for natural text; a hot shingle (boilerplate) is
+  *     handled by the `maxDocFreq` flag on [[jaccardPairs]] /
+  *     [[minhashNearDupPairs]] — shingles in more than that many docs are
+  *     dropped from CANDIDATE GENERATION only (verification recomputes
+  *     exact Jaccard over the full shingle relation), bounding the worst
+  *     bucket at maxDocFreq² while keeping emitted similarities exact.
+  *     The cost is recall on pairs whose ONLY overlap is boilerplate —
+  *     which is the standard, intended trade (AQE skew-join remains the
+  *     fallback when every shingle must count);
   *   - signatures are fixed-width (numHashes longs / 1 long for simhash),
   *     so the per-doc state is O(1) regardless of document size.
   */
@@ -51,28 +57,78 @@ object Dedup {
       .agg(F.count(F.lit(1)).as("n_members"), F.min(F.col(idCol)).as("keep_id"))
       .filter(F.col("n_members") > 1)
 
-  /** Brute-force n-gram Jaccard pairs with similarity >= minJ.
-    * Distributed as: shingle self-equi-join (shuffle on shingle) →
-    * per-pair shared counts → join with per-doc shingle counts.
-    * At 100 TB this is the *verification* kernel — candidate generation
-    * should come from [[minhashNearDupPairs]].
+  /** Shingles occurring in more than maxDocFreq documents — boilerplate
+    * whose buckets blow up quadratically while carrying ~no similarity
+    * signal.
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, minJ: Double): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n).cache()
-    val counts = sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
-    val a = sh.toDF("a_id", "shingle")
-    val b = sh.toDF("b_id", "shingle")
-    val shared = a.join(b, "shingle")
-      .filter(F.col("a_id") < F.col("b_id"))
+  private def hotShingles(sh: DataFrame, maxDocFreq: Int): DataFrame =
+    sh.groupBy("shingle").agg(F.count(F.lit(1)).as("df"))
+      .filter(F.col("df") > maxDocFreq).select("shingle")
+
+  /** Exact-Jaccard verification of candidate pairs against the FULL
+    * shingle relation (shared via the (b_id, shingle) equi-join, then
+    * per-doc counts) — shared by the brute-force and LSH pipelines so
+    * emitted similarities are exact regardless of how candidates were
+    * generated.
+    */
+  private def jaccardVerify(
+      cands: DataFrame, sh: DataFrame, counts: DataFrame, minJ: Double): DataFrame = {
+    val aSh = sh.toDF("a_id", "shingle")
+    val bSh = sh.toDF("b_id", "shingle")
+    cands
+      .join(aSh, "a_id")
+      .join(bSh, Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id")
       .agg(F.count(F.lit(1)).as("shared"))
-    shared
       .join(counts.toDF("a_id", "na"), "a_id")
       .join(counts.toDF("b_id", "nb"), "b_id")
       .withColumn("jaccard",
         F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
       .filter(F.col("jaccard") >= minJ)
       .select("a_id", "b_id", "shared", "jaccard")
+  }
+
+  /** Brute-force n-gram Jaccard pairs with similarity >= minJ.
+    * Distributed as: shingle self-equi-join (shuffle on shingle) →
+    * per-pair shared counts → join with per-doc shingle counts.
+    * At 100 TB this is the *verification* kernel — candidate generation
+    * should come from [[minhashNearDupPairs]]. `maxDocFreq` (off by
+    * default, which keeps the exact answer) drops hot shingles from the
+    * pair-generating self-join only; see the object scaladoc for the
+    * trade.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int, minJ: Double,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n).cache()
+    val counts = sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
+    if (maxDocFreq == Int.MaxValue) {
+      // exact path: shared counts fall straight out of the self-join
+      val a = sh.toDF("a_id", "shingle")
+      val b = sh.toDF("b_id", "shingle")
+      val shared = a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).as("shared"))
+      shared
+        .join(counts.toDF("a_id", "na"), "a_id")
+        .join(counts.toDF("b_id", "nb"), "b_id")
+        .withColumn("jaccard",
+          F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
+        .filter(F.col("jaccard") >= minJ)
+        .select("a_id", "b_id", "shared", "jaccard")
+    } else {
+      // skew-bounded path: candidates from the cooled relation, exact
+      // verification over the full one
+      // NB: the anti-join puts the join key first — select by name, not
+      // positionally
+      val kept = sh.join(hotShingles(sh, maxDocFreq), Seq("shingle"), "left_anti")
+      val a = kept.select(F.col(idCol).as("a_id"), F.col("shingle"))
+      val b = kept.select(F.col(idCol).as("b_id"), F.col("shingle"))
+      val cands = a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id").distinct()
+      jaccardVerify(cands, sh, counts, minJ)
+    }
   }
 
   /** MinHash signatures: numHashes independent min-hashes per doc. The
@@ -123,28 +179,21 @@ object Dedup {
     */
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int, minJ: Double,
-      numHashes: Int = 64, bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+      numHashes: Int = 64, bands: Int = 32, rowsPerBand: Int = 2,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
     require(bands * rowsPerBand <= numHashes)
     val sh = shingleTable(df, idCol, textCol, n).cache()
-    val sigs = minhashSignatures(sh, idCol, numHashes)
+    // maxDocFreq cools only the signature/banding input; verification
+    // below always runs over the full relation, so jaccard stays exact
+    val shSig =
+      if (maxDocFreq == Int.MaxValue) sh
+      else sh.join(hotShingles(sh, maxDocFreq), Seq("shingle"), "left_anti")
+    val sigs = minhashSignatures(shSig, idCol, numHashes)
     val cands = lshCandidates(lshBuckets(sigs, idCol, bands, rowsPerBand), idCol)
     val counts = sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
     // verify candidates with exact Jaccard: join candidates back to the
     // shingle relation (broadcast the candidate list when it is small).
-    val aSh = sh.toDF("a_id", "shingle")
-    val bSh = sh.toDF("b_id", "shingle")
-    val shared = cands
-      .join(aSh, "a_id")
-      .join(bSh, Seq("b_id", "shingle"))
-      .groupBy("a_id", "b_id")
-      .agg(F.count(F.lit(1)).as("shared"))
-    shared
-      .join(counts.toDF("a_id", "na"), "a_id")
-      .join(counts.toDF("b_id", "nb"), "b_id")
-      .withColumn("jaccard",
-        F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
-      .filter(F.col("jaccard") >= minJ)
-      .select("a_id", "b_id", "shared", "jaccard")
+    jaccardVerify(cands, sh, counts, minJ)
   }
 
   /** `bits`-wide SimHash over distinct tokens: bit b of the signature is
@@ -184,6 +233,11 @@ object Dedup {
     require(bits % 4 == 0, "bits must split into 4 chunks")
     val cw = bits / 4
     val mask = (1L << cw) - 1
+    // sigs is read 3× (chunking + both verify joins); the cache cannot be
+    // unpersisted here because the result is lazy — eviction relies on
+    // Spark's LRU block manager. Fixed-width signatures keep the footprint
+    // at ~16 bytes/doc, so resident leftovers are bounded and benign; a
+    // caller looping over many corpora can spark.catalog.clearCache().
     val sigs = simhash(df, idCol, textCol, tokenHash, bits).cache()
     val chunks = sigs.select(
       F.col(idCol),

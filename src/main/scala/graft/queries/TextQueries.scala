@@ -84,6 +84,16 @@ object TextQueries extends QueryPack {
         .orderBy("a_id", "b_id")
     }),
 
+    // Skew-bounded Jaccard: hot shingles (doc-freq > 3) dropped from
+    // candidate generation only; verification recomputes exact Jaccard
+    // over the full shingle relation, so emitted values are identical to
+    // qd06's for every surviving pair (at this corpus: ALL of them — the
+    // flag bounds the worst bucket without costing a single true pair).
+    "qd12_jaccard_cooled" -> ((s, d) => {
+      Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.3, maxDocFreq = 3)
+        .orderBy("a_id", "b_id")
+    }),
+
     // MinHash+LSH near-dup pipeline verified with exact Jaccard at
     // J >= 0.6 — banding (32×2 over 64 hashes) has recall ~1-3e-7 at
     // 0.6, so the result equals the brute-force oracle.
@@ -234,6 +244,23 @@ object TextQueries extends QueryPack {
            JOIN cnt ca ON ca.doc_id = a.doc_id
            JOIN cnt cb ON cb.doc_id = b.doc_id
            GROUP BY a.doc_id, b.doc_id)
+         WHERE jaccard >= 0.3 ORDER BY a_id, b_id""",
+    "qd12_jaccard_cooled" ->
+      s"""WITH $oracleShingles,
+         cool AS (SELECT * FROM sh WHERE shingle IN (
+           SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 3)),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM cool a JOIN cool b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+         SELECT a_id, b_id, shared, jaccard FROM (
+           SELECT c.a_id, c.b_id, count(*) AS shared,
+             round(CAST(count(*) AS DOUBLE) /
+               (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)), 4) AS jaccard
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.a_id
+           JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+           JOIN cnt ca ON ca.doc_id = c.a_id
+           JOIN cnt cb ON cb.doc_id = c.b_id
+           GROUP BY c.a_id, c.b_id)
          WHERE jaccard >= 0.3 ORDER BY a_id, b_id""",
     "qd07_minhash_lsh" ->
       s"""WITH $oracleShingles

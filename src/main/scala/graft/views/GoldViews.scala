@@ -15,6 +15,15 @@ object GoldViews {
 
   private val fraudCount = "SUM(CASE WHEN is_fraud = 1 THEN 1 ELSE 0 END)"
 
+  // The `CASE WHEN distance_km >= 0` guards below mirror the reference's
+  // views (`gold_layer_views_delta.sql:36-41`), which exclude a -1
+  // null-coordinate sentinel from distance aggregates. With the canonical
+  // null-quirk haversine (`FraudFeatures.distanceKm`) the sentinel never
+  // fires — null-coord rows carry ~0.0 km and DO dilute avg_distance,
+  // exactly as they do in the reference. The guards are kept verbatim for
+  // view parity and for gold tables written by older/API-variant
+  // pipelines that emit the sentinel.
+
   val definitions: Map[String, String] = Map(
     "daily_summary" ->
       s"""SELECT year(transaction_timestamp) AS year,

@@ -27,6 +27,41 @@ class DedupSpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("hot-shingle drop bounds boilerplate buckets without changing verified values") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact us for terms of service and licensing details"
+    val rnd = new scala.util.Random(17L)
+    def noise(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    val twinBody = noise(60)
+    val corpus = Seq(
+      (0L, s"$twinBody $boiler"),
+      (1L, s"$twinBody extra token $boiler"), // near-dup of 0
+    ) ++ (2L to 7L).map(i => (i, s"${noise(40)} $boiler")) // boilerplate-only overlap
+    val df = corpus.toDF("doc_id", "text")
+
+    val exact = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    val cooled = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5, maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    // the true near-dup pair survives with an IDENTICAL exact jaccard
+    assert(exact.toSet == cooled.toSet && exact.exists(p => p._1 == 0L && p._2 == 1L))
+
+    // at a permissive threshold, boilerplate-only pairs appear in the
+    // exact answer but are the (documented) recall cost of the flag
+    val exactLow = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cooledLow = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.01, maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactLow.contains((2L, 3L)), "boilerplate should link docs at J>=0.01")
+    assert(!cooledLow.contains((2L, 3L)), "hot shingles must not generate candidates")
+    assert(cooledLow.contains((0L, 1L)))
+
+    // same flag on the LSH pipeline: verified values still exact
+    val lsh = Dedup.minhashNearDupPairs(df, "doc_id", "text", 3, 0.5, maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    assert(lsh.toSet == exact.toSet)
+  }
+
   test("minhash LSH recall equals brute force at J>=0.6") {
     val brute = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.6)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
