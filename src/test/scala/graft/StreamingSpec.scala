@@ -112,6 +112,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(predsPath).count() == 44, "duplicate predictions written")
   }
 
+  test("checkpointed replay resumes mid-stream and feeds the bronze topology") {
+    import graft.streaming.Replay
+    val work = TestFixtures.tmpDir("replay")
+    val srcDir = TestFixtures.writeEnvelopes(work.resolve("src"), "hist.jsonl",
+      TestFixtures.randomRows(50))
+    // historical envelopes with replay-ordering columns (the stream's
+    // declared schema ignores the extra top-level fields)
+    val source = spark.read.json(srcDir.toString)
+      .select(F.col("after"),
+        F.col("after.trans_date_trans_time").cast("long").as("__ts"),
+        F.col("after.trans_num").as("__tn"))
+    val out = work.resolve("landing").toString
+    val ckpt = work.resolve("producer_ckpt").toString
+
+    // first run stops after one batch of 20 — a mid-replay interruption
+    assert(Replay.run(source, "__ts", "__tn", out, ckpt,
+      batchRows = 20, maxBatches = 1) == 20L)
+    assert(Replay.readCheckpoint(spark, ckpt) == 19L)
+    // resume finishes the remaining 30 without re-emitting the first 20
+    assert(Replay.run(source, "__ts", "__tn", out, ckpt, batchRows = 20) == 30L)
+    val landed = spark.read.json(out)
+    assert(landed.count() == 50)
+    assert(landed.select("after.trans_num").distinct().count() == 50,
+      "resume duplicated rows")
+    // a third run is a no-op: the checkpoint says everything was replayed
+    assert(Replay.run(source, "__ts", "__tn", out, ckpt) == 0L)
+
+    // the landing dir is a valid bronze source (producer → CDC → stream)
+    val q = BronzeStream.start(spark, out, work.resolve("bronze").toString,
+      work.resolve("bronze-ckpt").toString)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(work.resolve("bronze").toString).count() == 50)
+  }
+
   test("e2e: train → auto-promote → scoring stream scores with the Production ML model") {
     import graft.ml.{FraudMl, ModelRegistry}
     val work = TestFixtures.tmpDir("ml-stream")
