@@ -15,6 +15,12 @@ import org.apache.spark.sql.SparkSession
   *      estimator); every rep is reported under "reps" so variance is
   *      visible to the reader, not averaged away.
   *
+  * Measured (round 3): consecutive sf0.1 totals 18.71s / 18.47s — 1.3%
+  * run-over-run, vs ±42% across rounds 1→2 under the old protocol. A run
+  * started minutes after a heavy WRITE workload (page-cache writeback
+  * still draining) can still read high across the board; benchmark on a
+  * quiet machine.
+  *
   * Failure accounting: a rep that throws yields a -1 sentinel. A query
   * whose every rep failed reports -1 and is listed under "failed", and is
   * EXCLUDED from the "total" sum — so a broken build can neither

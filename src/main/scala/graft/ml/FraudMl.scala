@@ -76,7 +76,11 @@ object FraudMl {
     new Pipeline().setStages(Array(assembler, scaler, clf))
   }
 
-  case class Metrics(accuracy: Double, precision: Double, recall: Double, f1: Double, auc: Double)
+  /** The reference's logged metric set (`ml_training_job.py:300-325`),
+    * including specificity = TN/(TN+FP) derived from the confusion matrix.
+    */
+  case class Metrics(accuracy: Double, precision: Double, recall: Double,
+      f1: Double, auc: Double, specificity: Double)
 
   def evaluate(predictions: DataFrame): Metrics = {
     def multi(metric: String): Double =
@@ -86,8 +90,15 @@ object FraudMl {
     val auc = new BinaryClassificationEvaluator()
       .setLabelCol("is_fraud").setRawPredictionCol("rawPrediction")
       .setMetricName("areaUnderROC").evaluate(predictions)
+    // one aggregate, not 4 filter+count round-trips (ml_training_job.py:309-313)
+    val negs = predictions.filter(F.col("is_fraud") === 0)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.when(F.col("prediction") === 0, 1).otherwise(0)).as("tn"))
+      .head()
+    val specificity =
+      if (negs.getLong(0) > 0) negs.getLong(1).toDouble / negs.getLong(0) else 0.0
     Metrics(multi("accuracy"), multi("weightedPrecision"), multi("weightedRecall"),
-      multi("f1"), auc)
+      multi("f1"), auc, specificity)
   }
 
   /** Confusion matrix as one distributed aggregate, not 4 filter+count

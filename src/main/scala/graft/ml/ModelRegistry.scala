@@ -43,6 +43,7 @@ object ModelRegistry {
       recall: Double,
       f1: Double,
       auc: Double,
+      specificity: Double,
       registered_at: Timestamp)
 
   private def registryPath(root: String): String = s"$root/registry.parquet"
@@ -85,7 +86,7 @@ object ModelRegistry {
     writeAll(spark, root,
       existing :+ Entry(name, version, StageNone,
         metrics.accuracy, metrics.precision, metrics.recall, metrics.f1, metrics.auc,
-        new Timestamp(System.currentTimeMillis())))
+        metrics.specificity, new Timestamp(System.currentTimeMillis())))
     version
   }
 

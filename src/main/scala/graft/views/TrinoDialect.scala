@@ -17,14 +17,43 @@ object TrinoDialect {
     .replaceAll("(?i)postgres\\.public\\.", "")
 
   /** Extract `CREATE OR REPLACE VIEW <catalog.schema.>name AS <body>;`
-    * statements from a Trino DDL script.
+    * statements from a Trino DDL script. The terminating `;` is found by a
+    * scan that skips single-quoted string literals ('' escapes) and `--`
+    * line comments, so a semicolon inside either cannot truncate a view
+    * body.
     */
   def extractViews(script: String): Map[String, String] = {
-    val p = ("""(?is)CREATE\s+OR\s+REPLACE\s+VIEW\s+([\w.]+)\s+AS\s+(.*?);""").r
-    p.findAllMatchIn(script).map { m =>
+    val header = """(?is)CREATE\s+OR\s+REPLACE\s+VIEW\s+([\w.]+)\s+AS\s+""".r
+    header.findAllMatchIn(script).map { m =>
       val name = m.group(1).split('.').last
-      name -> translate(m.group(2))
+      name -> translate(script.substring(m.end, terminatorIndex(script, m.end)))
     }.toMap
+  }
+
+  /** Index of the statement-terminating `;` at or after `from` (or end of
+    * script), ignoring semicolons inside SQL string literals and `--`
+    * comments.
+    */
+  private def terminatorIndex(s: String, from: Int): Int = {
+    var i = from
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1 // '' escape
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true
+        case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
+          while (i < s.length && s.charAt(i) != '\n') i += 1
+        case ';' => return i
+        case _ =>
+      }
+      i += 1
+    }
+    s.length
   }
 
   /** Register every view of a Trino DDL script as a Spark temp view. */

@@ -23,8 +23,8 @@ class ModelRegistrySpec extends AnyFunSuite {
     (model, metrics)
   }
 
-  private def goodMetrics = FraudMl.Metrics(0.95, 0.95, 0.95, 0.95, 0.99)
-  private def badMetrics = FraudMl.Metrics(0.60, 0.60, 0.60, 0.60, 0.65)
+  private def goodMetrics = FraudMl.Metrics(0.95, 0.95, 0.95, 0.95, 0.99, 0.94)
+  private def badMetrics = FraudMl.Metrics(0.60, 0.60, 0.60, 0.60, 0.65, 0.55)
 
   test("register allocates sequential versions; promote archives the prior Production") {
     val root = TestFixtures.tmpDir("registry").toString

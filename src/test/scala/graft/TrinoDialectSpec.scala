@@ -35,6 +35,22 @@ class TrinoDialectSpec extends AnyFunSuite {
     RuleModel.predict(silver).createOrReplaceTempView("fraud_predictions")
   }
 
+  test("extractViews survives semicolons inside string literals and comments") {
+    val ddl =
+      """CREATE OR REPLACE VIEW delta.gold.v1 AS
+        |SELECT 'a;b' AS s, -- trailing; comment
+        |       1 AS n;
+        |CREATE OR REPLACE VIEW v2 AS SELECT 'it''s; fine' AS t;""".stripMargin
+    val views = TrinoDialect.extractViews(ddl)
+    assert(views.keySet == Set("v1", "v2"))
+    assert(views("v1").contains("'a;b'") && views("v1").contains("1 AS n"),
+      s"v1 truncated: ${views("v1")}")
+    assert(views("v2").contains("'it''s; fine'"))
+    ready
+    assert(spark.sql(s"SELECT s FROM (${TrinoDialect.translate(views("v1"))})")
+      .head().getString(0) == "a;b")
+  }
+
   test("the reference's 9-view DDL registers and runs via the dialect shim") {
     assume(Files.exists(Paths.get(refViews)), "reference not mounted")
     ready
