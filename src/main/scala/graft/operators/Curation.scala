@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.TextFunctions
+
+/** Training-data curation operators: benchmark decontamination, PII /
+  * pattern redaction, token-budget sequence packing, and deterministic
+  * per-domain downsampling.
+  *
+  * These are the corpus-preparation steps between "deduplicated documents"
+  * and "training shards" (the reference stops at the analytics layer; this
+  * is the forward extension a 100 TB pretraining pipeline needs).
+  *
+  * Scale design:
+  *   - [[decontaminate]] never shuffles the training corpus: the benchmark
+  *     side (eval suites are MBs, the corpus is TBs) is reduced to its
+  *     distinct shingle relation and broadcast, so contamination detection
+  *     is a map-side hash join + one aggregation keyed by doc;
+  *   - [[redact]] and [[downsampleByDomain]] are pure narrow Column
+  *     transforms (no shuffle at all);
+  *   - [[packSequences]] computes a GLOBAL running token offset without a
+  *     global single-partition window: a two-level scan (within-bucket
+  *     cumulative sums in parallel + a broadcast prefix over the tiny
+  *     per-bucket totals) — the classic distributed prefix-sum shape.
+  */
+object Curation {
+
+  /** Benchmark decontamination: flag training documents that share at
+    * least one word `n`-gram with any benchmark document, with overlap
+    * evidence (how many distinct shingles, how many benchmark docs).
+    *
+    * Emitted columns: (idCol, n_shared_shingles, n_bench_docs).
+    * Docs with zero overlap are absent (join, not left join) — the common
+    * downstream use is an anti-join to drop contaminated docs.
+    *
+    * The benchmark shingle relation is broadcast: at production scale the
+    * eval suites are tiny next to the corpus, so the corpus-side scan
+    * stays shuffle-free until the per-doc aggregation (keyed by idCol,
+    * near-uniform).
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val tSh = Dedup.shingleTable(train, idCol, textCol, n)
+    val bSh = Dedup.shingleTable(bench, idCol, textCol, n)
+      .withColumnRenamed(idCol, "__bench_id")
+    tSh.join(F.broadcast(bSh), "shingle")
+      .groupBy(idCol)
+      .agg(
+        F.countDistinct(F.col("shingle")).as("n_shared_shingles"),
+        F.countDistinct(F.col("__bench_id")).as("n_bench_docs"))
+  }
+
+  /** Standard PII patterns (email, US phone, SSN, IPv4). Kept to syntax
+    * portable between Java regex and RE2 (no lookaround), so the same
+    * pattern string runs in Spark, DuckDB, and most scrubbing tools.
+    */
+  val piiPatterns: Seq[String] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", // email
+    "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}",      // US phone
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",                // SSN
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b")            // IPv4
+
+  /** Pattern redaction: replaces every match of every pattern with
+    * `replacement` and counts matches (count is per original text, so
+    * overlapping patterns double-count — callers wanting exactness pass
+    * disjoint patterns). Adds `redacted` and `n_redacted` columns.
+    * Pure narrow Column transform — stays in whole-stage codegen.
+    */
+  def redact(df: DataFrame, textCol: String,
+      patterns: Seq[String] = piiPatterns,
+      replacement: String = "[REDACTED]"): DataFrame = {
+    val redacted = patterns.foldLeft(F.col(textCol)) { (c, p) =>
+      F.regexp_replace(c, p, replacement)
+    }
+    val count = patterns
+      .map(p => F.regexp_count(F.col(textCol), F.lit(p)))
+      .reduce(_ + _)
+    df.withColumn("redacted", redacted)
+      .withColumn("n_redacted", count.cast("long"))
+  }
+
+  /** Token-budget sequence packing (chunked concatenation): documents are
+    * conceptually concatenated in `idCol` order and cut into
+    * `budget`-token training sequences; each doc is assigned the sequence
+    * its first token lands in. Emits (idCol, n_tok, start_offset, seq_id).
+    *
+    * The global running offset is computed WITHOUT a single-partition
+    * global window: docs are bucketed by `floor(id / bucketSize)`,
+    * within-bucket cumulative sums run in parallel (window partitioned by
+    * bucket), and the cross-bucket prefix is a window over the per-bucket
+    * totals — a relation with corpus_size/bucketSize rows, broadcast back.
+    * At 100 TB with bucketSize=2^20 that prefix relation is ~10^5 rows.
+    *
+    * Requires a numeric `idCol` (the bucketing key); ids need not be dense
+    * or contiguous — sparse ids only skew bucket sizes, not correctness.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
+      budget: Int, bucketSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0 && bucketSize > 0)
+    val base = df.select(
+      F.col(idCol),
+      tokenCount.cast("int").as("n_tok"),
+      F.floor(F.col(idCol) / bucketSize).as("__bucket"))
+    val wIn = Window.partitionBy("__bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.withColumn("__cum", F.sum(F.col("n_tok").cast("long")).over(wIn))
+    val totals = base.groupBy("__bucket").agg(F.sum(F.col("n_tok").cast("long")).as("__tot"))
+    val wPre = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = totals
+      .withColumn("__prefix", F.coalesce(F.sum("__tot").over(wPre), F.lit(0L)))
+      .select("__bucket", "__prefix")
+    cum.join(F.broadcast(prefix), "__bucket")
+      .withColumn("start_offset", F.col("__prefix") + F.col("__cum") - F.col("n_tok"))
+      .withColumn("seq_id", F.floor(F.col("start_offset") / budget.toDouble))
+      .select(idCol, "n_tok", "start_offset", "seq_id")
+  }
+
+  /** Deterministic per-domain downsampling (corpus rebalancing): keep a
+    * row iff `portableHash64(seed-id) mod 100 < rate(domain)`, with rates
+    * in percent. Unlike `sample()`/`sampleBy()` the decision is a pure
+    * function of (seed, id) — reproducible across runs, engines (the
+    * md5-derived hash family is engine-portable), cluster sizes, and
+    * partitionings, which is what makes ablation corpora comparable.
+    * Narrow, shuffle-free, codegen'd.
+    */
+  def downsampleByDomain(df: DataFrame, idCol: String, domainCol: String,
+      rates: Map[String, Int], defaultRate: Int, seed: String): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 100))
+    val h = F.pmod(
+      TextFunctions.portableHash64(
+        F.concat(F.lit(seed + "-"), F.col(idCol).cast("string"))),
+      F.lit(100L))
+    val rate = rates.foldRight(F.lit(defaultRate): Column) {
+      case ((dom, r), els) => F.when(F.col(domainCol) === dom, F.lit(r)).otherwise(els)
+    }
+    df.filter(h < rate)
+  }
+}

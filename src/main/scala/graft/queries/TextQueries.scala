@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Curation, Dedup}
 import graft.runtime.Tables
 
 /** Training-data text operators over the `documents` table: token stats,
@@ -142,6 +142,54 @@ object TextQueries extends QueryPack {
           rollingHash(F.col("text"), tokenHash = portableHash64).as("rolling_hash"),
           contentFingerprint(F.col("text")).as("content_fp"))
         .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: training docs sharing any word 4-gram
+    // with the "benchmark" slice (doc_id % 20 == 0 stands in for the eval
+    // suite). Broadcast semi-structure: the corpus side never shuffles
+    // before the per-doc aggregation.
+    "qd13_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      Curation.decontaminate(
+          all.filter(F.col("doc_id") % 20 =!= 0),
+          all.filter(F.col("doc_id") % 20 === 0),
+          "doc_id", "text", 4)
+        .orderBy("doc_id")
+    }),
+
+    // Pattern redaction (PII-scrub surface): per-doc match count + md5 of
+    // the redacted text proves byte-identical replacement vs the oracle.
+    // The synthetic corpus carries no real PII, so the oracle query scrubs
+    // a denylist term pair; the real PII patterns (email/phone/SSN/IPv4)
+    // are exercised on planted fixtures in CurationSpec.
+    "qd14_redact" -> ((s, d) => {
+      val pat = "\\b(customer|supplier)\\b"
+      Curation.redact(docs(s, d).filter(F.col("text").rlike(pat)), "text",
+          patterns = Seq(pat))
+        .select(
+          F.col("doc_id"),
+          F.col("n_redacted").as("n_matches"),
+          F.md5(F.col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget sequence packing: chunked concatenation in doc_id
+    // order, 512-token sequences. bucketSize=64 forces the multi-bucket
+    // distributed-prefix path even on the small gate corpus.
+    "qd15_pack_sequences" -> ((s, d) => {
+      Curation.packSequences(docs(s, d), "doc_id", tokenCount(F.col("text")),
+          budget = 512, bucketSize = 64)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic per-domain downsampling: engine-portable hash decision
+    // per (seed, doc_id), per-language keep rates.
+    "qd16_downsample" -> ((s, d) => {
+      Curation.downsampleByDomain(docs(s, d), "doc_id", "lang",
+          rates = Map("en" -> 90, "es" -> 60, "fr" -> 60, "de" -> 40),
+          defaultRate = 20, seed = "s7")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     })
   )
 
@@ -171,6 +219,40 @@ object TextQueries extends QueryPack {
   }
 
   def oracle: Map[String, String] = Map(
+    "qd13_decontaminate" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+                (SELECT unnest(range(1, 512)) AS i)
+           WHERE i <= array_length(w) - 3),
+         bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 20 = 0),
+         train AS (SELECT * FROM sh WHERE doc_id % 20 <> 0)
+         SELECT t.doc_id AS doc_id,
+           count(DISTINCT t.shingle) AS n_shared_shingles,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+         FROM train t JOIN bench b ON t.shingle = b.shingle
+         GROUP BY t.doc_id ORDER BY doc_id""",
+    "qd14_redact" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS n_matches,
+         md5(regexp_replace(text, '\b(customer|supplier)\b', '[REDACTED]', 'g')) AS redacted_md5
+         FROM documents
+         WHERE regexp_matches(text, '\b(customer|supplier)\b')
+         ORDER BY doc_id""",
+    "qd15_pack_sequences" ->
+      """SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+         CAST(start_offset AS BIGINT) AS start_offset,
+         CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id FROM (
+           SELECT doc_id, array_length(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+             coalesce(sum(array_length(regexp_split_to_array(trim(text), '\s+')))
+               OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+           FROM documents)
+         ORDER BY doc_id""",
+    "qd16_downsample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST('0x' || substr(md5('s7-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 <
+           CASE lang WHEN 'en' THEN 90 WHEN 'es' THEN 60 WHEN 'fr' THEN 60 WHEN 'de' THEN 40 ELSE 20 END
+         ORDER BY doc_id""",
     "qd08_simhash" -> simhashOracle,
     "qd09_fingerprints" ->
       """SELECT doc_id,

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.runtime.GraftSession
+    .builder("graft-test", "8").getOrCreate()
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "what is the capital of france paris is the capital")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "trivia night what is the capital of france everyone knows"), // contaminated
+      (2L, "completely unrelated text about spark partitions and shuffles"), // clean
+      (3L, "the capital of france paris tour guide")) // contaminated (4-gram overlap)
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared_shingles"), r.getAs[Long]("n_bench_docs"))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L)._2 == 1L && out(3L)._2 == 1L)
+    // doc 1 shares "what is the capital", "is the capital of", "the capital of france"
+    assert(out(1L)._1 == 3L)
+  }
+
+  test("redact scrubs the standard PII patterns and counts matches") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at alice.smith+x@example.co.uk or (415) 555-1234 thanks"),
+      (2L, "ssn 123-45-6789 leaked from host 10.0.42.7 yesterday"),
+      (3L, "no pii here just words")).toDF("doc_id", "text")
+    val out = Curation.redact(df, "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("redacted") ==
+      "reach me at [REDACTED] or [REDACTED] thanks")
+    assert(out(0).getAs[Long]("n_redacted") == 2L)
+    assert(out(1).getAs[String]("redacted") ==
+      "ssn [REDACTED] leaked from host [REDACTED] yesterday")
+    assert(out(1).getAs[Long]("n_redacted") == 2L)
+    assert(out(2).getAs[String]("redacted") == "no pii here just words")
+    assert(out(2).getAs[Long]("n_redacted") == 0L)
+  }
+
+  test("packSequences two-level prefix equals a single global window, offsets contiguous") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    // sparse, shuffled-write ids across several buckets (bucketSize = 16)
+    val docsDf = rnd.shuffle((0 until 200).toList)
+      .map(i => (i * 3L + 1, Seq.fill(5 + rnd.nextInt(90))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Curation.packSequences(
+      docsDf, "doc_id", TextFunctions.tokenCount(F.col("text")),
+      budget = 128, bucketSize = 16)
+    // reference: one global window
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docsDf
+      .select(F.col("doc_id"), TextFunctions.tokenCount(F.col("text")).as("n_tok"))
+      .withColumn("start_offset", F.coalesce(F.sum(F.col("n_tok").cast("long")).over(w), F.lit(0L)))
+      .withColumn("seq_id", F.floor(F.col("start_offset") / 128.0))
+    assert(packed.exceptAll(ref).isEmpty && ref.exceptAll(packed).isEmpty)
+    // contiguity: next start = prev start + prev tokens; first starts at 0
+    val rows = packed.orderBy("doc_id").collect()
+    assert(rows.head.getAs[Long]("start_offset") == 0L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("start_offset") ==
+        a.getAs[Long]("start_offset") + a.getAs[Int]("n_tok"))
+    }
+    // every doc's seq matches its start bucket
+    rows.foreach(r => assert(r.getAs[Long]("seq_id") == r.getAs[Long]("start_offset") / 128))
+  }
+
+  test("downsampleByDomain is deterministic, rate-monotone, and a pure row filter") {
+    import spark.implicits._
+    val df = (0 until 2000)
+      .map(i => (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh"))
+      .toDF("doc_id", "lang")
+    def run(rates: Map[String, Int]) =
+      Curation.downsampleByDomain(df, "doc_id", "lang", rates, defaultRate = 10, seed = "s7")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    val a = run(Map("en" -> 80, "de" -> 40))
+    val b = run(Map("en" -> 80, "de" -> 40))
+    assert(a == b, "same seed+rates must select identical rows")
+    // raising a rate only ever adds rows (hash < rate is monotone in rate)
+    val wider = run(Map("en" -> 95, "de" -> 40))
+    assert(a.subsetOf(wider))
+    // rough rate sanity on ~667 docs/domain
+    val kept = Curation.downsampleByDomain(df, "doc_id", "lang",
+        Map("en" -> 80, "de" -> 40), defaultRate = 10, seed = "s7")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(kept("en") > 450 && kept("en") < 640)
+    assert(kept("de") > 180 && kept("de") < 350)
+    assert(kept("zh") > 30 && kept("zh") < 110)
+  }
+}
