@@ -80,6 +80,36 @@ class PlanSpec extends AnyFunSuite {
       s"probe did not prune partitions:\n$plan")
   }
 
+  test("decontaminate broadcasts the benchmark shingle relation (corpus side never shuffles pre-agg)") {
+    val docs = graft.runtime.Tables.load(spark, sf, "documents")
+    val out = graft.operators.Curation.decontaminate(
+      docs.filter(F.col("doc_id") % 20 =!= 0),
+      docs.filter(F.col("doc_id") % 20 === 0),
+      "doc_id", "text", 4)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side must be broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side must not shuffle for the join:\n$plan")
+  }
+
+  test("packSequences windows hash-partition by bucket — no corpus-wide single-partition window") {
+    val docs = graft.runtime.Tables.load(spark, sf, "documents")
+    val packed = graft.operators.Curation.packSequences(
+      docs, "doc_id", graft.functions.TextFunctions.tokenCount(F.col("text")),
+      budget = 512, bucketSize = 64)
+    packed.count()
+    val plan = packed.queryExecution.executedPlan.toString
+    // the per-doc cumulative sum must run partitioned by __bucket
+    assert(plan.contains("hashpartitioning(__bucket"),
+      s"within-bucket window lost its hash partitioning:\n$plan")
+    // the only SinglePartition exchange allowed is the tiny per-bucket
+    // totals relation (its input is an aggregate over __bucket)
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single <= 1, s"unexpected single-partition exchanges ($single):\n$plan")
+  }
+
   test("GraftExtensions injects native functions at session build") {
     spark // materialize the shared session first
     SparkSession.clearActiveSession()
