@@ -147,6 +147,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 scalar quantization of an embedding column: per-vector
+    * symmetric scale = max|v| / 127, codes = round(v / scale). Emits
+    * (idCol, q_codes: array<tinyint>, q_scale, q_norm) — a relation 4×
+    * narrower than the float vectors, which is the point: at 100 TB the
+    * quantized table is what gets persisted and scanned, and the float
+    * vectors are only fetched for the final re-rank of a handful of
+    * candidates ([[quantizedTopK]]). Deterministic, engine-portable
+    * (round-half-up on non-negative magnitudes matches SQL ROUND).
+    */
+  def quantizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(F.col(idCol),
+        F.col(vecCol),
+        (F.array_max(F.transform(F.col(vecCol), x => F.abs(x))) / 127.0).as("q_scale"),
+        norm(F.col(vecCol)).as("q_norm"))
+      .withColumn("q_codes",
+        F.transform(F.col(vecCol), x => F.round(x / F.col("q_scale")).cast("byte")))
+      .select(idCol, "q_codes", "q_scale", "q_norm")
+  }
+
+  /** Quantized-scan top-k with exact re-rank: rank the corpus by the
+    * int8-approximated cosine (scaleA·scaleQ·dot(codesA, codesQ) /
+    * (normA·normQ)), keep the top `k·margin` candidates, then re-rank
+    * just those against the FULL float vectors for exact cosines.
+    *
+    * Scale shape: the scan phase reads only the 4×-compressed quantized
+    * relation (codes + two scalars/row) and ends in TakeOrdered — no
+    * shuffle; the re-rank joins `k·margin` rows (broadcast) back to the
+    * float table. With 64-dim int8 the quantization error per cosine is
+    * ~1e-3, so a 3× margin re-covers the exact top-k with huge slack —
+    * SimilaritySpec asserts equality with [[cosineTopK]] and the qe05
+    * oracle is the EXACT brute-force answer.
+    */
+  def quantizedTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, margin: Int = 3): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val quant = quantizeEmbeddings(df, idCol, vecCol)
+    val qRow = quant.filter(F.col(idCol) === queryId)
+      .select(F.col("q_codes").as("qq_codes"), F.col("q_scale").as("qq_scale"),
+        F.col("q_norm").as("qq_norm"))
+    val approx = quant.filter(F.col(idCol) =!= queryId)
+      .crossJoin(F.broadcast(qRow)) // 1-row broadcast, like cosineTopK
+      .select(F.col(idCol),
+        (dot(F.col("q_codes").cast("array<float>"), F.col("qq_codes").cast("array<float>"))
+          * F.col("q_scale") * F.col("qq_scale")
+          / (F.col("q_norm") * F.col("qq_norm"))).as("approx_cos"))
+      .orderBy(F.col("approx_cos").desc, F.col(idCol))
+      .limit(k * margin)
+    val exactQ = df.filter(F.col(idCol) === queryId)
+      .select(F.col(vecCol).as("q_vec"), norm(F.col(vecCol)).as("exact_q_norm"))
+    df.join(F.broadcast(approx.select(idCol)), idCol)
+      .crossJoin(F.broadcast(exactQ))
+      .select(
+        F.col(idCol).as("neighbor_id"),
+        F.round(dot(F.col(vecCol), F.col("q_vec")) / (norm(F.col(vecCol)) * F.col("exact_q_norm")), 4)
+          .as("cos_sim"))
+      .orderBy(F.col("cos_sim").desc, F.col("neighbor_id"))
+      .limit(k)
+  }
+
   /** All pairs (a < b) with cosine >= minCos. Brute-force kernel — the
     * verification stage of an LSH/IVF pipeline, or a direct answer for
     * bounded slices.

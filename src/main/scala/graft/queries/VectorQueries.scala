@@ -63,6 +63,14 @@ object VectorQueries extends QueryPack {
     // not SQL-expressible.
     "qe04_lsh_ann" -> ((s, d) => {
       Similarity.lshMultiProbeTopK(emb(s, d), "vec_id", "embedding", queryId = 0L, k = 10)
+    }),
+
+    // Quantized-scan ANN: int8 codes (4× narrower scan) rank candidates,
+    // exact re-rank of k·margin rows recovers the EXACT top-k — the
+    // oracle is the same brute-force knn SQL as qe01 (different query
+    // id), proving the compression tier loses nothing end-to-end.
+    "qe05_quantized_ann" -> ((s, d) => {
+      Similarity.quantizedTopK(emb(s, d), "vec_id", "embedding", queryId = 17L, k = 10)
     })
   )
 
@@ -90,7 +98,15 @@ object VectorQueries extends QueryPack {
          JOIN norms nb ON nb.vec_id = b_id
          WHERE a_id < b_id AND round(dp / (na.nrm * nb.nrm), 4) >= 0.4
          ORDER BY a_id, b_id""",
-    "qe04_lsh_ann" -> lshAnnOracle
+    "qe04_lsh_ann" -> lshAnnOracle,
+    "qe05_quantized_ann" ->
+      s"""WITH $oracleDot
+         SELECT b_id AS neighbor_id, round(dp / (na.nrm * nb.nrm), 4) AS cos_sim
+         FROM pairs
+         JOIN norms na ON na.vec_id = a_id
+         JOIN norms nb ON nb.vec_id = b_id
+         WHERE a_id = 17 AND b_id <> 17
+         ORDER BY cos_sim DESC, neighbor_id LIMIT 10"""
   )
 
   // DuckDB twin of the multi-probe RP-LSH ANN (qe04): the exact hyperplane

@@ -31,6 +31,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sims.forall(s => s >= -1.0 && s <= 1.0))
   }
 
+  test("int8 quantization: per-element error <= scale/2, codes within [-127,127]") {
+    val quant = Similarity.quantizeEmbeddings(emb, "vec_id", "embedding")
+      .join(emb, "vec_id").limit(50).collect()
+    quant.foreach { r =>
+      val vec = r.getSeq[Float](r.fieldIndex("embedding"))
+      val codes = r.getSeq[Byte](r.fieldIndex("q_codes"))
+      val scale = r.getAs[Double]("q_scale")
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      vec.zip(codes).foreach { case (v, c) =>
+        assert(math.abs(v - c * scale) <= scale / 2 + 1e-9,
+          s"dequantization error beyond half-step: v=$v c=$c scale=$scale")
+      }
+    }
+  }
+
+  test("quantizedTopK recovers the exact top-k (equals cosineTopK) for several queries") {
+    Seq(0L, 17L, 101L).foreach { qid =>
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", qid, 10)
+        .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+      val quant = Similarity.quantizedTopK(emb, "vec_id", "embedding", qid, 10)
+        .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+      assert(quant.sameElements(exact), s"query $qid: quantized $quant != exact $exact")
+    }
+  }
+
   test("RP-LSH finds near-dup pairs with high recall on clustered vectors") {
     import spark.implicits._
     // 40 clusters × 5 members: members are the base + small noise, so
