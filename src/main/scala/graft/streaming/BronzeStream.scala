@@ -28,6 +28,19 @@ object BronzeStream {
       .text(inputDir)
       .withColumnRenamed("value", "json_string")
 
+  /** Streaming-native ingest dedup: drops re-deliveries of the same
+    * business key (`trans_num`) with state bounded by the event-time
+    * watermark — unlike a bare `dropDuplicates`, whose state grows with
+    * every key ever seen, this forgets keys older than the watermark, so
+    * state is O(keys per watermark window) at any corpus size. Turns the
+    * at-least-once replay producer ([[Replay]]) into exactly-once rows
+    * at the sink without the batch-side anti-join.
+    */
+  def dedupWithinWatermark(parsed: DataFrame, watermark: String = "1 hour"): DataFrame =
+    parsed
+      .withWatermark("trans_timestamp", watermark)
+      .dropDuplicatesWithinWatermark("trans_num")
+
   /** Start the bronze ingest query: parse → derive → foreachBatch append
     * partitioned by y/m/d with a processing-time trigger.
     */

@@ -35,6 +35,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.columns.contains("year"))
   }
 
+  test("dedupWithinWatermark drops cross-batch re-deliveries with watermark-bounded state") {
+    val work = TestFixtures.tmpDir("stream-dedup")
+    val in = work.resolve("in")
+    val rows = TestFixtures.randomRows(30)
+    // file 1: originals; file 2: 10 exact re-deliveries + 5 new rows —
+    // the at-least-once shape the Replay producer can emit after a crash
+    TestFixtures.writeEnvelopes(in, "d1.jsonl", rows)
+    TestFixtures.writeEnvelopes(in, "d2.jsonl",
+      rows.take(10) ++ TestFixtures.randomRows(5, seed = 99L, startDay = 12))
+
+    val sink = work.resolve("out").toString
+    val parsed = graft.ingest.Debezium.withBronzeColumns(
+      graft.ingest.Debezium.parse(BronzeStream.readEnvelopes(spark, in.toString, maxFilesPerTrigger = 1)))
+    val q = BronzeStream.dedupWithinWatermark(parsed)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sink)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 35, "re-delivered keys must be dropped exactly")
+    assert(out.select("trans_num").distinct().count() == 35)
+  }
+
   test("idempotent sink: a replayed batch id writes nothing twice") {
     val work = TestFixtures.tmpDir("idem")
     val base = work.resolve("layer").toString
