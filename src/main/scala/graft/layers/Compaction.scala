@@ -1,0 +1,104 @@
+package graft.layers
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Small-file compaction for partitioned parquet layers — the engine-side
+  * realization of the reference's Delta `optimizeWrite` / `autoCompact`
+  * knobs (`docs/DEVELOPER_GUIDE.md:632-635`), which are configuration-only
+  * there. Streaming sinks append one file per trigger per partition, so a
+  * 10-second trigger writes ~8,640 files/partition/day; at 100 TB the
+  * resulting file-listing and task-granularity overheads dominate scan
+  * cost long before data volume does.
+  *
+  * Scale design:
+  *   - partition SELECTION is metadata-only (one FileSystem listing —
+  *     object-store safe, resolved like [[Hwm.readIfExists]]); no data is
+  *     read for partitions that are already compact, and untouched
+  *     partitions' files are left byte-identical;
+  *   - the REWRITE is one distributed job: a partition-pruned scan of the
+  *     affected partitions, `repartition(partitionCols)` so each rewritten
+  *     partition is produced by one task run (split only by
+  *     `maxRecordsPerFile` derived from the observed bytes/row), written
+  *     with dynamic partition overwrite so concurrent readers of other
+  *     partitions never see a hole;
+  *   - no driver-side loop over data — the driver touches partition
+  *     metadata (thousands of entries), never rows.
+  */
+object Compaction {
+
+  /** One partition's compaction candidacy: spec is the `k=v/k=v` dir. */
+  final case class PartitionFiles(spec: String, files: Int, bytes: Long)
+
+  /** List leaf partition dirs (`k=v` components) with file count + bytes.
+    * Hive default (null) partitions are skipped — appends here never
+    * write them (partition columns are derived, non-null by contract).
+    */
+  def listPartitions(spark: SparkSession, root: String, depth: Int): Seq[PartitionFiles] = {
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    // listStatus returns scheme-qualified paths; qualify the root the same
+    // way so the partition spec strips to a relative `k=v/k=v`
+    val rootPath = fs.makeQualified(new Path(root))
+    def walk(p: Path, level: Int): Seq[Path] =
+      if (level == 0) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => walk(s.getPath, level - 1))
+    walk(rootPath, depth).flatMap { dir =>
+      val files = fs.listStatus(dir).toSeq.filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      if (files.isEmpty) None
+      else Some(PartitionFiles(
+        dir.toString.stripPrefix(rootPath.toString).stripPrefix("/"),
+        files.size, files.map(_.getLen).sum))
+    }
+  }
+
+  /** Compact partitions of the parquet layer at `root` that have more
+    * than one file and average under `targetBytes / 2` per file. Returns
+    * the report (partition, files_before, bytes) of what was rewritten;
+    * empty report = nothing needed, nothing touched.
+    */
+  def compact(spark: SparkSession, root: String, partitionCols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    require(partitionCols.nonEmpty, "compact() is for partitioned layers")
+    val parts = listPartitions(spark, root, partitionCols.length)
+    val needy = parts.filter(p => p.files > 1 && p.bytes / p.files < targetBytes / 2)
+    if (needy.isEmpty) return Seq.empty[(String, Int, Long)]
+      .toDF("partition", "files_before", "bytes")
+
+    // partition spec "y=2024/m=3" → value key "2024/3" for the pruning filter
+    def valueKey(spec: String): String =
+      spec.split('/').map(_.split("=", 2)(1)).mkString("/")
+    val keys = needy.map(p => valueKey(p.spec))
+    val keyCol = F.concat_ws("/", partitionCols.map(c => F.col(c).cast("string")): _*)
+
+    val layer = spark.read.parquet(root).filter(keyCol.isin(keys: _*))
+    // derive maxRecordsPerFile from observed bytes/row of the needy set
+    val rows = layer.count()
+    val bytes = needy.map(_.bytes).sum
+    val maxRecords = if (rows == 0) Long.MaxValue
+      else math.max(1L, targetBytes / math.max(1L, bytes / rows))
+
+    // maxRecordsPerFile must go through the session conf (the writer
+    // option is not honored on the dynamic-overwrite path); restore the
+    // caller's value afterwards
+    val conf = spark.sessionState.conf
+    val prev = conf.getConfString("spark.sql.files.maxRecordsPerFile", "0")
+    conf.setConfString("spark.sql.files.maxRecordsPerFile", maxRecords.toString)
+    try {
+      layer
+        .repartition(partitionCols.map(F.col): _*)
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic") // only rewritten specs replaced
+        .partitionBy(partitionCols: _*)
+        .parquet(root)
+    } finally conf.setConfString("spark.sql.files.maxRecordsPerFile", prev)
+
+    needy.map(p => (p.spec, p.files, p.bytes)).toDF("partition", "files_before", "bytes")
+  }
+}
