@@ -53,6 +53,16 @@ object Curation {
         F.countDistinct(F.col("__bench_id")).as("n_bench_docs"))
   }
 
+  /** The end-to-end scrub: training docs with every contaminated doc
+    * removed (left-anti against [[decontaminate]]'s flag set). The common
+    * pretraining-pipeline call — flag for audit, anti-join for the shard.
+    */
+  def dropContaminated(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    train.join(
+      decontaminate(train, bench, idCol, textCol, n).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Standard PII patterns (email, US phone, SSN, IPv4). Kept to syntax
     * portable between Java regex and RE2 (no lookaround), so the same
     * pattern string runs in Spark, DuckDB, and most scrubbing tools.

@@ -29,6 +29,10 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L)._2 == 1L && out(3L)._2 == 1L)
     // doc 1 shares "what is the capital", "is the capital of", "the capital of france"
     assert(out(1L)._1 == 3L)
+    // the scrub keeps exactly the clean docs
+    val clean = Curation.dropContaminated(train, bench, "doc_id", "text", 4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(clean == Set(2L))
   }
 
   test("redact scrubs the standard PII patterns and counts matches") {
