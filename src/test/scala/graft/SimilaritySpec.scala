@@ -105,6 +105,20 @@ class SimilaritySpec extends AnyFunSuite {
       "nProbe = numCentroids must equal the exact scan")
   }
 
+  test("IVF+SQ8 quantized probe equals the float probe over the same cells") {
+    val root = TestFixtures.tmpDir("ivf-sq8").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
+    val q = emb.filter(F.col("vec_id") === 3L)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    Seq(2, 4).foreach { nProbe =>
+      val exact = IvfIndex.topKByVector(spark, root, q, k = 10, nProbe)
+        .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+      val quant = IvfIndex.topKByVectorQuantized(spark, root, q, k = 10, nProbe)
+        .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+      assert(quant.sameElements(exact), s"nProbe=$nProbe: $quant != $exact")
+    }
+  }
+
   test("IvfIndex.topKByVector finds an indexed vector at cos 1.0") {
     val root = TestFixtures.tmpDir("ivf-byvec").toString
     IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
