@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.TextFunctions
+import graft.operators.{Curation, Dedup}
+import graft.runtime.Tables
+
+/** The composed training-data pipeline: every curation operator chained
+  * in the order a pretraining corpus build actually runs them —
+  *
+  *   exact dedup → near-dup drop (MinHash+LSH) → benchmark
+  *   decontamination → PII redaction → quality/language filter →
+  *   domain rebalancing → sequence packing → sharded write
+  *
+  * Each stage is the operator verified by its own oracle/spec; this main
+  * (and CurationPipelineSpec) verify they COMPOSE — one lazy plan chain
+  * per stage, no driver-side row handling, shards written partitioned so
+  * a trainer reads `shard=K` directories independently.
+  *
+  * Usage: runMain graft.tools.CurationPipeline [sfDir] [outDir]
+  */
+object CurationPipeline {
+
+  final case class StageCounts(stages: Seq[(String, Long)]) {
+    override def toString: String =
+      stages.map { case (s, n) => s"$s=$n" }.mkString(", ")
+  }
+
+  /** Run the full chain; returns per-stage surviving-row counts. The
+    * benchmark slice (doc_id % 20 == 0) stands in for an external eval
+    * suite and is excluded from the corpus itself.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      budget: Int = 512, nShards: Int = 8): StageCounts = {
+    val all = Tables.load(spark, sfDir, "documents")
+    val bench = all.filter(F.col("doc_id") % 20 === 0)
+    val corpus = all.filter(F.col("doc_id") % 20 =!= 0).cache()
+
+    // 1. exact dedup on the content fingerprint, min-id representative
+    val fp = TextFunctions.contentFingerprint(F.col("text"))
+    val losers = corpus
+      .select(F.col("doc_id"), fp.as("dup_key"))
+      .join(
+        Dedup.exactDuplicateGroups(corpus, "doc_id", fp).select("dup_key", "keep_id"),
+        "dup_key")
+      .filter(F.col("doc_id") =!= F.col("keep_id"))
+      .select("doc_id")
+    val deduped = corpus.join(losers, Seq("doc_id"), "left_anti")
+
+    // 2. near-dup drop: keep the a-side (smaller id) of each verified pair
+    val nearLosers = Dedup
+      .minhashNearDupPairs(deduped, "doc_id", "text", n = 3, minJ = 0.6)
+      .select(F.col("b_id").as("doc_id")).distinct()
+    val nearDeduped = deduped.join(nearLosers, Seq("doc_id"), "left_anti")
+
+    // 3. benchmark decontamination (4-gram overlap scrub)
+    val clean = Curation.dropContaminated(nearDeduped, bench, "doc_id", "text", 4)
+
+    // 4. PII redaction — downstream stages consume the redacted text
+    val redacted = Curation.redact(clean, "text")
+      .drop("text").withColumnRenamed("redacted", "text")
+
+    // 5. quality + language gate
+    val filtered = redacted.filter(
+      TextFunctions.qualityScore(F.col("text")) >= 0.3 &&
+        TextFunctions.langId(F.col("text")) =!= "und")
+
+    // 6. domain rebalancing (deterministic, reproducible across runs)
+    val balanced = Curation.downsampleByDomain(filtered, "doc_id", "lang",
+      rates = Map("en" -> 100, "es" -> 80, "fr" -> 80, "de" -> 60),
+      defaultRate = 40, seed = "curation-v1")
+
+    // 7. pack into token-budget sequences, shard for the trainer
+    val packed = Curation.packSequences(
+        balanced, "doc_id", TextFunctions.tokenCount(F.col("text")), budget)
+      .join(balanced, "doc_id")
+      .withColumn("shard", F.pmod(F.col("seq_id"), F.lit(nShards)))
+    packed.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+    val counts = StageCounts(Seq(
+      "corpus" -> corpus.count(),
+      "exact_dedup" -> deduped.count(),
+      "near_dedup" -> nearDeduped.count(),
+      "decontaminated" -> clean.count(),
+      "quality_lang" -> filtered.count(),
+      "balanced" -> balanced.count(),
+      "packed" -> spark.read.parquet(outDir).count()))
+    corpus.unpersist()
+    counts
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/graft-curated")
+    val spark = graft.runtime.GraftSession.get("curation-pipeline")
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"[curation] ${run(spark, sfDir, outDir)}")
+    spark.stop()
+  }
+}
