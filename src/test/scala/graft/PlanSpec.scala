@@ -110,6 +110,25 @@ class PlanSpec extends AnyFunSuite {
     assert(single <= 1, s"unexpected single-partition exchanges ($single):\n$plan")
   }
 
+  test("IVF+SQ8 ranking scan never reads the float vector column") {
+    val root = TestFixtures.tmpDir("ivf-sq8-plan").toString
+    val emb = graft.runtime.Tables.load(spark, sf, "embeddings")
+    graft.operators.IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
+    val q = Array.fill(64)(0.1)
+    val top = graft.operators.IvfIndex.topKByVectorQuantized(spark, root, q, k = 5, nProbe = 2)
+    top.count()
+    // two probed scans: the ranking one must read the quantized columns
+    // and NOT the float vec; only the k·margin re-rank scan reads vec
+    val schemas = "ReadSchema: [^\n]*".r
+      .findAllIn(top.queryExecution.executedPlan.toString).toSeq
+    val rankingScans = schemas.filter(s => s.contains("q_codes") && !s.contains("vec:"))
+    val rerankScans = schemas.filter(_.contains("vec:"))
+    assert(rankingScans.nonEmpty,
+      s"no pruned ranking scan found among:\n${schemas.mkString("\n")}")
+    assert(rerankScans.forall(!_.contains("q_codes")),
+      s"re-rank scan should not drag quantized columns:\n${schemas.mkString("\n")}")
+  }
+
   test("GraftExtensions injects native functions at session build") {
     spark // materialize the shared session first
     SparkSession.clearActiveSession()
