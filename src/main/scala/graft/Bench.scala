@@ -16,7 +16,9 @@ import org.apache.spark.sql.SparkSession
   *      visible to the reader, not averaged away.
   *
   * Measured (round 3): consecutive sf0.1 totals 18.71s / 18.47s — 1.3%
-  * run-over-run, vs ±42% across rounds 1→2 under the old protocol. A run
+  * run-over-run, vs ±42% across rounds 1→2 under the old protocol; after
+  * growing the suite to 60 queries, a second pair read 19.85s / 18.30s
+  * (8%, first run launched right after a full-test write workload). A run
   * started minutes after a heavy WRITE workload (page-cache writeback
   * still draining) can still read high across the board; benchmark on a
   * quiet machine.

@@ -74,6 +74,50 @@ class PropertySpec extends AnyFunSuite {
     df.foreach { case (_, h) => assert(h >= 0 && h < 1000000007L) }
   }
 
+  test("packSequences: any (budget, bucketSize) equals the single-window reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = samples(Gen.choose(1, 200), 120)
+    val docsDf = toks.zipWithIndex
+      .map { case (t, i) => (i.toLong * 7 + 3, Seq.fill(t)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val tc = graft.functions.TextFunctions.tokenCount(F.col("text"))
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    samples(for { b <- Gen.choose(8, 512); bs <- Gen.choose(1, 300) } yield (b, bs), 6)
+      .foreach { case (budget, bucketSize) =>
+        val packed = graft.operators.Curation.packSequences(
+          docsDf, "doc_id", tc, budget, bucketSize)
+        val ref = docsDf.select(F.col("doc_id"), tc.as("n_tok"))
+          .withColumn("start_offset",
+            F.coalesce(F.sum(F.col("n_tok").cast("long")).over(w), F.lit(0L)))
+          .withColumn("seq_id", F.floor(F.col("start_offset") / budget.toDouble))
+        assert(packed.exceptAll(ref).isEmpty && ref.exceptAll(packed).isEmpty,
+          s"mismatch at budget=$budget bucketSize=$bucketSize")
+      }
+  }
+
+  test("zorder bucketOf: monotone in the value, bounded by breakpoint count") {
+    import spark.implicits._
+    val bps = samples(Gen.choose(-100.0, 100.0), 15).distinct.sorted
+    val vals = samples(Gen.choose(-150.0, 150.0), 300).sorted
+    val buckets = vals.toDF("v").coalesce(1)
+      .select(F.col("v"), graft.layers.ZOrder.bucketOf(F.col("v"), bps).as("b"))
+      .collect().sortBy(_.getDouble(0)).map(_.getInt(1))
+    assert(buckets.zip(buckets.tail).forall { case (x, y) => x <= y }, "not monotone")
+    assert(buckets.forall(b => b >= 0 && b <= bps.length))
+  }
+
+  test("downsampleByDomain at rate 0 keeps nothing; at 100 keeps everything") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, "en")).toDF("doc_id", "lang")
+    val none = graft.operators.Curation.downsampleByDomain(
+      df, "doc_id", "lang", Map("en" -> 0), 50, "s")
+    val all = graft.operators.Curation.downsampleByDomain(
+      df, "doc_id", "lang", Map("en" -> 100), 50, "s")
+    assert(none.isEmpty)
+    assert(all.count() == 500)
+  }
+
   test("vec_dot edge cases: empty, mismatched length, mixed element types") {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
