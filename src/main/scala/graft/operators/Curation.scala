@@ -148,4 +148,87 @@ object Curation {
     }
     df.filter(h < rate)
   }
+
+  /** Word n-grams WITHOUT de-duplication — the counting relation behind
+    * [[repetitionStats]] (contrast `Dedup.shingleTable`, which is
+    * distinct-per-doc because Jaccard is a set measure; repetition is a
+    * bag measure, the multiplicity IS the signal).
+    */
+  private def gramTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = F.col("__w")
+    val grams = F.transform(
+      F.sequence(F.lit(0), F.size(w) - n),
+      i => F.concat_ws(" ", F.slice(w, i + 1, F.lit(n))))
+    df.select(F.col(idCol), TextFunctions.tokens(F.col(textCol)).as("__w"))
+      .select(F.col(idCol),
+        F.explode(F.when(F.size(w) >= n, grams).otherwise(F.array())).as("gram"))
+  }
+
+  /** Gopher-style repetition signals, per document (Rae et al. 2021 §A1.1
+    * "repetitious text" filters, adapted to a newline-free corpus):
+    *
+    *   - `dup_tok_frac`      — fraction of tokens that are repeats of an
+    *                           earlier token: (n_tok − n_distinct) / n_tok;
+    *   - `top_bigram_frac`   — fraction of the document's characters
+    *                           covered by occurrences of its single most
+    *                           frequent word bigram (ties broken by
+    *                           lexicographic order, so the answer is
+    *                           deterministic in any engine);
+    *   - `dup_trigram_frac`  — char-weighted fraction of trigram
+    *                           occurrences whose trigram appears more
+    *                           than once: Σ_{g:c>1} c·len(g) / Σ_g c·len(g).
+    *
+    * `keep` applies the thresholds: docs dominated by a single phrase or
+    * by repeated trigram runs are machine-generated/boilerplate with high
+    * probability and get dropped before training.
+    *
+    * Scale: two explode→groupBy passes keyed by (doc, gram) — near-uniform
+    * keys, map-side partial aggregation, output one row per doc. No
+    * driver round-trips, no UDFs; the per-doc token stats are pure
+    * codegen'd Columns. Docs shorter than n tokens contribute NULL for
+    * that n-gram metric (and pass that branch of the filter), matching
+    * SQL-semantics left joins in the oracle.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      maxDupTokFrac: Double = 0.65,
+      maxTopBigramFrac: Double = 0.10,
+      maxDupTrigramFrac: Double = 0.05): DataFrame = {
+    val id = F.col(idCol)
+    val w = TextFunctions.tokens(F.col(textCol))
+    val base = df.select(
+      id,
+      F.size(w).as("n_tok"),
+      F.size(F.array_distinct(w)).as("n_dis"),
+      F.length(F.trim(F.col(textCol))).as("__tlen"))
+
+    val c2 = gramTable(df, idCol, textCol, 2)
+      .groupBy(id, F.col("gram")).agg(F.count(F.lit(1)).as("c"))
+    val top2 = c2
+      .withColumn("rn", F.row_number().over(
+        Window.partitionBy(idCol).orderBy(F.col("c").desc, F.col("gram"))))
+      .filter(F.col("rn") === 1)
+      .select(id, F.col("gram").as("top_bigram"), F.col("c").as("__top_c"))
+
+    val d3 = gramTable(df, idCol, textCol, 3)
+      .groupBy(id, F.col("gram")).agg(F.count(F.lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(F.round(
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.length(F.col("gram"))).otherwise(F.lit(0)))
+          .cast("double") /
+          F.sum(F.col("c") * F.length(F.col("gram"))), 4).as("dup_trigram_frac"))
+
+    base
+      .join(top2, Seq(idCol), "left")
+      .join(d3, Seq(idCol), "left")
+      .withColumn("dup_tok_frac",
+        F.round((F.col("n_tok") - F.col("n_dis")).cast("double") / F.col("n_tok"), 4))
+      .withColumn("top_bigram_frac",
+        F.round((F.col("__top_c") * F.length(F.col("top_bigram"))).cast("double") / F.col("__tlen"), 4))
+      .withColumn("keep",
+        (F.coalesce(F.col("dup_tok_frac") <= maxDupTokFrac, F.lit(true)) &&
+         F.coalesce(F.col("top_bigram_frac") <= maxTopBigramFrac, F.lit(true)) &&
+         F.coalesce(F.col("dup_trigram_frac") <= maxDupTrigramFrac, F.lit(true))).cast("int"))
+      .select(id, F.col("n_tok"), F.col("dup_tok_frac"),
+        F.col("top_bigram"), F.col("top_bigram_frac"), F.col("dup_trigram_frac"), F.col("keep"))
+  }
 }

@@ -218,6 +218,68 @@ object Dedup {
       .select(F.col(idCol), sig.as("simhash"))
   }
 
+  /** Connected components over an undirected edge list — the clustering
+    * step that turns near-duplicate PAIRS (from [[jaccardPairs]] /
+    * [[minhashNearDupPairs]] / [[simhashNearDupPairs]]) into duplicate
+    * GROUPS, so dedup can keep exactly one representative per group even
+    * when similarity is only transitive (A~B, B~C, but A≁C).
+    *
+    * Algorithm: distributed min-label propagation with pointer doubling.
+    * Every node starts labeled with its own id; each round takes the min
+    * label over the node and its neighbors (one shuffle keyed by node),
+    * then short-circuits label chains by following its label's label
+    * (one more join keyed by label) — O(log diameter) rounds instead of
+    * O(diameter). Near-dup clusters are small-diameter, so this
+    * converges in 2-4 rounds in practice.
+    *
+    * Scale notes (100 TB): each round is two near-uniform-keyed shuffles
+    * sized by the EDGE list (the near-dup pair set — tiny next to the
+    * corpus), never by the corpus. `localCheckpoint` truncates lineage
+    * each round (an iterative DataFrame loop otherwise grows the plan
+    * exponentially and re-executes prior rounds). The convergence probe
+    * is an `isEmpty` on the changed-label set — an aggregate, not a data
+    * collect. Invariant used by the doubling step: comp(x) <= x always,
+    * so following comp(comp(x)) can only tighten the label and never
+    * leaves the component.
+    *
+    * Returns (id, component) for every node appearing in `edges`;
+    * component = min node id of the connected component (deterministic —
+    * matches [[exactDuplicateGroups]]' min-id representative rule).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(F.col(srcCol).cast("long").as("src"), F.col(dstCol).cast("long").as("dst"))
+      .union(edges.select(F.col(dstCol).cast("long").as("src"), F.col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(F.col("src").as("id")).distinct()
+      .select(F.col("id"), F.col("id").as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // propagate: comp'(v) = min(comp(v), min over neighbors u of comp(u))
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").as("id")).agg(F.min("comp").as("nbr_comp"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(F.col("id"),
+          F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).as("comp"))
+      // pointer doubling: comp''(v) = comp'(comp'(v)) — labels are node
+      // ids, so the lookup always hits (inner join is total)
+      val lookup = prop.select(F.col("id").as("comp"), F.col("comp").as("comp2"))
+      val next = prop.join(lookup, "comp")
+        .select(F.col("id"), F.least(F.col("comp"), F.col("comp2")).as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(F.col("comp") =!= F.col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash with the xxhash64 family (the production default). */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
     simhash(df, idCol, textCol, c => F.xxhash64(c), 64)

@@ -190,6 +190,35 @@ object TextQueries extends QueryPack {
           defaultRate = 20, seed = "s7")
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    }),
+
+    // Near-dup CLUSTERS: jaccard pairs (same edges as qd06) → distributed
+    // connected components → per-doc component assignment with min-id
+    // representatives. The oracle re-derives components with a recursive
+    // reachability CTE — transitive closure is exactly what the iterative
+    // Spark loop computes, so labels match node for node.
+    "qd17_dup_clusters" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.jaccardPairs(dd, "doc_id", "text", 3, 0.3).select("a_id", "b_id")
+      val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+        .withColumnRenamed("id", "doc_id")
+      val assigned = dd.select("doc_id").join(cc, Seq("doc_id"), "left")
+        .select(F.col("doc_id"),
+          F.coalesce(F.col("comp"), F.col("doc_id")).as("component"))
+      val sizes = assigned.groupBy("component").agg(F.count(F.lit(1)).as("cluster_size"))
+      assigned.join(sizes, "component")
+        .select(F.col("doc_id"), F.col("component"), F.col("cluster_size"),
+          (F.col("doc_id") === F.col("component")).cast("int").as("is_rep"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition filters: duplicate-token fraction, top-bigram
+    // character coverage, duplicate-trigram character fraction, plus the
+    // keep/drop decision at the documented thresholds.
+    "qd18_repetition" -> ((s, d) => {
+      Curation.repetitionStats(docs(s, d), "doc_id", "text")
+        .withColumn("n_tok", F.col("n_tok").cast("long"))
+        .orderBy("doc_id")
     })
   )
 
@@ -252,6 +281,66 @@ object TextQueries extends QueryPack {
       """SELECT doc_id, lang FROM documents
          WHERE CAST('0x' || substr(md5('s7-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 <
            CASE lang WHEN 'en' THEN 90 WHEN 'es' THEN 60 WHEN 'fr' THEN 60 WHEN 'de' THEN 40 ELSE 20 END
+         ORDER BY doc_id""",
+    "qd17_dup_clusters" ->
+      s"""WITH RECURSIVE $oracleShingles,
+         pairs AS (
+           SELECT a_id, b_id FROM (
+             SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(count(*) AS DOUBLE) /
+                 (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)), 4) AS jaccard
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             JOIN cnt ca ON ca.doc_id = a.doc_id
+             JOIN cnt cb ON cb.doc_id = b.doc_id
+             GROUP BY a.doc_id, b.doc_id)
+           WHERE jaccard >= 0.3),
+         edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+                   UNION ALL SELECT b_id AS a, a_id AS b FROM pairs),
+         reach(id, r) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         comp AS (
+           SELECT d.doc_id, least(d.doc_id, coalesce(min(r.r), d.doc_id)) AS component
+           FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+           GROUP BY d.doc_id),
+         sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         SELECT c.doc_id, c.component, s.cluster_size,
+           CAST(c.doc_id = c.component AS INT) AS is_rep
+         FROM comp c JOIN sizes s ON s.component = c.component
+         ORDER BY c.doc_id""",
+    "qd18_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+             length(trim(text)) AS tlen
+           FROM documents),
+         base AS (SELECT doc_id, len(w) AS n_tok, len(list_distinct(w)) AS n_dis, tlen FROM toks),
+         g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+                FROM toks, (SELECT unnest(range(1, 512)) AS i) WHERE i <= len(w) - 1),
+         c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+         top2 AS (SELECT doc_id, g AS top_bigram, c AS top_c FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM c2)
+           WHERE rn = 1),
+         g3 AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                FROM toks, (SELECT unnest(range(1, 512)) AS i) WHERE i <= len(w) - 2),
+         c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+         d3 AS (SELECT doc_id,
+             round(CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS DOUBLE) /
+               sum(c * length(g)), 4) AS dup_trigram_frac
+           FROM c3 GROUP BY doc_id)
+         SELECT doc_id, n_tok, dup_tok_frac, top_bigram, top_bigram_frac, dup_trigram_frac,
+           CAST(coalesce(dup_tok_frac <= 0.65, TRUE)
+             AND coalesce(top_bigram_frac <= 0.10, TRUE)
+             AND coalesce(dup_trigram_frac <= 0.05, TRUE) AS INT) AS keep
+         FROM (
+           SELECT b.doc_id, b.n_tok,
+             round(CAST(b.n_tok - b.n_dis AS DOUBLE) / b.n_tok, 4) AS dup_tok_frac,
+             t.top_bigram,
+             round(CAST(t.top_c * length(t.top_bigram) AS DOUBLE) / b.tlen, 4) AS top_bigram_frac,
+             d.dup_trigram_frac
+           FROM base b
+           LEFT JOIN top2 t ON t.doc_id = b.doc_id
+           LEFT JOIN d3 d ON d.doc_id = b.doc_id)
          ORDER BY doc_id""",
     "qd08_simhash" -> simhashOracle,
     "qd09_fingerprints" ->

@@ -103,4 +103,46 @@ class CurationSpec extends AnyFunSuite {
     assert(kept("de") > 180 && kept("de") < 350)
     assert(kept("zh") > 30 && kept("zh") < 110)
   }
+
+  test("repetitionStats computes Gopher repetition signals exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),                       // phrase-loop doc
+      (2L, "x y z w u v t s r q p o n m l k"),   // fully diverse doc
+      (3L, "p q r p q r p q r"),                 // repeated-trigram doc
+      (4L, "solo"))                              // too short for any n-gram
+      .toDF("doc_id", "text")
+    val out = Curation.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val d1 = out(1L)
+    // 6 tokens, 2 distinct -> 4/6; "a b" x3 of 5 bigrams, 3*3 chars of 11;
+    // both trigrams repeat -> 1.0
+    assert(d1.getAs[Double]("dup_tok_frac") == 0.6667)
+    assert(d1.getAs[String]("top_bigram") == "a b")
+    assert(d1.getAs[Double]("top_bigram_frac") == 0.8182)
+    assert(d1.getAs[Double]("dup_trigram_frac") == 1.0)
+    assert(d1.getAs[Int]("keep") == 0)
+
+    val d2 = out(2L)
+    // all-distinct: tie on bigram count broken lexicographically ("x y"
+    // is the first position but NOT the lexicographic min — "l k" is)
+    assert(d2.getAs[Double]("dup_tok_frac") == 0.0)
+    assert(d2.getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(d2.getAs[Int]("keep") == 1)
+
+    val d3 = out(3L)
+    // top count 3 shared by "p q" and "q r": lexicographic min wins
+    assert(d3.getAs[String]("top_bigram") == "p q")
+    assert(d3.getAs[Double]("top_bigram_frac") == 0.5294)
+    assert(d3.getAs[Double]("dup_trigram_frac") == 1.0)
+    assert(d3.getAs[Int]("keep") == 0)
+
+    val d4 = out(4L)
+    // no bigrams/trigrams: NULL metrics, and NULL branches pass the filter
+    assert(d4.getAs[Double]("dup_tok_frac") == 0.0)
+    assert(d4.isNullAt(d4.fieldIndex("top_bigram")))
+    assert(d4.isNullAt(d4.fieldIndex("dup_trigram_frac")))
+    assert(d4.getAs[Int]("keep") == 1)
+  }
 }

@@ -105,6 +105,54 @@ class DedupSpec extends AnyFunSuite {
     assert(groups(0).getAs[Long]("n_members") == 2L)
   }
 
+  test("connectedComponents labels every node with its component's min id") {
+    import spark.implicits._
+    // a chain, a pair, and a triangle; edge direction is arbitrary
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L)
+    ).toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(cc == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path within maxIter (pointer doubling)") {
+    import spark.implicits._
+    // 64-node path: plain min-propagation needs 63 rounds; with pointer
+    // doubling the label front collapses inside the default maxIter=25
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges, "src", "dst").collect()
+    assert(cc.length == 64)
+    assert(cc.forall(_.getAs[Long]("comp") == 0L))
+  }
+
+  test("connectedComponents matches local union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41L)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    // reference union-find with union-by-min, so roots are component minima
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val cc = Dedup.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(cc == expected)
+  }
+
   test("language id picks marker-dense language and falls back to und") {
     import spark.implicits._
     val df = Seq(
