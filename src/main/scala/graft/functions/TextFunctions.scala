@@ -21,6 +21,25 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = F.size(tokens(text))
 
+  /** GPT-2-style BPE pre-tokenization pattern, simplified to constructs
+    * java.util.regex and RE2 share (no lookaround, ordered alternation):
+    * a run of letters, digits, or punctuation, each optionally taking one
+    * preceding space. Splits "v2.0!" into [" v","2",".","0","!"] where
+    * whitespace tokenization sees one token — the unit a subword
+    * tokenizer would budget against.
+    */
+  val bpePattern: String = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  /** Subword pre-tokens as array<string> (codegen'd, narrow). */
+  def bpeTokens(text: Column): Column =
+    F.regexp_extract_all(text, F.lit(bpePattern), F.lit(0))
+
+  /** Token count under [[bpePattern]] — the second token-counting mode a
+    * training pipeline needs beside whitespace [[tokenCount]] (sequence
+    * budgets are set in subword tokens, not words).
+    */
+  def bpeTokenCount(text: Column): Column = F.size(bpeTokens(text))
+
   /** Word n-gram shingles as an array<string>, distinct. Empty for docs
     * shorter than n tokens (guard: sequence() on a negative range would
     * produce a descending sequence, not an empty one).

@@ -262,19 +262,20 @@ object Dedup {
       // propagate: comp'(v) = min(comp(v), min over neighbors u of comp(u))
       val nbrMin = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(F.col("dst").as("id")).agg(F.min("comp").as("nbr_comp"))
-      val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(F.col("id"),
-          F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).as("comp"))
+      val prop = labels.withColumnRenamed("comp", "prev")
+        .join(nbrMin, Seq("id"), "left")
+        .select(F.col("id"), F.col("prev"),
+          F.least(F.col("prev"), F.coalesce(F.col("nbr_comp"), F.col("prev"))).as("comp"))
       // pointer doubling: comp''(v) = comp'(comp'(v)) — labels are node
-      // ids, so the lookup always hits (inner join is total)
+      // ids, so the lookup always hits (inner join is total). The
+      // round-start label rides along as `prev` so convergence is a
+      // filter on the checkpointed frame, not another join.
       val lookup = prop.select(F.col("id").as("comp"), F.col("comp").as("comp2"))
       val next = prop.join(lookup, "comp")
-        .select(F.col("id"), F.least(F.col("comp"), F.col("comp2")).as("comp"))
+        .select(F.col("id"), F.col("prev"), F.least(F.col("comp"), F.col("comp2")).as("comp"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(F.col("comp") =!= F.col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(F.col("comp") =!= F.col("prev")).isEmpty
+      labels = next.select("id", "comp")
       iter += 1
     }
     labels

@@ -219,6 +219,23 @@ object TextQueries extends QueryPack {
       Curation.repetitionStats(docs(s, d), "doc_id", "text")
         .withColumn("n_tok", F.col("n_tok").cast("long"))
         .orderBy("doc_id")
+    }),
+
+    // Subword (BPE-ish regex) vs whitespace token counting. The corpus is
+    // pure lowercase words, where the two modes coincide — a punctuated
+    // suffix is appended per doc so the subword split genuinely diverges
+    // and the oracle must reproduce the exact regex semantics.
+    "qd19_bpe_tokens" -> ((s, d) => {
+      val punct = F.concat(F.col("text"), F.lit(". the-end v2.0!"))
+      docs(s, d)
+        .select(F.col("lang"),
+          tokenCount(punct).as("n_ws"), bpeTokenCount(punct).as("n_bpe"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).as("docs"),
+          F.sum("n_ws").as("ws_tokens"),
+          F.sum("n_bpe").as("bpe_tokens"),
+          F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 4).as("bpe_per_ws"))
+        .orderBy("lang")
     })
   )
 
@@ -342,6 +359,17 @@ object TextQueries extends QueryPack {
            LEFT JOIN top2 t ON t.doc_id = b.doc_id
            LEFT JOIN d3 d ON d.doc_id = b.doc_id)
          ORDER BY doc_id""",
+    "qd19_bpe_tokens" ->
+      """WITH t AS (SELECT lang, text || '. the-end v2.0!' AS text FROM documents),
+         c AS (SELECT lang,
+             array_length(regexp_split_to_array(trim(text), '\s+')) AS n_ws,
+             len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS n_bpe
+           FROM t)
+         SELECT lang, count(*) AS docs,
+           CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 4) AS bpe_per_ws
+         FROM c GROUP BY lang ORDER BY lang""",
     "qd08_simhash" -> simhashOracle,
     "qd09_fingerprints" ->
       """SELECT doc_id,

@@ -49,10 +49,16 @@ object CurationPipeline {
       .select("doc_id")
     val deduped = corpus.join(losers, Seq("doc_id"), "left_anti")
 
-    // 2. near-dup drop: keep the a-side (smaller id) of each verified pair
-    val nearLosers = Dedup
+    // 2. near-dup drop: verified pairs → connected components → keep the
+    // min-id representative of each cluster. Pair-wise dropping (drop
+    // every b_id) mishandles star/chain clusters — e.g. pairs (5,9) and
+    // (2,9) would keep both 5 and 2 although they sit in one cluster;
+    // the transitive closure keeps exactly one doc per cluster.
+    val nearPairs = Dedup
       .minhashNearDupPairs(deduped, "doc_id", "text", n = 3, minJ = 0.6)
-      .select(F.col("b_id").as("doc_id")).distinct()
+    val nearLosers = Dedup.connectedComponents(nearPairs, "a_id", "b_id")
+      .filter(F.col("id") =!= F.col("comp"))
+      .select(F.col("id").as("doc_id"))
     val nearDeduped = deduped.join(nearLosers, Seq("doc_id"), "left_anti")
 
     // 3. benchmark decontamination (4-gram overlap scrub)

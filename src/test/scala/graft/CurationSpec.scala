@@ -104,6 +104,19 @@ class CurationSpec extends AnyFunSuite {
     assert(kept("zh") > 30 && kept("zh") < 110)
   }
 
+  test("bpeTokenCount diverges from whitespace counting exactly on punctuated text") {
+    import spark.implicits._
+    val r = Seq(Tuple1("v2.0! the-end")).toDF("text")
+      .select(TextFunctions.bpeTokens(F.col("text")).as("t"),
+        TextFunctions.bpeTokenCount(F.col("text")).as("n"),
+        TextFunctions.tokenCount(F.col("text")).as("ws"))
+      .collect()(0)
+    assert(r.getSeq[String](r.fieldIndex("t")).toList ==
+      List("v", "2", ".", "0", "!", " the", "-", "end"))
+    assert(r.getAs[Int]("n") == 8)
+    assert(r.getAs[Int]("ws") == 2)
+  }
+
   test("repetitionStats computes Gopher repetition signals exactly") {
     import spark.implicits._
     val docs = Seq(
