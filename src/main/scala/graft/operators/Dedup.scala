@@ -218,6 +218,64 @@ object Dedup {
       .select(F.col(idCol), sig.as("simhash"))
   }
 
+  /** Bipartite MinHash+LSH: near-dup pairs BETWEEN a new batch and a
+    * historical corpus (never within either side) — the candidate kernel
+    * of incremental-ingest dedup. Ids must be globally unique across the
+    * two sides (the shingle relations are unioned for verification).
+    *
+    * Scale note: as written both sides' signatures are computed in-query;
+    * in a standing 100 TB pipeline the historical bucket relation is
+    * write-once (persist `lshBuckets(minhashSignatures(...))` bucketed by
+    * band_hash) so each ingest batch pays only for itself — the shape of
+    * [[graft.operators.IvfIndex]] applied to text. Emits
+    * (a_id = batch doc, b_id = historical doc, shared, jaccard).
+    */
+  def minhashNearDupAgainst(
+      batch: DataFrame, hist: DataFrame, idCol: String, textCol: String,
+      n: Int, minJ: Double,
+      numHashes: Int = 64, bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    require(bands * rowsPerBand <= numHashes)
+    val bSh = shingleTable(batch, idCol, textCol, n).cache()
+    val hSh = shingleTable(hist, idCol, textCol, n).cache()
+    val bBuckets = lshBuckets(minhashSignatures(bSh, idCol, numHashes), idCol, bands, rowsPerBand)
+    val hBuckets = lshBuckets(minhashSignatures(hSh, idCol, numHashes), idCol, bands, rowsPerBand)
+    val cands = bBuckets.toDF("a_id", "band_idx", "band_hash")
+      .join(hBuckets.toDF("b_id", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
+      .select("a_id", "b_id").distinct()
+    val sh = bSh.union(hSh)
+    val counts = sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
+    jaccardVerify(cands, sh, counts, minJ)
+  }
+
+  /** Incremental-ingest dedup: classify every document of a new batch
+    * against the historical corpus as `exact_dup` (same `exactKey`, e.g.
+    * [[TextFunctions.prefixFingerprint]]), `near_dup` (verified Jaccard
+    * >= minJ via [[minhashNearDupAgainst]]), or `kept`, with the min
+    * matching historical id as evidence. Intra-batch duplicates are NOT
+    * this operator's job — run the batch through the standard dedup chain
+    * first; this is the cross-run tier that keeps a continuously-ingested
+    * corpus duplicate-free without ever re-deduplicating history.
+    *
+    * Emits (idCol, verdict, match_id), one row per batch doc.
+    */
+  def dedupAgainst(batch: DataFrame, hist: DataFrame, idCol: String, textCol: String,
+      n: Int, minJ: Double, exactKey: Column): DataFrame = {
+    val bFp = batch.select(F.col(idCol), exactKey.as("__fp"))
+    val hFp = hist.select(exactKey.as("__fp"), F.col(idCol).as("__hid"))
+    val exact = bFp.join(hFp, "__fp").groupBy(idCol).agg(F.min("__hid").as("__exact"))
+    val near = minhashNearDupAgainst(batch, hist, idCol, textCol, n, minJ)
+      .groupBy("a_id").agg(F.min("b_id").as("__near"))
+      .withColumnRenamed("a_id", idCol)
+    batch.select(F.col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.when(F.col("__exact").isNotNull, "exact_dup")
+          .when(F.col("__near").isNotNull, "near_dup")
+          .otherwise("kept").as("verdict"),
+        F.coalesce(F.col("__exact"), F.col("__near")).as("match_id"))
+  }
+
   /** Connected components over an undirected edge list — the clustering
     * step that turns near-duplicate PAIRS (from [[jaccardPairs]] /
     * [[minhashNearDupPairs]] / [[simhashNearDupPairs]]) into duplicate

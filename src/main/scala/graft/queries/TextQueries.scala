@@ -221,6 +221,20 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Incremental-ingest dedup: a 20% "new batch" slice classified against
+    // the historical 80% — exact tier on the 8-token prefix fingerprint
+    // (qd02's dup key), near tier = bipartite MinHash+LSH verified at
+    // J >= 0.6 (recall ≈ 1 at these band settings, so the LSH result
+    // equals the oracle's brute-force bipartite join).
+    "qd20_incremental_dedup" -> ((s, d) => {
+      val all = docs(s, d)
+      val batch = all.filter(F.col("doc_id") % 5 === 4)
+      val hist = all.filter(F.col("doc_id") % 5 =!= 4)
+      Dedup.dedupAgainst(batch, hist, "doc_id", "text", 3, 0.6,
+          prefixFingerprint(F.col("text"), 8))
+        .orderBy("doc_id")
+    }),
+
     // Subword (BPE-ish regex) vs whitespace token counting. The corpus is
     // pure lowercase words, where the two modes coincide — a punctuated
     // suffix is appended per doc so the subword split genuinely diverges
@@ -359,6 +373,36 @@ object TextQueries extends QueryPack {
            LEFT JOIN top2 t ON t.doc_id = b.doc_id
            LEFT JOIN d3 d ON d.doc_id = b.doc_id)
          ORDER BY doc_id""",
+    "qd20_incremental_dedup" ->
+      s"""WITH $oracleShingles,
+         fp AS (SELECT doc_id,
+             md5(array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:8], ' ')) AS f
+           FROM documents),
+         b AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 4),
+         h AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 4),
+         ex AS (SELECT bf.doc_id, min(hf.doc_id) AS exact_match
+                FROM fp bf JOIN b ON b.doc_id = bf.doc_id
+                JOIN fp hf ON hf.f = bf.f JOIN h ON h.doc_id = hf.doc_id
+                GROUP BY bf.doc_id),
+         nr AS (SELECT a_id AS doc_id, min(b_id) AS near_match FROM (
+             SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+               round(CAST(count(*) AS DOUBLE) /
+                 (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)), 4) AS j
+             FROM sh sa JOIN b ON b.doc_id = sa.doc_id
+             JOIN sh sb ON sb.shingle = sa.shingle
+             JOIN h ON h.doc_id = sb.doc_id
+             JOIN cnt ca ON ca.doc_id = sa.doc_id
+             JOIN cnt cb ON cb.doc_id = sb.doc_id
+             GROUP BY sa.doc_id, sb.doc_id) WHERE j >= 0.6
+           GROUP BY a_id)
+         SELECT b.doc_id,
+           CASE WHEN ex.exact_match IS NOT NULL THEN 'exact_dup'
+                WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS verdict,
+           coalesce(ex.exact_match, nr.near_match) AS match_id
+         FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
+         LEFT JOIN nr ON nr.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
     "qd19_bpe_tokens" ->
       """WITH t AS (SELECT lang, text || '. the-end v2.0!' AS text FROM documents),
          c AS (SELECT lang,

@@ -105,6 +105,29 @@ class DedupSpec extends AnyFunSuite {
     assert(groups(0).getAs[Long]("n_members") == 2L)
   }
 
+  test("dedupAgainst classifies a batch as exact_dup / near_dup / kept with evidence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23L)
+    def noise(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    val histBody = noise(50)
+    val hist = Seq(
+      (1L, histBody),
+      (2L, noise(50)),
+      (3L, noise(50))).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, histBody),                       // exact dup of 1 (same prefix too)
+      (101L, s"$histBody tail extra tokens"), // near dup of 1 (and prefix-exact!)
+      (102L, noise(50)))                      // novel
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(batch, hist, "doc_id", "text", 3, 0.6,
+        TextFunctions.contentFingerprint(F.col("text")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), Option(r.getAs[java.lang.Long]("match_id")))).toMap
+    assert(out(100L) == ("exact_dup", Some(1L)))
+    assert(out(101L) == ("near_dup", Some(1L)))
+    assert(out(102L) == ("kept", None))
+  }
+
   test("connectedComponents labels every node with its component's min id") {
     import spark.implicits._
     // a chain, a pair, and a triangle; edge direction is arbitrary
