@@ -72,16 +72,28 @@ object Dedup {
     * generated.
     */
   private def jaccardVerify(
-      cands: DataFrame, sh: DataFrame, counts: DataFrame, minJ: Double): DataFrame = {
-    val aSh = sh.toDF("a_id", "shingle")
-    val bSh = sh.toDF("b_id", "shingle")
+      cands: DataFrame, sh: DataFrame, counts: DataFrame, minJ: Double): DataFrame =
+    jaccardVerifyBipartite(cands, sh, sh, counts, counts, minJ)
+
+  /** Bipartite form of the verification kernel: a-side and b-side shingle
+    * / count relations are distinct (incremental-ingest probes pass the
+    * batch on the a-side and PERSISTED historical tables on the b-side —
+    * see [[NearDupIndex]]; the b-side join keys lead with the doc id, so
+    * an id-bucketed historical table joins without being reshuffled).
+    * Expects (id, shingle) / (id, n_sh) column order on each relation.
+    */
+  private[operators] def jaccardVerifyBipartite(
+      cands: DataFrame, aShRel: DataFrame, bShRel: DataFrame,
+      aCounts: DataFrame, bCounts: DataFrame, minJ: Double): DataFrame = {
+    val aSh = aShRel.toDF("a_id", "shingle")
+    val bSh = bShRel.toDF("b_id", "shingle")
     cands
       .join(aSh, "a_id")
       .join(bSh, Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id")
       .agg(F.count(F.lit(1)).as("shared"))
-      .join(counts.toDF("a_id", "na"), "a_id")
-      .join(counts.toDF("b_id", "nb"), "b_id")
+      .join(aCounts.toDF("a_id", "na"), "a_id")
+      .join(bCounts.toDF("b_id", "nb"), "b_id")
       .withColumn("jaccard",
         F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
       .filter(F.col("jaccard") >= minJ)
@@ -242,9 +254,9 @@ object Dedup {
     val cands = bBuckets.toDF("a_id", "band_idx", "band_hash")
       .join(hBuckets.toDF("b_id", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
       .select("a_id", "b_id").distinct()
-    val sh = bSh.union(hSh)
-    val counts = sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
-    jaccardVerify(cands, sh, counts, minJ)
+    val bCounts = bSh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
+    val hCounts = hSh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
+    jaccardVerifyBipartite(cands, bSh, hSh, bCounts, hCounts, minJ)
   }
 
   /** Incremental-ingest dedup: classify every document of a new batch

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Persisted MinHash-LSH band index over a historical corpus — the text
+  * analog of [[IvfIndex]], serving incremental-ingest dedup without
+  * recomputing OR reshuffling history.
+  *
+  * [[Dedup.minhashNearDupAgainst]] re-derives the historical signatures
+  * on every call; fine for one-off comparisons, wrong for a standing
+  * ingest pipeline where the same 100 TB corpus would be re-shingled and
+  * re-hashed per batch. This index does the historical work ONCE:
+  *
+  *   - `<name>_buckets`  (id, band_idx, band_hash), bucketed by band_hash
+  *   - `<name>_shingles` (id, shingle),             bucketed by id
+  *   - `<name>_counts`   (id, n_sh),                bucketed by id
+  *
+  * All three are catalog tables (`bucketBy(...).saveAsTable`, so they
+  * compose with `runtime.Catalog`'s persistent-metastore sessions). The
+  * per-batch [[probe]] then:
+  *
+  *   1. codes ONLY the batch, joins its buckets to `<name>_buckets` on
+  *      (band_idx, band_hash) — the index side reads its buckets in
+  *      place (`HashPartitioning(band_hash)` satisfies the join's
+  *      clustering requirement), only the batch side shuffles;
+  *   2. verifies candidates with exact Jaccard against
+  *      `<name>_shingles` / `<name>_counts`, whose id-bucketing again
+  *      satisfies the (b_id, shingle) / (b_id) join clustering — no
+  *      Exchange ever sits above a historical scan (PlanSpec asserts
+  *      this on the physical plan tree).
+  *
+  * Per-batch cost is therefore sized by the batch and the candidate set,
+  * never by the corpus. After an accepted batch, append its relations to
+  * the three tables to fold it into history.
+  */
+object NearDupIndex {
+
+  final case class Config(
+      n: Int = 3, numHashes: Int = 64, bands: Int = 32, rowsPerBand: Int = 2,
+      buckets: Int = 16) {
+    require(bands * rowsPerBand <= numHashes)
+  }
+
+  /** Offline build: shingle + sign the corpus once, persist the bucket /
+    * shingle / count relations as bucketed catalog tables under `name`.
+    */
+  def build(corpus: DataFrame, idCol: String, textCol: String, name: String,
+      cfg: Config = Config()): Unit = {
+    val sh = Dedup.shingleTable(corpus, idCol, textCol, cfg.n).cache()
+    Dedup.lshBuckets(
+        Dedup.minhashSignatures(sh, idCol, cfg.numHashes), idCol, cfg.bands, cfg.rowsPerBand)
+      .write.mode("overwrite")
+      .bucketBy(cfg.buckets, "band_hash").sortBy("band_hash")
+      .saveAsTable(s"${name}_buckets")
+    sh.write.mode("overwrite")
+      .bucketBy(cfg.buckets, idCol).sortBy(idCol)
+      .saveAsTable(s"${name}_shingles")
+    sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
+      .write.mode("overwrite")
+      .bucketBy(cfg.buckets, idCol).sortBy(idCol)
+      .saveAsTable(s"${name}_counts")
+    sh.unpersist()
+  }
+
+  /** Near-dup pairs between `batch` and the indexed history: emits
+    * (a_id = batch doc, b_id = historical doc, shared, jaccard) with
+    * exact Jaccard >= minJ. `cfg` must match the build's (the band
+    * family is derived from the same seeded hash chain).
+    */
+  def probe(spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
+      name: String, minJ: Double, cfg: Config = Config()): DataFrame = {
+    val bSh = Dedup.shingleTable(batch, idCol, textCol, cfg.n).cache()
+    val bBuckets = Dedup.lshBuckets(
+      Dedup.minhashSignatures(bSh, idCol, cfg.numHashes), idCol, cfg.bands, cfg.rowsPerBand)
+    val cands = bBuckets.toDF("a_id", "band_idx", "band_hash")
+      .join(spark.table(s"${name}_buckets").toDF("b_id", "band_idx", "band_hash"),
+        Seq("band_idx", "band_hash"))
+      .select("a_id", "b_id").distinct()
+    val bCounts = bSh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
+    Dedup.jaccardVerifyBipartite(
+      cands, bSh, spark.table(s"${name}_shingles"),
+      bCounts, spark.table(s"${name}_counts"), minJ)
+  }
+}

@@ -27,6 +27,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      // allow co-partitioning on a SUBSET of the join keys: a table
+      // bucketed by id joins on (id, shingle) without reshuffling — the
+      // contract NearDupIndex/PlanSpec rely on. Semantics-preserving
+      // (same-key rows still colocate); the default `true` exists to
+      // avoid skew on low-cardinality subsets, which our bucket keys
+      // (hashes, ids) don't have.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
 
   /** Builder whose catalog survives the session AND the JVM: Hive catalog

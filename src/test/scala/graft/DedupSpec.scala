@@ -128,6 +128,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out(102L) == ("kept", None))
   }
 
+  test("NearDupIndex probe equals the direct bipartite LSH result") {
+    val name = s"ndx_${System.nanoTime()}"
+    val hist = docs.filter(F.col("doc_id") % 5 =!= 4)
+    val batch = docs.filter(F.col("doc_id") % 5 === 4)
+    graft.operators.NearDupIndex.build(hist, "doc_id", "text", name)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("shared"), r.getAs[Double]("jaccard"))).toSet
+    val probed = key(graft.operators.NearDupIndex.probe(
+      spark, batch, "doc_id", "text", name, 0.3))
+    val direct = key(Dedup.minhashNearDupAgainst(batch, hist, "doc_id", "text", 3, 0.3))
+    assert(probed == direct)
+    assert(probed.nonEmpty, "fixture split produced no cross near-dups")
+  }
+
   test("connectedComponents labels every node with its component's min id") {
     import spark.implicits._
     // a chain, a pair, and a triangle; edge direction is arbitrary

@@ -129,6 +129,55 @@ class PlanSpec extends AnyFunSuite {
       s"re-rank scan should not drag quantized columns:\n${schemas.mkString("\n")}")
   }
 
+  test("NearDupIndex probe never shuffles the historical relations") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val name = s"ndxp_${System.nanoTime()}"
+    val docs = graft.runtime.Tables.load(spark, sf, "documents")
+    graft.operators.NearDupIndex.build(
+      docs.filter(F.col("doc_id") % 5 =!= 4), "doc_id", "text", name)
+    // force the join planner off broadcasts so the bucketed path (the one
+    // a 100 TB history actually takes) is what gets asserted
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probed = graft.operators.NearDupIndex.probe(
+        spark, docs.filter(F.col("doc_id") % 5 === 4), "doc_id", "text", name, 0.3)
+      probed.count()
+      def flatten(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec => Seq(s.plan)
+          case o => o.children
+        }
+        p +: kids.flatMap(flatten)
+      }
+      def isIndexScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => f.tableIdentifier.exists(_.table.startsWith(name))
+        case _ => false
+      }
+      // raw index rows must flow from scan into their first join/aggregate
+      // without an Exchange — shuffles of candidate-sized DERIVATIVES
+      // (post-join, post-agg) are fine and expected
+      def narrowPathToIndexScan(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => isIndexScan(f)
+        case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+        case a: AdaptiveSparkPlanExec => narrowPathToIndexScan(a.executedPlan)
+        case s: QueryStageExec => narrowPathToIndexScan(s.plan)
+        case o => o.children.exists(narrowPathToIndexScan)
+      }
+      val all = flatten(probed.queryExecution.executedPlan)
+      assert(all.exists(isIndexScan), "expected bucketed index scans in the plan")
+      val offending = all.collect {
+        case e: ShuffleExchangeExec if narrowPathToIndexScan(e.child) => e
+      }
+      assert(offending.isEmpty,
+        s"historical index relations must not be reshuffled before their first join:\n${probed.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("GraftExtensions injects native functions at session build") {
     spark // materialize the shared session first
     SparkSession.clearActiveSession()
