@@ -63,6 +63,31 @@ object NearDupIndex {
     sh.unpersist()
   }
 
+  /** Fold an accepted batch into the index: append its bucket / shingle /
+    * count relations (bucket spec validated against the existing tables).
+    * Run AFTER the batch passes [[probe]] — the next batch then dedups
+    * against it, which is what makes continuous ingest self-consistent
+    * (and makes a replayed batch self-filtering: its docs match their own
+    * indexed shingles at J=1 and are dropped by the next probe).
+    */
+  def append(batch: DataFrame, idCol: String, textCol: String, name: String,
+      cfg: Config = Config()): Unit = {
+    val sh = Dedup.shingleTable(batch, idCol, textCol, cfg.n).cache()
+    Dedup.lshBuckets(
+        Dedup.minhashSignatures(sh, idCol, cfg.numHashes), idCol, cfg.bands, cfg.rowsPerBand)
+      .write.mode("append")
+      .bucketBy(cfg.buckets, "band_hash").sortBy("band_hash")
+      .saveAsTable(s"${name}_buckets")
+    sh.write.mode("append")
+      .bucketBy(cfg.buckets, idCol).sortBy(idCol)
+      .saveAsTable(s"${name}_shingles")
+    sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
+      .write.mode("append")
+      .bucketBy(cfg.buckets, idCol).sortBy(idCol)
+      .saveAsTable(s"${name}_counts")
+    sh.unpersist()
+  }
+
   /** Near-dup pairs between `batch` and the indexed history: emits
     * (a_id = batch doc, b_id = historical doc, shared, jaccard) with
     * exact Jaccard >= minJ. `cfg` must match the build's (the band

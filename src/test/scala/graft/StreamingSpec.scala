@@ -208,4 +208,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(preds.filter(F.col("prediction_score") < 0 ||
       F.col("prediction_score") > 1).count() == 0)
   }
+
+  test("corpus ingest stream dedups each micro-batch against the growing index") {
+    import spark.implicits._
+    import graft.streaming.CorpusIngestStream
+    val work = TestFixtures.tmpDir("corpus-ingest")
+    val name = s"ingest_${System.nanoTime()}"
+    val rnd = new scala.util.Random(7L)
+    def noise(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    val histBody = noise(60)
+    graft.operators.NearDupIndex.build(
+      Seq((1L, histBody), (2L, noise(60))).toDF("doc_id", "text"),
+      "doc_id", "text", name)
+
+    val in = work.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    def writeBatch(file: String, docs: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.writeString(in.resolve(file),
+        docs.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }.mkString("\n"))
+
+    val novel1 = noise(60)
+    // batch 1: near-dup of history (drop), a novel doc (keep), and an
+    // intra-batch near-dup of that novel doc (drop — CC keeps min id)
+    writeBatch("b1.jsonl", Seq(
+      (100L, s"$histBody tail tokens"),
+      (101L, novel1),
+      (102L, s"$novel1 extra token")))
+    val accepted = work.resolve("accepted").toString
+    val q = CorpusIngestStream.start(spark, in.toString, accepted,
+      work.resolve("ckpt").toString, name)
+    q.processAllAvailable()
+    assert(spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSet
+      == Set(101L))
+
+    // batch 2: near-dup of batch 1's survivor — history has GROWN, so it
+    // must be dropped; plus one genuinely new doc
+    val novel2 = noise(60)
+    writeBatch("b2.jsonl", Seq(
+      (200L, s"$novel1 small change"),
+      (201L, novel2)))
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSet
+      == Set(101L, 201L))
+    // the index folded in exactly the accepted docs
+    assert(spark.table(s"${name}_counts").select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 101L, 201L))
+  }
 }
