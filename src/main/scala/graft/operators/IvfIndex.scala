@@ -74,6 +74,48 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids.parquet")
   }
 
+  /** Incremental ingest: assign NEW vectors to the EXISTING centroids and
+    * append them to their cell partitions — the ANN analog of
+    * [[NearDupIndex.append]]. Assignment is a pure narrow expression: the
+    * centroid table is metadata (C rows), so each centroid becomes a
+    * LITERAL array and the cell is argmin over C codegen'd `vec_dot`
+    * calls (min over (cell, dist) structs) — no join, no shuffle, the
+    * write is the only wide-ish step and it's partition-local.
+    *
+    * Centroids are NOT refit: sustained appends drift the cell balance,
+    * so periodically [[build]] from the full corpus to rebalance —
+    * standard IVF practice (probe correctness never degrades, only cell
+    * selectivity).
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String, root: String): Unit = {
+    import org.apache.spark.sql.Column
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    val cents: Seq[(Int, Array[Double])] =
+      spark.read.parquet(s"$root/centroids.parquet").collect().toSeq
+        .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Double]]("centroid").toArray))
+    val vecs = df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
+    // ||v-c||² = v·v − 2·v·c + c·c; v·v is constant per row, so the
+    // argmin only needs (c·c − 2·v·c) per centroid
+    val candidates: Seq[Column] = cents.map { case (cell, c) =>
+      val cArr = F.array(c.map(F.lit(_)).toIndexedSeq: _*)
+      val cc = c.map(x => x * x).sum
+      F.struct(
+        (F.lit(cc) - F.lit(2.0) * F.call_function("vec_dot", F.col("vec"), cArr)).as("d"),
+        F.lit(cell).as("cell"))
+    }
+    vecs
+      .withColumn("cell", F.least(candidates: _*).getField("cell"))
+      .select(F.col("id"), F.col("vec"),
+        F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))).as("nrm"),
+        (F.array_max(F.transform(F.col("vec"), x => F.abs(x))) / 127.0).as("q_scale"),
+        F.col("cell"))
+      .withColumn("q_codes",
+        F.transform(F.col("vec"), x => F.round(x / F.col("q_scale")).cast("byte")))
+      .select("id", "vec", "nrm", "q_scale", "q_codes", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
+  }
+
   /** Rank centroids by cosine to the query and return the nProbe nearest
     * cells. The centroid table is index METADATA (numCentroids rows, set
     * at build time) — ranking it on the driver is O(C·d) and is what lets

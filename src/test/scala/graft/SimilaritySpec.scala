@@ -105,6 +105,32 @@ class SimilaritySpec extends AnyFunSuite {
       "nProbe = numCentroids must equal the exact scan")
   }
 
+  test("IvfIndex.append folds new vectors into the existing cells") {
+    import spark.implicits._
+    val root = TestFixtures.tmpDir("ivf-append").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
+    val before = spark.read.parquet(s"$root/vectors").count()
+    // new vectors: an exact copy of vec 5 (new id) plus its negation
+    val v5 = emb.filter(F.col("vec_id") === 5L)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    val fresh = Seq(
+      (9100L, v5.toSeq),
+      (9101L, v5.map(-_).toSeq)).toDF("vec_id", "embedding")
+    IvfIndex.append(fresh, "vec_id", "embedding", root)
+    assert(spark.read.parquet(s"$root/vectors").count() == before + 2)
+    // probing ALL cells is exact: the appended copy must rank at cos 1.0
+    val top = IvfIndex.topKByVector(spark, root, v5, k = 2, nProbe = 8).collect()
+    val ids = top.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ids.contains(9100L), s"appended copy missing from $ids")
+    assert(top.forall(r => r.getAs[Long]("neighbor_id") != 9100L ||
+      r.getAs[Double]("cos_sim") == 1.0))
+    // the copy landed in the same cell as its source vector
+    val cells = spark.read.parquet(s"$root/vectors")
+      .filter(F.col("id").isin(5L, 9100L))
+      .select("cell").distinct().count()
+    assert(cells == 1, "identical vectors must be assigned the same cell")
+  }
+
   test("IVF+SQ8 quantized probe equals the float probe over the same cells") {
     val root = TestFixtures.tmpDir("ivf-sq8").toString
     IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
