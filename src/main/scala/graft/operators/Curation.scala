@@ -149,6 +149,27 @@ object Curation {
     df.filter(h < rate)
   }
 
+  /** Quality-weighted deterministic sampling (importance resampling): the
+    * keep probability interpolates linearly between `floorRate` and
+    * `ceilRate` with the document's [[TextFunctions.qualityScore]], and
+    * the decision is a pure function of (seed, id) — the quality-aware
+    * sibling of [[downsampleByDomain]], upsampling high-quality documents
+    * relative to low-quality ones while keeping ablation corpora
+    * reproducible across runs, engines, and partitionings. Narrow,
+    * shuffle-free, codegen'd.
+    */
+  def qualityWeightedSample(df: DataFrame, idCol: String, textCol: String,
+      seed: String, floorRate: Double = 0.1, ceilRate: Double = 1.0): DataFrame = {
+    require(floorRate >= 0 && ceilRate <= 1 && floorRate <= ceilRate)
+    val q = TextFunctions.qualityScore(F.col(textCol))
+    val p = F.lit(floorRate) + (F.lit(ceilRate) - F.lit(floorRate)) * q
+    val h = F.pmod(
+      TextFunctions.portableHash64(
+        F.concat(F.lit(seed + "-"), F.col(idCol).cast("string"))),
+      F.lit(10000L))
+    df.filter(h.cast("double") < p * 10000.0)
+  }
+
   /** Word n-grams WITHOUT de-duplication — the counting relation behind
     * [[repetitionStats]] (contrast `Dedup.shingleTable`, which is
     * distinct-per-doc because Jaccard is a set measure; repetition is a

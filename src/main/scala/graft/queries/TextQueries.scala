@@ -235,6 +235,16 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Quality-weighted deterministic sampling: keep probability
+    // 0.1 + 0.9·quality, decided by the engine-portable (seed, doc_id)
+    // hash — the oracle re-derives both the quality score and the hash
+    // decision bit-for-bit.
+    "qd21_quality_sample" -> ((s, d) => {
+      Curation.qualityWeightedSample(docs(s, d), "doc_id", "text", "s9", 0.1, 1.0)
+        .select(F.col("doc_id"), F.col("lang"), qualityScore(F.col("text")).as("qs"))
+        .orderBy("doc_id")
+    }),
+
     // Subword (BPE-ish regex) vs whitespace token counting. The corpus is
     // pure lowercase words, where the two modes coincide — a punctuated
     // suffix is appended per doc so the subword split genuinely diverges
@@ -403,6 +413,19 @@ object TextQueries extends QueryPack {
          FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
          LEFT JOIN nr ON nr.doc_id = b.doc_id
          ORDER BY b.doc_id""",
+    "qd21_quality_sample" ->
+      """WITH q AS (
+           SELECT doc_id, lang,
+             round(
+               least(array_length(w) / 20.0, 1.0) * 0.4 +
+               (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
+               least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3,
+               6) AS qs,
+             CAST('0x' || substr(md5('s9-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS h
+           FROM (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
+         SELECT doc_id, lang, qs FROM q
+         WHERE CAST(h AS DOUBLE) < (0.1 + 0.9 * qs) * 10000.0
+         ORDER BY doc_id""",
     "qd19_bpe_tokens" ->
       """WITH t AS (SELECT lang, text || '. the-end v2.0!' AS text FROM documents),
          c AS (SELECT lang,

@@ -104,6 +104,29 @@ class CurationSpec extends AnyFunSuite {
     assert(kept("zh") > 30 && kept("zh") < 110)
   }
 
+  test("qualityWeightedSample keeps quality-correlated, deterministic subsets") {
+    val docs = graft.runtime.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def ids(floorRate: Double, ceilRate: Double) =
+      Curation.qualityWeightedSample(docs, "doc_id", "text", "s9", floorRate, ceilRate)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // boundary rates: (1,1) keeps everything, (0,0) keeps nothing
+    assert(ids(1.0, 1.0).size == docs.count())
+    assert(ids(0.0, 0.0).isEmpty)
+    // deterministic and monotone in the ceiling
+    val kept = ids(0.1, 0.6)
+    assert(kept == ids(0.1, 0.6))
+    assert(kept.subsetOf(ids(0.1, 1.0)))
+    // the sample is quality-biased: mean quality of kept > mean of dropped
+    val qs = docs.select(F.col("doc_id"),
+        TextFunctions.qualityScore(F.col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keptQ = kept.toSeq.map(qs)
+    val dropQ = (qs.keySet -- kept).toSeq.map(qs)
+    assert(keptQ.nonEmpty && dropQ.nonEmpty)
+    assert(keptQ.sum / keptQ.size > dropQ.sum / dropQ.size,
+      "kept set is not quality-biased")
+  }
+
   test("bpeTokenCount diverges from whitespace counting exactly on punctuated text") {
     import spark.implicits._
     val r = Seq(Tuple1("v2.0! the-end")).toDF("text")
