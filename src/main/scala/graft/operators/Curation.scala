@@ -170,6 +170,52 @@ object Curation {
     df.filter(h.cast("double") < p * 10000.0)
   }
 
+  /** Deterministic global shuffle for training order: every row gets a
+    * shard and a position within it, both pure functions of (seed, id) —
+    * sort by the engine-portable hash, shard by its modulus. Data loaders
+    * on any engine, cluster size, or partitioning see the identical
+    * order; reshuffling between epochs is a seed change, not a data move.
+    * The within-shard `row_number` windows run partitioned by shard
+    * (parallel), never over the global corpus.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val h = TextFunctions.portableHash64(
+      F.concat(F.lit(seed + "-"), F.col(idCol).cast("string")))
+    df.withColumn("__h", h)
+      .withColumn("shard", F.pmod(F.col("__h"), F.lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", F.row_number().over(
+        Window.partitionBy("shard").orderBy(F.col("__h"), F.col(idCol))))
+      .drop("__h")
+  }
+
+  /** Corpus-relative unigram log-probability score — the cheap stand-in
+    * for the KenLM-perplexity filter of CCNet-style pipelines: documents
+    * made of corpus-typical tokens score low, documents of rare tokens
+    * score high. Two aggregations: global token frequencies (shuffle on
+    * the near-uniform token key, map-side combined), then the per-doc
+    * mean of -ln(count/total) via a token-keyed join back. The corpus
+    * total rides in as a broadcast 1-row cross join (the HWM pattern) —
+    * no driver round trip.
+    *
+    * Emits (idCol, n_tok, avg_neg_logp), avg rounded to 4.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(F.col(idCol),
+      F.explode(TextFunctions.tokens(F.col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(F.count(F.lit(1)).as("c"))
+    val total = counts.agg(F.sum("c").as("total"))
+    toks
+      .join(counts, "tok")
+      .crossJoin(F.broadcast(total))
+      .select(F.col(idCol),
+        (-F.log(F.col("c").cast("double") / F.col("total"))).as("neg_logp"))
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_tok"),
+        F.round(F.avg("neg_logp"), 4).as("avg_neg_logp"))
+  }
+
   /** Word n-grams WITHOUT de-duplication — the counting relation behind
     * [[repetitionStats]] (contrast `Dedup.shingleTable`, which is
     * distinct-per-doc because Jaccard is a set measure; repetition is a

@@ -245,6 +245,22 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Deterministic training-order shuffle: shard + in-shard position as
+    // pure functions of (seed, doc_id); the oracle re-derives the same
+    // hash ordering.
+    "qd22_corpus_shuffle" -> ((s, d) => {
+      Curation.deterministicShuffle(docs(s, d).select("doc_id"), "doc_id", "ep0", 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-relative unigram log-prob (perplexity-filter stand-in):
+    // global token frequencies → per-doc mean of -ln(count/total).
+    "qd23_unigram_logprob" -> ((s, d) => {
+      Curation.unigramLogProb(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Subword (BPE-ish regex) vs whitespace token counting. The corpus is
     // pure lowercase words, where the two modes coincide — a punctuated
     // suffix is appended per doc so the subword split genuinely diverges
@@ -413,6 +429,22 @@ object TextQueries extends QueryPack {
          FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
          LEFT JOIN nr ON nr.doc_id = b.doc_id
          ORDER BY b.doc_id""",
+    "qd22_corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+           CAST('0x' || substr(md5('ep0-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+         FROM documents)
+         SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INTEGER) AS pos
+         FROM h ORDER BY doc_id""",
+    "qd23_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+         cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         tot AS (SELECT sum(c) AS total FROM cnt)
+         SELECT doc_id, count(*) AS n_tok,
+           round(avg(-ln(CAST(c AS DOUBLE) / total)), 4) AS avg_neg_logp
+         FROM toks JOIN cnt USING (tok), tot
+         GROUP BY doc_id ORDER BY doc_id""",
     "qd21_quality_sample" ->
       """WITH q AS (
            SELECT doc_id, lang,

@@ -127,6 +127,37 @@ class CurationSpec extends AnyFunSuite {
       "kept set is not quality-biased")
   }
 
+  test("deterministicShuffle shards completely with contiguous positions, seed-dependent order") {
+    val docs = graft.runtime.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id")
+    val n = docs.count()
+    def run(seed: String) = Curation.deterministicShuffle(docs, "doc_id", seed, 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+    val a = run("ep0")
+    assert(a.length == n)
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 4 })
+    // positions are contiguous 1..size within every shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // deterministic; a different seed produces a different assignment
+    assert(a.sortBy(_._1).toSeq == run("ep0").sortBy(_._1).toSeq)
+    assert(a.sortBy(_._1).toSeq != run("ep1").sortBy(_._1).toSeq)
+  }
+
+  test("unigramLogProb matches hand-computed corpus frequencies") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Curation.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Double]("avg_neg_logp"))).toMap
+    // counts: a=2, b=2, c=1, total=5
+    // doc 1: mean(-ln(2/5), -ln(2/5), -ln(2/5)) = ln(2.5) = 0.9163
+    // doc 2: mean(-ln(2/5), -ln(1/5)) = (0.916291 + 1.609438)/2 = 1.2629
+    assert(out(1L) == ((3L, 0.9163)))
+    assert(out(2L) == ((2L, 1.2629)))
+  }
+
   test("bpeTokenCount diverges from whitespace counting exactly on punctuated text") {
     import spark.implicits._
     val r = Seq(Tuple1("v2.0! the-end")).toDF("text")
