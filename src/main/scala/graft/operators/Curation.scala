@@ -216,6 +216,33 @@ object Curation {
         F.round(F.avg("neg_logp"), 4).as("avg_neg_logp"))
   }
 
+  /** Per-document top-k terms by TF-IDF — the document-representation /
+    * keyword-tagging primitive. Three aggregations over the token
+    * relation (term frequency per doc, document frequency per term,
+    * corpus size), one term-keyed join, one per-doc ranking window
+    * (partitioned by doc, never corpus-global). The corpus size rides in
+    * as a broadcast 1-row cross join; ties rank lexicographically so the
+    * answer is engine-deterministic.
+    *
+    * Emits (idCol, term, tf, score, rank), rank 1..k, score = tf·ln(N/df)
+    * rounded to 4.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(F.col(idCol),
+      F.explode(TextFunctions.tokens(F.col(textCol))).as("term"))
+    val tf = toks.groupBy(idCol, "term").agg(F.count(F.lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).as("dfreq"))
+    val nDocs = df.agg(F.countDistinct(F.col(idCol)).as("nd"))
+    val raw = F.col("tf") * F.log(F.col("nd").cast("double") / F.col("dfreq"))
+    tf.join(dfreq, "term")
+      .crossJoin(F.broadcast(nDocs))
+      .withColumn("score", F.round(raw, 4))
+      .withColumn("rank", F.row_number().over(
+        Window.partitionBy(idCol).orderBy(raw.desc, F.col("term"))))
+      .filter(F.col("rank") <= k)
+      .select(F.col(idCol), F.col("term"), F.col("tf"), F.col("score"), F.col("rank"))
+  }
+
   /** Word n-grams WITHOUT de-duplication — the counting relation behind
     * [[repetitionStats]] (contrast `Dedup.shingleTable`, which is
     * distinct-per-doc because Jaccard is a set measure; repetition is a

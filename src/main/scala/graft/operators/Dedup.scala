@@ -236,10 +236,9 @@ object Dedup {
     * two sides (the shingle relations are unioned for verification).
     *
     * Scale note: as written both sides' signatures are computed in-query;
-    * in a standing 100 TB pipeline the historical bucket relation is
-    * write-once (persist `lshBuckets(minhashSignatures(...))` bucketed by
-    * band_hash) so each ingest batch pays only for itself — the shape of
-    * [[graft.operators.IvfIndex]] applied to text. Emits
+    * in a standing 100 TB pipeline the historical relations are write-once
+    * — exactly what [[NearDupIndex]] persists (bucketed catalog tables,
+    * probe shuffles only the batch). Emits
     * (a_id = batch doc, b_id = historical doc, shared, jaccard).
     */
   def minhashNearDupAgainst(

@@ -261,6 +261,12 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Per-doc TF-IDF keywords (top 3, lexicographic tie-break).
+    "qd24_tfidf_terms" -> ((s, d) => {
+      Curation.tfidfTopTerms(docs(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // Subword (BPE-ish regex) vs whitespace token counting. The corpus is
     // pure lowercase words, where the two modes coincide — a punctuated
     // suffix is appended per doc so the subword split genuinely diverges
@@ -429,6 +435,19 @@ object TextQueries extends QueryPack {
          FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
          LEFT JOIN nr ON nr.doc_id = b.doc_id
          ORDER BY b.doc_id""",
+    "qd24_tfidf_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         dfr AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY term),
+         n AS (SELECT count(DISTINCT doc_id) AS nd FROM toks)
+         SELECT doc_id, term, tf, score, rank FROM (
+           SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(CAST(nd AS DOUBLE) / dfreq), 4) AS score,
+             CAST(row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(nd AS DOUBLE) / dfreq) DESC, tf.term) AS INTEGER) AS rank
+           FROM tf JOIN dfr ON dfr.term = tf.term, n)
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
     "qd22_corpus_shuffle" ->
       """WITH h AS (SELECT doc_id,
            CAST('0x' || substr(md5('ep0-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv

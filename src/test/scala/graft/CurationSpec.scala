@@ -158,6 +158,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1.2629)))
   }
 
+  test("tfidfTopTerms ranks by tf·ln(N/df) with lexicographic ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian durian")).toDF("doc_id", "text")
+    val out = Curation.tfidfTopTerms(df, "doc_id", "text", 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Double]("score")))
+      .toMap
+    // N=3; df: apple 1, banana 2, cherry 2, durian 1
+    assert(out((1L, 1)) == (("apple", 2L, 2.1972)))   // 2·ln 3
+    assert(out((1L, 2)) == (("banana", 1L, 0.4055)))  // ln 1.5
+    assert(out((3L, 1)) == (("durian", 2L, 2.1972)))
+    // doc 2: banana and cherry tie at ln 1.5 — lexicographic order decides
+    assert(out((2L, 1))._1 == "banana")
+    assert(out((2L, 2))._1 == "cherry")
+  }
+
   test("bpeTokenCount diverges from whitespace counting exactly on punctuated text") {
     import spark.implicits._
     val r = Seq(Tuple1("v2.0! the-end")).toDF("text")

@@ -133,4 +133,34 @@ class PropertySpec extends AnyFunSuite {
       .select(F.call_function("vec_dot", F.col("f"), F.col("d"))).head().getDouble(0)
     assert(fd == 1.5f.toDouble * 2.0 + 2.5f.toDouble * 4.0)
   }
+
+  test("connectedComponents equals union-find on generated graphs") {
+    import spark.implicits._
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      nNodes <- Gen.choose(2, 30)
+      nEdges <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, nNodes.toLong)
+        b <- Gen.choose(0L, nNodes.toLong)
+      } yield (a, b))
+    } yield edges.filter { case (a, b) => a != b }
+    samples(graphGen, 5).filter(_.nonEmpty).foreach { edges =>
+      // union-by-min reference: component roots are component minima
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap { case (a, b) => Seq(a, b) }
+        .distinct.map(n => n -> find(n)).toMap
+      val got = graft.operators.Dedup
+        .connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges: $edges")
+    }
+  }
 }
