@@ -11,7 +11,8 @@ import graft.runtime.Tables
   * in the order a pretraining corpus build actually runs them —
   *
   *   exact dedup → near-dup drop (MinHash+LSH) → benchmark
-  *   decontamination → PII redaction → quality/language filter →
+  *   decontamination → PII redaction → quality/language/repetition
+  *   filters →
   *   domain rebalancing → sequence packing → sharded write
   *
   * Each stage is the operator verified by its own oracle/spec; this main
@@ -68,10 +69,15 @@ object CurationPipeline {
     val redacted = Curation.redact(clean, "text")
       .drop("text").withColumnRenamed("redacted", "text")
 
-    // 5. quality + language gate
-    val filtered = redacted.filter(
+    // 5. quality + language gate, then the Gopher repetition gate
+    // (phrase-looped / boilerplate docs survive pure quality scores)
+    val scored = redacted.filter(
       TextFunctions.qualityScore(F.col("text")) >= 0.3 &&
         TextFunctions.langId(F.col("text")) =!= "und")
+    val filtered = scored.join(
+      Curation.repetitionStats(scored, "doc_id", "text")
+        .filter(F.col("keep") === 1).select("doc_id"),
+      Seq("doc_id"), "left_semi")
 
     // 6. domain rebalancing (deterministic, reproducible across runs)
     val balanced = Curation.downsampleByDomain(filtered, "doc_id", "lang",
@@ -90,7 +96,8 @@ object CurationPipeline {
       "exact_dedup" -> deduped.count(),
       "near_dedup" -> nearDeduped.count(),
       "decontaminated" -> clean.count(),
-      "quality_lang" -> filtered.count(),
+      "quality_lang" -> scored.count(),
+      "repetition" -> filtered.count(),
       "balanced" -> balanced.count(),
       "packed" -> spark.read.parquet(outDir).count()))
     corpus.unpersist()

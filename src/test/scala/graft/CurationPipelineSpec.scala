@@ -18,7 +18,7 @@ class CurationPipelineSpec extends AnyFunSuite {
 
     // every filtering stage can only shrink the corpus
     val order = Seq("corpus", "exact_dedup", "near_dedup", "decontaminated",
-      "quality_lang", "balanced", "packed")
+      "quality_lang", "repetition", "balanced", "packed")
     order.sliding(2).foreach { case Seq(a, b) =>
       assert(counts(b) <= counts(a), s"$b (${counts(b)}) grew past $a (${counts(a)})")
     }

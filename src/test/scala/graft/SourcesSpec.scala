@@ -37,6 +37,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == 100)
   }
 
+  test("ORC round-trip preserves rows, schema, and values") {
+    // the third columnar format Spark ships built-in (beside parquet) —
+    // included so a reference user migrating an ORC lake needs no new code
+    val work = TestFixtures.tmpDir("orc")
+    orders.write.mode("overwrite").orc(work.resolve("o").toString)
+    val back = spark.read.orc(work.resolve("o").toString)
+    assert(back.count() == orders.count())
+    assert(back.schema == orders.schema)
+    val sum = back.agg(F.round(F.sum("o_totalprice"), 2)).head().getDouble(0)
+    val expected = orders.agg(F.round(F.sum("o_totalprice"), 2)).head().getDouble(0)
+    assert(sum == expected)
+  }
+
   test("describe/summary produce per-column statistics (A10)") {
     val d = orders.select("o_totalprice").describe().collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
