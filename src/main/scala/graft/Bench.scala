@@ -18,12 +18,13 @@ import org.apache.spark.sql.SparkSession
   * Measured (round 3): consecutive sf0.1 totals 18.71s / 18.47s — 1.3%
   * run-over-run, vs ±42% across rounds 1→2 under the old protocol; after
   * growing the suite to 60 queries, a second pair read 19.85s / 18.30s
-  * (8%, first run launched right after a full-test write workload). At 64
-  * queries a four-run sequence read 23.9 / 22.4 / 22.5 / 23.5s (±3.5%
-  * around the mean), each run launched after heavy compile/test activity.
-  * A run started minutes after a heavy WRITE workload (page-cache
-  * writeback still draining) can still read high across the board;
-  * benchmark on a quiet machine.
+  * (8%, first run launched right after a full-test write workload). As
+  * the suite grew 64 → 68 queries, a seven-run sequence read 23.9 / 22.4
+  * / 22.5 / 23.5 / 23.6 / 23.1 / 24.5s — ±4% around the mean with each
+  * run launched right after heavy compile/test activity. A run started
+  * minutes after a heavy WRITE workload (page-cache writeback still
+  * draining) can still read high across the board; benchmark on a quiet
+  * machine.
   *
   * Failure accounting: a rep that throws yields a -1 sentinel. A query
   * whose every rep failed reports -1 and is listed under "failed", and is
