@@ -38,4 +38,42 @@ object DataQuality {
     */
   def missingColumns(df: DataFrame, contract: Seq[String]): Seq[String] =
     contract.filterNot(df.columns.contains)
+
+  // ---- constraint checks (expectations): each builder returns the
+  // VIOLATING rows; violationCounts folds any set of them into one
+  // summary frame (one job, one row per check) for a quality gate to
+  // assert `n_violations == 0` on.
+
+  /** Child rows whose key has no parent — referential-integrity
+    * violations, as a left-anti join (never a driver-side key collect).
+    */
+  def fkViolations(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.join(parent.select(F.col(parentKey).as(childKey)).distinct(),
+      Seq(childKey), "left_anti")
+
+  /** Keys appearing more than once — primary-key/uniqueness violations
+    * (one row per duplicated key value, with its multiplicity).
+    */
+  def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n"))
+      .filter(F.col("n") > 1)
+
+  /** Rows whose column falls outside [lo, hi] (NULL is not a violation —
+    * pair with [[nullProfile]] for null policy).
+    */
+  def rangeViolations(df: DataFrame, col: String, lo: Double, hi: Double): DataFrame =
+    df.filter(F.col(col) < lo || F.col(col) > hi)
+
+  /** One summary row per named check: (check_name, n_violations). The
+    * checks union into a single lazy plan — one action scans everything,
+    * and each count is a partial-aggregated scan, not a collected
+    * result.
+    */
+  def violationCounts(checks: Seq[(String, DataFrame)]): DataFrame =
+    checks.map { case (name, v) =>
+      v.agg(F.count(F.lit(1)).as("n_violations"))
+        .select(F.lit(name).as("check_name"), F.col("n_violations"))
+    }.reduce(_ unionAll _)
 }

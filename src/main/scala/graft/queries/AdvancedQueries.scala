@@ -64,6 +64,21 @@ object AdvancedQueries extends QueryPack {
         .orderBy("e_id", "p_id")
     }),
 
+    // Constraint-check gate: referential integrity, PK uniqueness, and a
+    // range expectation, summarized as one row per check in one job.
+    "qa05_integrity_checks" -> ((s, d) => {
+      import graft.operators.DataQuality
+      val customer = Tables.load(s, d, "customer")
+      val orders = Tables.load(s, d, "orders")
+      val lineitem = Tables.load(s, d, "lineitem")
+      DataQuality.violationCounts(Seq(
+        "dup_custkey" -> DataQuality.duplicateKeys(customer, Seq("c_custkey")),
+        "orphan_lineitems" -> DataQuality.fkViolations(lineitem, "l_orderkey", orders, "o_orderkey"),
+        "orphan_orders" -> DataQuality.fkViolations(orders, "o_custkey", customer, "c_custkey"),
+        "qty_range_1_45" -> DataQuality.rangeViolations(lineitem, "l_quantity", 1, 45)))
+        .orderBy("check_name")
+    }),
+
     // Salted fact⋈dim join — must produce exactly the plain-join rollup.
     "qa02_salted_join" -> ((s, d) => {
       val orders = Tables.load(s, d, "orders")
@@ -102,6 +117,19 @@ object AdvancedQueries extends QueryPack {
     "qa02_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "qa05_integrity_checks" ->
+      """SELECT 'dup_custkey' AS check_name, count(*) AS n_violations
+           FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1)
+         UNION ALL
+         SELECT 'orphan_lineitems', count(*) FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+         UNION ALL
+         SELECT 'orphan_orders', count(*) FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+         UNION ALL
+         SELECT 'qty_range_1_45', count(*) FROM lineitem
+           WHERE l_quantity < 1 OR l_quantity > 45
+         ORDER BY check_name"""
   )
 }

@@ -32,6 +32,21 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(DataQuality.missingColumns(ev, Seq("ts", "value", "nope")) == Seq("nope"))
   }
 
+  test("constraint checks count planted violations exactly") {
+    import spark.implicits._
+    import graft.operators.DataQuality
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq((10L, 1L), (11L, 2L), (12L, 99L), (13L, 98L)).toDF("id", "fk")
+    val dups = Seq(1L, 1L, 2L).toDF("k")
+    val vals = Seq(0.5, 1.0, 50.0, 51.0).toDF("v")
+    val report = DataQuality.violationCounts(Seq(
+      "orphans" -> DataQuality.fkViolations(child, "fk", parent, "pk"),
+      "dup_k" -> DataQuality.duplicateKeys(dups, Seq("k")),
+      "v_range" -> DataQuality.rangeViolations(vals, "v", 1.0, 50.0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report == Map("orphans" -> 2L, "dup_k" -> 1L, "v_range" -> 2L))
+  }
+
   test("all queries run and return rows on sf0.001") {
     val empties = Seq("q10_anti_join") // legitimately small; may be empty at tiny SF
     SparkEntry.queries.foreach { case (name, fn) =>
