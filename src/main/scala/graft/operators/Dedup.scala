@@ -317,10 +317,12 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
+    // no distinct(): min-propagation is idempotent under duplicate
+    // edges, so deduplicating the edge list would buy nothing and cost a
+    // full shuffle before the first round
     val sym = edges
       .select(F.col(srcCol).cast("long").as("src"), F.col(dstCol).cast("long").as("dst"))
       .union(edges.select(F.col(dstCol).cast("long").as("src"), F.col(srcCol).cast("long").as("dst")))
-      .distinct()
       .localCheckpoint()
     var labels = sym.select(F.col("src").as("id")).distinct()
       .select(F.col("id"), F.col("id").as("comp"))
