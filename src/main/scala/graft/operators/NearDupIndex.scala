@@ -69,15 +69,18 @@ object NearDupIndex {
     * against it, which is what makes continuous ingest self-consistent
     * (and makes a replayed batch self-filtering: its docs match their own
     * indexed shingles at J=1 and are dropped by the next probe).
+    *
+    * The three appends are not one transaction, so the BUCKET table —
+    * the only relation that makes a doc DISCOVERABLE as a candidate —
+    * goes last: a crash mid-append leaves orphan shingle/count rows that
+    * no probe ever joins (candidates come from buckets), and the
+    * replayed batch repairs the index by re-appending. For strict
+    * exactly-once under replay, gate the whole fold behind an epoch
+    * marker as in [[graft.streaming.IdempotentSink]].
     */
   def append(batch: DataFrame, idCol: String, textCol: String, name: String,
       cfg: Config = Config()): Unit = {
     val sh = Dedup.shingleTable(batch, idCol, textCol, cfg.n).cache()
-    Dedup.lshBuckets(
-        Dedup.minhashSignatures(sh, idCol, cfg.numHashes), idCol, cfg.bands, cfg.rowsPerBand)
-      .write.mode("append")
-      .bucketBy(cfg.buckets, "band_hash").sortBy("band_hash")
-      .saveAsTable(s"${name}_buckets")
     sh.write.mode("append")
       .bucketBy(cfg.buckets, idCol).sortBy(idCol)
       .saveAsTable(s"${name}_shingles")
@@ -85,6 +88,11 @@ object NearDupIndex {
       .write.mode("append")
       .bucketBy(cfg.buckets, idCol).sortBy(idCol)
       .saveAsTable(s"${name}_counts")
+    Dedup.lshBuckets(
+        Dedup.minhashSignatures(sh, idCol, cfg.numHashes), idCol, cfg.bands, cfg.rowsPerBand)
+      .write.mode("append")
+      .bucketBy(cfg.buckets, "band_hash").sortBy("band_hash")
+      .saveAsTable(s"${name}_buckets")
     sh.unpersist()
   }
 
