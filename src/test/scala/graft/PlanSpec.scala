@@ -129,6 +129,24 @@ class PlanSpec extends AnyFunSuite {
       s"re-rank scan should not drag quantized columns:\n${schemas.mkString("\n")}")
   }
 
+  test("ranking windows partition by their keys — never a global single-partition window") {
+    // qd22: in-shard positions window by shard; fully parallel
+    val shuffle = graft.queries.TextQueries.queries("qd22_corpus_shuffle")(spark, sf)
+    shuffle.count()
+    val sPlan = shuffle.queryExecution.executedPlan.toString
+    assert(sPlan.contains("hashpartitioning(shard"), s"shard window lost partitioning:\n$sPlan")
+    assert(!sPlan.contains("Exchange SinglePartition"),
+      s"qd22 must have no single-partition stage:\n$sPlan")
+    // qd24: per-doc ranking windows by doc_id; the only single-partition
+    // stage allowed is the 1-row corpus-size aggregate
+    val tfidf = graft.queries.TextQueries.queries("qd24_tfidf_terms")(spark, sf)
+    tfidf.count()
+    val tPlan = tfidf.queryExecution.executedPlan.toString
+    assert(tPlan.contains("hashpartitioning(doc_id"), s"doc window lost partitioning:\n$tPlan")
+    assert("Exchange SinglePartition".r.findAllIn(tPlan).size <= 1,
+      s"qd24 has unexpected single-partition stages:\n$tPlan")
+  }
+
   test("NearDupIndex probe never shuffles the historical relations") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
