@@ -7,13 +7,16 @@ import org.apache.spark.sql.{functions => F}
   * video travel as opaque `binary` columns with typed metadata, processed
   * per-partition in batches.
   *
-  * The DECODE step is a clearly-marked deterministic STUB (`fakeDecode`):
-  * this container has no image/audio codecs, so the stub derives pixel
-  * statistics from the bytes themselves. Everything around it — schema,
-  * partition sizing, batch shape, the mapPartitions pipeline — is the real
-  * production plumbing (in PySpark this would be `mapInPandas`; the Scala
-  * equivalent is a typed mapPartitions over an iterator, which keeps the
-  * same batch-at-a-time memory profile).
+  * IMAGE decode is REAL ([[decodeImage]]: JDK `javax.imageio` — PNG/JPEG/
+  * BMP/GIF, headless, zero external deps — true dimensions + a 4×4
+  * luminance-grid embedding). AUDIO/VIDEO decode remains a clearly-marked
+  * deterministic STUB (`fakeDecode`): this container has no ffmpeg-class
+  * codecs, so the stub derives statistics from the bytes themselves.
+  * Everything around both — schema, partition sizing, batch shape, the
+  * mapPartitions pipeline — is the real production plumbing (in PySpark
+  * this would be `mapInPandas`; the Scala equivalent is a typed
+  * mapPartitions over an iterator, which keeps the same batch-at-a-time
+  * memory profile).
   *
   * Scale notes: media blobs dominate row size, so the operators here
   * repartition by byte budget, not row count — the knob that keeps
@@ -69,6 +72,75 @@ object Multimodal {
   def decodeAll(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(fakeDecode))
+  }
+
+  /** REAL image features — decode is NOT a stub for still images: the JDK
+    * ships codecs for PNG/JPEG/BMP/GIF (`javax.imageio`, headless, no
+    * native libs), so this path decodes actual pixels. Emitted per image:
+    * true dimensions, mean luminance, and a 4×4 cell-mean luminance grid
+    * as a 16-dim embedding — coarse but real, and directly usable by the
+    * [[Similarity]] operators for visual near-dup detection.
+    * `decoded = false` rows fell back to [[fakeDecode]]'s byte-derived
+    * features (format ImageIO lacks, or corrupt bytes) so the pipeline
+    * stays total.
+    */
+  case class ImageFeatures(
+      media_id: Long,
+      decoded: Boolean,
+      width: Int,
+      height: Int,
+      mean_lum: Double,
+      grid: Array[Float])
+
+  def decodeImage(r: MediaRecord): ImageFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      catch { case _: Exception => null }
+    if (img == null) {
+      val fake = fakeDecode(r)
+      ImageFeatures(r.media_id, decoded = false, -1, -1, fake.mean_byte, fake.feature)
+    } else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val grid = new Array[Float](16)
+      var total = 0.0
+      var gy = 0
+      while (gy < 4) {
+        var gx = 0
+        while (gx < 4) {
+          // cell-mean luminance (Rec. 601 weights); cells cover the image
+          // completely even when 4 does not divide w/h
+          val x0 = gx * w / 4; val x1 = math.max((gx + 1) * w / 4, x0 + 1)
+          val y0 = gy * h / 4; val y1 = math.max((gy + 1) * h / 4, y0 + 1)
+          var acc = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              acc += ((rgb >> 16) & 0xff) * 0.299 +
+                ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114
+              x += 1
+            }
+            y += 1
+          }
+          val cell = acc / ((x1 - x0) * (y1 - y0))
+          grid(gy * 4 + gx) = cell.toFloat
+          total += cell
+          gx += 1
+        }
+        gy += 1
+      }
+      ImageFeatures(r.media_id, decoded = true, w, h, total / 16.0, grid)
+    }
+  }
+
+  /** Batch image decode over the partition iterator (same lazy memory
+    * profile as [[decodeAll]]).
+    */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeImage))
   }
 
   /** Repartition by byte budget: blobs are skewed, so partition count is

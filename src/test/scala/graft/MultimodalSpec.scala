@@ -43,4 +43,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.count() == expected)
     assert(frames.select("media_id").distinct().count() == videos.length)
   }
+
+  test("decodeImage reads real PNG pixels: dimensions, luminance grid, fallback") {
+    import spark.implicits._
+    // left half black, right half white — encoded through the real codec
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", "image/png", 0, 0, 0L, png(32, 16)),
+      Multimodal.MediaRecord(2L, "image", "image/png", 0, 0, 0L, Array[Byte](1, 2, 3)))
+      .toDS()
+    val out = Multimodal.decodeImages(media).collect().map(f => f.media_id -> f).toMap
+
+    val ok = out(1L)
+    assert(ok.decoded)
+    assert(ok.width == 32 && ok.height == 16) // true decoded dims, not metadata
+    // grid columns 0-1 sit in the black half, 2-3 in the white half
+    for (gy <- 0 until 4; gx <- 0 until 4) {
+      val cell = ok.grid(gy * 4 + gx)
+      if (gx < 2) assert(cell < 1.0, s"black cell ($gx,$gy) read $cell")
+      else assert(cell > 254.0, s"white cell ($gx,$gy) read $cell")
+    }
+    assert(math.abs(ok.mean_lum - 127.5) < 1.0)
+
+    val bad = out(2L)
+    assert(!bad.decoded && bad.width == -1) // fell back, pipeline stays total
+  }
 }
