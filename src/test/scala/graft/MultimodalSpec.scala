@@ -75,4 +75,31 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = out(2L)
     assert(!bad.decoded && bad.width == -1) // fell back, pipeline stays total
   }
+
+  test("visual near-dup: decoded grid embeddings feed the similarity operators directly") {
+    import spark.implicits._
+    def noisePng(seed: Int, flipOnePixel: Boolean): Array[Byte] = {
+      val r = new java.util.Random(seed)
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, r.nextInt(0xffffff))
+      if (flipOnePixel) img.setRGB(0, 0, 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", "image/png", 0, 0, 0L, noisePng(7, flipOnePixel = false)),
+      Multimodal.MediaRecord(2L, "image", "image/png", 0, 0, 0L, noisePng(7, flipOnePixel = true)),
+      Multimodal.MediaRecord(3L, "image", "image/png", 0, 0, 0L, noisePng(99, flipOnePixel = false)))
+      .toDS()
+    val vecs = Multimodal.decodeImages(media)
+      .map(f => (f.media_id, f.grid.toSeq))
+      .toDF("vec_id", "embedding")
+    val top = graft.operators.Similarity.cosineTopK(vecs, "vec_id", "embedding", 1L, 2)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cos_sim"))
+    // the one-pixel variant must rank first, essentially identical
+    assert(top.head._1 == 2L, s"got $top")
+    assert(top.head._2 > 0.999)
+    assert(top.head._2 > top(1)._2)
+  }
 }
