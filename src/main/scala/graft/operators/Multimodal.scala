@@ -9,9 +9,12 @@ import org.apache.spark.sql.{functions => F}
   *
   * IMAGE decode is REAL ([[decodeImage]]: JDK `javax.imageio` — PNG/JPEG/
   * BMP/GIF, headless, zero external deps — true dimensions + a 4×4
-  * luminance-grid embedding). AUDIO/VIDEO decode remains a clearly-marked
-  * deterministic STUB (`fakeDecode`): this container has no ffmpeg-class
-  * codecs, so the stub derives statistics from the bytes themselves.
+  * luminance-grid embedding), and so is AUDIO container+PCM decode for
+  * WAV/AIFF/AU ([[decodeAudio]]: JDK `javax.sound.sampled` — sample rate,
+  * frames, RMS loudness). VIDEO (and compressed audio) decode remains a
+  * clearly-marked deterministic STUB (`fakeDecode`): this container has
+  * no ffmpeg-class codecs, so the stub derives statistics from the bytes
+  * themselves.
   * Everything around both — schema, partition sizing, batch shape, the
   * mapPartitions pipeline — is the real production plumbing (in PySpark
   * this would be `mapInPandas`; the Scala equivalent is a typed
@@ -141,6 +144,64 @@ object Multimodal {
   def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(decodeImage))
+  }
+
+  /** REAL audio features for WAV/AIFF/AU — the JDK's `javax.sound.sampled`
+    * parses those containers without native codecs: true sample rate,
+    * channel count, frame count, duration, and RMS amplitude over the
+    * 16-bit PCM samples (the loudness statistic an audio-quality filter
+    * gates on). Compressed formats (mp3/ogg) have no JDK codec and fall
+    * back to `decoded = false` with byte-derived stats, keeping the
+    * pipeline total.
+    */
+  case class AudioFeatures(
+      media_id: Long,
+      decoded: Boolean,
+      sample_rate: Double,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      rms: Double)
+
+  def decodeAudio(r: MediaRecord): AudioFeatures = {
+    import javax.sound.sampled.AudioSystem
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(r.content))
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val durationMs =
+        if (fmt.getFrameRate > 0) (frames * 1000L / fmt.getFrameRate.toLong) else 0L
+      // RMS over 16-bit little/big-endian PCM; other sample widths fall
+      // back to 0.0 (parsed container, unanalyzed payload)
+      val rms =
+        if (fmt.getSampleSizeInBits == 16) {
+          val bytes = in.readAllBytes()
+          var acc = 0.0
+          var n = 0
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val s =
+              if (fmt.isBigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+              else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+            acc += s.toDouble * s.toDouble
+            n += 1
+            i += 2
+          }
+          if (n == 0) 0.0 else math.sqrt(acc / n) / 32768.0
+        } else 0.0
+      AudioFeatures(r.media_id, decoded = true,
+        fmt.getSampleRate.toDouble, fmt.getChannels, frames, durationMs, rms)
+    } catch {
+      case _: Exception =>
+        val fake = fakeDecode(r)
+        AudioFeatures(r.media_id, decoded = false, -1.0, -1, -1L, -1L, fake.mean_byte / 255.0)
+    }
+  }
+
+  /** Batch audio decode over the partition iterator. */
+  def decodeAudios(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeAudio))
   }
 
   /** Repartition by byte budget: blobs are skewed, so partition count is

@@ -76,6 +76,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!bad.decoded && bad.width == -1) // fell back, pipeline stays total
   }
 
+  test("decodeAudio reads real WAV PCM: rate, frames, duration, sine RMS") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 1 s mono 8 kHz 16-bit sine at half amplitude -> RMS = 0.5/sqrt(2)
+    val rate = 8000
+    val pcm = new Array[Byte](rate * 2)
+    for (i <- 0 until rate) {
+      val s = (math.sin(2 * math.Pi * 440.0 * i / rate) * 0.5 * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, rate.toLong),
+      AudioFileFormat.Type.WAVE, baos)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", "audio/wav", 0, 0, 0L, baos.toByteArray),
+      Multimodal.MediaRecord(2L, "audio", "audio/mpeg", 0, 0, 0L, Array[Byte](9, 9, 9)))
+      .toDS()
+    val out = Multimodal.decodeAudios(media).collect().map(f => f.media_id -> f).toMap
+
+    val ok = out(1L)
+    assert(ok.decoded)
+    assert(ok.sample_rate == 8000.0 && ok.channels == 1)
+    assert(ok.n_frames == rate && ok.duration_ms == 1000L)
+    assert(math.abs(ok.rms - 0.5 / math.sqrt(2.0)) < 0.01, s"rms = ${ok.rms}")
+
+    val bad = out(2L)
+    assert(!bad.decoded && bad.sample_rate == -1.0) // no JDK mp3 codec: fallback
+  }
+
   test("visual near-dup: decoded grid embeddings feed the similarity operators directly") {
     import spark.implicits._
     def noisePng(seed: Int, flipOnePixel: Boolean): Array[Byte] = {
