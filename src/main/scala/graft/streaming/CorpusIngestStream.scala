@@ -11,8 +11,10 @@ import graft.operators.{Dedup, NearDupIndex}
   * history — the streaming face of [[graft.operators.NearDupIndex]]:
   * every micro-batch is
   *
-  *   1. intra-batch deduplicated (near-dup pairs → connected components →
-  *      min-id representative, the same policy as the batch pipeline);
+  *   1. curated by the pluggable `curate` hook (quality / repetition /
+  *      redaction gates — identity by default), then intra-batch
+  *      deduplicated (near-dup pairs → connected components → min-id
+  *      representative, the same policy as the batch pipeline);
   *   2. probed against the `<indexName>_*` tables and stripped of docs
   *      that near-duplicate ANY previously ingested doc;
   *   3. appended to the accepted corpus AND folded into the index, so the
@@ -35,6 +37,13 @@ object CorpusIngestStream {
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
+  /** `curate` runs FIRST on every micro-batch (before any dedup) — plug
+    * the batch-side curation operators in here, e.g.
+    * `b => b.join(Curation.repetitionStats(b, "doc_id", "text")
+    *   .filter($"keep" === 1).select("doc_id"), Seq("doc_id"), "left_semi")`.
+    * Identity by default. It must be a pure column-level transform — the
+    * same rows must fail on replay for the at-least-once story to hold.
+    */
   def start(
       spark: SparkSession,
       inputDir: String,
@@ -43,7 +52,8 @@ object CorpusIngestStream {
       indexName: String,
       minJ: Double = 0.6,
       cfg: NearDupIndex.Config = NearDupIndex.Config(),
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      curate: DataFrame => DataFrame = identity): StreamingQuery = {
     val docs = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", 10)
@@ -54,7 +64,7 @@ object CorpusIngestStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val b = batch.cache()
+          val b = curate(batch).cache()
           // 1. intra-batch: one representative per near-dup cluster
           val pairs = Dedup.minhashNearDupPairs(b, "doc_id", "text", cfg.n, minJ,
             cfg.numHashes, cfg.bands, cfg.rowsPerBand)

@@ -228,15 +228,23 @@ class StreamingSpec extends AnyFunSuite {
         docs.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }.mkString("\n"))
 
     val novel1 = noise(60)
-    // batch 1: near-dup of history (drop), a novel doc (keep), and an
-    // intra-batch near-dup of that novel doc (drop — CC keeps min id)
+    // batch 1: near-dup of history (drop), a novel doc (keep), an
+    // intra-batch near-dup of that novel doc (drop — CC keeps min id),
+    // and a phrase-loop doc the curate hook must reject before dedup
+    val loop = Seq.fill(40)("spam ham").mkString(" ")
     writeBatch("b1.jsonl", Seq(
       (100L, s"$histBody tail tokens"),
       (101L, novel1),
-      (102L, s"$novel1 extra token")))
+      (102L, s"$novel1 extra token"),
+      (103L, loop)))
     val accepted = work.resolve("accepted").toString
+    val repetitionGate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      b => b.join(
+        graft.operators.Curation.repetitionStats(b, "doc_id", "text")
+          .filter(F.col("keep") === 1).select("doc_id"),
+        Seq("doc_id"), "left_semi")
     val q = CorpusIngestStream.start(spark, in.toString, accepted,
-      work.resolve("ckpt").toString, name)
+      work.resolve("ckpt").toString, name, curate = repetitionGate)
     q.processAllAvailable()
     assert(spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSet
       == Set(101L))
