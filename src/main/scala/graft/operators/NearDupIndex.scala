@@ -43,10 +43,16 @@ object NearDupIndex {
   }
 
   /** Offline build: shingle + sign the corpus once, persist the bucket /
-    * shingle / count relations as bucketed catalog tables under `name`.
+    * shingle / count relations as bucketed catalog tables under `name`,
+    * plus a 1-row `_meta` table recording the band family — [[probe]] and
+    * [[append]] refuse to run against an index built with different
+    * parameters (a mismatched family would silently produce garbage
+    * candidates).
     */
   def build(corpus: DataFrame, idCol: String, textCol: String, name: String,
       cfg: Config = Config()): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val sh = Dedup.shingleTable(corpus, idCol, textCol, cfg.n).cache()
     Dedup.lshBuckets(
         Dedup.minhashSignatures(sh, idCol, cfg.numHashes), idCol, cfg.bands, cfg.rowsPerBand)
@@ -60,7 +66,19 @@ object NearDupIndex {
       .write.mode("overwrite")
       .bucketBy(cfg.buckets, idCol).sortBy(idCol)
       .saveAsTable(s"${name}_counts")
+    Seq((cfg.n, cfg.numHashes, cfg.bands, cfg.rowsPerBand, cfg.buckets))
+      .toDF("n", "num_hashes", "bands", "rows_per_band", "buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
     sh.unpersist()
+  }
+
+  /** Throws unless `cfg` equals the family the index was built with. */
+  private def requireSameFamily(spark: SparkSession, name: String, cfg: Config): Unit = {
+    val m = spark.table(s"${name}_meta").head()
+    val stored = Config(m.getAs[Int]("n"), m.getAs[Int]("num_hashes"),
+      m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"), m.getAs[Int]("buckets"))
+    require(stored == cfg,
+      s"index '$name' was built with $stored but probed/appended with $cfg")
   }
 
   /** Fold an accepted batch into the index: append its bucket / shingle /
@@ -80,6 +98,7 @@ object NearDupIndex {
     */
   def append(batch: DataFrame, idCol: String, textCol: String, name: String,
       cfg: Config = Config()): Unit = {
+    requireSameFamily(batch.sparkSession, name, cfg)
     val sh = Dedup.shingleTable(batch, idCol, textCol, cfg.n).cache()
     sh.write.mode("append")
       .bucketBy(cfg.buckets, idCol).sortBy(idCol)
@@ -98,11 +117,13 @@ object NearDupIndex {
 
   /** Near-dup pairs between `batch` and the indexed history: emits
     * (a_id = batch doc, b_id = historical doc, shared, jaccard) with
-    * exact Jaccard >= minJ. `cfg` must match the build's (the band
-    * family is derived from the same seeded hash chain).
+    * exact Jaccard >= minJ. `cfg` is validated against the `_meta`
+    * table — probing with a different band family than the build throws
+    * instead of silently missing candidates.
     */
   def probe(spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
       name: String, minJ: Double, cfg: Config = Config()): DataFrame = {
+    requireSameFamily(spark, name, cfg)
     val bSh = Dedup.shingleTable(batch, idCol, textCol, cfg.n).cache()
     val bBuckets = Dedup.lshBuckets(
       Dedup.minhashSignatures(bSh, idCol, cfg.numHashes), idCol, cfg.bands, cfg.rowsPerBand)

@@ -141,6 +141,13 @@ class DedupSpec extends AnyFunSuite {
     val direct = key(Dedup.minhashNearDupAgainst(batch, hist, "doc_id", "text", 3, 0.3))
     assert(probed == direct)
     assert(probed.nonEmpty, "fixture split produced no cross near-dups")
+    // probing with a different band family than the build must throw,
+    // not silently miss candidates
+    val boom = intercept[IllegalArgumentException] {
+      graft.operators.NearDupIndex.probe(spark, batch, "doc_id", "text", name, 0.3,
+        graft.operators.NearDupIndex.Config(n = 4))
+    }
+    assert(boom.getMessage.contains("built with"))
   }
 
   test("connectedComponents labels every node with its component's min id") {
