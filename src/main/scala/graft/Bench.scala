@@ -30,6 +30,18 @@ import org.apache.spark.sql.SparkSession
   * whose every rep failed reports -1 and is listed under "failed", and is
   * EXCLUDED from the "total" sum — so a broken build can neither
   * masquerade as fast nor subtract time from the headline number.
+  *
+  * Output-size contract (learned from BENCH_r03.json, "parsed": null):
+  * the driver keeps only the LAST ~2000 chars of stdout and parses the
+  * final JSON line found inside that window. Round 3's line carried full
+  * query names plus 3-rep arrays (~4 KB) and its start fell outside the
+  * window, so the round recorded no parseable bench at all. The final
+  * line therefore uses the short unique query id (the prefix before the
+  * first '_': q01, qa03, qd20, qe05, ql06) and 3-decimal seconds, and is
+  * kept under ~1900 chars even if the suite grows past 100 queries. Full
+  * names + every rep go only to docs/BENCH_DETAIL.json (committed when
+  * Bench is run locally) — even printing that ~4 KB line to stdout would
+  * crowd the compact line out of the window.
   */
 object Bench {
 
@@ -71,24 +83,49 @@ object Bench {
     }
 
     def fmt(v: Double): String = (math.round(v * 10000) / 10000.0).toString
+    // 3 decimals for the size-bounded final line: 1 ms resolution is below
+    // this bench's run-over-run noise floor (~4%), so nothing is lost.
+    def fmt3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    // "qd20_incremental_dedup" -> "qd20"; ids are unique across the suite.
+    def shortId(name: String): String = name.takeWhile(_ != '_')
     val perQuery = results.map { case (name, reps) =>
       name -> reps.filter(_ >= 0).minOption.getOrElse(-1.0)
     }
     val failed = perQuery.collect { case (name, v) if v < 0 => name }
     val total = perQuery.collect { case (_, v) if v >= 0 => v }.sum
 
-    val qs = perQuery.map { case (k, v) => s"\"$k\":${fmt(v)}" }
+    require(perQuery.map(p => shortId(p._1)).distinct.size == perQuery.size,
+      "short query ids must stay unique — rename the colliding query")
+
+    val qs = perQuery.map { case (k, v) => s"\"${shortId(k)}\":${fmt3(v)}" }
       .mkString("{", ",", "}")
     val repsJson = results.map { case (k, reps) =>
       s"\"$k\":[${reps.map(fmt).mkString(",")}]"
     }.mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.map(f => "\"" + shortId(f) + "\"")
+      .mkString("[", ",", "]")
+
+    val detail =
+      s"""{"metric":"detail","value":${fmt(total)},"unit":"sec","reps":$repsJson,"sf":"$sfDir"}"""
+    val line =
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}"""
 
     spark.stop()
-    // the bare JSON line is the LAST thing on stdout — the driver's record
-    System.out.println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""reps":$repsJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Full names + all reps go ONLY to the detail file (committed when Bench
+    // is run locally) — printing the ~4 KB detail line would itself crowd the
+    // compact line out of the driver's tail window.
+    try {
+      val w = new java.io.PrintWriter("docs/BENCH_DETAIL.json")
+      try w.println(detail) finally w.close()
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] detail file not written: ${t.getMessage}")
+    }
+    // the bare compact JSON line is the LAST thing on stdout — the driver's
+    // record, and it must START inside the driver's 2000-char tail window
+    System.out.println(line)
     System.out.flush()
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING final line ${line.length} chars — driver may truncate")
   }
 }
