@@ -76,7 +76,22 @@ object Compaction {
     val keys = needy.map(p => valueKey(p.spec))
     val keyCol = F.concat_ws("/", partitionCols.map(c => F.col(c).cast("string")): _*)
 
-    val layer = spark.read.parquet(root).filter(keyCol.isin(keys: _*))
+    // The keys are raw dir-name strings; read the partition columns as raw
+    // strings too. With type inference on, Spark re-infers e.g. int for a
+    // zero-padded "m=03" dir and casts back to "3" — the comparison never
+    // matches and compact() silently rewrites nothing while still reporting
+    // those partitions. Inference happens when the relation is resolved, so
+    // the conf only needs to cover the spark.read call. The rewrite then
+    // round-trips the literal dir value ("03" stays "m=03"), and partition
+    // column types live only in dir names, so later inference-on readers
+    // are unaffected.
+    val conf0 = spark.sessionState.conf
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = conf0.getConfString(inferKey, "true")
+    conf0.setConfString(inferKey, "false")
+    val layer =
+      try spark.read.parquet(root).filter(keyCol.isin(keys: _*))
+      finally conf0.setConfString(inferKey, prevInfer)
     // derive maxRecordsPerFile from observed bytes/row of the needy set
     val rows = layer.count()
     val bytes = needy.map(_.bytes).sum

@@ -33,14 +33,22 @@ object ZOrder {
 
   /** Morton z-value: interleave the low `bits` bits of each column's
     * bucket, column i contributing bit position b·ncols+i for its bit b.
+    *
+    * The extracted bit is widened to LONG before the left shift:
+    * `shiftleft` on an int operand wraps the shift distance mod 32 and
+    * hits the int sign bit first, so bit positions >= 31 (e.g. bits=8
+    * with 4+ columns) would silently scramble the interleave. Positions
+    * above 62 can't be represented even in a long, hence the require.
     */
   def zValue(buckets: Seq[Column], bits: Int): Column = {
     val n = buckets.size
+    require(n * bits <= 63,
+      s"z-value needs $n*$bits bit positions; the long interleave holds 63")
     val terms = for {
       (bkt, i) <- buckets.zipWithIndex
       b <- 0 until bits
-    } yield F.shiftleft(F.shiftright(bkt, b).bitwiseAND(1), b * n + i)
-    terms.reduce((a, c) => a.bitwiseOR(c)).cast("long")
+    } yield F.shiftleft(F.shiftright(bkt, b).bitwiseAND(1).cast("long"), b * n + i)
+    terms.reduce((a, c) => a.bitwiseOR(c))
   }
 
   /** Returns `df` re-clustered on the z-order of `cols` into `numFiles`

@@ -51,11 +51,21 @@ object ModelRegistry {
   def artifactPath(root: String, name: String, version: Int): String =
     s"$root/$name/v$version"
 
-  /** All registry rows, materialized to the driver (tiny by construction). */
+  /** All registry rows, materialized to the driver (tiny by construction).
+    *
+    * Only a missing registry path reads as "no versions yet" (first run) —
+    * checked via the Hadoop FileSystem resolved from the path's own scheme,
+    * like [[graft.layers.Hwm.readIfExists]]. Any other read failure
+    * (corrupt file, transient FS error) propagates: swallowing it would
+    * make the next register()/promote() rewrite registry.parquet from an
+    * empty Seq and silently discard all version history.
+    */
   def entries(spark: SparkSession, root: String): Seq[Entry] = {
     import spark.implicits._
-    Try(spark.read.parquet(registryPath(root)).as[Entry].collect().toSeq)
-      .getOrElse(Seq.empty)
+    val p = new org.apache.hadoop.fs.Path(registryPath(root))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else spark.read.parquet(registryPath(root)).as[Entry].collect().toSeq
   }
 
   /** The versions table as a DataFrame (for SQL over the registry). */
