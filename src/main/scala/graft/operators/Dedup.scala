@@ -232,8 +232,15 @@ object Dedup {
 
   /** Bipartite MinHash+LSH: near-dup pairs BETWEEN a new batch and a
     * historical corpus (never within either side) — the candidate kernel
-    * of incremental-ingest dedup. Ids must be globally unique across the
-    * two sides (the shingle relations are unioned for verification).
+    * of incremental-ingest dedup. Verification keeps the two shingle
+    * relations SEPARATE ([[jaccardVerifyBipartite]] joins a_id only
+    * against the batch side and b_id only against the history side), so
+    * the kernel never mixes shingle sets even if an id appears on both
+    * sides — but ids SHOULD still be globally unique across the two
+    * sides: a collision emits a self-referential pair (x, x) that
+    * downstream id-keyed consumers (dedup verdicts, [[NearDupIndex]]'s
+    * persisted id-keyed relations) cannot disambiguate —
+    * `NearDupIndex.append` guards and throws on exactly this.
     *
     * Scale note: as written both sides' signatures are computed in-query;
     * in a standing 100 TB pipeline the historical relations are write-once

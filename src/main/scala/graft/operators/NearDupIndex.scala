@@ -17,13 +17,16 @@ import org.apache.spark.sql.{functions => F}
   *   - `<name>_counts`   (id, n_sh),                bucketed by id
   *
   * All three are catalog tables (`bucketBy(...).saveAsTable`, so they
-  * compose with `runtime.Catalog`'s persistent-metastore sessions). The
+  * compose with `runtime.Catalog`'s persistent-metastore sessions), each
+  * additionally PARTITIONED by an `epoch` column — the unit of
+  * incremental ingest and of crash recovery (see [[append]]). The
   * per-batch [[probe]] then:
   *
   *   1. codes ONLY the batch, joins its buckets to `<name>_buckets` on
   *      (band_idx, band_hash) — the index side reads its buckets in
   *      place (`HashPartitioning(band_hash)` satisfies the join's
-  *      clustering requirement), only the batch side shuffles;
+  *      clustering requirement; bucketing spans epoch partitions), only
+  *      the batch side shuffles;
   *   2. verifies candidates with exact Jaccard against
   *      `<name>_shingles` / `<name>_counts`, whose id-bucketing again
   *      satisfies the (b_id, shingle) / (b_id) join clustering — no
@@ -31,8 +34,11 @@ import org.apache.spark.sql.{functions => F}
   *      this on the physical plan tree).
   *
   * Per-batch cost is therefore sized by the batch and the candidate set,
-  * never by the corpus. After an accepted batch, append its relations to
-  * the three tables to fold it into history.
+  * never by the corpus. After an accepted batch, [[append]] folds it into
+  * history as one epoch. Each epoch adds one file-set per bucket; a
+  * long-running ingest should periodically fold cold epochs together
+  * (rebuild or [[graft.layers.Compaction]]-style rewrite) to keep file
+  * counts bounded.
   */
 object NearDupIndex {
 
@@ -42,8 +48,32 @@ object NearDupIndex {
     require(bands * rowsPerBand <= numHashes)
   }
 
+  /** Epoch the initial [[build]] writes under. Streaming batch ids start
+    * at 0, so the build corpus can never collide with an ingest epoch.
+    */
+  val BuildEpoch: Long = -1L
+
+  /** The three index relations for one batch, tagged with its epoch:
+    * (dataframe, table suffix, bucket column). Column order matters —
+    * `insertInto` matches by POSITION and the `epoch` partition column
+    * sits last in each table's schema.
+    */
+  private def relations(sh: DataFrame, idCol: String, cfg: Config,
+      epoch: Long): Seq[(DataFrame, String, String)] = {
+    val tag = F.lit(epoch).as("epoch")
+    val shingles = sh.select(F.col(idCol), F.col("shingle"), tag)
+    val counts = sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
+      .select(F.col(idCol), F.col("n_sh"), tag)
+    val buckets = Dedup.lshBuckets(
+        Dedup.minhashSignatures(sh, idCol, cfg.numHashes), idCol, cfg.bands, cfg.rowsPerBand)
+      .select(F.col(idCol), F.col("band_idx"), F.col("band_hash"), tag)
+    Seq((shingles, "_shingles", idCol), (counts, "_counts", idCol),
+      (buckets, "_buckets", "band_hash"))
+  }
+
   /** Offline build: shingle + sign the corpus once, persist the bucket /
-    * shingle / count relations as bucketed catalog tables under `name`,
+    * shingle / count relations as epoch-partitioned bucketed catalog
+    * tables under `name` (the build corpus is epoch [[BuildEpoch]]),
     * plus a 1-row `_meta` table recording the band family — [[probe]] and
     * [[append]] refuse to run against an index built with different
     * parameters (a mismatched family would silently produce garbage
@@ -54,18 +84,12 @@ object NearDupIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     val sh = Dedup.shingleTable(corpus, idCol, textCol, cfg.n).cache()
-    Dedup.lshBuckets(
-        Dedup.minhashSignatures(sh, idCol, cfg.numHashes), idCol, cfg.bands, cfg.rowsPerBand)
-      .write.mode("overwrite")
-      .bucketBy(cfg.buckets, "band_hash").sortBy("band_hash")
-      .saveAsTable(s"${name}_buckets")
-    sh.write.mode("overwrite")
-      .bucketBy(cfg.buckets, idCol).sortBy(idCol)
-      .saveAsTable(s"${name}_shingles")
-    sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
-      .write.mode("overwrite")
-      .bucketBy(cfg.buckets, idCol).sortBy(idCol)
-      .saveAsTable(s"${name}_counts")
+    relations(sh, idCol, cfg, BuildEpoch).foreach { case (df, suffix, bucketCol) =>
+      df.write.mode("overwrite")
+        .partitionBy("epoch")
+        .bucketBy(cfg.buckets, bucketCol).sortBy(bucketCol)
+        .saveAsTable(s"$name$suffix")
+    }
     Seq((cfg.n, cfg.numHashes, cfg.bands, cfg.rowsPerBand, cfg.buckets))
       .toDF("n", "num_hashes", "bands", "rows_per_band", "buckets")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
@@ -81,38 +105,93 @@ object NearDupIndex {
       s"index '$name' was built with $stored but probed/appended with $cfg")
   }
 
-  /** Fold an accepted batch into the index: append its bucket / shingle /
-    * count relations (bucket spec validated against the existing tables).
-    * Run AFTER the batch passes [[probe]] — the next batch then dedups
-    * against it, which is what makes continuous ingest self-consistent
-    * (and makes a replayed batch self-filtering: its docs match their own
-    * indexed shingles at J=1 and are dropped by the next probe).
+  /** Runs `body` with dynamic partition-overwrite enabled, restoring the
+    * previous session value after. Session-global for the duration (same
+    * caveat as [[graft.layers.Compaction]]'s conf toggles): a concurrent
+    * writer on the same SparkSession inside the window would also
+    * overwrite dynamically.
+    */
+  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Fold an accepted batch into the index under partition
+    * `epoch=<epoch>`. Run AFTER the batch passes [[probe]] — the next
+    * batch then dedups against it, which is what makes continuous ingest
+    * self-consistent.
     *
-    * The three appends are not one transaction, so the BUCKET table —
-    * the only relation that makes a doc DISCOVERABLE as a candidate —
-    * goes last: a crash mid-append leaves orphan shingle/count rows that
-    * no probe ever joins (candidates come from buckets), and the
-    * replayed batch repairs the index by re-appending. For strict
-    * exactly-once under replay, gate the whole fold behind an epoch
-    * marker as in [[graft.streaming.IdempotentSink]].
+    * Idempotent under replay BY CONSTRUCTION: each relation is written by
+    * DYNAMIC PARTITION OVERWRITE of its `epoch=<epoch>` partition, never
+    * a blind append — replaying the same (batch, epoch) overwrites the
+    * same three partitions with the same rows, so the index converges to
+    * exactly one copy no matter where a previous attempt crashed
+    * (mid-relation, between relations, or after completion). The caller
+    * owns the epoch ↦ batch mapping: `epoch` must uniquely and stably
+    * identify the batch (a streaming batch id does; [[BuildEpoch]] is
+    * reserved for [[build]]), and a replay must present the same rows.
+    * The bucket relation — the only one that makes a doc DISCOVERABLE as
+    * a candidate — still goes last, so a partially folded epoch is never
+    * half-visible to a concurrent probe.
+    *
+    * Doc ids must be unique across the index's lifetime: the shingle and
+    * count relations key by id, so a batch re-using the id of an
+    * already-indexed doc would double that id's shingle rows and fan out
+    * its counts join — permanently corrupting its Jaccard. With
+    * `requireNewIds` (default), append runs a batch-sized guard join
+    * against `<name>_counts` (excluding this epoch, so replays pass) and
+    * throws on collision instead.
     */
   def append(batch: DataFrame, idCol: String, textCol: String, name: String,
-      cfg: Config = Config()): Unit = {
-    requireSameFamily(batch.sparkSession, name, cfg)
+      epoch: Long, cfg: Config = Config(), requireNewIds: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    requireSameFamily(spark, name, cfg)
+    if (requireNewIds) {
+      val collisions = batch.select(F.col(idCol))
+        .join(spark.table(s"${name}_counts").filter(F.col("epoch") =!= epoch),
+          Seq(idCol), "left_semi")
+        .limit(5).collect().map(_.get(0))
+      require(collisions.isEmpty,
+        s"batch re-uses ids already in index '$name' (sample: ${collisions.mkString(",")}); " +
+          "ids must be unique across the index lifetime")
+    }
     val sh = Dedup.shingleTable(batch, idCol, textCol, cfg.n).cache()
-    sh.write.mode("append")
-      .bucketBy(cfg.buckets, idCol).sortBy(idCol)
-      .saveAsTable(s"${name}_shingles")
-    sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
-      .write.mode("append")
-      .bucketBy(cfg.buckets, idCol).sortBy(idCol)
-      .saveAsTable(s"${name}_counts")
-    Dedup.lshBuckets(
-        Dedup.minhashSignatures(sh, idCol, cfg.numHashes), idCol, cfg.bands, cfg.rowsPerBand)
-      .write.mode("append")
-      .bucketBy(cfg.buckets, "band_hash").sortBy("band_hash")
-      .saveAsTable(s"${name}_buckets")
+    withDynamicOverwrite(spark) {
+      relations(sh, idCol, cfg, epoch).foreach { case (df, suffix, _) =>
+        df.write.mode("overwrite").insertInto(s"$name$suffix")
+      }
+    }
     sh.unpersist()
+  }
+
+  /** Test hook: perform only the first `firstRelations` of [[append]]'s
+    * three partition writes — simulates a crash mid-fold so specs can
+    * prove the replayed [[append]] converges instead of corrupting.
+    */
+  private[graft] def appendPartial(batch: DataFrame, idCol: String, textCol: String,
+      name: String, epoch: Long, cfg: Config, firstRelations: Int): Unit = {
+    val spark = batch.sparkSession
+    val sh = Dedup.shingleTable(batch, idCol, textCol, cfg.n)
+    withDynamicOverwrite(spark) {
+      relations(sh, idCol, cfg, epoch).take(firstRelations).foreach {
+        case (df, suffix, _) => df.write.mode("overwrite").insertInto(s"$name$suffix")
+      }
+    }
+  }
+
+  /** Historical relation scan: epoch filter (partition-pruned), then
+    * projection to the kernel's expected columns.
+    */
+  private def histRel(spark: SparkSession, table: String, cols: Seq[String],
+      excludeEpoch: Option[Long]): DataFrame = {
+    val t = spark.table(table)
+    excludeEpoch.fold(t)(e => t.filter(F.col("epoch") =!= e))
+      .select(cols.map(F.col): _*)
   }
 
   /** Near-dup pairs between `batch` and the indexed history: emits
@@ -120,20 +199,29 @@ object NearDupIndex {
     * exact Jaccard >= minJ. `cfg` is validated against the `_meta`
     * table — probing with a different band family than the build throws
     * instead of silently missing candidates.
+    *
+    * `excludeEpoch` drops one epoch partition from the history side —
+    * an ingest pipeline replaying batch E probes with
+    * `excludeEpoch = Some(E)` so a partially folded previous attempt of
+    * the SAME batch cannot shadow its own docs (which would silently
+    * empty the recomputed accepted set).
     */
   def probe(spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
-      name: String, minJ: Double, cfg: Config = Config()): DataFrame = {
+      name: String, minJ: Double, cfg: Config = Config(),
+      excludeEpoch: Option[Long] = None): DataFrame = {
     requireSameFamily(spark, name, cfg)
     val bSh = Dedup.shingleTable(batch, idCol, textCol, cfg.n).cache()
     val bBuckets = Dedup.lshBuckets(
       Dedup.minhashSignatures(bSh, idCol, cfg.numHashes), idCol, cfg.bands, cfg.rowsPerBand)
+    val hBuckets = histRel(spark, s"${name}_buckets",
+      Seq(idCol, "band_idx", "band_hash"), excludeEpoch)
     val cands = bBuckets.toDF("a_id", "band_idx", "band_hash")
-      .join(spark.table(s"${name}_buckets").toDF("b_id", "band_idx", "band_hash"),
+      .join(hBuckets.toDF("b_id", "band_idx", "band_hash"),
         Seq("band_idx", "band_hash"))
       .select("a_id", "b_id").distinct()
     val bCounts = bSh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
     Dedup.jaccardVerifyBipartite(
-      cands, bSh, spark.table(s"${name}_shingles"),
-      bCounts, spark.table(s"${name}_counts"), minJ)
+      cands, bSh, histRel(spark, s"${name}_shingles", Seq(idCol, "shingle"), excludeEpoch),
+      bCounts, histRel(spark, s"${name}_counts", Seq(idCol, "n_sh"), excludeEpoch), minJ)
   }
 }

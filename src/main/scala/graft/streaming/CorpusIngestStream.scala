@@ -17,14 +17,32 @@ import graft.operators.{Dedup, NearDupIndex}
   *      representative, the same policy as the batch pipeline);
   *   2. probed against the `<indexName>_*` tables and stripped of docs
   *      that near-duplicate ANY previously ingested doc;
-  *   3. appended to the accepted corpus AND folded into the index, so the
+  *   3. landed in the accepted corpus AND folded into the index, so the
   *      next micro-batch sees this one as history.
   *
-  * Delivery semantics: at-least-once at the sink, but the index makes a
-  * replayed batch self-filtering — its docs match their own indexed
-  * shingles at J = 1 and are dropped by the re-probe (docs shorter than
-  * the shingle width n carry no shingles and bypass near-dedup entirely;
-  * gate such fragments upstream with a length filter).
+  * Delivery semantics: EFFECTIVELY EXACTLY-ONCE under replay, because
+  * every per-batch effect is an idempotent overwrite keyed by the batch
+  * id and the recomputation is deterministic:
+  *
+  *   - the probe excludes the batch's own epoch
+  *     (`excludeEpoch = Some(batchId)`), so a partially folded previous
+  *     attempt of the SAME batch cannot shadow its own docs — the
+  *     replayed batch recomputes the identical accepted set (this is why
+  *     `curate` must be pure);
+  *   - the accepted docs land by OVERWRITE of `batch=<id>/` under
+  *     `acceptedPath` — a replay rewrites the same directory, never
+  *     duplicates (readers `spark.read.parquet(acceptedPath)` and see a
+  *     `batch` provenance partition column);
+  *   - the index fold is [[graft.operators.NearDupIndex.append]]'s
+  *     dynamic partition overwrite of `epoch=<id>` — idempotent by
+  *     construction.
+  *
+  * A crash between any two of these steps therefore converges on replay
+  * instead of duplicating or dropping. Docs shorter than the shingle
+  * width n carry no shingles and bypass near-dedup entirely; gate such
+  * fragments upstream with a length filter. Doc ids must be unique
+  * corpus-wide (the index keys by id — [[graft.operators.NearDupIndex.append]]
+  * guards and throws on a collision).
   *
   * Scale: the per-trigger work is sized by the micro-batch and its
   * candidate set, never by the corpus — history participates only through
@@ -37,12 +55,64 @@ object CorpusIngestStream {
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
+  /** The per-micro-batch pipeline: curate → intra-batch dedup → probe
+    * history (excluding this epoch) → land survivors (overwrite of
+    * `batch=<batchId>`) → fold into the index (overwrite of
+    * `epoch=<batchId>`). Exposed so specs can drive crash/replay
+    * scenarios without a streaming query; every step is deterministic
+    * and idempotent per batch id (see object scaladoc).
+    *
+    * `crashAfterFoldRelations` is CRASH INJECTION for specs only: when
+    * `Some(k)`, the fold stops after its k-th relation write (as if the
+    * JVM died there) so a test can replay the batch and prove
+    * convergence. Production callers never set it.
+    */
+  private[graft] def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      acceptedPath: String,
+      indexName: String,
+      minJ: Double,
+      cfg: NearDupIndex.Config,
+      curate: DataFrame => DataFrame,
+      crashAfterFoldRelations: Option[Int] = None): Unit = {
+    val b = curate(batch).cache()
+    // 1. intra-batch: one representative per near-dup cluster
+    val pairs = Dedup.minhashNearDupPairs(b, "doc_id", "text", cfg.n, minJ,
+      cfg.numHashes, cfg.bands, cfg.rowsPerBand)
+    val intraLosers = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .filter(F.col("id") =!= F.col("comp"))
+      .select(F.col("id").as("doc_id"))
+    val intra = b.join(intraLosers, Seq("doc_id"), "left_anti")
+    // 2. cross-history: drop anything the index already covers; a replay
+    //    must not be shadowed by its own partial fold, hence excludeEpoch
+    val histLosers = NearDupIndex
+      .probe(spark, intra, "doc_id", "text", indexName, minJ, cfg,
+        excludeEpoch = Some(batchId))
+      .select(F.col("a_id").as("doc_id")).distinct()
+    val accepted = intra.join(histLosers, Seq("doc_id"), "left_anti").cache()
+    // 3. land the survivors, then fold them into history — both writes
+    //    are idempotent overwrites keyed by batchId
+    if (!accepted.isEmpty) {
+      accepted.write.mode("overwrite").parquet(s"$acceptedPath/batch=$batchId")
+      crashAfterFoldRelations match {
+        case Some(k) =>
+          NearDupIndex.appendPartial(accepted, "doc_id", "text", indexName, batchId, cfg, k)
+        case None =>
+          NearDupIndex.append(accepted, "doc_id", "text", indexName, batchId, cfg)
+      }
+    }
+    accepted.unpersist()
+    b.unpersist()
+  }
+
   /** `curate` runs FIRST on every micro-batch (before any dedup) — plug
     * the batch-side curation operators in here, e.g.
     * `b => b.join(Curation.repetitionStats(b, "doc_id", "text")
     *   .filter($"keep" === 1).select("doc_id"), Seq("doc_id"), "left_semi")`.
     * Identity by default. It must be a pure column-level transform — the
-    * same rows must fail on replay for the at-least-once story to hold.
+    * same rows must fail on replay for the exactly-once story to hold.
     */
   def start(
       spark: SparkSession,
@@ -62,28 +132,9 @@ object CorpusIngestStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val b = curate(batch).cache()
-          // 1. intra-batch: one representative per near-dup cluster
-          val pairs = Dedup.minhashNearDupPairs(b, "doc_id", "text", cfg.n, minJ,
-            cfg.numHashes, cfg.bands, cfg.rowsPerBand)
-          val intraLosers = Dedup.connectedComponents(pairs, "a_id", "b_id")
-            .filter(F.col("id") =!= F.col("comp"))
-            .select(F.col("id").as("doc_id"))
-          val intra = b.join(intraLosers, Seq("doc_id"), "left_anti")
-          // 2. cross-history: drop anything the index already covers
-          val histLosers = NearDupIndex
-            .probe(spark, intra, "doc_id", "text", indexName, minJ, cfg)
-            .select(F.col("a_id").as("doc_id")).distinct()
-          val accepted = intra.join(histLosers, Seq("doc_id"), "left_anti").cache()
-          // 3. land the survivors, then fold them into history
-          accepted.write.mode("append").parquet(acceptedPath)
-          NearDupIndex.append(accepted, "doc_id", "text", indexName, cfg)
-          accepted.unpersist()
-          b.unpersist()
-          ()
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(spark, batch, batchId, acceptedPath, indexName, minJ, cfg, curate)
       }
       .start()
   }

@@ -49,6 +49,34 @@ class CompactionSpec extends AnyFunSuite {
     assert(Compaction.compact(spark, work, Seq("d")).isEmpty)
   }
 
+  test("zero-padded partition values are compacted, not silently skipped") {
+    // Regression for the round-4 partition-inference fix: with inference
+    // on, a dir "m=03" reads back as int 3, the pruning key "3" never
+    // matches the dir-name key "03", and compact() reported the partition
+    // while rewriting nothing. The literal dir value must round-trip.
+    val work = TestFixtures.tmpDir("compact-pad").toString
+    val events = graft.queries.CoreQueries.events(spark, sf)
+      .withColumn("m", F.format_string("%02d", F.dayofmonth(F.col("ts")) % 2 + 2))
+
+    // m=03 fragmented; m=02 tidy
+    events.filter(F.col("m") === "03").repartition(8)
+      .write.partitionBy("m").mode("append").parquet(work)
+    events.filter(F.col("m") === "02").repartition(1)
+      .write.partitionBy("m").mode("append").parquet(work)
+    val beforeRows = spark.read.parquet(work).count()
+    assert(fileNames(work, "m=03").size == 8)
+
+    val report = Compaction.compact(spark, work, Seq("m"))
+      .collect().map(r => r.getAs[String]("partition") -> r.getAs[Int]("files_before")).toMap
+    assert(report == Map("m=03" -> 8), s"zero-padded partition not selected: $report")
+    // the REWRITE actually happened (old bug: reported but left 8 files),
+    // under the same zero-padded dir name, with no row lost
+    assert(fileNames(work, "m=03").size == 1)
+    assert(new java.io.File(work, "m=3").exists() == false,
+      "rewrite must preserve the literal dir value, not re-derive m=3")
+    assert(spark.read.parquet(work).count() == beforeRows)
+  }
+
   test("maxRecordsPerFile splits an oversized partition into multiple target-sized files") {
     val work = TestFixtures.tmpDir("compact-split").toString
     val events = graft.queries.CoreQueries.events(spark, sf)

@@ -150,6 +150,68 @@ class DedupSpec extends AnyFunSuite {
     assert(boom.getMessage.contains("built with"))
   }
 
+  test("NearDupIndex.append replay after a mid-fold crash converges — no doubled rows, no inflated jaccard") {
+    import spark.implicits._
+    import graft.operators.NearDupIndex
+    val name = s"ndxr_${System.nanoTime()}"
+    val rnd = new scala.util.Random(31L)
+    def noise(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    val hist = Seq((1L, noise(60)), (2L, noise(60))).toDF("doc_id", "text")
+    NearDupIndex.build(hist, "doc_id", "text", name)
+
+    val newBody = noise(60)
+    val batch = Seq((10L, newBody), (11L, noise(60))).toDF("doc_id", "text")
+    // attempt 1 "crashes" between the counts and buckets appends…
+    NearDupIndex.appendPartial(batch, "doc_id", "text", name, 0L,
+      NearDupIndex.Config(), firstRelations = 2)
+    // …then the batch replays with the same epoch
+    NearDupIndex.append(batch, "doc_id", "text", name, 0L)
+
+    // exactly one counts row per doc, and shingle rows are NOT doubled
+    assert(spark.table(s"${name}_counts").filter($"doc_id" >= 10L).count() == 2)
+    val expectedSh = Dedup.shingleTable(
+      Seq((10L, newBody)).toDF("doc_id", "text"), "doc_id", "text", 3).count()
+    assert(spark.table(s"${name}_shingles").filter($"doc_id" === 10L).count() == expectedSh)
+
+    // probe of a near-dup of the replayed doc reports the exact jaccard —
+    // identical to a from-scratch bipartite run over hist ∪ batch
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("shared"), r.getAs[Double]("jaccard"))).toSet
+    val probeBatch = Seq((100L, s"$newBody tail tokens")).toDF("doc_id", "text")
+    val probed = key(NearDupIndex.probe(spark, probeBatch, "doc_id", "text", name, 0.3))
+    val direct = key(Dedup.minhashNearDupAgainst(
+      probeBatch, hist.union(batch), "doc_id", "text", 3, 0.3))
+    assert(probed == direct)
+    assert(probed.exists(_._2 == 10L), "fixture produced no near-dup of the replayed doc")
+
+    // a further full replay is a no-op, not an accumulation
+    NearDupIndex.append(batch, "doc_id", "text", name, 0L)
+    assert(spark.table(s"${name}_shingles").filter($"doc_id" === 10L).count() == expectedSh)
+  }
+
+  test("NearDupIndex.append rejects a batch re-using an already-indexed doc id") {
+    import spark.implicits._
+    import graft.operators.NearDupIndex
+    val name = s"ndxc_${System.nanoTime()}"
+    val rnd = new scala.util.Random(37L)
+    def noise(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    NearDupIndex.build(
+      Seq((1L, noise(60)), (2L, noise(60))).toDF("doc_id", "text"), "doc_id", "text", name)
+    // id 2 is already indexed (as a DIFFERENT doc) — appending it under a
+    // new epoch would silently corrupt its jaccard; the guard throws instead
+    val collide = Seq((2L, noise(60)), (30L, noise(60))).toDF("doc_id", "text")
+    val boom = intercept[IllegalArgumentException] {
+      NearDupIndex.append(collide, "doc_id", "text", name, 5L)
+    }
+    assert(boom.getMessage.contains("unique"))
+    // the guard can be waived explicitly, and never blocks a same-epoch replay
+    val fresh = Seq((31L, noise(60))).toDF("doc_id", "text")
+    NearDupIndex.append(fresh, "doc_id", "text", name, 6L)
+    NearDupIndex.append(fresh, "doc_id", "text", name, 6L) // replay: guard excludes own epoch
+    assert(spark.table(s"${name}_counts").filter($"doc_id" === 31L).count() == 1)
+  }
+
   test("connectedComponents labels every node with its component's min id") {
     import spark.implicits._
     // a chain, a pair, and a triangle; edge direction is arbitrary

@@ -82,4 +82,21 @@ class ModelRegistrySpec extends AnyFunSuite {
     val root = TestFixtures.tmpDir("registry-empty").toString
     assert(ModelRegistry.loadProduction(spark, root, "nope").isEmpty)
   }
+
+  test("a corrupt registry file throws instead of reading as empty") {
+    // Regression for the round-4 exists-vs-error fix: only a MISSING
+    // registry means "no versions yet". A present-but-unreadable one must
+    // propagate — the old catch-all returned Seq.empty, and the next
+    // register() would rewrite registry.parquet from it, silently wiping
+    // every version row.
+    val root = TestFixtures.tmpDir("registry-corrupt").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "registry.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    intercept[Exception] { ModelRegistry.entries(spark, root) }
+    // and the corrupt file is still there — nothing rewrote it
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "registry.parquet")), "UTF-8")
+      .startsWith("this is not"))
+  }
 }

@@ -262,4 +262,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table(s"${name}_counts").select("doc_id").as[Long].collect().toSet
       == Set(1L, 2L, 101L, 201L))
   }
+
+  test("corpus ingest replay after a mid-fold crash neither duplicates nor drops") {
+    import spark.implicits._
+    import graft.operators.NearDupIndex
+    import graft.streaming.CorpusIngestStream
+    val work = TestFixtures.tmpDir("corpus-replay")
+    val name = s"ingestr_${System.nanoTime()}"
+    val rnd = new scala.util.Random(19L)
+    def noise(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    val histBody = noise(60)
+    NearDupIndex.build(
+      Seq((1L, histBody), (2L, noise(60))).toDF("doc_id", "text"),
+      "doc_id", "text", name)
+    val accepted = work.resolve("accepted").toString
+    val cfg = NearDupIndex.Config()
+
+    // batch 0: one near-dup of history (must drop), one novel doc (must keep).
+    // Attempt 1 lands the survivors, then "crashes" between the counts and
+    // buckets appends of the fold.
+    val novel1 = noise(60)
+    val b0 = Seq((100L, s"$histBody tail tokens"), (101L, novel1))
+      .toDF("doc_id", "text")
+    CorpusIngestStream.processBatch(spark, b0, 0L, accepted, name, 0.6, cfg,
+      identity, crashAfterFoldRelations = Some(2))
+    // the replay of the same micro-batch converges…
+    CorpusIngestStream.processBatch(spark, b0, 0L, accepted, name, 0.6, cfg, identity)
+
+    // …to an accepted corpus with NO duplicate ids and the same verdicts
+    assert(spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSeq
+      == Seq(101L))
+    // and an index with exactly one counts row for the survivor
+    assert(spark.table(s"${name}_counts").filter($"doc_id" === 101L).count() == 1)
+
+    // the next batch still dedups against the replayed survivor with a
+    // correct (non-inflated) jaccard: its near-dup is dropped, novel kept
+    val b1 = Seq((200L, s"$novel1 small change"), (201L, noise(60)))
+      .toDF("doc_id", "text")
+    CorpusIngestStream.processBatch(spark, b1, 1L, accepted, name, 0.6, cfg, identity)
+    assert(spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSet
+      == Set(101L, 201L))
+  }
 }

@@ -33,6 +33,26 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z.sameElements(Array(0L, 1L, 2L, 15L, 255L)))
   }
 
+  test("interleave stays exact at bit positions >= 31 (long widening), and past 63 refuses") {
+    import spark.implicits._
+    // 4 columns × 8 bits puts column 3's top bit at position 7·4+3 = 31 —
+    // the first position an int shiftleft corrupts (sign bit + mod-32
+    // wrap). Regression for the round-4 long-widening fix: each column
+    // alone must contribute exactly its comb of positions b·4+i.
+    val df = Seq((255, 0, 0, 0), (0, 0, 0, 255), (255, 255, 255, 255))
+      .toDF("a", "b", "c", "d")
+    val z = df.select(ZOrder.zValue(
+        Seq(F.col("a"), F.col("b"), F.col("c"), F.col("d")), bits = 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z(0) == 0x11111111L, f"col 0 comb wrong: ${z(0)}%x")
+    assert(z(1) == 0x88888888L, f"col 3 comb (incl. bit 31) wrong: ${z(1)}%x")
+    assert(z(2) == 0xFFFFFFFFL, f"full 32-bit interleave wrong: ${z(2)}%x")
+    // 8 × 8 bits needs position 63 = the long sign bit; must throw, not wrap
+    val cols = (0 until 8).map(_ => F.lit(1).as("x"))
+    val boom = intercept[IllegalArgumentException] { ZOrder.zValue(cols, bits = 8) }
+    assert(boom.getMessage.contains("63"))
+  }
+
   test("z-order layout keeps per-file zone maps tight on BOTH columns; linear sort only on one") {
     val li = graft.runtime.Tables.load(spark, sf, "lineitem")
       .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
