@@ -60,6 +60,13 @@ object Compaction {
     * than one file and average under `targetBytes / 2` per file. Returns
     * the report (partition, files_before, bytes) of what was rewritten;
     * empty report = nothing needed, nothing touched.
+    *
+    * Session-conf caveat: the partition-type-inference and
+    * maxRecordsPerFile toggles below mutate SESSION-global conf for the
+    * duration of their window (restored after). This tool assumes the
+    * single-driver maintenance context it is built for; to run it on a
+    * SparkSession shared with concurrent readers/writers, give it a
+    * cloned session (`spark.newSession()`) so the toggles stay private.
     */
   def compact(spark: SparkSession, root: String, partitionCols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
