@@ -16,9 +16,16 @@ import graft.plans.GraftFunctions
   *
   * Layout under an index root:
   * {{{
-  *   <root>/centroids.parquet          (cell, centroid) — C rows
-  *   <root>/vectors/cell=<i>/...       (id, vec, nrm) partitioned by cell
+  *   <root>/centroids.parquet                     (cell, centroid) — C rows
+  *   <root>/vectors/epoch=<e>/cell=<i>/...        (id, vec, nrm) partitioned
   * }}}
+  * The `epoch` partition level is the unit of incremental ingest and of
+  * crash recovery, exactly as in [[NearDupIndex]]: the build writes
+  * epoch [[BuildEpoch]]; each [[append]] overwrites its own epoch's
+  * partitions, so a replayed batch converges instead of duplicating
+  * vectors (a duplicated id would occupy two top-k slots and displace a
+  * true neighbor). Probes filter on `cell` only — partition pruning on
+  * the inner level skips unprobed cells across every epoch.
   *
   * Query cost: rank C centroids (index metadata, driver-side O(C·d)),
   * then scan ~nProbe/C of the corpus. The probe list becomes a LITERAL
@@ -27,6 +34,11 @@ import graft.plans.GraftFunctions
   * at 100 TB the probe reads nProbe directories, not the table.
   */
 object IvfIndex {
+
+  /** Epoch the initial [[build]] writes under; streaming batch ids start
+    * at 0 and can never collide with it.
+    */
+  val BuildEpoch: Long = -1L
 
   /** Build the index: fit KMeans on (a sample of) the corpus, assign every
     * vector to its nearest centroid, write vectors partitioned by cell.
@@ -64,7 +76,8 @@ object IvfIndex {
         F.col("prediction").as("cell"))
       .withColumn("q_codes",
         F.transform(F.col("vec"), x => F.round(x / F.col("q_scale")).cast("byte")))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/vectors")
+      .withColumn("epoch", F.lit(BuildEpoch))
+      .write.mode("overwrite").partitionBy("epoch", "cell").parquet(s"$root/vectors")
 
     val spark = df.sparkSession
     import spark.implicits._
@@ -86,8 +99,17 @@ object IvfIndex {
     * so periodically [[build]] from the full corpus to rebalance —
     * standard IVF practice (probe correctness never degrades, only cell
     * selectivity).
+    *
+    * Idempotent under replay BY CONSTRUCTION, like
+    * [[NearDupIndex.append]]: the write is a dynamic partition OVERWRITE
+    * of `epoch=<epoch>`'s cell partitions, so replaying the same
+    * (batch, epoch) rewrites the same directories and converges to one
+    * copy wherever a previous attempt crashed. `epoch` must uniquely and
+    * stably identify the batch (a streaming batch id does; [[BuildEpoch]]
+    * is reserved), and a replay must present the same rows.
     */
-  def append(df: DataFrame, idCol: String, vecCol: String, root: String): Unit = {
+  def append(df: DataFrame, idCol: String, vecCol: String, root: String,
+      epoch: Long): Unit = {
     import org.apache.spark.sql.Column
     val spark = df.sparkSession
     GraftFunctions.register(spark)
@@ -113,7 +135,11 @@ object IvfIndex {
       .withColumn("q_codes",
         F.transform(F.col("vec"), x => F.round(x / F.col("q_scale")).cast("byte")))
       .select("id", "vec", "nrm", "q_scale", "q_codes", "cell")
-      .write.mode("append").partitionBy("cell").parquet(s"$root/vectors")
+      .withColumn("epoch", F.lit(epoch))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic") // replay-safe: replaces only this epoch's dirs
+      .partitionBy("epoch", "cell")
+      .parquet(s"$root/vectors")
   }
 
   /** Rank centroids by cosine to the query and return the nProbe nearest

@@ -193,6 +193,20 @@ class PlanSpec extends AnyFunSuite {
       }
       assert(offending.isEmpty,
         s"historical index relations must not be reshuffled before their first join:\n${probed.queryExecution.executedPlan}")
+      // the replay-path probe (excludeEpoch) must keep the invariant: the
+      // epoch predicate is partition PRUNING on the scan, not a filter
+      // stage that costs the history its bucketed clustering
+      val probedEx = graft.operators.NearDupIndex.probe(
+        spark, docs.filter(F.col("doc_id") % 5 === 4), "doc_id", "text", name, 0.3,
+        excludeEpoch = Some(99L))
+      probedEx.count()
+      val allEx = flatten(probedEx.queryExecution.executedPlan)
+      assert(allEx.exists(isIndexScan), "expected bucketed index scans in the excludeEpoch plan")
+      val offendingEx = allEx.collect {
+        case e: ShuffleExchangeExec if narrowPathToIndexScan(e.child) => e
+      }
+      assert(offendingEx.isEmpty,
+        s"excludeEpoch probe reshuffled history:\n${probedEx.queryExecution.executedPlan}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

@@ -116,8 +116,14 @@ class SimilaritySpec extends AnyFunSuite {
     val fresh = Seq(
       (9100L, v5.toSeq),
       (9101L, v5.map(-_).toSeq)).toDF("vec_id", "embedding")
-    IvfIndex.append(fresh, "vec_id", "embedding", root)
+    IvfIndex.append(fresh, "vec_id", "embedding", root, epoch = 0L)
     assert(spark.read.parquet(s"$root/vectors").count() == before + 2)
+    // a replayed fold of the same epoch overwrites, never duplicates —
+    // a doubled id would occupy two top-k slots and displace a true
+    // neighbor
+    IvfIndex.append(fresh, "vec_id", "embedding", root, epoch = 0L)
+    assert(spark.read.parquet(s"$root/vectors").count() == before + 2,
+      "replayed append must be idempotent")
     // probing ALL cells is exact: the appended copy must rank at cos 1.0
     val top = IvfIndex.topKByVector(spark, root, v5, k = 2, nProbe = 8).collect()
     val ids = top.map(_.getAs[Long]("neighbor_id")).toSet
