@@ -110,24 +110,7 @@ object IvfIndex {
     */
   def append(df: DataFrame, idCol: String, vecCol: String, root: String,
       epoch: Long): Unit = {
-    import org.apache.spark.sql.Column
-    val spark = df.sparkSession
-    GraftFunctions.register(spark)
-    val cents: Seq[(Int, Array[Double])] =
-      spark.read.parquet(s"$root/centroids.parquet").collect().toSeq
-        .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Double]]("centroid").toArray))
-    val vecs = df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
-    // ||v-c||² = v·v − 2·v·c + c·c; v·v is constant per row, so the
-    // argmin only needs (c·c − 2·v·c) per centroid
-    val candidates: Seq[Column] = cents.map { case (cell, c) =>
-      val cArr = F.array(c.map(F.lit(_)).toIndexedSeq: _*)
-      val cc = c.map(x => x * x).sum
-      F.struct(
-        (F.lit(cc) - F.lit(2.0) * F.call_function("vec_dot", F.col("vec"), cArr)).as("d"),
-        F.lit(cell).as("cell"))
-    }
-    vecs
-      .withColumn("cell", F.least(candidates: _*).getField("cell"))
+    assignCells(df, idCol, vecCol, root)
       .select(F.col("id"), F.col("vec"),
         F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))).as("nrm"),
         (F.array_max(F.transform(F.col("vec"), x => F.abs(x))) / 127.0).as("q_scale"),
@@ -140,6 +123,44 @@ object IvfIndex {
       .option("partitionOverwriteMode", "dynamic") // replay-safe: replaces only this epoch's dirs
       .partitionBy("epoch", "cell")
       .parquet(s"$root/vectors")
+  }
+
+  /** Assign rows to the index's EXISTING cells: (id, vec, cell), no
+    * shuffle — each centroid becomes a LITERAL array and the cell is
+    * argmin over C codegen'd `vec_dot` calls (min over (dist, cell)
+    * structs). ||v−c||² = v·v − 2·v·c + c·c, and v·v is constant per
+    * row, so the argmin only needs (c·c − 2·v·c) per centroid.
+    * The assignment kernel of [[append]]; also the batch-side half of
+    * cell-local joins against the index (the ingest stream's dedup gate).
+    */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String, root: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    val cents: Seq[(Int, Array[Double])] =
+      spark.read.parquet(s"$root/centroids.parquet").collect().toSeq
+        .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Double]]("centroid").toArray))
+    val candidates: Seq[Column] = cents.map { case (cell, c) =>
+      val cArr = F.array(c.map(F.lit(_)).toIndexedSeq: _*)
+      val cc = c.map(x => x * x).sum
+      F.struct(
+        (F.lit(cc) - F.lit(2.0) * F.call_function("vec_dot", F.col("vec"), cArr)).as("d"),
+        F.lit(cell).as("cell"))
+    }
+    df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
+      .withColumn("cell", F.least(candidates: _*).getField("cell"))
+  }
+
+  /** The indexed vectors (id, vec, nrm, cell), optionally without one
+    * epoch — an ingest stream replaying batch E reads history with
+    * `excludeEpoch = Some(E)` so a partially folded previous attempt of
+    * the same batch cannot shadow its own vectors.
+    */
+  def vectors(spark: SparkSession, root: String,
+      excludeEpoch: Option[Long] = None): DataFrame = {
+    val t = spark.read.parquet(s"$root/vectors")
+    excludeEpoch.fold(t)(e => t.filter(F.col("epoch") =!= e))
+      .select("id", "vec", "nrm", "cell")
   }
 
   /** Rank centroids by cosine to the query and return the nProbe nearest

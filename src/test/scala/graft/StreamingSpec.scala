@@ -263,6 +263,64 @@ class StreamingSpec extends AnyFunSuite {
       == Set(1L, 2L, 101L, 201L))
   }
 
+  test("embedding ingest stream dedups vectors against the growing IVF index; replay converges") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    import graft.streaming.EmbeddingIngestStream
+    val work = TestFixtures.tmpDir("emb-ingest")
+    val root = work.resolve("ivf").toString
+    val emb = graft.runtime.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
+    val baseCount = spark.read.parquet(s"$root/vectors").count()
+
+    val in = work.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    def writeBatch(file: String, vecs: Seq[(Long, Array[Double])]): Unit =
+      java.nio.file.Files.writeString(in.resolve(file),
+        vecs.map { case (id, v) =>
+          s"""{"vec_id": $id, "embedding": [${v.mkString(",")}]}"""
+        }.mkString("\n"))
+
+    val v3 = emb.filter(F.col("vec_id") === 3L)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    val rnd = new scala.util.Random(11L)
+    def rand() = Array.fill(64)(rnd.nextGaussian())
+    val novel = rand()
+    // batch 1: exact copy of indexed vec 3 (drop vs history), a novel
+    // vector (keep), and an intra-batch copy of the novel (drop, min id kept)
+    writeBatch("b1.jsonl", Seq((9000L, v3), (9001L, novel), (9002L, novel)))
+    val accepted = work.resolve("accepted").toString
+    val q = EmbeddingIngestStream.start(spark, in.toString, accepted,
+      work.resolve("ckpt").toString, root, maxCos = 0.999)
+    q.processAllAvailable()
+    assert(spark.read.parquet(accepted).select("vec_id").as[Long].collect().toSet
+      == Set(9001L))
+
+    // batch 2: near-dup of batch 1's survivor — history has GROWN — plus
+    // one genuinely new vector
+    writeBatch("b2.jsonl", Seq((9100L, novel), (9101L, rand())))
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(accepted).select("vec_id").as[Long].collect().toSet
+      == Set(9001L, 9101L))
+    assert(spark.read.parquet(s"$root/vectors").count() == baseCount + 2)
+
+    // crash between land and fold, then replay: no duplicate accepted
+    // ids, the fold lands exactly once, and the next batch still dedups
+    // against the replayed survivor
+    val b3 = Seq((9200L, rand().toSeq)).toDF("vec_id", "embedding")
+    EmbeddingIngestStream.processBatch(spark, b3, 10L, accepted, root, 0.999,
+      crashBeforeFold = true)
+    EmbeddingIngestStream.processBatch(spark, b3, 10L, accepted, root, 0.999)
+    val landed = spark.read.parquet(accepted).select("vec_id").as[Long].collect().toSeq
+    assert(landed.sorted == Seq(9001L, 9101L, 9200L),
+      s"replay duplicated or dropped: $landed")
+    assert(spark.read.parquet(s"$root/vectors").count() == baseCount + 3)
+    val b4 = Seq((9300L, b3.head().getSeq[Double](1).toSeq)).toDF("vec_id", "embedding")
+    EmbeddingIngestStream.processBatch(spark, b4, 11L, accepted, root, 0.999)
+    assert(spark.read.parquet(accepted).select("vec_id").as[Long].collect().toSet
+      == Set(9001L, 9101L, 9200L), "copy of the replayed survivor must be dropped")
+  }
+
   test("corpus ingest replay after a mid-fold crash neither duplicates nor drops") {
     import spark.implicits._
     import graft.operators.NearDupIndex
