@@ -62,12 +62,18 @@ object ScoringStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val existing = Hwm.readIfExists(spark, predictionsPath)
         val preds = scoreBatch(batch, existing, model).cache()
-        preds.write.mode("append").parquet(predictionsPath)
         // the Slack-alert leg (`realtime_prediction_job.py:115-209`)
-        // becomes an alert-log table of the would-be notifications
+        // becomes an alert-log table of the would-be notifications.
+        // Alerts go FIRST: once the predictions land, a replayed batch is
+        // emptied by the trans_num anti-join, so an alert that hadn't
+        // been written yet would be lost forever. This order makes the
+        // alert leg at-least-once (a crash between the writes re-emits
+        // the batch's alerts) while the predictions sink stays deduped —
+        // duplicate alerts beat silently missing ones.
         preds.filter(F.col("is_fraud_predicted") === 1)
           .select("trans_num", "prediction_score", "risk_level", "prediction_time")
           .write.mode("append").parquet(alertsPath)
+        preds.write.mode("append").parquet(predictionsPath)
         preds.unpersist()
         ()
       }
