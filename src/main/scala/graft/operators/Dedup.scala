@@ -192,7 +192,21 @@ object Dedup {
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int, minJ: Double,
       numHashes: Int = 64, bands: Int = 32, rowsPerBand: Int = 2,
-      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      maxDocFreq: Int = Int.MaxValue): DataFrame =
+    minhashNearDupPairsTracked(df, idCol, textCol, n, minJ,
+      numHashes, bands, rowsPerBand, maxDocFreq)._1
+
+  /** [[minhashNearDupPairs]] plus a cleanup handle that unpersists the
+    * internal shingle cache. One-shot batch callers can ignore it (the
+    * cache dies with the session / context-cleaner GC); LONG-LIVED
+    * callers — a streaming foreachBatch invoking this every trigger —
+    * must call it after their actions complete, or the per-call caches
+    * accumulate in executor storage unboundedly.
+    */
+  private[graft] def minhashNearDupPairsTracked(
+      df: DataFrame, idCol: String, textCol: String, n: Int, minJ: Double,
+      numHashes: Int = 64, bands: Int = 32, rowsPerBand: Int = 2,
+      maxDocFreq: Int = Int.MaxValue): (DataFrame, () => Unit) = {
     require(bands * rowsPerBand <= numHashes)
     val sh = shingleTable(df, idCol, textCol, n).cache()
     // maxDocFreq cools only the signature/banding input; verification
@@ -205,7 +219,7 @@ object Dedup {
     val counts = sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
     // verify candidates with exact Jaccard: join candidates back to the
     // shingle relation (broadcast the candidate list when it is small).
-    jaccardVerify(cands, sh, counts, minJ)
+    (jaccardVerify(cands, sh, counts, minJ), () => { sh.unpersist(blocking = true); () })
   }
 
   /** `bits`-wide SimHash over distinct tokens: bit b of the signature is

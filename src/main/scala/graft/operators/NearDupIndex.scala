@@ -208,7 +208,19 @@ object NearDupIndex {
     */
   def probe(spark: SparkSession, batch: DataFrame, idCol: String, textCol: String,
       name: String, minJ: Double, cfg: Config = Config(),
-      excludeEpoch: Option[Long] = None): DataFrame = {
+      excludeEpoch: Option[Long] = None): DataFrame =
+    probeTracked(spark, batch, idCol, textCol, name, minJ, cfg, excludeEpoch)._1
+
+  /** [[probe]] plus a cleanup handle that unpersists the batch-shingle
+    * cache — long-lived callers (streaming foreachBatch, once per
+    * trigger) must call it after their actions complete, or the per-call
+    * caches accumulate in executor storage unboundedly. One-shot batch
+    * callers can ignore it.
+    */
+  private[graft] def probeTracked(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, name: String, minJ: Double,
+      cfg: Config = Config(),
+      excludeEpoch: Option[Long] = None): (DataFrame, () => Unit) = {
     requireSameFamily(spark, name, cfg)
     val bSh = Dedup.shingleTable(batch, idCol, textCol, cfg.n).cache()
     val bBuckets = Dedup.lshBuckets(
@@ -220,8 +232,9 @@ object NearDupIndex {
         Seq("band_idx", "band_hash"))
       .select("a_id", "b_id").distinct()
     val bCounts = bSh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
-    Dedup.jaccardVerifyBipartite(
+    val verified = Dedup.jaccardVerifyBipartite(
       cands, bSh, histRel(spark, s"${name}_shingles", Seq(idCol, "shingle"), excludeEpoch),
       bCounts, histRel(spark, s"${name}_counts", Seq(idCol, "n_sh"), excludeEpoch), minJ)
+    (verified, () => { bSh.unpersist(blocking = true); () })
   }
 }

@@ -79,18 +79,18 @@ object CorpusIngestStream {
       crashAfterFoldRelations: Option[Int] = None): Unit = {
     val b = curate(batch).cache()
     // 1. intra-batch: one representative per near-dup cluster
-    val pairs = Dedup.minhashNearDupPairs(b, "doc_id", "text", cfg.n, minJ,
-      cfg.numHashes, cfg.bands, cfg.rowsPerBand)
+    val (pairs, pairsCleanup) = Dedup.minhashNearDupPairsTracked(
+      b, "doc_id", "text", cfg.n, minJ, cfg.numHashes, cfg.bands, cfg.rowsPerBand)
     val intraLosers = Dedup.connectedComponents(pairs, "a_id", "b_id")
       .filter(F.col("id") =!= F.col("comp"))
       .select(F.col("id").as("doc_id"))
     val intra = b.join(intraLosers, Seq("doc_id"), "left_anti")
     // 2. cross-history: drop anything the index already covers; a replay
     //    must not be shadowed by its own partial fold, hence excludeEpoch
-    val histLosers = NearDupIndex
-      .probe(spark, intra, "doc_id", "text", indexName, minJ, cfg,
-        excludeEpoch = Some(batchId))
-      .select(F.col("a_id").as("doc_id")).distinct()
+    val (histProbe, probeCleanup) = NearDupIndex.probeTracked(
+      spark, intra, "doc_id", "text", indexName, minJ, cfg,
+      excludeEpoch = Some(batchId))
+    val histLosers = histProbe.select(F.col("a_id").as("doc_id")).distinct()
     val accepted = intra.join(histLosers, Seq("doc_id"), "left_anti").cache()
     // 3. land the survivors, then fold them into history — both writes
     //    are idempotent overwrites keyed by batchId
@@ -103,7 +103,12 @@ object CorpusIngestStream {
           NearDupIndex.append(accepted, "doc_id", "text", indexName, batchId, cfg)
       }
     }
+    // this runs once per trigger, forever: release the per-call caches
+    // (the kernels' internal shingle relations + our own) or executor
+    // storage grows without bound across triggers
     accepted.unpersist()
+    probeCleanup()
+    pairsCleanup()
     b.unpersist()
   }
 

@@ -212,6 +212,35 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.table(s"${name}_counts").filter($"doc_id" === 31L).count() == 1)
   }
 
+  test("tracked dedup kernels release their internal shingle caches on cleanup") {
+    import spark.implicits._
+    import graft.operators.NearDupIndex
+    val name = s"ndxt_${System.nanoTime()}"
+    val rnd = new scala.util.Random(41L)
+    def noise(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    val hist = Seq((1L, noise(60)), (2L, noise(60))).toDF("doc_id", "text")
+    NearDupIndex.build(hist, "doc_id", "text", name)
+    val batch = Seq((10L, noise(60)), (11L, noise(60))).toDF("doc_id", "text")
+
+    // a streaming caller runs these once per trigger, forever — the
+    // cleanup handle must actually drop the per-call cache entries.
+    // Distinct input plans, as in the real stream (pairs on the curated
+    // batch, probe on its intra-deduped survivor set): identical plans
+    // would be deduplicated by the CacheManager into one entry
+    val (pairs, pairsCleanup) = Dedup.minhashNearDupPairsTracked(
+      batch, "doc_id", "text", 3, 0.5)
+    pairs.count()
+    val (probed, probeCleanup) = NearDupIndex.probeTracked(
+      spark, batch.filter(F.col("doc_id") >= 10L), "doc_id", "text", name, 0.5)
+    probed.count()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    pairsCleanup()
+    probeCleanup()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before - 2,
+      s"cleanups must unpersist the two shingle caches: $before -> $after")
+  }
+
   test("connectedComponents labels every node with its component's min id") {
     import spark.implicits._
     // a chain, a pair, and a triangle; edge direction is arbitrary
