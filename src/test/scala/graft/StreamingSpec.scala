@@ -321,6 +321,46 @@ class StreamingSpec extends AnyFunSuite {
       == Set(9001L, 9101L, 9200L), "copy of the replayed survivor must be dropped")
   }
 
+  test("corpus ingest across many triggers: each batch dedups against all previous epochs") {
+    import spark.implicits._
+    import graft.streaming.CorpusIngestStream
+    val work = TestFixtures.tmpDir("corpus-multi")
+    val name = s"ingestm_${System.nanoTime()}"
+    val rnd = new scala.util.Random(29L)
+    def noise(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    val histBody = noise(60)
+    graft.operators.NearDupIndex.build(
+      Seq((1L, histBody), (2L, noise(60))).toDF("doc_id", "text"),
+      "doc_id", "text", name)
+
+    val in = work.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val accepted = work.resolve("accepted").toString
+    val q = CorpusIngestStream.start(spark, in.toString, accepted,
+      work.resolve("ckpt").toString, name)
+
+    // five consecutive micro-batches; batch i carries one novel doc and a
+    // near-dup of the PREVIOUS batch's survivor — only the index that
+    // grew through every earlier epoch can reject it
+    var prev = histBody
+    (1 to 5).foreach { i =>
+      val novel = noise(60)
+      java.nio.file.Files.writeString(in.resolve(s"m$i.jsonl"),
+        s"""{"doc_id": ${100 + i}, "text": "$novel"}""" + "\n" +
+          s"""{"doc_id": ${200 + i}, "text": "$prev tail tokens"}""")
+      q.processAllAvailable()
+      prev = novel
+    }
+    q.stop()
+
+    assert(spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSet
+      == (1 to 5).map(100L + _).toSet,
+      "exactly the five novel docs survive; every cross-epoch near-dup is dropped")
+    // the index holds exactly the build corpus plus the five accepted docs
+    assert(spark.table(s"${name}_counts").select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L) ++ (1 to 5).map(100L + _).toSet)
+  }
+
   test("corpus ingest replay after a mid-fold crash neither duplicates nor drops") {
     import spark.implicits._
     import graft.operators.NearDupIndex
