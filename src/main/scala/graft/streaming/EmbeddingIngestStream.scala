@@ -20,7 +20,10 @@ import graft.plans.GraftFunctions
   *      cost is |batch| x (corpus / C), never |batch| x corpus (the IVF
   *      argument applied to dedup instead of search; near-identical
   *      vectors share a cell by construction since assignment is
-  *      deterministic in the vector);
+  *      deterministic in the vector). The micro-batch side of the
+  *      history comparison is BROADCAST: `cell` has only C distinct
+  *      values, so a shuffle join would cap parallelism at C tasks —
+  *      broadcasting lets history stream partition-parallel, unshuffled;
   *   3. landed by OVERWRITE of `batch=<id>/` under `acceptedPath` and
   *      folded into the index via
   *      [[graft.operators.IvfIndex.append]]'s epoch partition overwrite.
@@ -73,19 +76,25 @@ object EmbeddingIngestStream {
       F.col("nrm").as("a_nrm"), F.col("cell"))
     val b = assigned.select(F.col("id").as("b_id"), F.col("vec").as("b_vec"),
       F.col("nrm").as("b_nrm"), F.col("cell"))
-    val intraLosers = a.join(b, Seq("cell"))
+    val intraLosers = a.join(F.broadcast(b), Seq("cell"))
       .filter(F.col("a_id") < F.col("b_id"))
       .filter(cos("a_vec", "a_nrm", "b_vec", "b_nrm") >= maxCos)
       .select(F.col("b_id").as("id")).distinct()
     val intra = assigned.join(intraLosers, Seq("id"), "left_anti")
 
-    // 2. cross-history: cell-local join against the index, batch epoch excluded
+    // 2. cross-history: the join key is `cell` alone (C distinct values),
+    //    so a shuffle join would cap parallelism at C tasks and funnel
+    //    each cell's ENTIRE history through one of them. The micro-batch
+    //    side is broadcast instead: history streams partition-parallel in
+    //    place, never shuffled, never bottlenecked by key cardinality (a
+    //    micro-batch fits in a broadcast by construction — the trigger
+    //    sizes it). Batch epoch excluded so replays are not self-shadowed.
     val hist = IvfIndex.vectors(spark, indexRoot, excludeEpoch = Some(batchId))
       .select(F.col("id").as("b_id"), F.col("vec").as("b_vec"),
         F.col("nrm").as("b_nrm"), F.col("cell"))
-    val histLosers = intra
-      .select(F.col("id"), F.col("vec").as("a_vec"), F.col("nrm").as("a_nrm"), F.col("cell"))
-      .join(hist, Seq("cell"))
+    val batchSide = intra.select(F.col("id"), F.col("vec").as("a_vec"),
+      F.col("nrm").as("a_nrm"), F.col("cell"))
+    val histLosers = hist.join(F.broadcast(batchSide), Seq("cell"))
       .filter(cos("a_vec", "a_nrm", "b_vec", "b_nrm") >= maxCos)
       .select("id").distinct()
     val accepted = intra.join(histLosers, Seq("id"), "left_anti")
