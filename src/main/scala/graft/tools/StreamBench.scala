@@ -6,15 +6,19 @@ import java.time.{LocalDate, LocalDateTime, ZoneOffset}
 import scala.util.Random
 
 import graft.runtime.GraftSession
-import graft.streaming.{BronzeStream, ScoringStream}
+import graft.streaming.{BronzeStream, CorpusIngestStream, EmbeddingIngestStream, ScoringStream}
 
 /** Streaming throughput benchmark against the reference's headline
   * numbers (BASELINE.md: 200-500 tx per 10 s micro-batch ≈ 20-50 tx/s
   * sustained on the CDC→bronze path; <1 s insert→alert on scoring).
   * Generates N Debezium envelopes, drives both streaming jobs with
-  * processAllAvailable, prints one JSON line with tx/s per leg.
+  * processAllAvailable, prints one JSON line with tx/s per leg — plus
+  * the two ingest-with-dedup legs the reference has no counterpart for:
+  * corpus ingest (MinHash probe against a persisted index, ~10% planted
+  * near-dups) in docs/s and embedding ingest (cell-local cosine dedup
+  * against the IVF index) in vecs/s.
   *
-  * Usage: runMain graft.tools.StreamBench [nRows]
+  * Usage: runMain graft.tools.StreamBench [nRows] [nDocs] [nVecs]
   */
 object StreamBench {
 
@@ -70,12 +74,62 @@ object StreamBench {
     }
     val predRows = spark.read.parquet(work.resolve("preds").toString).count()
 
+    // --- corpus ingest leg: curated-dedup pipeline, ~10% planted near-dups
+    import spark.implicits._
+    val nDocs = args.lift(1).map(_.toInt).getOrElse(5000)
+    def docText(r: Random) = Seq.fill(60)(s"w${r.nextInt(20000)}").mkString(" ")
+    val seedDocs = (0 until 500).map(i => (i.toLong, docText(rnd)))
+    val corpusName = s"sb_corpus_${System.nanoTime()}"
+    graft.operators.NearDupIndex.build(
+      seedDocs.toDF("doc_id", "text"), "doc_id", "text", corpusName)
+    val corpusIn = work.resolve("corpus-in")
+    Files.createDirectories(corpusIn)
+    var prevDoc = seedDocs.head._2
+    val docLines = (0 until nDocs).map { i =>
+      val t = if (i % 10 == 9) s"$prevDoc tail $i" else { prevDoc = docText(rnd); prevDoc }
+      s"""{"doc_id": ${1000L + i}, "text": "$t"}"""
+    }
+    Files.write(corpusIn.resolve("docs.jsonl"),
+      String.join("\n", docLines: _*).getBytes("UTF-8"))
+    val corpusSec = timed("corpus") {
+      val q = CorpusIngestStream.start(spark, corpusIn.toString,
+        work.resolve("corpus-out").toString, work.resolve("ckpt-c").toString, corpusName)
+      q.processAllAvailable(); q.stop()
+    }
+    val corpusKept = spark.read.parquet(work.resolve("corpus-out").toString).count()
+
+    // --- embedding ingest leg: cell-local cosine dedup vs the IVF index
+    val nVecs = args.lift(2).map(_.toInt).getOrElse(20000)
+    def vec(r: Random) = Array.fill(64)(r.nextGaussian())
+    val seedVecs = (0 until 2000).map(i => (i.toLong, vec(rnd).toSeq))
+    val ivfRoot = work.resolve("sb-ivf").toString
+    graft.operators.IvfIndex.build(
+      seedVecs.toDF("vec_id", "embedding"), "vec_id", "embedding", ivfRoot)
+    val embIn = work.resolve("emb-in")
+    Files.createDirectories(embIn)
+    val vecLines = (0 until nVecs).map { i =>
+      val v = if (i % 10 == 9) seedVecs(rnd.nextInt(2000))._2 else vec(rnd).toSeq
+      s"""{"vec_id": ${10000L + i}, "embedding": [${v.mkString(",")}]}"""
+    }
+    Files.write(embIn.resolve("vecs.jsonl"),
+      String.join("\n", vecLines: _*).getBytes("UTF-8"))
+    val embSec = timed("embed") {
+      val q = EmbeddingIngestStream.start(spark, embIn.toString,
+        work.resolve("emb-out").toString, work.resolve("ckpt-e").toString, ivfRoot)
+      q.processAllAvailable(); q.stop()
+    }
+    val embKept = spark.read.parquet(work.resolve("emb-out").toString).count()
+
     println(
       s"""{"metric":"stream_throughput","unit":"tx_per_sec",""" +
         s""""bronze_rows":$bronzeRows,"bronze_sec":$bronzeSec,""" +
         s""""bronze_tx_per_sec":${(bronzeRows / bronzeSec).toLong},""" +
         s""""score_rows":$predRows,"score_sec":$scoreSec,""" +
         s""""score_tx_per_sec":${(predRows / scoreSec).toLong},""" +
+        s""""corpus_docs":$nDocs,"corpus_kept":$corpusKept,"corpus_sec":$corpusSec,""" +
+        s""""corpus_docs_per_sec":${(nDocs / corpusSec).toLong},""" +
+        s""""embed_vecs":$nVecs,"embed_kept":$embKept,"embed_sec":$embSec,""" +
+        s""""embed_vecs_per_sec":${(nVecs / embSec).toLong},""" +
         s""""baseline_tx_per_sec":"20-50 (BASELINE.md streaming throughput)"}""")
     spark.stop()
   }
