@@ -119,9 +119,11 @@ object Bench {
 
     results.foreach { case (name, reps) =>
       val ok = reps.filter(_ >= 0)
-      if (ok.size == reps.size && ok.nonEmpty && ok.head / ok.min > 3)
-        System.err.println(f"[bench] WARNING $name rep0 ${ok.head}%.2fs is " +
-          f"${ok.head / ok.min}%.1fx its min ${ok.min}%.2fs — warm pass not absorbing startup cost")
+      // guard on rep0 itself being valid — a failed LATER rep must not
+      // suppress the spike diagnostic for a successful first rep
+      if (reps.headOption.exists(_ >= 0) && ok.nonEmpty && reps.head / ok.min > 3)
+        System.err.println(f"[bench] WARNING $name rep0 ${reps.head}%.2fs is " +
+          f"${reps.head / ok.min}%.1fx its min ${ok.min}%.2fs — warm pass not absorbing startup cost")
     }
 
     val qs = perQuery.map { case (k, v) => s"\"${shortId(k)}\":${fmt3(v)}" }

@@ -107,12 +107,44 @@ object IvfIndex {
     * copy wherever a previous attempt crashed. `epoch` must uniquely and
     * stably identify the batch (a streaming batch id does; [[BuildEpoch]]
     * is reserved), and a replay must present the same rows.
+    *
+    * Ids must be unique across the index's lifetime — a duplicated id
+    * holds two rows, occupies two top-k slots, and makes [[topK]]'s
+    * query-vector lookup nondeterministic. With `requireNewIds`
+    * (default) append runs a batch-sized guard join against the indexed
+    * ids (this epoch excluded, so replays pass) and throws on collision,
+    * matching [[NearDupIndex.append]]'s contract.
     */
   def append(df: DataFrame, idCol: String, vecCol: String, root: String,
-      epoch: Long): Unit = {
-    assignCells(df, idCol, vecCol, root)
-      .select(F.col("id"), F.col("vec"),
-        F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))).as("nrm"),
+      epoch: Long, requireNewIds: Boolean = true): Unit = {
+    GraftFunctions.register(df.sparkSession)
+    appendAssigned(
+      assignCells(df, idCol, vecCol, root)
+        .withColumn("nrm",
+          F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec")))),
+      root, epoch, requireNewIds)
+  }
+
+  /** [[append]] for rows that ALREADY carry (id, vec, nrm, cell) — the
+    * streaming ingest assigns cells once for its dedup gate and must not
+    * pay the C-way argmin (and a second centroid read) again at fold
+    * time.
+    */
+  private[graft] def appendAssigned(assigned: DataFrame, root: String,
+      epoch: Long, requireNewIds: Boolean = true): Unit = {
+    val spark = assigned.sparkSession
+    requireEpochLayout(spark, root)
+    if (requireNewIds) {
+      val collisions = assigned.select("id")
+        .join(vectors(spark, root, excludeEpoch = Some(epoch)).select("id"),
+          Seq("id"), "left_semi")
+        .limit(5).collect().map(_.get(0))
+      require(collisions.isEmpty,
+        s"batch re-uses ids already in the ANN index at '$root' " +
+          s"(sample: ${collisions.mkString(",")}); ids must be unique across the index lifetime")
+    }
+    assigned
+      .select(F.col("id"), F.col("vec"), F.col("nrm"),
         (F.array_max(F.transform(F.col("vec"), x => F.abs(x))) / 127.0).as("q_scale"),
         F.col("cell"))
       .withColumn("q_codes",
@@ -123,6 +155,23 @@ object IvfIndex {
       .option("partitionOverwriteMode", "dynamic") // replay-safe: replaces only this epoch's dirs
       .partitionBy("epoch", "cell")
       .parquet(s"$root/vectors")
+  }
+
+  /** An index written before the epoch layout has `vectors/cell=<i>`
+    * top-level dirs; mixing an epoch-layout append into it would leave
+    * conflicting partition structures that fail EVERY subsequent read.
+    * One metadata listing turns that corruption into an upfront error.
+    */
+  private def requireEpochLayout(spark: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/vectors")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val legacy = fs.listStatus(p)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      require(!legacy,
+        s"ANN index at '$root' uses the pre-epoch layout (vectors/cell=...); " +
+          "re-run build() before appending")
+    }
   }
 
   /** Assign rows to the index's EXISTING cells: (id, vec, cell), no

@@ -161,12 +161,11 @@ object NearDupIndex {
           "ids must be unique across the index lifetime")
     }
     val sh = Dedup.shingleTable(batch, idCol, textCol, cfg.n).cache()
-    withDynamicOverwrite(spark) {
+    try withDynamicOverwrite(spark) {
       relations(sh, idCol, cfg, epoch).foreach { case (df, suffix, _) =>
         df.write.mode("overwrite").insertInto(s"$name$suffix")
       }
-    }
-    sh.unpersist()
+    } finally sh.unpersist() // also on a failed write — retries re-cache
   }
 
   /** Test hook: perform only the first `firstRelations` of [[append]]'s

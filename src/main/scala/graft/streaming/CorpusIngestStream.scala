@@ -92,24 +92,27 @@ object CorpusIngestStream {
       excludeEpoch = Some(batchId))
     val histLosers = histProbe.select(F.col("a_id").as("doc_id")).distinct()
     val accepted = intra.join(histLosers, Seq("doc_id"), "left_anti").cache()
-    // 3. land the survivors, then fold them into history — both writes
-    //    are idempotent overwrites keyed by batchId
-    if (!accepted.isEmpty) {
-      accepted.write.mode("overwrite").parquet(s"$acceptedPath/batch=$batchId")
-      crashAfterFoldRelations match {
-        case Some(k) =>
-          NearDupIndex.appendPartial(accepted, "doc_id", "text", indexName, batchId, cfg, k)
-        case None =>
-          NearDupIndex.append(accepted, "doc_id", "text", indexName, batchId, cfg)
+    try {
+      // 3. land the survivors, then fold them into history — both writes
+      //    are idempotent overwrites keyed by batchId
+      if (!accepted.isEmpty) {
+        accepted.write.mode("overwrite").parquet(s"$acceptedPath/batch=$batchId")
+        crashAfterFoldRelations match {
+          case Some(k) =>
+            NearDupIndex.appendPartial(accepted, "doc_id", "text", indexName, batchId, cfg, k)
+          case None =>
+            NearDupIndex.append(accepted, "doc_id", "text", indexName, batchId, cfg)
+        }
       }
+    } finally {
+      // this runs once per trigger, forever — and a FAILED trigger gets
+      // replayed in the same session, so the release must happen on the
+      // error path too or retries accumulate caches without bound
+      accepted.unpersist()
+      probeCleanup()
+      pairsCleanup()
+      b.unpersist()
     }
-    // this runs once per trigger, forever: release the per-call caches
-    // (the kernels' internal shingle relations + our own) or executor
-    // storage grows without bound across triggers
-    accepted.unpersist()
-    probeCleanup()
-    pairsCleanup()
-    b.unpersist()
   }
 
   /** `curate` runs FIRST on every micro-batch (before any dedup) — plug

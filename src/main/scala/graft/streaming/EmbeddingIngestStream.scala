@@ -97,18 +97,25 @@ object EmbeddingIngestStream {
     val histLosers = hist.join(F.broadcast(batchSide), Seq("cell"))
       .filter(cos("a_vec", "a_nrm", "b_vec", "b_nrm") >= maxCos)
       .select("id").distinct()
-    val accepted = intra.join(histLosers, Seq("id"), "left_anti")
-      .select(F.col("id").as("vec_id"), F.col("vec").as("embedding"))
-      .cache()
+    // keep (vec, nrm, cell) on the survivors: the fold reuses them, so
+    // the C-way assignment argmin runs once per trigger, not twice
+    val accepted = intra.join(histLosers, Seq("id"), "left_anti").cache()
 
-    // 3. land then fold — both idempotent overwrites keyed by batchId
-    if (!accepted.isEmpty) {
-      accepted.write.mode("overwrite").parquet(s"$acceptedPath/batch=$batchId")
-      if (!crashBeforeFold)
-        IvfIndex.append(accepted, "vec_id", "embedding", indexRoot, batchId)
+    try {
+      // 3. land then fold — both idempotent overwrites keyed by batchId
+      if (!accepted.isEmpty) {
+        accepted.select(F.col("id").as("vec_id"), F.col("vec").as("embedding"))
+          .write.mode("overwrite").parquet(s"$acceptedPath/batch=$batchId")
+        if (!crashBeforeFold)
+          IvfIndex.appendAssigned(
+            accepted.select("id", "vec", "nrm", "cell"), indexRoot, batchId)
+      }
+    } finally {
+      // release on the error path too — a failed trigger is replayed in
+      // the same session, and retries must not accumulate caches
+      accepted.unpersist()
+      assigned.unpersist()
     }
-    accepted.unpersist()
-    assigned.unpersist()
   }
 
   def start(

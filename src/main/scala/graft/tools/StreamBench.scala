@@ -97,6 +97,10 @@ object StreamBench {
       q.processAllAvailable(); q.stop()
     }
     val corpusKept = spark.read.parquet(work.resolve("corpus-out").toString).count()
+    // the index tables carry a unique run id — drop them or every run
+    // leaves four orphans in the shared warehouse
+    Seq("_shingles", "_counts", "_buckets", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $corpusName$s"))
 
     // --- embedding ingest leg: cell-local cosine dedup vs the IVF index
     val nVecs = args.lift(2).map(_.toInt).getOrElse(20000)

@@ -137,6 +137,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cells == 1, "identical vectors must be assigned the same cell")
   }
 
+  test("IvfIndex.append rejects re-used ids and pre-epoch layouts") {
+    import spark.implicits._
+    val root = TestFixtures.tmpDir("ivf-guards").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
+    // id 5 is already indexed (as a different vector) — a silent second
+    // row would occupy two top-k slots and make topK's id lookup
+    // nondeterministic; the guard throws instead (replays of the SAME
+    // epoch pass: the guard excludes it — covered by the append test)
+    val rnd = new scala.util.Random(43L)
+    val collide = Seq((5L, Array.fill(64)(rnd.nextGaussian()).toSeq))
+      .toDF("vec_id", "embedding")
+    val boom = intercept[IllegalArgumentException] {
+      IvfIndex.append(collide, "vec_id", "embedding", root, epoch = 3L)
+    }
+    assert(boom.getMessage.contains("unique"))
+
+    // a legacy (pre-epoch) layout must fail fast: one epoch-style append
+    // into vectors/cell=... would brick every subsequent read
+    val legacyRoot = TestFixtures.tmpDir("ivf-legacy").toString
+    IvfIndex.build(emb, "vec_id", "embedding", legacyRoot, numCentroids = 8)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(legacyRoot, "vectors", "cell=0"))
+    val fresh = Seq((9500L, Array.fill(64)(rnd.nextGaussian()).toSeq))
+      .toDF("vec_id", "embedding")
+    val layoutBoom = intercept[IllegalArgumentException] {
+      IvfIndex.append(fresh, "vec_id", "embedding", legacyRoot, epoch = 0L)
+    }
+    assert(layoutBoom.getMessage.contains("pre-epoch layout"))
+  }
+
   test("IVF+SQ8 quantized probe equals the float probe over the same cells") {
     val root = TestFixtures.tmpDir("ivf-sq8").toString
     IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
