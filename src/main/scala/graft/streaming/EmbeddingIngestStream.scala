@@ -88,8 +88,16 @@ object EmbeddingIngestStream {
     //    side is broadcast instead: history streams partition-parallel in
     //    place, never shuffled, never bottlenecked by key cardinality (a
     //    micro-batch fits in a broadcast by construction — the trigger
-    //    sizes it). Batch epoch excluded so replays are not self-shadowed.
+    //    sizes it). The history SCAN is restricted to the cells the batch
+    //    actually occupies, as a LITERAL IN over the collected cell set
+    //    (<= C ints, metadata-scale) — a join-side restriction alone
+    //    would still READ the whole table; the literal predicate prunes
+    //    the untouched cell partitions, so per-trigger I/O is the batch's
+    //    cells, not the corpus. Batch epoch excluded so replays are not
+    //    self-shadowed.
+    val batchCells = intra.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val hist = IvfIndex.vectors(spark, indexRoot, excludeEpoch = Some(batchId))
+      .filter(F.col("cell").isin(batchCells: _*))
       .select(F.col("id").as("b_id"), F.col("vec").as("b_vec"),
         F.col("nrm").as("b_nrm"), F.col("cell"))
     val batchSide = intra.select(F.col("id"), F.col("vec").as("a_vec"),
