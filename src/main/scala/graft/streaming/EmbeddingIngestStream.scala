@@ -95,7 +95,11 @@ object EmbeddingIngestStream {
     //    the untouched cell partitions, so per-trigger I/O is the batch's
     //    cells, not the corpus. Batch epoch excluded so replays are not
     //    self-shadowed.
-    val batchCells = intra.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    // collected from the CACHED assignment, not from `intra` — reading
+    // intra here would re-run the whole intra-dedup self-join just to
+    // learn the cell set, and a superset of intra's cells prunes just as
+    // correctly (an extra cell's history rows join to nothing)
+    val batchCells = assigned.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val hist = IvfIndex.vectors(spark, indexRoot, excludeEpoch = Some(batchId))
       .filter(F.col("cell").isin(batchCells: _*))
       .select(F.col("id").as("b_id"), F.col("vec").as("b_vec"),
