@@ -120,8 +120,9 @@ object Bench {
     results.foreach { case (name, reps) =>
       val ok = reps.filter(_ >= 0)
       // guard on rep0 itself being valid — a failed LATER rep must not
-      // suppress the spike diagnostic for a successful first rep
-      if (reps.headOption.exists(_ >= 0) && ok.nonEmpty && reps.head / ok.min > 3)
+      // suppress the spike diagnostic for a successful first rep (ok
+      // then necessarily contains rep0, so ok.min is defined)
+      if (reps.headOption.exists(_ >= 0) && reps.head / ok.min > 3)
         System.err.println(f"[bench] WARNING $name rep0 ${reps.head}%.2fs is " +
           f"${reps.head / ok.min}%.1fx its min ${ok.min}%.2fs — warm pass not absorbing startup cost")
     }

@@ -135,9 +135,16 @@ object IvfIndex {
     val spark = assigned.sparkSession
     requireEpochLayout(spark, root)
     if (requireNewIds) {
-      val collisions = assigned.select("id")
-        .join(vectors(spark, root, excludeEpoch = Some(epoch)).select("id"),
-          Seq("id"), "left_semi")
+      // index side LEFT so the batch is the broadcast build side: the id
+      // column streams partition-parallel off every cell, never shuffled.
+      // Deliberately NOT cell-pruned — a re-used id with a different
+      // vector lands in a different cell, and the guard must catch
+      // exactly that case. Per append this costs one id-column scan of
+      // the index; disable via requireNewIds=false when upstream id
+      // discipline is already enforced.
+      val collisions = vectors(spark, root, excludeEpoch = Some(epoch))
+        .select("id")
+        .join(F.broadcast(assigned.select("id")), Seq("id"), "left_semi")
         .limit(5).collect().map(_.get(0))
       require(collisions.isEmpty,
         s"batch re-uses ids already in the ANN index at '$root' " +

@@ -91,16 +91,20 @@ object StreamBench {
     }
     Files.write(corpusIn.resolve("docs.jsonl"),
       String.join("\n", docLines: _*).getBytes("UTF-8"))
-    val corpusSec = timed("corpus") {
-      val q = CorpusIngestStream.start(spark, corpusIn.toString,
-        work.resolve("corpus-out").toString, work.resolve("ckpt-c").toString, corpusName)
-      q.processAllAvailable(); q.stop()
-    }
-    val corpusKept = spark.read.parquet(work.resolve("corpus-out").toString).count()
-    // the index tables carry a unique run id — drop them or every run
-    // leaves four orphans in the shared warehouse
-    Seq("_shingles", "_counts", "_buckets", "_meta").foreach(s =>
-      spark.sql(s"DROP TABLE IF EXISTS $corpusName$s"))
+    val (corpusSec, corpusKept) =
+      try {
+        val sec = timed("corpus") {
+          val q = CorpusIngestStream.start(spark, corpusIn.toString,
+            work.resolve("corpus-out").toString, work.resolve("ckpt-c").toString, corpusName)
+          q.processAllAvailable(); q.stop()
+        }
+        (sec, spark.read.parquet(work.resolve("corpus-out").toString).count())
+      } finally {
+        // the index tables carry a unique run id — drop them (also on a
+        // failed leg) or every run leaves four orphans in the warehouse
+        Seq("_shingles", "_counts", "_buckets", "_meta").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS $corpusName$s"))
+      }
 
     // --- embedding ingest leg: cell-local cosine dedup vs the IVF index
     val nVecs = args.lift(2).map(_.toInt).getOrElse(20000)
