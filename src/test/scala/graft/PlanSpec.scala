@@ -210,6 +210,32 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("embedding dedup gate: history scan is cell-pruned and joins broadcast, unshuffled") {
+    import spark.implicits._
+    val root = TestFixtures.tmpDir("ivf-gate-plan").toString
+    val emb = graft.runtime.Tables.load(spark, sf, "embeddings")
+    graft.operators.IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
+    // the gate's join shape, exactly as EmbeddingIngestStream builds it:
+    // literal cell IN (pruning) + broadcast micro-batch side
+    val batch = Seq((9000L, Array.fill(64)(0.1).toSeq)).toDF("vec_id", "embedding")
+    val assigned = graft.operators.IvfIndex.assignCells(batch, "vec_id", "embedding", root)
+      .withColumn("nrm", F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))))
+    val cells = assigned.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val gate = graft.operators.IvfIndex.vectors(spark, root)
+      .filter(F.col("cell").isin(cells: _*))
+      .join(F.broadcast(assigned.select(F.col("id").as("a_id"), F.col("cell"))), Seq("cell"))
+    gate.count()
+    val plan = gate.queryExecution.executedPlan.toString
+    // a shuffle join on the C-valued cell key would cap parallelism at C
+    // tasks; the history scan must also prune unoccupied cells
+    assert(plan.contains("BroadcastHashJoin"),
+      s"gate must broadcast the micro-batch side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"history must not shuffle on the cell key:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*cell#".r.findFirstIn(plan).isDefined,
+      s"history scan must partition-prune to the batch's cells:\n$plan")
+  }
+
   test("GraftExtensions injects native functions at session build") {
     spark // materialize the shared session first
     SparkSession.clearActiveSession()
