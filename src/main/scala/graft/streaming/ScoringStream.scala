@@ -66,12 +66,18 @@ object ScoringStream {
         // becomes an alert-log table of the would-be notifications.
         // Alerts go FIRST: once the predictions land, a replayed batch is
         // emptied by the trans_num anti-join, so an alert that hadn't
-        // been written yet would be lost forever. This order makes the
-        // alert leg at-least-once (a crash between the writes re-emits
-        // the batch's alerts) while the predictions sink stays deduped —
-        // duplicate alerts beat silently missing ones.
-        preds.filter(F.col("is_fraud_predicted") === 1)
+        // been written yet would be lost forever. The alert leg dedups
+        // with its OWN trans_num anti-join (same pattern as the
+        // predictions sink), so a crash between the two writes replays to
+        // exactly one alert per transaction — not the at-least-once
+        // re-emit a blind append would give. A batch-keyed overwrite
+        // would NOT work here: a replay after a partial predictions write
+        // recomputes only the remainder, and overwriting the batch
+        // partition with remainder-only alerts would drop alerts already
+        // earned by the committed prefix.
+        val alerts = preds.filter(F.col("is_fraud_predicted") === 1)
           .select("trans_num", "prediction_score", "risk_level", "prediction_time")
+        RuleModel.newPredictionsOnly(alerts, Hwm.readIfExists(spark, alertsPath))
           .write.mode("append").parquet(alertsPath)
         preds.write.mode("append").parquet(predictionsPath)
         preds.unpersist()
