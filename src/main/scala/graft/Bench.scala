@@ -46,6 +46,17 @@ import org.apache.spark.sql.SparkSession
   * EXCLUDED from the "total" sum — so a broken build can neither
   * masquerade as fast nor subtract time from the headline number.
   *
+  * Host-load evidence: both JSON artifacts carry `"load"` — the 1-minute
+  * `/proc/loadavg` figure sampled when measurement starts. Round 5's
+  * driver run read 34.8 s total where three independent quiet runs read
+  * 28.9–31.5 s, purely because the driver benches right after a 251 s
+  * correctness suite on the same box; the load field makes such a hot run
+  * self-identifying without a re-run. Reading: this box has 32 cores and
+  * the bench itself drives them, so a load sampled at start that already
+  * exceeds ~4 means another workload is competing — treat totals as
+  * inflated and prefer a quiet-run artifact (docs/BENCH_DETAIL.json is
+  * committed from one). -1 = /proc/loadavg unreadable (non-Linux host).
+  *
   * Output-size contract (learned from BENCH_r03.json, "parsed": null):
   * the driver keeps only the LAST ~2000 chars of stdout and parses the
   * final JSON line found inside that window. Round 3's line carried full
@@ -83,6 +94,13 @@ object Bench {
     require(SparkEntry.queries.keys.map(shortId).toSeq.distinct.size
         == SparkEntry.queries.size,
       "short query ids must stay unique — rename the colliding query")
+
+    // sampled BEFORE the warm pass: the warm pass itself saturates the
+    // box, so a later sample would always read high and identify nothing
+    val load: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
 
     if (new java.io.File(warmDir).exists()) {
       SparkEntry.queries.foreach { case (_, fn) =>
@@ -136,10 +154,11 @@ object Bench {
       .mkString("[", ",", "]")
 
     val detail =
-      s"""{"metric":"detail","value":${fmt(total)},"unit":"sec","reps":$repsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","value":${fmt(total)},"unit":"sec","load":${fmt(load)},""" +
+      s""""reps":$repsJson,"sf":"$sfDir"}"""
     val line =
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","load":${fmt(load)},""" +
+      s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
 
     spark.stop()
     // Full names + all reps go ONLY to the detail file (committed when Bench
