@@ -85,6 +85,12 @@ object IvfIndex {
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids.parquet")
+
+    // the build corpus's id digest seeds the batch-sized collision guard
+    // (see [[IdDigest]]); appends fold one more digest row per epoch
+    IdDigest.digestFrame(vecs.select("id"), "id", BuildEpoch)
+      .coalesce(1).write.mode("overwrite")
+      .partitionBy("epoch").parquet(s"$root/digests")
   }
 
   /** Incremental ingest: assign NEW vectors to the EXISTING centroids and
@@ -135,20 +141,42 @@ object IvfIndex {
     val spark = assigned.sparkSession
     requireEpochLayout(spark, root)
     if (requireNewIds) {
-      // index side LEFT so the batch is the broadcast build side: the id
-      // column streams partition-parallel off every cell, never shuffled.
+      // batch-INTERNAL uniqueness first: the cross-epoch guard below only
+      // sees OTHER epochs, so the same id arriving twice in one batch
+      // (e.g. one vec_id in two files of a single trigger) would pass it
+      // and land twice in this epoch's partition — the exact two-top-k-
+      // slots corruption the guard exists to prevent. Batch-sized groupBy,
+      // cheap by construction.
+      val dups = assigned.groupBy("id").count().filter(F.col("count") > 1)
+        .limit(5).collect().map(_.get(0))
+      require(dups.isEmpty,
+        s"batch contains internally duplicated ids (sample: ${dups.mkString(",")}); " +
+          "ids must be unique within a batch as well as across the index lifetime")
+      // cross-epoch check via the per-epoch id digests: range + bloom
+      // screening is batch-sized and usually proves the append clean with
+      // ZERO index-data I/O; only bloom-hit (or digest-less) epochs get
+      // the exact scan, and that scan is epoch-partition-pruned.
       // Deliberately NOT cell-pruned — a re-used id with a different
       // vector lands in a different cell, and the guard must catch
-      // exactly that case. Per append this costs one id-column scan of
-      // the index; disable via requireNewIds=false when upstream id
-      // discipline is already enforced.
-      val collisions = vectors(spark, root, excludeEpoch = Some(epoch))
-        .select("id")
-        .join(F.broadcast(assigned.select("id")), Seq("id"), "left_semi")
-        .limit(5).collect().map(_.get(0))
-      require(collisions.isEmpty,
-        s"batch re-uses ids already in the ANN index at '$root' " +
-          s"(sample: ${collisions.mkString(",")}); ids must be unique across the index lifetime")
+      // exactly that case. Disable via requireNewIds=false when upstream
+      // id discipline is already enforced.
+      val digests = readDigests(spark, root).filter(_.getAs[Long]("epoch") != epoch)
+      val covered = digests.map(_.getAs[Long]("epoch")).toSet
+      val uncovered = listEpochs(spark, root).filter(e => e != epoch && !covered(e))
+      val scanEpochs = IdDigest.suspectEpochs(assigned.select("id"), "id", digests, uncovered)
+      if (scanEpochs.nonEmpty) {
+        // index side LEFT so the batch is the broadcast build side: the
+        // id column streams partition-parallel off the scanned epochs,
+        // never shuffled
+        val collisions = spark.read.parquet(s"$root/vectors")
+          .filter(F.col("epoch").isin(scanEpochs: _*)) // literal IN → partition-pruned
+          .select("id")
+          .join(F.broadcast(assigned.select("id")), Seq("id"), "left_semi")
+          .limit(5).collect().map(_.get(0))
+        require(collisions.isEmpty,
+          s"batch re-uses ids already in the ANN index at '$root' " +
+            s"(sample: ${collisions.mkString(",")}); ids must be unique across the index lifetime")
+      }
     }
     assigned
       .select(F.col("id"), F.col("vec"), F.col("nrm"),
@@ -162,6 +190,128 @@ object IvfIndex {
       .option("partitionOverwriteMode", "dynamic") // replay-safe: replaces only this epoch's dirs
       .partitionBy("epoch", "cell")
       .parquet(s"$root/vectors")
+
+    // fold this epoch's id digest under the same overwrite discipline —
+    // replay rewrites the identical row, the guard above excluded it
+    IdDigest.digestFrame(assigned.select("id"), "id", epoch)
+      .coalesce(1).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$root/digests")
+  }
+
+  /** Fold every epoch <= `upToEpoch` into the single consolidated
+    * [[BuildEpoch]] partition — the maintenance operator a long-running
+    * ingest needs: each [[append]] adds one file-set per touched cell, so
+    * after 10k triggers a probe's partition listing is 10k dirs deep per
+    * cell. Compaction rewrites cold epochs into one, bounding file counts
+    * without touching hot epochs (> `upToEpoch`) or changing any probe
+    * answer — the index is a bag of (id, vec) partitioned by cell, and
+    * this only moves rows between epoch partitions of the same cell.
+    *
+    * Replay-idempotent BY CONSTRUCTION, same discipline as [[append]]:
+    * the consolidated content is `dropDuplicates("id")` of everything
+    * read, and ids are unique index-wide (append's guard), so any crash
+    * point re-runs to the same fixpoint:
+    *
+    *   1. the fold set (epochs <= `upToEpoch`, INCLUDING the current
+    *      consolidated partition) is staged under `<root>/compacting` —
+    *      a crash here leaves the index untouched;
+    *   2. the staging copy is written over [[BuildEpoch]]'s cell
+    *      partitions (dynamic overwrite; staging breaks the read-write
+    *      cycle Spark forbids) — a crash mid-write leaves some cells
+    *      folded, some not, but sources still exist, and the re-run's
+    *      dropDuplicates collapses the overlap;
+    *   3. source epoch dirs (and their digest rows) are deleted — a
+    *      crash mid-delete leaves survivors whose content the
+    *      consolidated partition already holds; the re-run folds them
+    *      away. The digest is recomputed over the consolidated ids (one
+    *      bloom instead of k — past [[IdDigest.CapItems]] its fpp
+    *      degrades gracefully, never its correctness).
+    *
+    * Maintenance context: run from the single maintenance driver, not
+    * concurrently with an [[append]] of an epoch <= `upToEpoch`.
+    */
+  def compact(spark: SparkSession, root: String, upToEpoch: Long): Unit = {
+    require(upToEpoch >= BuildEpoch, s"upToEpoch must be >= $BuildEpoch")
+    val cold = listEpochs(spark, root).filter(_ <= upToEpoch)
+    if (cold.isEmpty || cold == Seq(BuildEpoch)) return
+
+    val staging = s"$root/compacting"
+    spark.read.parquet(s"$root/vectors")
+      .filter(F.col("epoch") <= upToEpoch) // partition-pruned: cold epochs only
+      .select("id", "vec", "nrm", "q_scale", "q_codes", "cell")
+      .dropDuplicates("id")
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+
+    val consolidated = spark.read.parquet(staging)
+    consolidated
+      .select(F.col("id"), F.col("vec"), F.col("nrm"),
+        F.col("q_scale"), F.col("q_codes"), F.col("cell"))
+      .withColumn("epoch", F.lit(BuildEpoch))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch", "cell")
+      .parquet(s"$root/vectors")
+    IdDigest.digestFrame(consolidated.select("id"), "id", BuildEpoch)
+      .coalesce(1).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$root/digests")
+
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    cold.filter(_ != BuildEpoch).foreach { e =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/vectors/epoch=$e"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/digests/epoch=$e"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  /** Refit the centroids from the FULL current corpus into a fresh index
+    * at `newRoot` — the documented answer to append-driven centroid
+    * drift: [[append]] assigns against build-time centroids, so a
+    * sustained distribution shift piles new vectors into few cells and
+    * probe selectivity (never correctness) degrades. Rebuild is a full
+    * [[build]] over `vectors(root)`, so the new index starts balanced,
+    * consolidated into one epoch, and with a fresh digest.
+    *
+    * Writes to a DIFFERENT root by contract: building in place would
+    * read and overwrite the same files (and a crash would strand the
+    * only copy). The caller flips its root pointer after rebuild
+    * returns — crash-safe because `root` is never touched, and
+    * replay-safe because [[build]] is a full overwrite of `newRoot`.
+    */
+  def rebuild(spark: SparkSession, root: String, newRoot: String,
+      numCentroids: Int = 16, seed: Long = 42L, trainFraction: Double = 1.0): Unit = {
+    require(newRoot != root,
+      "rebuild writes a fresh index; pass a different root and flip the pointer after")
+    build(vectors(spark, root).select("id", "vec"), "id", "vec", newRoot,
+      numCentroids, seed, trainFraction)
+  }
+
+  /** Digest rows (n, min_id, max_id, bloom, epoch); empty for an index
+    * written before digests existed — the guard then exact-scans every
+    * epoch, the old behavior.
+    */
+  private def readDigests(spark: SparkSession,
+      root: String): Seq[org.apache.spark.sql.Row] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/digests")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else spark.read.parquet(s"$root/digests")
+      .withColumn("epoch", F.col("epoch").cast("long")) // partition dirs re-infer as int
+      .collect().toSeq
+  }
+
+  /** Epoch partitions present under the vector root — one FileSystem
+    * listing, metadata-only.
+    */
+  private def listEpochs(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/vectors")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
   }
 
   /** An index written before the epoch layout has `vectors/cell=<i>`
@@ -189,22 +339,46 @@ object IvfIndex {
     * The assignment kernel of [[append]]; also the batch-side half of
     * cell-local joins against the index (the ingest stream's dedup gate).
     */
-  def assignCells(df: DataFrame, idCol: String, vecCol: String, root: String): DataFrame = {
-    import org.apache.spark.sql.Column
-    val spark = df.sparkSession
+  def assignCells(df: DataFrame, idCol: String, vecCol: String, root: String): DataFrame =
+    df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
+      .withColumn("cell",
+        F.least(centroidCandidates(df.sparkSession, root): _*).getField("cell"))
+
+  /** [[assignCells]] generalized to the `nProbe` NEAREST cells: adds a
+    * `cells` array (nearest first; `cells[0]` is [[assignCells]]'s
+    * answer). Same narrow shuffle-free kernel — the only extra cost is a
+    * C-struct sort per row instead of a C-way min. This is the batch side
+    * of MULTI-PROBE gates: a near-dup pair straddling a Voronoi face is
+    * invisible cell-locally, but joining a vector against its top-2
+    * cells' contents catches any pair whose probe lists overlap.
+    */
+  def assignCellsMulti(df: DataFrame, idCol: String, vecCol: String, root: String,
+      nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val sorted = F.array_sort(F.array(centroidCandidates(df.sparkSession, root): _*))
+    df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
+      .withColumn("cells",
+        F.transform(F.slice(sorted, 1, nProbe), c => c.getField("cell")))
+  }
+
+  /** One (distance, cell) struct Column per centroid — ||v−c||² with the
+    * row-constant v·v dropped. The centroid table is metadata (C rows),
+    * so each centroid becomes a LITERAL array and the distance is one
+    * codegen'd `vec_dot` call.
+    */
+  private def centroidCandidates(spark: SparkSession,
+      root: String): Seq[org.apache.spark.sql.Column] = {
     GraftFunctions.register(spark)
     val cents: Seq[(Int, Array[Double])] =
       spark.read.parquet(s"$root/centroids.parquet").collect().toSeq
         .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Double]]("centroid").toArray))
-    val candidates: Seq[Column] = cents.map { case (cell, c) =>
+    cents.map { case (cell, c) =>
       val cArr = F.array(c.map(F.lit(_)).toIndexedSeq: _*)
       val cc = c.map(x => x * x).sum
       F.struct(
         (F.lit(cc) - F.lit(2.0) * F.call_function("vec_dot", F.col("vec"), cArr)).as("d"),
         F.lit(cell).as("cell"))
     }
-    df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
-      .withColumn("cell", F.least(candidates: _*).getField("cell"))
   }
 
   /** The indexed vectors (id, vec, nrm, cell), optionally without one

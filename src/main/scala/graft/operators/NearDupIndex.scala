@@ -93,6 +93,13 @@ object NearDupIndex {
     Seq((cfg.n, cfg.numHashes, cfg.bands, cfg.rowsPerBand, cfg.buckets))
       .toDF("n", "num_hashes", "bands", "rows_per_band", "buckets")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
+    // the build corpus's id digest seeds the batch-sized collision guard
+    // (see [[graft.operators.IdDigest]]); long ids only — other id types
+    // keep the exact-scan guard
+    if (corpus.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+      IdDigest.digestFrame(corpus.select(F.col(idCol).as("id")), "id", BuildEpoch)
+        .coalesce(1).write.mode("overwrite")
+        .partitionBy("epoch").saveAsTable(s"${name}_digest")
     sh.unpersist()
   }
 
@@ -105,21 +112,44 @@ object NearDupIndex {
       s"index '$name' was built with $stored but probed/appended with $cfg")
   }
 
-  /** Runs `body` with dynamic partition-overwrite enabled, restoring the
-    * previous session value after. Session-global for the duration (same
-    * caveat as [[graft.layers.Compaction]]'s conf toggles): a concurrent
-    * writer on the same SparkSession inside the window would also
-    * overwrite dynamically.
+  /** Epoch partitions present in the index — one `SHOW PARTITIONS`
+    * metastore call against the counts relation, metadata-only (no data
+    * I/O). The guard uses it to find epochs that predate the digest
+    * table and must be exact-scanned.
     */
-  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  private def presentEpochs(spark: SparkSession, name: String): Seq[Long] =
+    spark.sql(s"SHOW PARTITIONS ${name}_counts").collect().toSeq
+      .map(_.getString(0).stripPrefix("epoch=").toLong)
+
+  /** Serializes the dynamic-overwrite conf window across THIS object's
+    * writers — two graft ingest streams sharing one SparkSession (a
+    * supported topology: StreamBench builds both legs on one session)
+    * cannot race on the set/restore below.
+    */
+  private val overwriteConfLock = new Object
+
+  /** Runs `body` with dynamic partition-overwrite enabled, restoring the
+    * previous session value after. The session conf is the ONLY lever
+    * that works here: the per-write
+    * `option("partitionOverwriteMode", "dynamic")` that the path-based
+    * writes use ([[IvfIndex.appendAssigned]]) is silently IGNORED on the
+    * catalog `insertInto` path — verified empirically on this Spark: the
+    * insert becomes a STATIC overwrite and truncates every other epoch's
+    * partitions. Session-global for the duration (caveat: a concurrent
+    * non-graft static-overwrite writer on the same SparkSession inside
+    * the window would also overwrite dynamically); graft's own writers
+    * are serialized by [[overwriteConfLock]].
+    */
+  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T =
+    overwriteConfLock.synchronized {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try body finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   /** Fold an accepted batch into the index under partition
     * `epoch=<epoch>`. Run AFTER the batch passes [[probe]] — the next
@@ -152,18 +182,55 @@ object NearDupIndex {
     val spark = batch.sparkSession
     requireSameFamily(spark, name, cfg)
     if (requireNewIds) {
-      val collisions = batch.select(F.col(idCol))
-        .join(spark.table(s"${name}_counts").filter(F.col("epoch") =!= epoch),
-          Seq(idCol), "left_semi")
+      // batch-INTERNAL uniqueness first — the cross-epoch join below
+      // excludes this epoch, so a doc id arriving twice WITHIN one batch
+      // would pass it and double its shingle rows in this epoch. Batch-
+      // sized groupBy, cheap by construction.
+      val dups = batch.groupBy(idCol).count().filter(F.col("count") > 1)
         .limit(5).collect().map(_.get(0))
-      require(collisions.isEmpty,
-        s"batch re-uses ids already in index '$name' (sample: ${collisions.mkString(",")}); " +
-          "ids must be unique across the index lifetime")
+      require(dups.isEmpty,
+        s"batch contains internally duplicated ids (sample: ${dups.mkString(",")}); " +
+          "ids must be unique within a batch as well as across the index lifetime")
+      // cross-epoch check via the per-epoch id digests where available
+      // (long ids + a `_digest` table): range + bloom screening is
+      // batch-sized and usually proves the append clean with zero
+      // index-data I/O; only bloom-hit (or digest-less) epochs get the
+      // exact scan, epoch-partition-pruned. Other id types, and indexes
+      // built before digests existed, keep the full exact scan.
+      val longIds = batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+      val scanEpochs: Option[Seq[Long]] =
+        if (longIds && spark.catalog.tableExists(s"${name}_digest")) {
+          val digests = spark.table(s"${name}_digest")
+            .filter(F.col("epoch") =!= epoch).collect().toSeq
+          val covered = digests.map(_.getAs[Long]("epoch")).toSet
+          val uncovered = presentEpochs(spark, name).filter(e => e != epoch && !covered(e))
+          Some(IdDigest.suspectEpochs(
+            batch.select(F.col(idCol).as("id")), "id", digests, uncovered))
+        } else None
+      if (scanEpochs.forall(_.nonEmpty)) {
+        val hist = spark.table(s"${name}_counts").filter(F.col("epoch") =!= epoch)
+        val pruned = scanEpochs.fold(hist)(es => hist.filter(F.col("epoch").isin(es: _*)))
+        val collisions = batch.select(F.col(idCol))
+          .join(pruned, Seq(idCol), "left_semi")
+          .limit(5).collect().map(_.get(0))
+        require(collisions.isEmpty,
+          s"batch re-uses ids already in index '$name' (sample: ${collisions.mkString(",")}); " +
+            "ids must be unique across the index lifetime")
+      }
     }
     val sh = Dedup.shingleTable(batch, idCol, textCol, cfg.n).cache()
     try withDynamicOverwrite(spark) {
       relations(sh, idCol, cfg, epoch).foreach { case (df, suffix, _) =>
         df.write.mode("overwrite").insertInto(s"$name$suffix")
+      }
+      // fold this epoch's id digest under the same overwrite discipline;
+      // a pre-digest index gains its digest table on first append (its
+      // old epochs stay uncovered → conservatively exact-scanned)
+      if (batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+        val digest = IdDigest.digestFrame(batch.select(F.col(idCol).as("id")), "id", epoch)
+        if (spark.catalog.tableExists(s"${name}_digest"))
+          digest.write.mode("overwrite").insertInto(s"${name}_digest")
+        else digest.write.partitionBy("epoch").saveAsTable(s"${name}_digest")
       }
     } finally sh.unpersist() // also on a failed write — retries re-cache
   }
@@ -174,13 +241,80 @@ object NearDupIndex {
     */
   private[graft] def appendPartial(batch: DataFrame, idCol: String, textCol: String,
       name: String, epoch: Long, cfg: Config, firstRelations: Int): Unit = {
-    val spark = batch.sparkSession
     val sh = Dedup.shingleTable(batch, idCol, textCol, cfg.n)
-    withDynamicOverwrite(spark) {
+    withDynamicOverwrite(batch.sparkSession) {
       relations(sh, idCol, cfg, epoch).take(firstRelations).foreach {
         case (df, suffix, _) => df.write.mode("overwrite").insertInto(s"$name$suffix")
       }
     }
+  }
+
+  /** Fold every epoch <= `upToEpoch` of all three index relations into
+    * the consolidated [[BuildEpoch]] partition — the maintenance operator
+    * the scaladoc's "periodically fold cold epochs together" delegates
+    * to. Each [[append]] adds one file-set per bucket per relation, so a
+    * long-running ingest's probe eventually pays more in file listing
+    * than in data; compaction bounds that without changing any probe
+    * answer (each relation is a bag of rows whose epoch column only
+    * records WHICH fold wrote them) and without touching hot epochs.
+    *
+    * Replay-idempotent by the same argument as [[IvfIndex.compact]]:
+    * every relation's rows are unique in their data columns (shingles
+    * and buckets are distinct by construction, counts keys by id), so
+    * the consolidated content is a full-row `dropDuplicates` fixpoint —
+    * a crash at ANY point (mid-stage, mid-fold, mid-delete) re-runs to
+    * the identical index. Staging tables (`<rel>__compacting`) break the
+    * read-overwrite cycle; the fold is the same dynamic partition
+    * overwrite as [[append]]; bucketing is preserved because
+    * `insertInto` a bucketed catalog table re-clusters on write.
+    *
+    * Maintenance context: single maintenance driver, not concurrent with
+    * an [[append]] of an epoch <= `upToEpoch`.
+    */
+  def compact(spark: SparkSession, name: String, upToEpoch: Long): Unit = {
+    require(upToEpoch >= BuildEpoch, s"upToEpoch must be >= $BuildEpoch")
+    val suffixes = Seq("_shingles", "_counts", "_buckets")
+    val cold = suffixes.flatMap { s =>
+      spark.sql(s"SHOW PARTITIONS $name$s").collect().toSeq
+        .map(_.getString(0).stripPrefix("epoch=").toLong)
+    }.distinct.filter(_ <= upToEpoch)
+    if (cold.isEmpty || cold == Seq(BuildEpoch)) return
+
+    suffixes.foreach { s =>
+      val t = spark.table(s"$name$s")
+      val dataCols = t.columns.filter(_ != "epoch").toSeq
+      val staging = s"$name${s}__compacting"
+      t.filter(F.col("epoch") <= upToEpoch) // partition-pruned: cold epochs only
+        .select(dataCols.map(F.col): _*)
+        .dropDuplicates()
+        .write.mode("overwrite").saveAsTable(staging)
+      withDynamicOverwrite(spark) {
+        spark.table(staging)
+          .select(dataCols.map(F.col) :+ F.lit(BuildEpoch).as("epoch"): _*)
+          .write.mode("overwrite").insertInto(s"$name$s")
+      }
+    }
+    // consolidated digest over the folded id set (one bloom instead of
+    // k); recomputed AFTER the counts fold so it reads the fixpoint
+    val counts = spark.table(s"${name}_counts")
+    val idCol = counts.columns.head
+    if (counts.schema(idCol).dataType == org.apache.spark.sql.types.LongType &&
+        spark.catalog.tableExists(s"${name}_digest")) {
+      val digest = IdDigest.digestFrame(
+        counts.filter(F.col("epoch") === BuildEpoch).select(F.col(idCol).as("id")),
+        "id", BuildEpoch)
+      withDynamicOverwrite(spark) {
+        digest.write.mode("overwrite").insertInto(s"${name}_digest")
+      }
+    }
+    (suffixes.map(s => s"$name$s") :+ s"${name}_digest")
+      .filter(spark.catalog.tableExists)
+      .foreach { t =>
+        cold.filter(_ != BuildEpoch).foreach { e =>
+          spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (epoch=$e)")
+        }
+      }
+    suffixes.foreach(s => spark.sql(s"DROP TABLE IF EXISTS $name${s}__compacting"))
   }
 
   /** Historical relation scan: epoch filter (partition-pruned), then

@@ -190,6 +190,60 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.table(s"${name}_shingles").filter($"doc_id" === 10L).count() == expectedSh)
   }
 
+  test("NearDupIndex.compact folds cold epochs: probe unchanged, partitions bounded, replay-idempotent") {
+    import spark.implicits._
+    import graft.operators.NearDupIndex
+    val name = s"ndxf_${System.nanoTime()}"
+    val rnd = new scala.util.Random(41L)
+    def noise(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    val hist = Seq((1L, noise(60)), (2L, noise(60))).toDF("doc_id", "text")
+    NearDupIndex.build(hist, "doc_id", "text", name)
+    val bodies = (0 until 4).map(_ => noise(60))
+    (0 until 4).foreach { e =>
+      NearDupIndex.append(
+        Seq((100L + e, bodies(e)), (200L + e, noise(60))).toDF("doc_id", "text"),
+        "doc_id", "text", name, epoch = e.toLong)
+    }
+    def partitions(suffix: String) =
+      spark.sql(s"SHOW PARTITIONS $name$suffix").collect()
+        .map(_.getString(0).stripPrefix("epoch=").toLong).toSet
+    assert(partitions("_buckets") == Set(-1L, 0L, 1L, 2L, 3L))
+
+    // the probe batch near-dups a doc from a COLD epoch (1) — its
+    // discoverability must survive the fold
+    val probeBatch = Seq((900L, s"${bodies(1)} extra tail")).toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("shared"), r.getAs[Double]("jaccard"))).toSet
+    def probed() = key(NearDupIndex.probe(spark, probeBatch, "doc_id", "text", name, 0.3))
+    val before = probed()
+    assert(before.exists(_._2 == 101L), "fixture produced no near-dup of a cold-epoch doc")
+    val shinglesBefore = spark.table(s"${name}_shingles").count()
+
+    // epochs <= 2 fold into the build partition; epoch 3 stays hot
+    NearDupIndex.compact(spark, name, upToEpoch = 2L)
+    Seq("_shingles", "_counts", "_buckets").foreach { s =>
+      assert(partitions(s) == Set(-1L, 3L), s"$s partitions: ${partitions(s)}")
+    }
+    assert(probed() == before, "compaction changed a probe answer")
+    assert(spark.table(s"${name}_shingles").count() == shinglesBefore)
+
+    // a replayed compaction converges (crash-after-partial-delete regime)
+    NearDupIndex.compact(spark, name, upToEpoch = 2L)
+    assert(probed() == before)
+    assert(spark.table(s"${name}_shingles").count() == shinglesBefore)
+
+    // consolidated digest still guards a compacted id; fresh ids append fine
+    val boom = intercept[IllegalArgumentException] {
+      NearDupIndex.append(Seq((101L, noise(60))).toDF("doc_id", "text"),
+        "doc_id", "text", name, epoch = 9L)
+    }
+    assert(boom.getMessage.contains("unique"))
+    NearDupIndex.append(Seq((500L, noise(60))).toDF("doc_id", "text"),
+      "doc_id", "text", name, epoch = 9L)
+    assert(partitions("_buckets") == Set(-1L, 3L, 9L))
+  }
+
   test("NearDupIndex.append rejects a batch re-using an already-indexed doc id") {
     import spark.implicits._
     import graft.operators.NearDupIndex
@@ -205,6 +259,16 @@ class DedupSpec extends AnyFunSuite {
       NearDupIndex.append(collide, "doc_id", "text", name, 5L)
     }
     assert(boom.getMessage.contains("unique"))
+    // a duplicate WITHIN one batch never reaches the cross-epoch join
+    // (which excludes this epoch and so cannot see it) — the batch-
+    // internal guard throws first, instead of doubling the id's shingle
+    // rows inside its own epoch partition
+    val intraDup = Seq((40L, noise(60)), (40L, noise(60)), (41L, noise(60)))
+      .toDF("doc_id", "text")
+    val intraBoom = intercept[IllegalArgumentException] {
+      NearDupIndex.append(intraDup, "doc_id", "text", name, 7L)
+    }
+    assert(intraBoom.getMessage.contains("internally duplicated"))
     // the guard can be waived explicitly, and never blocks a same-epoch replay
     val fresh = Seq((31L, noise(60))).toDF("doc_id", "text")
     NearDupIndex.append(fresh, "doc_id", "text", name, 6L)

@@ -152,6 +152,17 @@ class SimilaritySpec extends AnyFunSuite {
       IvfIndex.append(collide, "vec_id", "embedding", root, epoch = 3L)
     }
     assert(boom.getMessage.contains("unique"))
+    // the same vec_id arriving TWICE in one batch (e.g. one id in two
+    // files of a single trigger) passes the cross-epoch join — it only
+    // sees OTHER epochs — so the batch-internal guard must throw first,
+    // not land the id twice in this epoch's partition
+    val intraDup = Seq(
+      (9400L, Array.fill(64)(rnd.nextGaussian()).toSeq),
+      (9400L, Array.fill(64)(rnd.nextGaussian()).toSeq)).toDF("vec_id", "embedding")
+    val intraBoom = intercept[IllegalArgumentException] {
+      IvfIndex.append(intraDup, "vec_id", "embedding", root, epoch = 4L)
+    }
+    assert(intraBoom.getMessage.contains("internally duplicated"))
 
     // a legacy (pre-epoch) layout must fail fast: one epoch-style append
     // into vectors/cell=... would brick every subsequent read
@@ -165,6 +176,105 @@ class SimilaritySpec extends AnyFunSuite {
       IvfIndex.append(fresh, "vec_id", "embedding", legacyRoot, epoch = 0L)
     }
     assert(layoutBoom.getMessage.contains("pre-epoch layout"))
+  }
+
+  test("IvfIndex.compact folds cold epochs: same answers, fewer files, replay-idempotent") {
+    import spark.implicits._
+    val root = TestFixtures.tmpDir("ivf-compact").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
+    val rnd = new scala.util.Random(53L)
+    def randVec() = Array.fill(64)(rnd.nextGaussian()).toSeq
+    (0 until 5).foreach { e =>
+      val batch = (0 until 20).map(i => (10000L + e * 100 + i, randVec()))
+        .toDF("vec_id", "embedding")
+      IvfIndex.append(batch, "vec_id", "embedding", root, epoch = e.toLong)
+    }
+    def parquetFiles() = {
+      val dir = java.nio.file.Paths.get(root, "vectors")
+      val s = java.nio.file.Files.walk(dir)
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    def epochDirs() = new java.io.File(root, "vectors").listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong).toSet
+    val q = emb.filter(F.col("vec_id") === 3L)
+      .head().getSeq[Float](1).map(_.toDouble).toArray
+    def answer() = IvfIndex.topKByVector(spark, root, q, k = 10, nProbe = 8)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSeq
+    val before = answer()
+    val rowsBefore = spark.read.parquet(s"$root/vectors").count()
+    val filesBefore = parquetFiles()
+
+    // epochs <= 3 fold into the consolidated partition; epoch 4 stays hot
+    IvfIndex.compact(spark, root, upToEpoch = 3L)
+    assert(epochDirs() == Set(-1L, 4L), s"unexpected epochs: ${epochDirs()}")
+    assert(answer() == before, "compaction changed a probe answer")
+    assert(spark.read.parquet(s"$root/vectors").count() == rowsBefore)
+    assert(parquetFiles() < filesBefore,
+      s"file count not reduced: $filesBefore -> ${parquetFiles()}")
+
+    // replaying the SAME compaction (crash-after-partial-delete regime)
+    // converges to the identical index
+    IvfIndex.compact(spark, root, upToEpoch = 3L)
+    assert(answer() == before)
+    assert(spark.read.parquet(s"$root/vectors").count() == rowsBefore)
+
+    // the consolidated digest still guards: a compacted id cannot be re-used
+    val boom = intercept[IllegalArgumentException] {
+      IvfIndex.append(Seq((10001L, randVec())).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", root, epoch = 9L)
+    }
+    assert(boom.getMessage.contains("unique"))
+    // and a genuinely fresh append after compaction still works
+    IvfIndex.append(Seq((20000L, randVec())).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, epoch = 9L)
+    assert(spark.read.parquet(s"$root/vectors").count() == rowsBefore + 1)
+  }
+
+  test("IvfIndex.rebuild refits drifted centroids: balance restored, answers exact") {
+    import spark.implicits._
+    val root = TestFixtures.tmpDir("ivf-rebuild").toString
+    val rnd = new scala.util.Random(59L)
+    def near(offset: Double) =
+      Array.tabulate(8)(d => rnd.nextGaussian() + (if (d == 0) offset else 0.0)).toSeq
+    // build on one mode; then sustained appends arrive from a SHIFTED mode
+    val corpus = (0 until 100).map(i => (i.toLong, near(0.0))).toDF("vec_id", "embedding")
+    IvfIndex.build(corpus, "vec_id", "embedding", root, numCentroids = 4)
+    (0 until 3).foreach { e =>
+      val drifted = (0 until 100).map(i => (1000L + e * 100 + i, near(15.0)))
+        .toDF("vec_id", "embedding")
+      IvfIndex.append(drifted, "vec_id", "embedding", root, epoch = e.toLong)
+    }
+    // all build-time centroids sit near the origin, so the drifted mode
+    // piles into whichever single cell leans furthest along dim 0
+    def maxCellShare(r: String): Double = {
+      val counts = spark.read.parquet(s"$r/vectors").groupBy("cell").count()
+        .collect().map(_.getAs[Long]("count"))
+      counts.max.toDouble / counts.sum
+    }
+    val shareBefore = maxCellShare(root)
+    assert(shareBefore >= 0.7,
+      s"fixture failed to drift: max cell share $shareBefore")
+
+    val newRoot = TestFixtures.tmpDir("ivf-rebuilt").toString
+    IvfIndex.rebuild(spark, root, newRoot, numCentroids = 4)
+    val shareAfter = maxCellShare(newRoot)
+    assert(shareAfter < shareBefore && shareAfter <= 0.5,
+      s"rebuild did not rebalance: $shareBefore -> $shareAfter")
+    assert(spark.read.parquet(s"$newRoot/vectors").count() == 400)
+
+    // all-probe answers are exact on both, so they must agree
+    val q = near(15.0).toArray
+    def top(r: String) = IvfIndex.topKByVector(spark, r, q, k = 10, nProbe = 4)
+      .collect().map(x => (x.getAs[Long]("neighbor_id"), x.getAs[Double]("cos_sim"))).toSeq
+    assert(top(newRoot) == top(root), "rebuild changed the exact all-probe answer")
+    // the rebuilt index carries a fresh digest — the id guard still holds
+    val boom = intercept[IllegalArgumentException] {
+      IvfIndex.append(Seq((1000L, near(0.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", newRoot, epoch = 100L)
+    }
+    assert(boom.getMessage.contains("unique"))
   }
 
   test("IVF+SQ8 quantized probe equals the float probe over the same cells") {
