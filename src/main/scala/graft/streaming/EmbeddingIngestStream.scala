@@ -12,33 +12,47 @@ import graft.plans.GraftFunctions
   * persisted IVF index — the vector analog of [[CorpusIngestStream]]:
   * every micro-batch is
   *
-  *   1. assigned to the index's existing cells (shuffle-free literal-
-  *      centroid argmin, [[graft.operators.IvfIndex.assignCells]]);
-  *   2. deduplicated intra-batch and against the indexed history by
+  *   1. curated by the pluggable `curate` hook (defaults to [[vecGate]]:
+  *      null / NaN / near-zero-norm embeddings are rejected BEFORE
+  *      assignment — a zero-norm vector would make every cosine against
+  *      it NaN, so once landed it poisons the gate forever);
+  *   2. assigned to its `nProbeGate` nearest cells (shuffle-free literal-
+  *      centroid kernel, [[graft.operators.IvfIndex.assignCellsMulti]]);
+  *   3. deduplicated intra-batch and against the indexed history by
   *      cosine >= maxCos, via CELL-LOCAL joins — a batch vector is only
-  *      ever compared to vectors of its own cell, so the per-trigger
-  *      cost is |batch| x (corpus / C), never |batch| x corpus (the IVF
-  *      argument applied to dedup instead of search; near-identical
-  *      vectors share a cell by construction since assignment is
-  *      deterministic in the vector). The micro-batch side of the
-  *      history comparison is BROADCAST: `cell` has only C distinct
-  *      values, so a shuffle join would cap parallelism at C tasks —
-  *      broadcasting lets history stream partition-parallel, unshuffled;
-  *   3. landed by OVERWRITE of `batch=<id>/` under `acceptedPath` and
-  *      folded into the index via
+  *      ever compared to vectors of its probed cells, so the per-trigger
+  *      cost is |batch| x nProbeGate x (corpus / C), never
+  *      |batch| x corpus (the IVF argument applied to dedup instead of
+  *      search). The micro-batch side of the history comparison is
+  *      BROADCAST: `cell` has only C distinct values, so a shuffle join
+  *      would cap parallelism at C tasks — broadcasting lets history
+  *      stream partition-parallel, unshuffled. `maxFilesPerTrigger`
+  *      bounds file COUNT, not bytes, so a batch of unexpectedly large
+  *      files could outgrow the broadcast: batches over
+  *      `broadcastMaxRows` fall back to a SALTED shuffle join
+  *      (deterministic hash(id) salt on the many side, batch exploded
+  *      over the salt range) that restores C x [[SaltFanout]]-way
+  *      parallelism without broadcasting anything;
+  *   4. landed by OVERWRITE of `batch=<id>/` under `acceptedPath` and
+  *      folded into the index (under its NEAREST cell, `cells[0]`) via
   *      [[graft.operators.IvfIndex.append]]'s epoch partition overwrite.
   *
   * Delivery semantics: effectively exactly-once under replay, by the same
   * construction as [[CorpusIngestStream]] — the history side of the dedup
   * gate EXCLUDES the batch's own epoch, every write is an idempotent
   * overwrite keyed by the batch id, and the recomputation is
-  * deterministic. Vector ids must be unique corpus-wide.
+  * deterministic (`curate` must be pure). Vector ids must be unique
+  * corpus-wide AND within a batch (the fold's guard throws on either).
   *
-  * The near-dup gate is approximate exactly where IVF search is: a
-  * near-duplicate pair split across a cell boundary is missed (cosine at
-  * the maxCos level makes this rare — such vectors are nearly collinear
-  * and land in the same Voronoi cell unless they straddle its face).
-  * The exact alternative is [[graft.operators.Similarity]]'s blocked
+  * The near-dup gate is approximate exactly where IVF search is, softened
+  * by multi-probe: with `nProbeGate = 1` a near-duplicate pair split
+  * across a cell boundary is missed; with the default `nProbeGate = 2`
+  * each batch vector is also compared against its second-nearest cell —
+  * a pair straddling a Voronoi face sits close to that face, so the
+  * straddled cell is (near-)always the runner-up and the pair is caught
+  * at ~2x gate cost. Pairs whose probe lists still do not overlap (3+
+  * cells meeting at the vector, nProbeGate too small) remain missed —
+  * the exact alternative is [[graft.operators.Similarity]]'s blocked
   * all-pairs, at O(N²) — the wrong trade inside a streaming trigger.
   */
 object EmbeddingIngestStream {
@@ -48,12 +62,37 @@ object EmbeddingIngestStream {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(DoubleType))))
 
+  /** Batches larger than this skip the broadcast gate joins for the
+    * salted-shuffle fallback. 200k rows of 64-dim doubles is ~100 MB on
+    * the driver — comfortably inside broadcast limits; callers with fat
+    * vectors should lower it (bytes ≈ rows × dims × 8 × 2).
+    */
+  val BroadcastMaxRows: Long = 200000L
+
+  /** Salt width of the fallback joins: the many side is salted by
+    * hash(id), the batch side exploded over the range, restoring
+    * C × SaltFanout-way join parallelism when `cell`'s C distinct values
+    * alone would bottleneck a shuffle join.
+    */
+  val SaltFanout: Int = 32
+
+  /** Ready-made `curate` hook (and the default): drops rows whose
+    * embedding is null, contains a null/NaN element, or has norm below
+    * `minNorm`. Pure and deterministic, as the replay contract requires.
+    */
+  def vecGate(minNorm: Double = 1e-6): DataFrame => DataFrame = df =>
+    df.filter(F.col("embedding").isNotNull &&
+      !F.exists(F.col("embedding"), x => x.isNull || F.isnan(x)) &&
+      F.aggregate(F.col("embedding"), F.lit(0.0), (acc, x) => acc + x * x)
+        > minNorm * minNorm)
+
   /** The per-micro-batch pipeline, exposed for crash/replay specs (same
-    * contract as [[CorpusIngestStream.processBatch]]). Steps: assign
-    * cells → intra-batch dedup (cell-local self-join, keep min id) →
-    * history dedup (cell-local join vs the index minus this epoch) →
-    * land survivors → fold. `crashBeforeFold` is crash injection for
-    * specs: land, then stop as if the JVM died before the fold.
+    * contract as [[CorpusIngestStream.processBatch]]). Steps: curate →
+    * assign top-nProbeGate cells → intra-batch dedup (probe-cell-local
+    * self-join, keep min id) → history dedup (probe-cell-local join vs
+    * the index minus this epoch) → land survivors → fold under their
+    * nearest cell. `crashBeforeFold` is crash injection for specs: land,
+    * then stop as if the JVM died before the fold.
     */
   private[graft] def processBatch(
       spark: SparkSession,
@@ -62,21 +101,39 @@ object EmbeddingIngestStream {
       acceptedPath: String,
       indexRoot: String,
       maxCos: Double,
+      nProbeGate: Int = 2,
+      curate: DataFrame => DataFrame = vecGate(),
+      broadcastMaxRows: Long = BroadcastMaxRows,
       crashBeforeFold: Boolean = false): Unit = {
     GraftFunctions.register(spark)
-    val assigned = IvfIndex.assignCells(batch, "vec_id", "embedding", indexRoot)
+    val assigned = IvfIndex.assignCellsMulti(
+        curate(batch), "vec_id", "embedding", indexRoot, nProbeGate)
+      .withColumn("cell", F.col("cells").getItem(0))
       .withColumn("nrm", F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))))
       .cache()
+    // one count materializes the cache AND decides the join strategy —
+    // maxFilesPerTrigger bounds file count, not bytes, so the broadcast
+    // assumption must be checked per batch, not assumed
+    val small = assigned.count() <= broadcastMaxRows
+    val saltRange = F.array((0 until SaltFanout).map(s => F.lit(s.toLong)): _*)
 
     def cos(aVec: String, aNrm: String, bVec: String, bNrm: String) =
       F.call_function("vec_dot", F.col(aVec), F.col(bVec)) / (F.col(aNrm) * F.col(bNrm))
 
-    // 1. intra-batch: drop the larger id of any same-cell pair at >= maxCos
+    // 1. intra-batch: drop the larger id of any pair at >= maxCos whose
+    //    probe lists overlap (both sides exploded over their cells — a
+    //    face-straddling pair meets in whichever probed cell they share;
+    //    a pair sharing two matches twice, distinct() absorbs it)
     val a = assigned.select(F.col("id").as("a_id"), F.col("vec").as("a_vec"),
-      F.col("nrm").as("a_nrm"), F.col("cell"))
+      F.col("nrm").as("a_nrm"), F.explode(F.col("cells")).as("probe_cell"))
     val b = assigned.select(F.col("id").as("b_id"), F.col("vec").as("b_vec"),
-      F.col("nrm").as("b_nrm"), F.col("cell"))
-    val intraLosers = a.join(F.broadcast(b), Seq("cell"))
+      F.col("nrm").as("b_nrm"), F.explode(F.col("cells")).as("probe_cell"))
+    val intraJoined =
+      if (small) a.join(F.broadcast(b), Seq("probe_cell"))
+      else a.withColumn("salt", F.explode(saltRange))
+        .join(b.withColumn("salt", F.pmod(F.xxhash64(F.col("b_id")), F.lit(SaltFanout.toLong))),
+          Seq("probe_cell", "salt"))
+    val intraLosers = intraJoined
       .filter(F.col("a_id") < F.col("b_id"))
       .filter(cos("a_vec", "a_nrm", "b_vec", "b_nrm") >= maxCos)
       .select(F.col("b_id").as("id")).distinct()
@@ -85,32 +142,36 @@ object EmbeddingIngestStream {
     // 2. cross-history: the join key is `cell` alone (C distinct values),
     //    so a shuffle join would cap parallelism at C tasks and funnel
     //    each cell's ENTIRE history through one of them. The micro-batch
-    //    side is broadcast instead: history streams partition-parallel in
-    //    place, never shuffled, never bottlenecked by key cardinality (a
-    //    micro-batch fits in a broadcast by construction — the trigger
-    //    sizes it). The history SCAN is restricted to the cells the batch
-    //    actually occupies, as a LITERAL IN over the collected cell set
-    //    (<= C ints, metadata-scale) — a join-side restriction alone
-    //    would still READ the whole table; the literal predicate prunes
-    //    the untouched cell partitions, so per-trigger I/O is the batch's
-    //    cells, not the corpus. Batch epoch excluded so replays are not
-    //    self-shadowed.
+    //    side is broadcast instead (salted-shuffle fallback for oversized
+    //    batches, see scaladoc): history streams partition-parallel in
+    //    place, never shuffled, never bottlenecked by key cardinality.
+    //    The history SCAN is restricted to the cells the batch actually
+    //    probes, as a LITERAL IN over the collected cell set (<= C ints,
+    //    metadata-scale) — a join-side restriction alone would still READ
+    //    the whole table; the literal predicate prunes the untouched cell
+    //    partitions, so per-trigger I/O is the batch's probed cells, not
+    //    the corpus. Batch epoch excluded so replays are not self-shadowed.
     // collected from the CACHED assignment, not from `intra` — reading
     // intra here would re-run the whole intra-dedup self-join just to
     // learn the cell set, and a superset of intra's cells prunes just as
     // correctly (an extra cell's history rows join to nothing)
-    val batchCells = assigned.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val batchCells = assigned.select(F.explode(F.col("cells")).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSeq
     val hist = IvfIndex.vectors(spark, indexRoot, excludeEpoch = Some(batchId))
       .filter(F.col("cell").isin(batchCells: _*))
       .select(F.col("id").as("b_id"), F.col("vec").as("b_vec"),
         F.col("nrm").as("b_nrm"), F.col("cell"))
     val batchSide = intra.select(F.col("id"), F.col("vec").as("a_vec"),
-      F.col("nrm").as("a_nrm"), F.col("cell"))
-    val histLosers = hist.join(F.broadcast(batchSide), Seq("cell"))
+      F.col("nrm").as("a_nrm"), F.explode(F.col("cells")).as("cell"))
+    val histJoined =
+      if (small) hist.join(F.broadcast(batchSide), Seq("cell"))
+      else hist.withColumn("salt", F.pmod(F.xxhash64(F.col("b_id")), F.lit(SaltFanout.toLong)))
+        .join(batchSide.withColumn("salt", F.explode(saltRange)), Seq("cell", "salt"))
+    val histLosers = histJoined
       .filter(cos("a_vec", "a_nrm", "b_vec", "b_nrm") >= maxCos)
       .select("id").distinct()
     // keep (vec, nrm, cell) on the survivors: the fold reuses them, so
-    // the C-way assignment argmin runs once per trigger, not twice
+    // the C-way assignment kernel runs once per trigger, not twice
     val accepted = intra.join(histLosers, Seq("id"), "left_anti").cache()
 
     try {
@@ -137,7 +198,10 @@ object EmbeddingIngestStream {
       checkpointDir: String,
       indexRoot: String,
       maxCos: Double = 0.995,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      nProbeGate: Int = 2,
+      curate: DataFrame => DataFrame = vecGate(),
+      broadcastMaxRows: Long = BroadcastMaxRows): StreamingQuery = {
     val vecs = spark.readStream
       .schema(vecSchema)
       .option("maxFilesPerTrigger", 10)
@@ -148,7 +212,8 @@ object EmbeddingIngestStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          processBatch(spark, batch, batchId, acceptedPath, indexRoot, maxCos)
+          processBatch(spark, batch, batchId, acceptedPath, indexRoot, maxCos,
+            nProbeGate, curate, broadcastMaxRows)
       }
       .start()
   }

@@ -128,6 +128,21 @@ object StreamBench {
     }
     val embKept = spark.read.parquet(work.resolve("emb-out").toString).count()
 
+    // same leg, single-probe gate (nProbeGate=1) against a fresh identical
+    // index — quantifies what the default multi-probe (top-2 cells, fewer
+    // face-straddling misses) costs per trigger. Fresh root/checkpoint so
+    // the first leg's folds don't inflate this one's history.
+    val ivfRoot1 = work.resolve("sb-ivf1").toString
+    graft.operators.IvfIndex.build(
+      seedVecs.toDF("vec_id", "embedding"), "vec_id", "embedding", ivfRoot1)
+    val embSec1 = timed("embed-1probe") {
+      val q = EmbeddingIngestStream.start(spark, embIn.toString,
+        work.resolve("emb-out1").toString, work.resolve("ckpt-e1").toString, ivfRoot1,
+        nProbeGate = 1)
+      q.processAllAvailable(); q.stop()
+    }
+    val embKept1 = spark.read.parquet(work.resolve("emb-out1").toString).count()
+
     println(
       s"""{"metric":"stream_throughput","unit":"tx_per_sec",""" +
         s""""bronze_rows":$bronzeRows,"bronze_sec":$bronzeSec,""" +
@@ -138,6 +153,8 @@ object StreamBench {
         s""""corpus_docs_per_sec":${(nDocs / corpusSec).toLong},""" +
         s""""embed_vecs":$nVecs,"embed_kept":$embKept,"embed_sec":$embSec,""" +
         s""""embed_vecs_per_sec":${(nVecs / embSec).toLong},""" +
+        s""""embed_1probe_kept":$embKept1,"embed_1probe_sec":$embSec1,""" +
+        s""""embed_1probe_vecs_per_sec":${(nVecs / embSec1).toLong},""" +
         s""""baseline_tx_per_sec":"20-50 (BASELINE.md streaming throughput)"}""")
     spark.stop()
   }

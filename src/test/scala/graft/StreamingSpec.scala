@@ -133,11 +133,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(alerts.filter(F.col("trans_num") === "RT_HIGH_0001").count() == 1)
 
     // replay the same input through a FRESH checkpoint: anti-join keeps
-    // the predictions table duplicate-free (reference's existence check)
+    // the predictions table duplicate-free (reference's existence check),
+    // and the alert leg dedups the same way — a crash between the two
+    // writes must not re-emit the batch's alerts on replay
     val q2 = ScoringStream.start(spark, in.toString, predsPath, alertsPath,
       work.resolve("ckpt2").toString)
     q2.processAllAvailable(); q2.stop()
     assert(spark.read.parquet(predsPath).count() == 44, "duplicate predictions written")
+    assert(spark.read.parquet(alertsPath).count() == predictedFraud,
+      "duplicate alerts written on replay")
   }
 
   test("checkpointed replay resumes mid-stream and feeds the bronze topology") {
@@ -319,6 +323,111 @@ class StreamingSpec extends AnyFunSuite {
     EmbeddingIngestStream.processBatch(spark, b4, 11L, accepted, root, 0.999)
     assert(spark.read.parquet(accepted).select("vec_id").as[Long].collect().toSet
       == Set(9001L, 9101L, 9200L), "copy of the replayed survivor must be dropped")
+  }
+
+  test("multi-probe embedding gate catches a face-straddling near-dup single-probe misses") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    import graft.streaming.EmbeddingIngestStream
+    val work = TestFixtures.tmpDir("emb-multiprobe")
+    val rnd = new scala.util.Random(7L)
+    // two tight clusters along e1 and e2 → k=2 centroids sit on the axes
+    // and the Voronoi face is the 45° bisector plane
+    def axisVec(axis: Int) = {
+      val v = Array.fill(4)(rnd.nextGaussian() * 0.05); v(axis) += 10.0; v.toSeq
+    }
+    val corpus = ((0 until 20).map(i => (i.toLong, axisVec(0))) ++
+      (20 until 40).map(i => (i.toLong, axisVec(1)))).toDF("vec_id", "embedding")
+    def angled(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(10 * math.cos(r), 10 * math.sin(r), 0.0, 0.0)
+    }
+    // h at 46° is on the e2 side of the face, x at 44° on the e1 side;
+    // cos(h,x) = cos(2°) ≈ 0.99939 — a near-dup pair straddling the face
+    val h = angled(46.0)
+    val x = angled(44.0)
+
+    // sanity: the planted pair really does land in different cells
+    val sanityRoot = work.resolve("ivf-sanity").toString
+    IvfIndex.build(corpus, "vec_id", "embedding", sanityRoot, numCentroids = 2)
+    assert(IvfIndex.assignCells(Seq((1L, h), (2L, x)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", sanityRoot).select("cell").distinct().count() == 2,
+      "fixture pair does not straddle the cell face")
+    // and assignCellsMulti's nearest cell agrees with assignCells
+    val multi = IvfIndex.assignCellsMulti(corpus, "vec_id", "embedding", sanityRoot, 2)
+      .select(F.col("id"), F.col("cells").getItem(0).as("c0"))
+    val single = IvfIndex.assignCells(corpus, "vec_id", "embedding", sanityRoot)
+      .select(F.col("id"), F.col("cell"))
+    assert(multi.join(single, "id").filter(F.col("c0") =!= F.col("cell")).count() == 0,
+      "cells[0] must equal the single-probe assignment")
+
+    def runScenario(nProbeGate: Int): Set[Long] = {
+      val root = work.resolve(s"ivf$nProbeGate").toString
+      val accepted = work.resolve(s"acc$nProbeGate").toString
+      IvfIndex.build(corpus, "vec_id", "embedding", root, numCentroids = 2)
+      EmbeddingIngestStream.processBatch(spark, Seq((100L, h)).toDF("vec_id", "embedding"),
+        0L, accepted, root, maxCos = 0.999, nProbeGate = nProbeGate)
+      EmbeddingIngestStream.processBatch(spark, Seq((200L, x)).toDF("vec_id", "embedding"),
+        1L, accepted, root, maxCos = 0.999, nProbeGate = nProbeGate)
+      spark.read.parquet(accepted).select("vec_id").as[Long].collect().toSet
+    }
+    // single-probe: x only sees its own (e1) cell's history — h invisible
+    assert(runScenario(1) == Set(100L, 200L),
+      "single-probe gate unexpectedly caught the straddling pair")
+    // multi-probe: x's runner-up cell is e2's — h is seen and x dropped
+    assert(runScenario(2) == Set(100L),
+      "multi-probe gate missed the face-straddling near-dup")
+  }
+
+  test("embedding curation gate drops null/NaN/zero-norm vectors before assignment") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    import graft.streaming.EmbeddingIngestStream
+    val work = TestFixtures.tmpDir("emb-gate")
+    val root = work.resolve("ivf").toString
+    val rnd = new scala.util.Random(13L)
+    def rand() = Array.fill(8)(rnd.nextGaussian()).toSeq
+    IvfIndex.build((0 until 20).map(i => (i.toLong, rand())).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, numCentroids = 2)
+    // a zero-norm vector would make every cosine against it NaN — once
+    // landed it can never be matched again, poisoning the dedup gate
+    val batch = Seq(
+      (100L, Some(rand())),
+      (101L, Some(Seq.fill(8)(0.0))),
+      (102L, Some(rand().updated(3, Double.NaN))),
+      (103L, Option.empty[Seq[Double]])).toDF("vec_id", "embedding")
+    val accepted = work.resolve("acc").toString
+    EmbeddingIngestStream.processBatch(spark, batch, 0L, accepted, root, maxCos = 0.999)
+    assert(spark.read.parquet(accepted).select("vec_id").as[Long].collect().toSet
+      == Set(100L), "curation gate must reject degenerate vectors")
+  }
+
+  test("oversized embedding batch falls back to the salted shuffle gate — same results") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    import graft.streaming.EmbeddingIngestStream
+    val work = TestFixtures.tmpDir("emb-salted")
+    val rnd = new scala.util.Random(17L)
+    def rand() = Array.fill(16)(rnd.nextGaussian()).toSeq
+    val seed = (0 until 50).map(i => (i.toLong, rand()))
+    // the batch plants one history dup (of seed vec 5) and one intra dup
+    val novel = rand()
+    val batch = Seq((900L, seed(5)._2), (901L, novel), (902L, novel), (903L, rand()))
+      .toDF("vec_id", "embedding")
+    def runWith(maxRows: Long, tag: String): Set[Long] = {
+      val root = work.resolve(s"ivf-$tag").toString
+      IvfIndex.build(seed.toDF("vec_id", "embedding"), "vec_id", "embedding", root,
+        numCentroids = 4)
+      val accepted = work.resolve(s"acc-$tag").toString
+      EmbeddingIngestStream.processBatch(spark, batch, 0L, accepted, root,
+        maxCos = 0.999, broadcastMaxRows = maxRows)
+      spark.read.parquet(accepted).select("vec_id").as[Long].collect().toSet
+    }
+    val viaBroadcast = runWith(Long.MaxValue, "bcast")
+    val viaSalted = runWith(0L, "salted") // every batch "oversized" → fallback path
+    assert(viaBroadcast == Set(901L, 903L), s"broadcast gate wrong: $viaBroadcast")
+    assert(viaSalted == viaBroadcast,
+      s"salted fallback disagrees with broadcast gate: $viaSalted vs $viaBroadcast")
   }
 
   test("corpus ingest across many triggers: each batch dedups against all previous epochs") {
