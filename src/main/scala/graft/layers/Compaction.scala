@@ -123,4 +123,70 @@ object Compaction {
 
     needy.map(p => (p.spec, p.files, p.bytes)).toDF("partition", "files_before", "bytes")
   }
+
+  /** [[compact]] for partitioned CATALOG tables — including bucketed ones
+    * like [[graft.operators.NearDupIndex]]'s relations, which the
+    * path-based [[compact]] cannot rewrite (a raw parquet write would
+    * lose the bucket metadata the metastore carries). Partition selection
+    * is the same metadata-only FS listing against the table's location;
+    * the rewrite stages the needy partitions in a temporary table (a
+    * table cannot be inserted into while it is being read), then folds
+    * the staging copy back via dynamic partition overwrite. `insertInto`
+    * on a bucketed table re-clusters on write, so bucket layout — and
+    * every bucket-local join plan downstream — is preserved; the write
+    * also coalesces each rewritten partition to its natural bucket file
+    * count. Rewriting moves rows within their own partitions only, so
+    * table contents are unchanged.
+    *
+    * Same single-maintenance-driver context and partition-value caveat
+    * as [[compact]] (dir-name strings must round-trip the cast-to-string
+    * of the column value; zero-padded values would not).
+    */
+  def compactTable(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val partitionCols = meta.partitionColumnNames
+    require(partitionCols.nonEmpty, "compactTable() is for partitioned tables")
+    val parts = listPartitions(spark, meta.location.toString, partitionCols.length)
+    // a bucketed partition can never hold fewer than one file per bucket,
+    // so that — not 1 — is the fragmentation floor
+    val minFiles = meta.bucketSpec.map(_.numBuckets).getOrElse(1)
+    val needy = parts.filter(p => p.files > minFiles && p.bytes / p.files < targetBytes / 2)
+    if (needy.isEmpty) return Seq.empty[(String, Int, Long)]
+      .toDF("partition", "files_before", "bytes")
+
+    def valueKey(spec: String): String =
+      spec.split('/').map(_.split("=", 2)(1)).mkString("/")
+    val keys = needy.map(p => valueKey(p.spec))
+    val keyCol = F.concat_ws("/", partitionCols.map(c => F.col(c).cast("string")): _*)
+
+    // catalog table schemas list partition columns last — exactly the
+    // positional order insertInto expects, preserved through the staging
+    // round trip
+    val staging = s"${table}__compacting"
+    spark.table(table).filter(keyCol.isin(keys: _*))
+      .write.mode("overwrite").saveAsTable(staging)
+
+    // a bucketed write emits one file per bucket PER TASK, so the staging
+    // read's task count would set the file count. Repartitioning by the
+    // bucket columns into numBuckets partitions uses the same murmur3
+    // hash as bucket-id assignment, so each task holds exactly one
+    // bucket and the rewrite bottoms out at the bucket floor.
+    val staged = spark.table(staging)
+    val rewrite = meta.bucketSpec match {
+      case Some(bs) => staged.repartition(bs.numBuckets, bs.bucketColumnNames.map(F.col): _*)
+      case None => staged.repartition(partitionCols.map(F.col): _*)
+    }
+    val conf = spark.sessionState.conf
+    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = conf.getConfString(overwriteKey, "static")
+    conf.setConfString(overwriteKey, "dynamic")
+    try rewrite.write.mode("overwrite").insertInto(table)
+    finally conf.setConfString(overwriteKey, prevMode)
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+
+    needy.map(p => (p.spec, p.files, p.bytes)).toDF("partition", "files_before", "bytes")
+  }
 }

@@ -77,6 +77,42 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(work).count() == beforeRows)
   }
 
+  test("compactTable folds a fragmented bucketed catalog partition, preserving buckets") {
+    import spark.implicits._
+    val t = s"ctbl_${System.nanoTime()}"
+    def batch(off: Long, epoch: Long) =
+      (0 until 200).map(i => (off + i, s"v${off + i}", epoch)).toDF("id", "v", "epoch")
+        .repartition(1) // one writer task -> exactly one file per bucket
+    batch(0L, 0L).write.partitionBy("epoch").bucketBy(4, "id").sortBy("id").saveAsTable(t)
+    // three more single-task appends fragment epoch=1 to 12 files
+    (1 to 3).foreach(k => batch(10000L * k, 1L).write.mode("append").insertInto(t))
+
+    val loc = new java.io.File(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t)).location).toString
+    assert(fileNames(loc, "epoch=1").size == 12)
+    val tidyBefore = fileNames(loc, "epoch=0")
+    val rowsBefore = spark.table(t).groupBy("epoch").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val report = Compaction.compactTable(spark, t)
+      .collect().map(r => r.getAs[String]("partition") -> r.getAs[Int]("files_before")).toMap
+    assert(report == Map("epoch=1" -> 12), s"only epoch=1 should be rewritten: $report")
+    assert(fileNames(loc, "epoch=1").size == 4, "rewrite should reach the bucket floor")
+    assert(fileNames(loc, "epoch=0") == tidyBefore, "tidy partition files must be untouched")
+    assert(spark.table(t).groupBy("epoch").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == rowsBefore)
+
+    // bucket metadata survived the rewrite: a group-by on the bucket key
+    // is satisfied by the scan's clustering, no Exchange in the plan
+    val plan = spark.table(t).groupBy("id").count()
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketing lost after compactTable:\n$plan")
+
+    // at the bucket floor the partition is no longer needy: no-op report
+    assert(Compaction.compactTable(spark, t).isEmpty)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("maxRecordsPerFile splits an oversized partition into multiple target-sized files") {
     val work = TestFixtures.tmpDir("compact-split").toString
     val events = graft.queries.CoreQueries.events(spark, sf)
