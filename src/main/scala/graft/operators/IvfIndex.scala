@@ -102,9 +102,9 @@ object IvfIndex {
     * write is the only wide-ish step and it's partition-local.
     *
     * Centroids are NOT refit: sustained appends drift the cell balance,
-    * so periodically [[build]] from the full corpus to rebalance —
+    * so periodically [[rebuild]] from the full corpus to rebalance —
     * standard IVF practice (probe correctness never degrades, only cell
-    * selectivity).
+    * selectivity). File counts are bounded by [[compact]].
     *
     * Idempotent under replay BY CONSTRUCTION, like
     * [[NearDupIndex.append]]: the write is a dynamic partition OVERWRITE

@@ -35,10 +35,10 @@ import org.apache.spark.sql.{functions => F}
   *
   * Per-batch cost is therefore sized by the batch and the candidate set,
   * never by the corpus. After an accepted batch, [[append]] folds it into
-  * history as one epoch. Each epoch adds one file-set per bucket; a
-  * long-running ingest should periodically fold cold epochs together
-  * (rebuild or [[graft.layers.Compaction]]-style rewrite) to keep file
-  * counts bounded.
+  * history as one epoch. Each epoch adds one file-set per bucket;
+  * [[compact]] periodically folds cold epochs into the consolidated
+  * partition to keep file counts bounded (the ingest streams can run it
+  * on a cadence via their `compactEvery` parameter).
   */
 object NearDupIndex {
 

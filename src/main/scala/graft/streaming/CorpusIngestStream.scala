@@ -76,7 +76,18 @@ object CorpusIngestStream {
       minJ: Double,
       cfg: NearDupIndex.Config,
       curate: DataFrame => DataFrame,
+      compactEvery: Int = 0,
       crashAfterFoldRelations: Option[Int] = None): Unit = {
+    // maintenance runs FIRST, before the probe: a crash mid-compaction
+    // replays this trigger, and re-running the (replay-idempotent)
+    // compaction to its fixpoint BEFORE any probe means the probe never
+    // reads a half-compacted index (where a cold doc's shingle rows
+    // exist in both the source epoch and the consolidated partition,
+    // which would overcount its jaccard and silently over-drop).
+    // upToEpoch = batchId - 1: checkpoint-committed epochs can never be
+    // replayed, so folding them can't shadow a replayed batch's own docs.
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      NearDupIndex.compact(spark, indexName, upToEpoch = batchId - 1)
     val b = curate(batch).cache()
     // 1. intra-batch: one representative per near-dup cluster
     val (pairs, pairsCleanup) = Dedup.minhashNearDupPairsTracked(
@@ -131,7 +142,8 @@ object CorpusIngestStream {
       minJ: Double = 0.6,
       cfg: NearDupIndex.Config = NearDupIndex.Config(),
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      curate: DataFrame => DataFrame = identity): StreamingQuery = {
+      curate: DataFrame => DataFrame = identity,
+      compactEvery: Int = 0): StreamingQuery = {
     val docs = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", 10)
@@ -142,7 +154,8 @@ object CorpusIngestStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          processBatch(spark, batch, batchId, acceptedPath, indexName, minJ, cfg, curate)
+          processBatch(spark, batch, batchId, acceptedPath, indexName, minJ, cfg, curate,
+            compactEvery)
       }
       .start()
   }

@@ -104,8 +104,16 @@ object EmbeddingIngestStream {
       nProbeGate: Int = 2,
       curate: DataFrame => DataFrame = vecGate(),
       broadcastMaxRows: Long = BroadcastMaxRows,
+      compactEvery: Int = 0,
       crashBeforeFold: Boolean = false): Unit = {
     GraftFunctions.register(spark)
+    // maintenance FIRST, before the gate reads history: compaction is
+    // replay-idempotent, so a crash mid-compaction re-runs it to its
+    // fixpoint here before any probe sees a half-compacted index.
+    // upToEpoch = batchId - 1: checkpoint-committed epochs can never be
+    // replayed, so folding them can't shadow a replayed batch.
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      IvfIndex.compact(spark, indexRoot, upToEpoch = batchId - 1)
     val assigned = IvfIndex.assignCellsMulti(
         curate(batch), "vec_id", "embedding", indexRoot, nProbeGate)
       .withColumn("cell", F.col("cells").getItem(0))
@@ -201,7 +209,8 @@ object EmbeddingIngestStream {
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       nProbeGate: Int = 2,
       curate: DataFrame => DataFrame = vecGate(),
-      broadcastMaxRows: Long = BroadcastMaxRows): StreamingQuery = {
+      broadcastMaxRows: Long = BroadcastMaxRows,
+      compactEvery: Int = 0): StreamingQuery = {
     val vecs = spark.readStream
       .schema(vecSchema)
       .option("maxFilesPerTrigger", 10)
@@ -213,7 +222,7 @@ object EmbeddingIngestStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           processBatch(spark, batch, batchId, acceptedPath, indexRoot, maxCos,
-            nProbeGate, curate, broadcastMaxRows)
+            nProbeGate, curate, broadcastMaxRows, compactEvery)
       }
       .start()
   }

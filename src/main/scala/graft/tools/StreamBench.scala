@@ -38,8 +38,18 @@ object StreamBench {
       .stripMargin.replaceAll("\n", "")
   }
 
+  /** 1-minute /proc/loadavg figure, or -1 off-Linux — same hot-run
+    * self-identification as [[graft.Bench]]: sampled at start and end so
+    * a run competing with another workload is readable from the JSON.
+    */
+  private def loadavg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(60000)
+    val load0 = loadavg()
     val spark = GraftSession.get("stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
     val work = Paths.get("/tmp", s"graft-streambench-${System.nanoTime()}")
@@ -145,6 +155,7 @@ object StreamBench {
 
     println(
       s"""{"metric":"stream_throughput","unit":"tx_per_sec",""" +
+        s""""load_start":$load0,"load_end":${loadavg()},""" +
         s""""bronze_rows":$bronzeRows,"bronze_sec":$bronzeSec,""" +
         s""""bronze_tx_per_sec":${(bronzeRows / bronzeSec).toLong},""" +
         s""""score_rows":$predRows,"score_sec":$scoreSec,""" +

@@ -470,6 +470,81 @@ class StreamingSpec extends AnyFunSuite {
       == Set(1L, 2L) ++ (1 to 5).map(100L + _).toSet)
   }
 
+  test("corpus ingest with compactEvery bounds epochs without changing the accepted set") {
+    import spark.implicits._
+    import graft.streaming.CorpusIngestStream
+    val work = TestFixtures.tmpDir("corpus-autocompact")
+    val name = s"ingestc_${System.nanoTime()}"
+    val rnd = new scala.util.Random(47L)
+    def noise(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+    val histBody = noise(60)
+    graft.operators.NearDupIndex.build(
+      Seq((1L, histBody), (2L, noise(60))).toDF("doc_id", "text"),
+      "doc_id", "text", name)
+    val in = work.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val accepted = work.resolve("accepted").toString
+    val q = CorpusIngestStream.start(spark, in.toString, accepted,
+      work.resolve("ckpt").toString, name, compactEvery = 2)
+
+    // same topology as the multi-trigger test: batch i carries a novel
+    // doc and a near-dup of the PREVIOUS survivor — after epochs 0..1
+    // are folded away at batch 2, the dedup must still reject dups of
+    // docs that now live only in the consolidated partition
+    var prev = histBody
+    (1 to 5).foreach { i =>
+      val novel = noise(60)
+      java.nio.file.Files.writeString(in.resolve(s"m$i.jsonl"),
+        s"""{"doc_id": ${100 + i}, "text": "$novel"}""" + "\n" +
+          s"""{"doc_id": ${200 + i}, "text": "$prev tail tokens"}""")
+      q.processAllAvailable()
+      prev = novel
+    }
+    q.stop()
+
+    assert(spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSet
+      == (1 to 5).map(100L + _).toSet,
+      "auto-compaction changed the accepted set")
+    // batch 4's trigger folded epochs <= 3; only the consolidated
+    // partition and the last epoch remain
+    val parts = spark.sql(s"SHOW PARTITIONS ${name}_buckets").collect()
+      .map(_.getString(0).stripPrefix("epoch=").toLong).toSet
+    assert(parts == Set(-1L, 4L), s"epochs not bounded: $parts")
+    assert(spark.table(s"${name}_counts").select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L) ++ (1 to 5).map(100L + _).toSet)
+  }
+
+  test("embedding ingest with compactEvery folds cold epochs and still dedups against them") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    import graft.streaming.EmbeddingIngestStream
+    val work = TestFixtures.tmpDir("emb-autocompact")
+    val root = work.resolve("ivf").toString
+    val rnd = new scala.util.Random(61L)
+    def rand() = Array.fill(16)(rnd.nextGaussian()).toSeq
+    IvfIndex.build((0 until 50).map(i => (i.toLong, rand())).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, numCentroids = 4)
+    val accepted = work.resolve("acc").toString
+    val v100 = rand()
+    def run(rows: Seq[(Long, Seq[Double])], batchId: Long): Unit =
+      EmbeddingIngestStream.processBatch(spark,
+        rows.toDF("vec_id", "embedding"), batchId, accepted, root,
+        maxCos = 0.999, compactEvery = 2)
+    run(Seq((100L, v100)), 0L)
+    run(Seq((101L, rand())), 1L)
+    // batch 2's trigger folds epochs <= 1 first, then processes normally:
+    // its copy of vec 100 must still be rejected even though 100 now
+    // lives only in the consolidated partition, while its novel vector
+    // lands under epoch 2 as usual
+    run(Seq((102L, v100), (103L, rand())), 2L)
+    val epochs = new java.io.File(root, "vectors").listFiles().toSeq
+      .map(_.getName).filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong).toSet
+    assert(epochs == Set(-1L, 2L), s"epochs not bounded: $epochs")
+    assert(spark.read.parquet(accepted).select("vec_id").as[Long].collect().toSet
+      == Set(100L, 101L, 103L), "compacted history no longer gates")
+  }
+
   test("corpus ingest replay after a mid-fold crash neither duplicates nor drops") {
     import spark.implicits._
     import graft.operators.NearDupIndex
