@@ -228,10 +228,34 @@ class DedupSpec extends AnyFunSuite {
     assert(probed() == before, "compaction changed a probe answer")
     assert(spark.table(s"${name}_shingles").count() == shinglesBefore)
 
-    // a replayed compaction converges (crash-after-partial-delete regime)
+    // a replayed compaction converges (crash-after-full-delete regime)
     NearDupIndex.compact(spark, name, upToEpoch = 2L)
     assert(probed() == before)
     assert(spark.table(s"${name}_shingles").count() == shinglesBefore)
+
+    // crash-MID-delete regime: the fold committed but one source epoch's
+    // partitions survived — its rows now exist in BOTH the consolidated
+    // partition and epoch 1, which would OVERCOUNT jaccard (doubled
+    // shingle rows) if the re-run didn't fold the stragglers away
+    Seq("_shingles", "_counts", "_buckets").foreach { s =>
+      val t = spark.table(s"$name$s")
+      val dataCols = t.columns.filter(_ != "epoch").toSeq
+      // localCheckpoint severs the lineage so the insert below does not
+      // read from its own target table
+      val stale = t.filter(F.col("epoch") === -1L)
+        .join(Seq(101L, 201L).toDF("doc_id"), "doc_id", "left_semi")
+        .select(dataCols.map(F.col) :+ F.lit(1L).as("epoch"): _*)
+        .localCheckpoint(true)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try stale.write.mode("overwrite").insertInto(s"$name$s")
+      finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(partitions("_shingles").contains(1L), "fixture failed to plant the stale epoch")
+    NearDupIndex.compact(spark, name, upToEpoch = 2L)
+    assert(partitions("_shingles") == Set(-1L, 3L))
+    assert(probed() == before, "mid-delete replay changed a probe answer")
+    assert(spark.table(s"${name}_shingles").count() == shinglesBefore,
+      "stale source rows must fold away, not double shingle counts")
 
     // consolidated digest still guards a compacted id; fresh ids append fine
     val boom = intercept[IllegalArgumentException] {

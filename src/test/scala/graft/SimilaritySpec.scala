@@ -214,11 +214,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(parquetFiles() < filesBefore,
       s"file count not reduced: $filesBefore -> ${parquetFiles()}")
 
-    // replaying the SAME compaction (crash-after-partial-delete regime)
+    // replaying the SAME compaction (crash-after-full-delete regime)
     // converges to the identical index
     IvfIndex.compact(spark, root, upToEpoch = 3L)
     assert(answer() == before)
     assert(spark.read.parquet(s"$root/vectors").count() == rowsBefore)
+
+    // crash-MID-delete regime: the fold committed but a source epoch's
+    // dir survived the crash, so its rows exist in BOTH the consolidated
+    // partition and their old epoch. The re-run's dropDuplicates must
+    // fold the stragglers away, not double them.
+    // localCheckpoint severs the lineage so the write below does not
+    // read from its own output path
+    val stale = spark.read.parquet(s"$root/vectors")
+      .filter(F.col("id").between(10100L, 10199L)) // epoch 1's original batch
+      .select("id", "vec", "nrm", "q_scale", "q_codes", "cell")
+      .withColumn("epoch", F.lit(1L)).localCheckpoint(true)
+    assert(stale.count() == 20)
+    stale.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch", "cell").parquet(s"$root/vectors")
+    assert(spark.read.parquet(s"$root/vectors").count() == rowsBefore + 20,
+      "fixture failed to plant the stale source epoch")
+    IvfIndex.compact(spark, root, upToEpoch = 3L)
+    assert(epochDirs() == Set(-1L, 4L))
+    assert(answer() == before, "mid-delete replay changed a probe answer")
+    assert(spark.read.parquet(s"$root/vectors").count() == rowsBefore,
+      "stale source rows must fold away, not duplicate")
 
     // the consolidated digest still guards: a compacted id cannot be re-used
     val boom = intercept[IllegalArgumentException] {
