@@ -179,13 +179,29 @@ object Compaction {
       case Some(bs) => staged.repartition(bs.numBuckets, bs.bucketColumnNames.map(F.col): _*)
       case None => staged.repartition(partitionCols.map(F.col): _*)
     }
+    // same oversize discipline as [[compact]]: without a record cap, a
+    // partition of many small files would merge into ONE unbounded file
+    // and lose its scan parallelism
+    val rows = staged.count()
+    val bytes = needy.map(_.bytes).sum
+    val maxRecords = if (rows == 0) Long.MaxValue
+      else math.max(1L, targetBytes / math.max(1L, bytes / rows))
     val conf = spark.sessionState.conf
-    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
-    val prevMode = conf.getConfString(overwriteKey, "static")
-    conf.setConfString(overwriteKey, "dynamic")
-    try rewrite.write.mode("overwrite").insertInto(table)
-    finally conf.setConfString(overwriteKey, prevMode)
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    val prevMax = conf.getConfString("spark.sql.files.maxRecordsPerFile", "0")
+    conf.setConfString("spark.sql.files.maxRecordsPerFile", maxRecords.toString)
+    // the dynamic-overwrite window goes through the SHARED locked helper:
+    // a private conf toggle here would race the index writers on the same
+    // SparkSession, and a lost race turns this insert into a STATIC
+    // overwrite that truncates every untouched partition
+    try graft.operators.NearDupIndex.withDynamicOverwrite(spark) {
+      rewrite.write.mode("overwrite").insertInto(table)
+    } finally {
+      conf.setConfString("spark.sql.files.maxRecordsPerFile", prevMax)
+      // also on failure: a half-written insert aborts cleanly (the target
+      // keeps its original partitions), and keeping the staging copy
+      // around would just strand a full duplicate of the needy partitions
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
 
     needy.map(p => (p.spec, p.files, p.bytes)).toDF("partition", "files_before", "bytes")
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{functions => F}
@@ -91,20 +91,26 @@ object IdDigest {
     * digest-covered epochs whose range overlaps the batch AND whose bloom
     * reports at least one batch id, plus every `uncoveredEpochs` entry
     * (no digest — scanned unconditionally). Empty result = provably clean
-    * append, zero index-data I/O. `digests` rows carry
-    * (n, min_id, max_id, bloom, epoch); rows for `excludeEpoch` (the
-    * replaying batch's own) must already be filtered out by the caller.
+    * append, zero index-data I/O. `digests` is the digest RELATION
+    * (n, min_id, max_id, bloom, epoch) with the replaying batch's own
+    * epoch already filtered out by the caller.
     *
-    * Driver work is digest-count-sized (compaction keeps epoch counts
-    * bounded); executor work is ONE aggregate over the batch probing all
-    * overlapping blooms per row.
+    * Driver traffic is staged to match the screen: the first collect
+    * brings back only the metadata columns (epoch-count-sized — a few
+    * longs per epoch; compaction keeps epoch counts bounded), and the
+    * bloom BINARIES are fetched in a second collect restricted to the
+    * range-overlapping epochs — with monotone id regimes that set is
+    * empty and no bloom ever reaches the driver. Executor work is ONE
+    * aggregate over the batch probing all fetched blooms per row.
     */
   def suspectEpochs(batch: DataFrame, idCol: String,
-      digests: Seq[Row], uncoveredEpochs: Seq[Long]): Seq[Long] = {
+      digests: DataFrame, uncoveredEpochs: Seq[Long]): Seq[Long] = {
     val spark = batch.sparkSession
     register(spark)
-    val nonEmpty = digests.filter(_.getAs[Long]("n") > 0L)
-    if (nonEmpty.isEmpty) return uncoveredEpochs
+    // metadata first — never the bloom column (parquet prunes it away)
+    val meta = digests.filter(F.col("n") > 0L)
+      .select("epoch", "min_id", "max_id").collect().toSeq
+    if (meta.isEmpty) return uncoveredEpochs
 
     val ids = batch.select(F.col(idCol).as("id")).cache()
     try {
@@ -112,20 +118,23 @@ object IdDigest {
         F.min("id").as("mn"), F.max("id").as("mx")).head()
       if (b.getLong(0) == 0L) return uncoveredEpochs
       val (bMin, bMax) = (b.getLong(1), b.getLong(2))
-      val overlapping = nonEmpty.filter(d =>
-        d.getAs[Long]("max_id") >= bMin && d.getAs[Long]("min_id") <= bMax)
+      val overlapping = meta.collect {
+        case d if d.getAs[Long]("max_id") >= bMin && d.getAs[Long]("min_id") <= bMax =>
+          d.getAs[Long]("epoch")
+      }
       if (overlapping.isEmpty) return uncoveredEpochs
+      val blooms = digests.filter(F.col("epoch").isin(overlapping: _*))
+        .select("epoch", "bloom").collect().toSeq
 
       // one pass over the batch: per overlapping epoch, did ANY id hit?
-      val probes: Seq[Column] = overlapping.map { d =>
-        val e = d.getAs[Long]("epoch")
+      val probes: Seq[Column] = blooms.map { d =>
         F.max(F.when(
           F.call_function("graft_bloom_contains",
             F.lit(d.getAs[Array[Byte]]("bloom")), F.col("id")), 1).otherwise(0))
-          .as(s"e$e")
+          .as(s"e${d.getAs[Long]("epoch")}")
       }
       val hits = ids.agg(probes.head, probes.tail: _*).head()
-      val suspects = overlapping.zipWithIndex.collect {
+      val suspects = blooms.zipWithIndex.collect {
         case (d, i) if hits.getInt(i) == 1 => d.getAs[Long]("epoch")
       }
       suspects ++ uncoveredEpochs

@@ -58,6 +58,17 @@ object IvfIndex {
     import org.apache.spark.ml.functions.array_to_vector
 
     GraftFunctions.register(df.sparkSession)
+    // drop any previous digest BEFORE overwriting the vectors: a crash
+    // between the two would otherwise leave a digest describing the OLD
+    // corpus next to the NEW vectors, and a later append screening
+    // against it could prove a colliding id "clean" — silent corruption.
+    // With the digest gone first, the same crash window only degrades
+    // the guard to its exact-scan fallback.
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$root/digests")
+      val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val vecs = df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
       .withColumn("features", array_to_vector(F.col("vec")))
     val train =
@@ -160,8 +171,8 @@ object IvfIndex {
       // vector lands in a different cell, and the guard must catch
       // exactly that case. Disable via requireNewIds=false when upstream
       // id discipline is already enforced.
-      val digests = readDigests(spark, root).filter(_.getAs[Long]("epoch") != epoch)
-      val covered = digests.map(_.getAs[Long]("epoch")).toSet
+      val digests = readDigests(spark, root).filter(F.col("epoch") =!= epoch)
+      val covered = digests.select("epoch").collect().map(_.getLong(0)).toSet
       val uncovered = listEpochs(spark, root).filter(e => e != epoch && !covered(e))
       val scanEpochs = IdDigest.suspectEpochs(assigned.select("id"), "id", digests, uncovered)
       if (scanEpochs.nonEmpty) {
@@ -260,8 +271,13 @@ object IvfIndex {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
     cold.filter(_ != BuildEpoch).foreach { e =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/vectors/epoch=$e"), true)
+      // digest FIRST: a crash between the two deletes then leaves a
+      // vectors dir whose epoch the re-run still lists as cold (cleaned
+      // up normally). The other order would strand the digest forever —
+      // listEpochs consults the vectors side, so an epoch with no
+      // vectors dir is never folded again.
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/digests/epoch=$e"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/vectors/epoch=$e"), true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
@@ -279,27 +295,40 @@ object IvfIndex {
     * only copy). The caller flips its root pointer after rebuild
     * returns — crash-safe because `root` is never touched, and
     * replay-safe because [[build]] is a full overwrite of `newRoot`.
+    *
+    * `numCentroids = 0` (the default) keeps the index's CURRENT cell
+    * count (read from its centroid table) — a maintenance rebuild must
+    * not silently reshape an index built with a different C.
     */
   def rebuild(spark: SparkSession, root: String, newRoot: String,
-      numCentroids: Int = 16, seed: Long = 42L, trainFraction: Double = 1.0): Unit = {
+      numCentroids: Int = 0, seed: Long = 42L, trainFraction: Double = 1.0): Unit = {
     require(newRoot != root,
       "rebuild writes a fresh index; pass a different root and flip the pointer after")
+    val c = if (numCentroids > 0) numCentroids
+      else spark.read.parquet(s"$root/centroids.parquet").count().toInt
     build(vectors(spark, root).select("id", "vec"), "id", "vec", newRoot,
-      numCentroids, seed, trainFraction)
+      c, seed, trainFraction)
   }
 
-  /** Digest rows (n, min_id, max_id, bloom, epoch); empty for an index
-    * written before digests existed — the guard then exact-scans every
-    * epoch, the old behavior.
+  /** The digest relation (n, min_id, max_id, bloom, epoch) as a LAZY
+    * frame — [[IdDigest.suspectEpochs]] stages what it collects so bloom
+    * binaries only reach the driver for range-overlapping epochs. Empty
+    * for an index written before digests existed — the guard then
+    * exact-scans every epoch, the old behavior.
     */
-  private def readDigests(spark: SparkSession,
-      root: String): Seq[org.apache.spark.sql.Row] = {
+  private def readDigests(spark: SparkSession, root: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$root/digests")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Seq.empty
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("min_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("max_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bloom", org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.types.StructField("epoch", org.apache.spark.sql.types.LongType))))
     else spark.read.parquet(s"$root/digests")
       .withColumn("epoch", F.col("epoch").cast("long")) // partition dirs re-infer as int
-      .collect().toSeq
   }
 
   /** Epoch partitions present under the vector root — one FileSystem

@@ -83,6 +83,12 @@ object NearDupIndex {
       cfg: Config = Config()): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // drop any previous digest BEFORE overwriting the relations: a crash
+    // mid-build would otherwise leave a digest describing the OLD corpus
+    // next to the NEW relations, and a later append screening against it
+    // could prove a colliding id "clean". Digest-less epochs only degrade
+    // the guard to its exact-scan fallback.
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_digest")
     val sh = Dedup.shingleTable(corpus, idCol, textCol, cfg.n).cache()
     relations(sh, idCol, cfg, BuildEpoch).foreach { case (df, suffix, bucketCol) =>
       df.write.mode("overwrite")
@@ -138,9 +144,12 @@ object NearDupIndex {
     * partitions. Session-global for the duration (caveat: a concurrent
     * non-graft static-overwrite writer on the same SparkSession inside
     * the window would also overwrite dynamically); graft's own writers
-    * are serialized by [[overwriteConfLock]].
+    * are serialized by [[overwriteConfLock]] — every graft writer that
+    * needs a catalog-table dynamic overwrite (including
+    * [[graft.layers.Compaction.compactTable]]) must go through THIS
+    * helper, not a private conf toggle of its own.
     */
-  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T =
+  private[graft] def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T =
     overwriteConfLock.synchronized {
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(key)
@@ -200,9 +209,10 @@ object NearDupIndex {
       val longIds = batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType
       val scanEpochs: Option[Seq[Long]] =
         if (longIds && spark.catalog.tableExists(s"${name}_digest")) {
-          val digests = spark.table(s"${name}_digest")
-            .filter(F.col("epoch") =!= epoch).collect().toSeq
-          val covered = digests.map(_.getAs[Long]("epoch")).toSet
+          // lazy frame: suspectEpochs pulls metadata first and bloom
+          // binaries only for range-overlapping epochs
+          val digests = spark.table(s"${name}_digest").filter(F.col("epoch") =!= epoch)
+          val covered = digests.select("epoch").collect().map(_.getLong(0)).toSet
           val uncovered = presentEpochs(spark, name).filter(e => e != epoch && !covered(e))
           Some(IdDigest.suspectEpochs(
             batch.select(F.col(idCol).as("id")), "id", digests, uncovered))
@@ -307,7 +317,12 @@ object NearDupIndex {
         digest.write.mode("overwrite").insertInto(s"${name}_digest")
       }
     }
-    (suffixes.map(s => s"$name$s") :+ s"${name}_digest")
+    // digest partitions dropped FIRST: a crash mid-loop then leaves
+    // relation partitions the re-run still lists as cold (refolded and
+    // dropped normally). The other order would strand digest rows
+    // forever — `cold` consults the three relations, so an epoch with
+    // no relation partitions is never folded again.
+    (s"${name}_digest" +: suffixes.map(s => s"$name$s"))
       .filter(spark.catalog.tableExists)
       .foreach { t =>
         cold.filter(_ != BuildEpoch).foreach { e =>

@@ -62,10 +62,12 @@ object EmbeddingIngestStream {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(DoubleType))))
 
-  /** Batches larger than this skip the broadcast gate joins for the
-    * salted-shuffle fallback. 200k rows of 64-dim doubles is ~100 MB on
-    * the driver — comfortably inside broadcast limits; callers with fat
-    * vectors should lower it (bytes ≈ rows × dims × 8 × 2).
+  /** Batches whose EXPLODED size (rows × nProbeGate — the broadcast
+    * frames carry one row per probed cell) exceeds this skip the
+    * broadcast gate joins for the salted-shuffle fallback. 200k exploded
+    * rows of 64-dim doubles is ~100 MB on the driver — comfortably
+    * inside broadcast limits; callers with fat vectors should lower it
+    * (bytes ≈ rows × nProbeGate × dims × 8 × 2).
     */
   val BroadcastMaxRows: Long = 200000L
 
@@ -121,8 +123,10 @@ object EmbeddingIngestStream {
       .cache()
     // one count materializes the cache AND decides the join strategy —
     // maxFilesPerTrigger bounds file count, not bytes, so the broadcast
-    // assumption must be checked per batch, not assumed
-    val small = assigned.count() <= broadcastMaxRows
+    // assumption must be checked per batch, not assumed. The broadcast
+    // frames are EXPLODED over the probe cells, so the bound applies to
+    // rows × nProbeGate, not the raw batch size.
+    val small = assigned.count() * nProbeGate <= broadcastMaxRows
     val saltRange = F.array((0 until SaltFanout).map(s => F.lit(s.toLong)): _*)
 
     def cos(aVec: String, aNrm: String, bVec: String, bNrm: String) =

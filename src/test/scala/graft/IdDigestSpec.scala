@@ -18,11 +18,11 @@ class IdDigestSpec extends AnyFunSuite {
 
   private def digest(ids: Seq[Long], epoch: Long) = {
     import spark.implicits._
-    IdDigest.digestFrame(ids.toDF("id"), "id", epoch).collect().toSeq
+    IdDigest.digestFrame(ids.toDF("id"), "id", epoch)
   }
 
   test("digestFrame records n/min/max and one row per epoch") {
-    val rows = digest(0L until 1000L, 7L)
+    val rows = digest(0L until 1000L, 7L).collect()
     assert(rows.length == 1)
     val r = rows.head
     assert(r.getAs[Long]("n") == 1000L)
@@ -34,7 +34,7 @@ class IdDigestSpec extends AnyFunSuite {
 
   test("range-disjoint epochs drop out with no bloom probe; overlap without membership needs the bloom") {
     import spark.implicits._
-    val digests = digest(0L until 1000L, 0L) ++ digest(5000L until 6000L, 1L)
+    val digests = digest(0L until 1000L, 0L).union(digest(5000L until 6000L, 1L))
     // disjoint from both ranges: provably clean, zero suspects
     assert(IdDigest.suspectEpochs(
       Seq(2000L, 2001L, 2002L).toDF("id"), "id", digests, Nil).isEmpty)
@@ -64,11 +64,11 @@ class IdDigestSpec extends AnyFunSuite {
     // an empty batch can collide with nothing
     assert(IdDigest.suspectEpochs(
       Seq.empty[Long].toDF("id"), "id", digests, Seq(5L)) == Seq(5L))
-    // no digests at all degrades to the uncovered (exact-scan) set
+    // no digest rows at all degrades to the uncovered (exact-scan) set
     assert(IdDigest.suspectEpochs(
-      Seq(1L).toDF("id"), "id", Nil, Seq(8L)) == Seq(8L))
+      Seq(1L).toDF("id"), "id", digests.limit(0), Seq(8L)) == Seq(8L))
     // an empty-epoch digest (n = 0) can never be a suspect
-    val withEmpty = digests ++ digest(Seq.empty, 2L)
+    val withEmpty = digests.union(digest(Seq.empty, 2L))
     assert(IdDigest.suspectEpochs(
       Seq(50L).toDF("id"), "id", withEmpty, Nil) == Seq(0L))
   }
