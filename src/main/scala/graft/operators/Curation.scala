@@ -128,6 +128,42 @@ object Curation {
       .select(idCol, "n_tok", "start_offset", "seq_id")
   }
 
+  /** Fixed token-budget document chunking with overlap — the complement
+    * of [[packSequences]]: packing concatenates SHORT docs up to a
+    * budget, chunking splits LONG docs down to one. Each document yields
+    * `1 + ceil(max(0, n − chunkSize) / (chunkSize − overlap))` chunks;
+    * chunk i covers tokens `[i·stride, i·stride + chunkSize)` (whitespace
+    * tokens, [[TextFunctions.tokens]] semantics), so consecutive chunks
+    * share `overlap` tokens and no token is dropped — the standard
+    * long-document treatment for a context-bounded trainer. The last
+    * chunk may run short; it is never empty.
+    *
+    * Emits (idCol, chunk_idx, n_tokens, chunk_text). Purely narrow —
+    * tokenize, a per-row sequence explode, and two array kernels; no
+    * shuffle, no UDF, codegen throughout. Deterministic, so chunk
+    * identity `(idCol, chunk_idx)` is stable across runs and engines.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    val toks = TextFunctions.tokens(F.col(textCol))
+    val n = F.size(toks)
+    val nChunks = F.when(n <= chunkSize, F.lit(1))
+      .otherwise(F.lit(1) +
+        F.ceil((n - F.lit(chunkSize)).cast("double") / stride).cast("int"))
+    df.select(F.col(idCol), toks.as("__t"), nChunks.as("__nc"))
+      .select(F.col(idCol), F.col("__t"),
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).as("chunk_idx"))
+      .withColumn("__chunk",
+        F.slice(F.col("__t"), F.col("chunk_idx") * stride + 1, F.lit(chunkSize)))
+      .select(F.col(idCol), F.col("chunk_idx"),
+        F.size(F.col("__chunk")).as("n_tokens"),
+        F.concat_ws(" ", F.col("__chunk")).as("chunk_text"))
+  }
+
   /** Deterministic per-domain downsampling (corpus rebalancing): keep a
     * row iff `portableHash64(seed-id) mod 100 < rate(domain)`, with rates
     * in percent. Unlike `sample()`/`sampleBy()` the decision is a pure

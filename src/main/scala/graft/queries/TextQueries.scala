@@ -267,6 +267,18 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id", "rank")
     }),
 
+    // Fixed token-budget chunking with overlap (the complement of qd15's
+    // packing): chunk i covers whitespace tokens [i*45, i*45 + 60), so
+    // consecutive chunks share 15 tokens. The oracle re-derives identical
+    // boundaries with 1-based inclusive list slicing.
+    "qd25_chunk_documents" -> ((s, d) => {
+      Curation.chunkDocuments(docs(s, d), "doc_id", "text",
+          chunkSize = 60, overlap = 15)
+        .withColumn("chunk_md5", F.md5(F.col("chunk_text")))
+        .drop("chunk_text")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Subword (BPE-ish regex) vs whitespace token counting. The corpus is
     // pure lowercase words, where the two modes coincide — a punctuated
     // suffix is appended per doc so the subword split genuinely diverges
@@ -340,6 +352,18 @@ object TextQueries extends QueryPack {
                OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
            FROM documents)
          ORDER BY doc_id""",
+    "qd25_chunk_documents" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         CAST(len(w[i*45+1 : i*45+60]) AS INTEGER) AS n_tokens,
+         md5(array_to_string(w[i*45+1 : i*45+60], ' ')) AS chunk_md5
+         FROM (
+           SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i
+           FROM (
+             SELECT doc_id, w,
+               CASE WHEN len(w) <= 60 THEN 1
+                    ELSE 1 + CAST(ceil((len(w) - 60) / 45.0) AS INTEGER) END AS nc
+             FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)))
+         ORDER BY doc_id, chunk_idx""",
     "qd16_downsample" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST('0x' || substr(md5('s7-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 <

@@ -80,6 +80,41 @@ class CurationSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("seq_id") == r.getAs[Long]("start_offset") / 128))
   }
 
+  test("chunkDocuments covers every token, overlaps exactly, and reconstructs the doc") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens -> 3 chunks
+      (2L, (1 to 4).map(i => s"u$i").mkString(" ")),  // == chunkSize -> 1 chunk
+      (3L, (1 to 5).map(i => s"v$i").mkString(" ")),  // one over -> short tail chunk
+      (4L, "solo"))                                   // 1 token -> 1 chunk
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docsDf, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("n_tokens"), r.getAs[String]("chunk_text")))
+    // stride 3: doc 1 chunks [t1..t4] [t4..t7] [t7..t10] — adjacent chunks
+    // share exactly one token and the union is the whole doc
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, 4, "t1 t2 t3 t4"), (1L, 1, 4, "t4 t5 t6 t7"), (1L, 2, 4, "t7 t8 t9 t10")))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 4, "u1 u2 u3 u4")))
+    assert(out.filter(_._1 == 3L).toSeq == Seq(
+      (3L, 0, 4, "v1 v2 v3 v4"), (3L, 1, 2, "v4 v5")))
+    assert(out.filter(_._1 == 4L).toSeq == Seq((4L, 0, 1, "solo")))
+    // reconstruction: drop each non-first chunk's leading overlap tokens,
+    // concatenate in chunk order -> the original token stream
+    val rebuilt = out.filter(_._1 == 1L).sortBy(_._2).zipWithIndex.flatMap {
+      case ((_, _, _, text), i) =>
+        val toks = text.split(" ").toSeq
+        if (i == 0) toks else toks.drop(1)
+    }
+    assert(rebuilt.toSeq == (1 to 10).map(i => s"t$i"))
+    // no-overlap mode: disjoint 3-token windows, 4 chunks, short tail
+    val no = Curation.chunkDocuments(docsDf.filter($"doc_id" === 1L),
+      "doc_id", "text", chunkSize = 3, overlap = 0)
+      .orderBy("chunk_idx").collect().map(_.getAs[String]("chunk_text")).toSeq
+    assert(no == Seq("t1 t2 t3", "t4 t5 t6", "t7 t8 t9", "t10"))
+  }
+
   test("downsampleByDomain is deterministic, rate-monotone, and a pure row filter") {
     import spark.implicits._
     val df = (0 until 2000)
