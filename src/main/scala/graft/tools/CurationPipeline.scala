@@ -32,9 +32,18 @@ object CurationPipeline {
   /** Run the full chain; returns per-stage surviving-row counts. The
     * benchmark slice (doc_id % 20 == 0) stands in for an external eval
     * suite and is excluded from the corpus itself.
+    *
+    * `chunkSize > 0` enables the chunking stage between rebalancing and
+    * packing: documents are split into `chunkSize`-token chunks with
+    * `chunkOverlap` shared tokens, so no packed sequence ever carries a
+    * document longer than the trainer's context. Chunk ids are
+    * `doc_id·2²⁰ + chunk_idx` — order-preserving, so packing still
+    * concatenates a document's chunks adjacently and in order (requires
+    * chunk counts < 2²⁰, i.e. docs under ~10⁹ tokens at chunkSize 1k).
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      budget: Int = 512, nShards: Int = 8): StageCounts = {
+      budget: Int = 512, nShards: Int = 8,
+      chunkSize: Int = 0, chunkOverlap: Int = 0): StageCounts = {
     val all = Tables.load(spark, sfDir, "documents")
     val bench = all.filter(F.col("doc_id") % 20 === 0)
     val corpus = all.filter(F.col("doc_id") % 20 =!= 0).cache()
@@ -84,10 +93,22 @@ object CurationPipeline {
       rates = Map("en" -> 100, "es" -> 80, "fr" -> 80, "de" -> 60),
       defaultRate = 40, seed = "curation-v1")
 
+    // 6.5 (opt-in): split long documents to the context budget — chunk
+    // rows inherit their document's metadata columns and an
+    // order-preserving synthetic id, so the packing stage below still
+    // lays a document's pieces out adjacently
+    val chunked =
+      if (chunkSize <= 0) balanced
+      else Curation.chunkDocuments(balanced, "doc_id", "text", chunkSize, chunkOverlap)
+        .join(balanced.drop("text"), "doc_id")
+        .withColumn("doc_id", F.col("doc_id") * (1L << 20) + F.col("chunk_idx"))
+        .drop("chunk_idx", "n_tokens")
+        .withColumnRenamed("chunk_text", "text")
+
     // 7. pack into token-budget sequences, shard for the trainer
     val packed = Curation.packSequences(
-        balanced, "doc_id", TextFunctions.tokenCount(F.col("text")), budget)
-      .join(balanced, "doc_id")
+        chunked, "doc_id", TextFunctions.tokenCount(F.col("text")), budget)
+      .join(chunked, "doc_id")
       .withColumn("shard", F.pmod(F.col("seq_id"), F.lit(nShards)))
     packed.write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
@@ -98,8 +119,9 @@ object CurationPipeline {
       "decontaminated" -> clean.count(),
       "quality_lang" -> scored.count(),
       "repetition" -> filtered.count(),
-      "balanced" -> balanced.count(),
-      "packed" -> spark.read.parquet(outDir).count()))
+      "balanced" -> balanced.count()) ++
+      (if (chunkSize > 0) Seq("chunked" -> chunked.count()) else Nil) :+
+      ("packed" -> spark.read.parquet(outDir).count()))
     corpus.unpersist()
     counts
   }

@@ -35,4 +35,33 @@ class CurationPipelineSpec extends AnyFunSuite {
     val out2 = TestFixtures.tmpDir("curated2").resolve("shards").toString
     assert(CurationPipeline.run(spark, sf, out2).stages.toMap == counts)
   }
+
+  test("the chunking stage bounds every packed row to the context budget, losslessly") {
+    import graft.functions.TextFunctions
+    val outPlain = TestFixtures.tmpDir("curated-plain").resolve("shards").toString
+    val outChunk = TestFixtures.tmpDir("curated-chunk").resolve("shards").toString
+    val plain = CurationPipeline.run(spark, sf, outPlain).stages.toMap
+    val chunked = CurationPipeline.run(spark, sf, outChunk,
+      chunkSize = 64, chunkOverlap = 8).stages.toMap
+
+    // the filtering prefix is untouched by the later chunking stage
+    Seq("corpus", "exact_dedup", "near_dedup", "decontaminated",
+      "quality_lang", "repetition", "balanced").foreach { s =>
+      assert(chunked(s) == plain(s), s"stage $s changed under chunking")
+    }
+    // chunking only splits: never fewer rows than documents, never drops
+    assert(chunked("chunked") >= plain("balanced"))
+    assert(chunked("packed") == chunked("chunked"), "packing must not drop chunk rows")
+
+    // the budget holds row-wise: no packed row longer than chunkSize
+    val rows = spark.read.parquet(outChunk)
+    val over = rows.filter(TextFunctions.tokenCount(F.col("text")) > 64).count()
+    assert(over == 0, s"$over rows exceed the 64-token chunk budget")
+    // lossless per document: distinct original docs survive chunking
+    // (chunk ids are doc_id·2^20 + idx)
+    val origDocs = rows.select((F.col("doc_id") / (1L << 20)).cast("long").as("d"))
+      .distinct().count()
+    assert(origDocs == plain("balanced"),
+      "chunking lost or invented documents")
+  }
 }
