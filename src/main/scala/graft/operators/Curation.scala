@@ -185,6 +185,35 @@ object Curation {
     df.filter(h < rate)
   }
 
+  /** Exact per-domain quality quota: keep the `quota` highest-`quality`
+    * rows of each domain, deterministic id tie-break — the EXACT
+    * counterpart of the probabilistic [[downsampleByDomain]] /
+    * [[qualityWeightedSample]] (those keep a rate, this keeps a count;
+    * "the 25 best docs per language" is a quota, not a rate). Selection
+    * runs through [[graft.plans.TopKAggregate]], a real aggregate:
+    * per-group state is O(quota) and partials combine MAP-SIDE, so each
+    * task reduces to ≤ quota rows per domain before the shuffle — a
+    * skewed domain never funnels its whole row set through one
+    * partition's sort, which is what the row_number-window formulation
+    * would do at 100 TB. Emits (domainCol, rank, idCol, quality).
+    *
+    * `quality` must be a non-null double and `idCol` a long (the
+    * aggregate's (DESC double, ASC long) rank contract).
+    */
+  def domainQuota(df: DataFrame, idCol: String, domainCol: String,
+      quality: Column, quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.groupBy(domainCol)
+      .agg(F.call_function("topk_rows",
+        F.struct(quality.as("q"), F.col(idCol)), F.lit(quota)).as("top"))
+      .select(F.col(domainCol), F.posexplode(F.col("top")))
+      .select(F.col(domainCol),
+        (F.col("pos") + 1).cast("int").as("rank"),
+        F.col(s"col.$idCol").as(idCol),
+        F.col("col.q").as("quality"))
+  }
+
   /** Quality-weighted deterministic sampling (importance resampling): the
     * keep probability interpolates linearly between `floorRate` and
     * `ceilRate` with the document's [[TextFunctions.qualityScore]], and

@@ -267,6 +267,15 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id", "rank")
     }),
 
+    // Exact per-language quality quota via the map-side-combining
+    // TopKAggregate ("the 25 best docs per language" — a count, where
+    // qd16/qd21 keep a rate). Oracle re-ranks with a row_number window.
+    "qd26_domain_quota" -> ((s, d) => {
+      Curation.domainQuota(docs(s, d), "doc_id", "lang",
+          qualityScore(F.col("text")), quota = 25)
+        .orderBy("lang", "rank")
+    }),
+
     // Fixed token-budget chunking with overlap (the complement of qd15's
     // packing): chunk i covers whitespace tokens [i*45, i*45 + 60), so
     // consecutive chunks share 15 tokens. The oracle re-derives identical
@@ -352,6 +361,18 @@ object TextQueries extends QueryPack {
                OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
            FROM documents)
          ORDER BY doc_id""",
+    "qd26_domain_quota" ->
+      """SELECT lang, CAST(rn AS INTEGER) AS rank, doc_id, q AS quality FROM (
+           SELECT lang, doc_id, q,
+             row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn
+           FROM (
+             SELECT lang, doc_id, round(
+               least(array_length(w) / 20.0, 1.0) * 0.4 +
+               (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
+               least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3,
+               6) AS q
+             FROM (SELECT lang, doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)))
+         WHERE rn <= 25 ORDER BY lang, rank""",
     "qd25_chunk_documents" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
          CAST(len(w[i*45+1 : i*45+60]) AS INTEGER) AS n_tokens,

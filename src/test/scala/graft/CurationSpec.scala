@@ -115,6 +115,22 @@ class CurationSpec extends AnyFunSuite {
     assert(no == Seq("t1 t2 t3", "t4 t5 t6", "t7 t8 t9", "t10"))
   }
 
+  test("domainQuota keeps exactly the k best rows per domain, ties broken by min id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.7), (3L, "a", 0.9), (4L, "a", 0.1),
+      (10L, "b", 0.5),
+      (20L, "c", 0.3), (21L, "c", 0.3), (22L, "c", 0.3))
+      .toDF("doc_id", "lang", "q")
+    val out = Curation.domainQuota(df, "doc_id", "lang", F.col("q"), quota = 2)
+      .orderBy("lang", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      ("a", 1, 1L, 0.9), ("a", 2, 3L, 0.9), // quality tie -> lower id ranks first
+      ("b", 1, 10L, 0.5),                   // short domain keeps everything
+      ("c", 1, 20L, 0.3), ("c", 2, 21L, 0.3)))
+  }
+
   test("downsampleByDomain is deterministic, rate-monotone, and a pure row filter") {
     import spark.implicits._
     val df = (0 until 2000)
