@@ -110,6 +110,30 @@ class PlanSpec extends AnyFunSuite {
     assert(single <= 1, s"unexpected single-partition exchanges ($single):\n$plan")
   }
 
+  test("chunkDocuments is fully narrow — no Exchange anywhere in the plan") {
+    val docs = graft.runtime.Tables.load(spark, sf, "documents")
+    val chunked = graft.operators.Curation.chunkDocuments(
+      docs, "doc_id", "text", chunkSize = 60, overlap = 15)
+    val plan = chunked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must stay shuffle-free (tokenize + explode + slice):\n$plan")
+  }
+
+  test("domainQuota reduces map-side: partial topk_rows runs below the exchange") {
+    val docs = graft.runtime.Tables.load(spark, sf, "documents")
+    val quota = graft.operators.Curation.domainQuota(
+      docs, "doc_id", "lang", graft.functions.TextFunctions.qualityScore(F.col("text")), 25)
+    quota.count()
+    val plan = quota.queryExecution.executedPlan.toString
+    // the aggregate must run as partial (pre-shuffle, <= quota rows per
+    // domain per task) + final — a row_number-window formulation would
+    // instead sort and shuffle EVERY row of every domain
+    assert(plan.contains("partial_topk_rows"),
+      s"topk_rows lost its map-side partial phase:\n$plan")
+    assert(!plan.toLowerCase.contains("window"),
+      s"quota selection must not fall back to a window sort:\n$plan")
+  }
+
   test("IVF+SQ8 ranking scan never reads the float vector column") {
     val root = TestFixtures.tmpDir("ivf-sq8-plan").toString
     val emb = graft.runtime.Tables.load(spark, sf, "embeddings")
