@@ -73,6 +73,15 @@ object Bench {
 
   val TimedReps = 3
 
+  /** 1-minute /proc/loadavg figure, or -1 off-Linux — shared by every
+    * bench main that stamps its JSON with host-load evidence.
+    */
+  private[graft] def loadavg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -97,10 +106,7 @@ object Bench {
 
     // sampled BEFORE the warm pass: the warm pass itself saturates the
     // box, so a later sample would always read high and identify nothing
-    val load: Double =
-      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+    val load: Double = Bench.loadavg()
 
     if (new java.io.File(warmDir).exists()) {
       SparkEntry.queries.foreach { case (_, fn) =>

@@ -186,17 +186,19 @@ object Compaction {
     val bytes = needy.map(_.bytes).sum
     val maxRecords = if (rows == 0) Long.MaxValue
       else math.max(1L, targetBytes / math.max(1L, bytes / rows))
-    val conf = spark.sessionState.conf
-    val prevMax = conf.getConfString("spark.sql.files.maxRecordsPerFile", "0")
-    conf.setConfString("spark.sql.files.maxRecordsPerFile", maxRecords.toString)
-    // the dynamic-overwrite window goes through the SHARED locked helper:
-    // a private conf toggle here would race the index writers on the same
-    // SparkSession, and a lost race turns this insert into a STATIC
-    // overwrite that truncates every untouched partition
+    // BOTH session-conf windows go through the SHARED locked helper: a
+    // private toggle here would race the index writers on the same
+    // SparkSession — a lost overwrite-mode race turns this insert into a
+    // STATIC overwrite that truncates every untouched partition, and a
+    // record-cap set outside the lock would leak into a concurrent
+    // writer's plans while this thread waits for the lock
     try graft.operators.NearDupIndex.withDynamicOverwrite(spark) {
-      rewrite.write.mode("overwrite").insertInto(table)
+      val conf = spark.sessionState.conf
+      val prevMax = conf.getConfString("spark.sql.files.maxRecordsPerFile", "0")
+      conf.setConfString("spark.sql.files.maxRecordsPerFile", maxRecords.toString)
+      try rewrite.write.mode("overwrite").insertInto(table)
+      finally conf.setConfString("spark.sql.files.maxRecordsPerFile", prevMax)
     } finally {
-      conf.setConfString("spark.sql.files.maxRecordsPerFile", prevMax)
       // also on failure: a half-written insert aborts cleanly (the target
       // keeps its original partitions), and keeping the staging copy
       // around would just strand a full duplicate of the needy partitions

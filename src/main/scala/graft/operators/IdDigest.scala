@@ -89,40 +89,47 @@ object IdDigest {
 
   /** Epochs the exact collision scan must visit for `batch`:
     * digest-covered epochs whose range overlaps the batch AND whose bloom
-    * reports at least one batch id, plus every `uncoveredEpochs` entry
-    * (no digest — scanned unconditionally). Empty result = provably clean
-    * append, zero index-data I/O. `digests` is the digest RELATION
-    * (n, min_id, max_id, bloom, epoch) with the replaying batch's own
-    * epoch already filtered out by the caller.
+    * reports at least one batch id, plus every `presentEpochs` entry with
+    * NO digest row (an index written before digests existed — scanned
+    * unconditionally). Empty result = provably clean append, zero
+    * index-data I/O. `digests` is the digest RELATION
+    * (n, min_id, max_id, bloom, epoch) and `presentEpochs` the epochs
+    * physically present in the index, BOTH with the replaying batch's
+    * own epoch already filtered out by the caller.
     *
-    * Driver traffic is staged to match the screen: the first collect
-    * brings back only the metadata columns (epoch-count-sized — a few
-    * longs per epoch; compaction keeps epoch counts bounded), and the
-    * bloom BINARIES are fetched in a second collect restricted to the
-    * range-overlapping epochs — with monotone id regimes that set is
-    * empty and no bloom ever reaches the driver. Executor work is ONE
-    * aggregate over the batch probing all fetched blooms per row.
+    * Driver traffic is staged to match the screen: one collect brings
+    * back only the metadata columns (epoch-count-sized — a few longs per
+    * epoch; compaction keeps epoch counts bounded) and serves both the
+    * coverage set and the range screen; the bloom BINARIES are fetched
+    * in a second collect restricted to the range-overlapping epochs —
+    * with monotone id regimes that set is empty and no bloom ever
+    * reaches the driver. Executor work is ONE aggregate over the batch
+    * probing all fetched blooms per row.
     */
   def suspectEpochs(batch: DataFrame, idCol: String,
-      digests: DataFrame, uncoveredEpochs: Seq[Long]): Seq[Long] = {
+      digests: DataFrame, presentEpochs: Seq[Long]): Seq[Long] = {
     val spark = batch.sparkSession
     register(spark)
-    // metadata first — never the bloom column (parquet prunes it away)
-    val meta = digests.filter(F.col("n") > 0L)
-      .select("epoch", "min_id", "max_id").collect().toSeq
-    if (meta.isEmpty) return uncoveredEpochs
+    // metadata only — never the bloom column (parquet prunes it away).
+    // An n = 0 row still COVERS its epoch (provably empty, nothing to
+    // scan); it just can't be a suspect.
+    val meta = digests.select("epoch", "n", "min_id", "max_id").collect().toSeq
+    val covered = meta.map(_.getAs[Long]("epoch")).toSet
+    val uncovered = presentEpochs.filterNot(covered)
+    val screenable = meta.filter(_.getAs[Long]("n") > 0L)
+    if (screenable.isEmpty) return uncovered
 
     val ids = batch.select(F.col(idCol).as("id")).cache()
     try {
       val b = ids.agg(F.count(F.lit(1)).as("n"),
         F.min("id").as("mn"), F.max("id").as("mx")).head()
-      if (b.getLong(0) == 0L) return uncoveredEpochs
+      if (b.getLong(0) == 0L) return uncovered
       val (bMin, bMax) = (b.getLong(1), b.getLong(2))
-      val overlapping = meta.collect {
+      val overlapping = screenable.collect {
         case d if d.getAs[Long]("max_id") >= bMin && d.getAs[Long]("min_id") <= bMax =>
           d.getAs[Long]("epoch")
       }
-      if (overlapping.isEmpty) return uncoveredEpochs
+      if (overlapping.isEmpty) return uncovered
       val blooms = digests.filter(F.col("epoch").isin(overlapping: _*))
         .select("epoch", "bloom").collect().toSeq
 
@@ -137,7 +144,7 @@ object IdDigest {
       val suspects = blooms.zipWithIndex.collect {
         case (d, i) if hits.getInt(i) == 1 => d.getAs[Long]("epoch")
       }
-      suspects ++ uncoveredEpochs
+      suspects ++ uncovered
     } finally ids.unpersist()
   }
 }

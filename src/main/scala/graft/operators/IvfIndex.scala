@@ -172,9 +172,8 @@ object IvfIndex {
       // exactly that case. Disable via requireNewIds=false when upstream
       // id discipline is already enforced.
       val digests = readDigests(spark, root).filter(F.col("epoch") =!= epoch)
-      val covered = digests.select("epoch").collect().map(_.getLong(0)).toSet
-      val uncovered = listEpochs(spark, root).filter(e => e != epoch && !covered(e))
-      val scanEpochs = IdDigest.suspectEpochs(assigned.select("id"), "id", digests, uncovered)
+      val scanEpochs = IdDigest.suspectEpochs(assigned.select("id"), "id", digests,
+        presentEpochs = listEpochs(spark, root).filter(_ != epoch))
       if (scanEpochs.nonEmpty) {
         // index side LEFT so the batch is the broadcast build side: the
         // id column streams partition-parallel off the scanned epochs,

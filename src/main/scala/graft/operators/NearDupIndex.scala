@@ -209,13 +209,13 @@ object NearDupIndex {
       val longIds = batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType
       val scanEpochs: Option[Seq[Long]] =
         if (longIds && spark.catalog.tableExists(s"${name}_digest")) {
-          // lazy frame: suspectEpochs pulls metadata first and bloom
-          // binaries only for range-overlapping epochs
+          // lazy frame: suspectEpochs pulls metadata once (serving both
+          // the coverage set and the range screen) and bloom binaries
+          // only for range-overlapping epochs
           val digests = spark.table(s"${name}_digest").filter(F.col("epoch") =!= epoch)
-          val covered = digests.select("epoch").collect().map(_.getLong(0)).toSet
-          val uncovered = presentEpochs(spark, name).filter(e => e != epoch && !covered(e))
           Some(IdDigest.suspectEpochs(
-            batch.select(F.col(idCol).as("id")), "id", digests, uncovered))
+            batch.select(F.col(idCol).as("id")), "id", digests,
+            presentEpochs = presentEpochs(spark, name).filter(_ != epoch)))
         } else None
       if (scanEpochs.forall(_.nonEmpty)) {
         val hist = spark.table(s"${name}_counts").filter(F.col("epoch") =!= epoch)

@@ -88,7 +88,14 @@ object CorpusIngestStream {
     // replayed, so folding them can't shadow a replayed batch's own docs.
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       NearDupIndex.compact(spark, indexName, upToEpoch = batchId - 1)
-    val b = curate(batch).cache()
+    // full-row dedup first: a re-delivered file (same doc in two files of
+    // one trigger) must not wedge the stream on append's id guard — the
+    // guard throws, the replay re-reads the same files, and the trigger
+    // can never commit. Identical rows are absorbed here; the SAME id
+    // with DIFFERENT content still reaches the guard and fails loudly —
+    // that is upstream corruption worth stopping the stream for, not
+    // something to paper over with an arbitrary pick. Batch-sized shuffle.
+    val b = curate(batch.dropDuplicates()).cache()
     // 1. intra-batch: one representative per near-dup cluster
     val (pairs, pairsCleanup) = Dedup.minhashNearDupPairsTracked(
       b, "doc_id", "text", cfg.n, minJ, cfg.numHashes, cfg.bands, cfg.rowsPerBand)

@@ -116,8 +116,14 @@ object EmbeddingIngestStream {
     // replayed, so folding them can't shadow a replayed batch.
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       IvfIndex.compact(spark, indexRoot, upToEpoch = batchId - 1)
+    // full-row dedup first: a re-delivered file (same vector in two files
+    // of one trigger) must not wedge the stream on append's id guard —
+    // identical rows are absorbed here, while the same id with DIFFERENT
+    // content still reaches the guard and fails loudly (upstream
+    // corruption, not something to pick-one past). Batch-sized shuffle;
+    // array columns group by value, so this is safe on the embedding col.
     val assigned = IvfIndex.assignCellsMulti(
-        curate(batch), "vec_id", "embedding", indexRoot, nProbeGate)
+        curate(batch.dropDuplicates()), "vec_id", "embedding", indexRoot, nProbeGate)
       .withColumn("cell", F.col("cells").getItem(0))
       .withColumn("nrm", F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))))
       .cache()

@@ -101,13 +101,25 @@ object CurationPipeline {
       if (chunkSize <= 0) balanced
       else Curation.chunkDocuments(balanced, "doc_id", "text", chunkSize, chunkOverlap)
         .join(balanced.drop("text"), "doc_id")
-        .withColumn("doc_id", F.col("doc_id") * (1L << 20) + F.col("chunk_idx"))
+        // the id-space contract is enforced, not assumed: a document
+        // overflowing 2^20 chunks would alias the NEXT document's id
+        // range and silently corrupt pack adjacency
+        .withColumn("doc_id",
+          F.when(F.col("chunk_idx") >= (1L << 20), F.raise_error(F.lit(
+            "chunking produced >= 2^20 chunks for one document; raise chunkSize")))
+            .otherwise(F.col("doc_id") * (1L << 20) + F.col("chunk_idx")))
         .drop("chunk_idx", "n_tokens")
         .withColumnRenamed("chunk_text", "text")
 
-    // 7. pack into token-budget sequences, shard for the trainer
+    // 7. pack into token-budget sequences, shard for the trainer.
+    // Chunk ids live in the doc_id·2^20 space, so the packing bucket
+    // width scales by the same factor — otherwise floor(id / 2^20)
+    // degenerates to one bucket PER DOCUMENT and the two-level prefix
+    // sum collapses into a corpus-sized single-partition window
+    val packBucket = if (chunkSize > 0) (1L << 20) * (1L << 20) else 1L << 20
     val packed = Curation.packSequences(
-        chunked, "doc_id", TextFunctions.tokenCount(F.col("text")), budget)
+        chunked, "doc_id", TextFunctions.tokenCount(F.col("text")), budget,
+        bucketSize = packBucket)
       .join(chunked, "doc_id")
       .withColumn("shard", F.pmod(F.col("seq_id"), F.lit(nShards)))
     packed.write.mode("overwrite").partitionBy("shard").parquet(outDir)

@@ -38,14 +38,11 @@ object StreamBench {
       .stripMargin.replaceAll("\n", "")
   }
 
-  /** 1-minute /proc/loadavg figure, or -1 off-Linux — same hot-run
-    * self-identification as [[graft.Bench]]: sampled at start and end so
-    * a run competing with another workload is readable from the JSON.
+  /** Same hot-run self-identification as [[graft.Bench]]: the 1-minute
+    * load is sampled at start and end so a run competing with another
+    * workload is readable from the JSON.
     */
-  private def loadavg(): Double =
-    try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
-      .split(" ")(0).toDouble
-    catch { case _: Throwable => -1.0 }
+  private def loadavg(): Double = graft.Bench.loadavg()
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(60000)

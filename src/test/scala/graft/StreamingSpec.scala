@@ -526,17 +526,23 @@ class StreamingSpec extends AnyFunSuite {
       "vec_id", "embedding", root, numCentroids = 4)
     val accepted = work.resolve("acc").toString
     val v100 = rand()
-    def run(rows: Seq[(Long, Seq[Double])], batchId: Long): Unit =
+    def run(rows: Seq[(Long, Seq[Double])], batchId: Long,
+        crashBeforeFold: Boolean = false): Unit =
       EmbeddingIngestStream.processBatch(spark,
         rows.toDF("vec_id", "embedding"), batchId, accepted, root,
-        maxCos = 0.999, compactEvery = 2)
+        maxCos = 0.999, compactEvery = 2, crashBeforeFold = crashBeforeFold)
     run(Seq((100L, v100)), 0L)
     run(Seq((101L, rand())), 1L)
     // batch 2's trigger folds epochs <= 1 first, then processes normally:
     // its copy of vec 100 must still be rejected even though 100 now
     // lives only in the consolidated partition, while its novel vector
-    // lands under epoch 2 as usual
-    run(Seq((102L, v100), (103L, rand())), 2L)
+    // lands under epoch 2 as usual. First attempt "crashes" AFTER the
+    // compaction and land but BEFORE the fold — the replay re-runs the
+    // (now no-op) compaction to its fixpoint before the gate reads
+    // anything, then converges
+    val batch2 = Seq((102L, v100), (103L, rand()))
+    run(batch2, 2L, crashBeforeFold = true)
+    run(batch2, 2L)
     val epochs = new java.io.File(root, "vectors").listFiles().toSeq
       .map(_.getName).filter(_.startsWith("epoch="))
       .map(_.stripPrefix("epoch=").toLong).toSet
@@ -584,5 +590,60 @@ class StreamingSpec extends AnyFunSuite {
     CorpusIngestStream.processBatch(spark, b1, 1L, accepted, name, 0.6, cfg, identity)
     assert(spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSet
       == Set(101L, 201L))
+  }
+
+  test("re-delivered identical rows in one trigger are absorbed; conflicting ids still throw") {
+    import spark.implicits._
+    import graft.operators.{IvfIndex, NearDupIndex}
+    import graft.streaming.{CorpusIngestStream, EmbeddingIngestStream}
+    val work = TestFixtures.tmpDir("redelivered")
+    val rnd = new scala.util.Random(23L)
+    def noise(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+
+    // corpus leg: the same (id, text) row twice in one batch — as if one
+    // file were delivered twice within a trigger — must NOT wedge the
+    // stream on append's internal-uniqueness guard; the row lands once
+    val name = s"redeliv_${System.nanoTime()}"
+    NearDupIndex.build(Seq((1L, noise(60))).toDF("doc_id", "text"),
+      "doc_id", "text", name)
+    val accepted = work.resolve("acc").toString
+    val cfg = NearDupIndex.Config()
+    val doc = noise(60)
+    CorpusIngestStream.processBatch(spark,
+      Seq((100L, doc), (100L, doc)).toDF("doc_id", "text"),
+      0L, accepted, name, 0.6, cfg, identity)
+    assert(spark.read.parquet(accepted).select("doc_id").as[Long].collect().toSeq
+      == Seq(100L))
+    assert(spark.table(s"${name}_counts").filter($"doc_id" === 100L).count() == 1)
+    // same id with DIFFERENT content is upstream corruption: fail loudly
+    // (the docs differ in length so neither near-dups the other)
+    val boom = intercept[IllegalArgumentException] {
+      CorpusIngestStream.processBatch(spark,
+        Seq((200L, noise(60)), (200L, noise(8))).toDF("doc_id", "text"),
+        1L, accepted, name, 0.6, cfg, identity)
+    }
+    assert(boom.getMessage.contains("internally duplicated"))
+
+    // embedding leg: same contract on the IVF ingest
+    val root = work.resolve("ivf").toString
+    def rand() = Array.fill(16)(rnd.nextGaussian())
+    IvfIndex.build(
+      (1L to 4L).map(i => (i, rand().toSeq)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, numCentroids = 2)
+    val acc2 = work.resolve("acc2").toString
+    val v = rand().toSeq
+    EmbeddingIngestStream.processBatch(spark,
+      Seq((100L, v), (100L, v)).toDF("vec_id", "embedding"),
+      0L, acc2, root, maxCos = 0.999)
+    assert(spark.read.parquet(acc2).select("vec_id").as[Long].collect().toSeq
+      == Seq(100L))
+    assert(spark.read.parquet(s"$root/vectors")
+      .filter($"id" === 100L).count() == 1)
+    val boom2 = intercept[IllegalArgumentException] {
+      EmbeddingIngestStream.processBatch(spark,
+        Seq((200L, rand().toSeq), (200L, rand().toSeq)).toDF("vec_id", "embedding"),
+        1L, acc2, root, maxCos = 0.999)
+    }
+    assert(boom2.getMessage.contains("internally duplicated"))
   }
 }
