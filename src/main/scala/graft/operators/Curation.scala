@@ -149,7 +149,10 @@ object Curation {
     require(overlap >= 0 && overlap < chunkSize,
       s"overlap must be in [0, chunkSize), got $overlap")
     val stride = chunkSize - overlap
-    val toks = TextFunctions.tokens(F.col(textCol))
+    // null text behaves like empty text (one empty chunk) — a null would
+    // otherwise null-propagate into the explode and silently DROP the
+    // document, breaking the lossless contract
+    val toks = TextFunctions.tokens(F.coalesce(F.col(textCol), F.lit("")))
     val n = F.size(toks)
     val nChunks = F.when(n <= chunkSize, F.lit(1))
       .otherwise(F.lit(1) +
@@ -162,6 +165,71 @@ object Curation {
       .select(F.col(idCol), F.col("chunk_idx"),
         F.size(F.col("__chunk")).as("n_tokens"),
         F.concat_ws(" ", F.col("__chunk")).as("chunk_text"))
+  }
+
+  /** Repeated-span scrub (exact-substring boilerplate removal): delete
+    * every occurrence of any word `n`-gram that appears in at least
+    * `minDf` DISTINCT documents, then rebuild each document from its
+    * surviving tokens — the span-granular complement of document-level
+    * dedup (navigation menus, license headers, and templated footers
+    * repeat across millions of otherwise-distinct pages; dropping whole
+    * documents over them throws away the unique content, and keeping
+    * them trains the model on boilerplate). The same operation underlies
+    * C4's three-sentence rule and the exact-substring pass of Lee et
+    * al.'s "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499), both simplified to a fixed token width.
+    *
+    * A token survives iff NO flagged span covers it: token `p` (0-based)
+    * is deleted when some flagged span starts in `[p-n+1, p]`. Overlapping
+    * flagged spans merge naturally under this union-of-intervals rule.
+    * Reconstruction is `concat_ws(" ")` over survivors, so inter-token
+    * whitespace is normalized (the tokenizer's contract, same as
+    * [[chunkDocuments]]); null text behaves like empty text. Emits the
+    * input columns with `textCol` rewritten, plus `n_tok_before` /
+    * `n_tok_after` so callers can gate on scrub intensity.
+    *
+    * Scale: one explode sized by total corpus tokens feeding a map-side-
+    * combined groupBy on the span string (the inherent global-frequency
+    * shuffle — repeated spans collapse in the combiner exactly where
+    * they're common), one join back of the flagged subset, and one
+    * per-doc collect of flagged START POSITIONS only (ints, not spans;
+    * bounded by doc token count). The final covered-token test runs in
+    * array land per row — `filter` with an `exists` probe over the doc's
+    * own flagged starts — narrow and codegen'd. At 100 TB, swap the
+    * span-string group key for `xxhash64(span)` to halve shuffle bytes
+    * (kept as the raw string here for bit-exact oracle parity; a 64-bit
+    * collision would merely over-flag one span pair).
+    */
+  def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int): DataFrame = {
+    require(n >= 1, s"span width must be positive, got $n")
+    require(minDf >= 2, s"minDf < 2 would flag every span, got $minDf")
+    val toks = TextFunctions.tokens(F.coalesce(F.col(textCol), F.lit("")))
+    val base = df.withColumn("__toks", toks)
+    val spans = base
+      .filter(F.size(F.col("__toks")) >= n)
+      .select(F.col(idCol),
+        F.posexplode(
+          F.transform(F.sequence(F.lit(0), F.size(F.col("__toks")) - n),
+            i => F.array_join(F.slice(F.col("__toks"), i + F.lit(1), F.lit(n)), " ")))
+          .as(Seq("pos", "span")))
+    val hot = spans.groupBy("span")
+      .agg(F.countDistinct(F.col(idCol)).as("__df"))
+      .filter(F.col("__df") >= minDf)
+      .select("span")
+    val hotStarts = spans.join(hot, "span")
+      .groupBy(idCol)
+      .agg(F.sort_array(F.collect_list(F.col("pos"))).as("__hot"))
+    base.join(hotStarts, Seq(idCol), "left")
+      .withColumn("__hot",
+        F.coalesce(F.col("__hot"), F.array().cast("array<int>")))
+      .withColumn("n_tok_before", F.size(F.col("__toks")))
+      .withColumn("__kept",
+        F.filter(F.col("__toks"), (_, p) =>
+          !F.exists(F.col("__hot"), s => s >= p - (n - 1) && s <= p)))
+      .withColumn("n_tok_after", F.size(F.col("__kept")))
+      .withColumn(textCol, F.concat_ws(" ", F.col("__kept")))
+      .drop("__toks", "__hot", "__kept")
   }
 
   /** Deterministic per-domain downsampling (corpus rebalancing): keep a

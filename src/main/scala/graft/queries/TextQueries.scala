@@ -288,6 +288,19 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Repeated-span scrub (exact-substring boilerplate removal): every
+    // 8-token span shared by >= 2 docs is deleted from ALL of them, docs
+    // rebuilt from surviving tokens. md5 of the rewritten text keeps the
+    // compared payload narrow.
+    "qd27_span_scrub" -> ((s, d) => {
+      Curation.scrubRepeatedSpans(docs(s, d), "doc_id", "text", n = 8, minDf = 2)
+        .select(F.col("doc_id"),
+          F.col("n_tok_before").cast("long").as("n_tok_before"),
+          F.col("n_tok_after").cast("long").as("n_tok_after"),
+          F.md5(F.col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Subword (BPE-ish regex) vs whitespace token counting. The corpus is
     // pure lowercase words, where the two modes coincide — a punctuated
     // suffix is appended per doc so the subword split genuinely diverges
@@ -480,6 +493,31 @@ object TextQueries extends QueryPack {
          FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
          LEFT JOIN nr ON nr.doc_id = b.doc_id
          ORDER BY b.doc_id""",
+    "qd27_span_scrub" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+           FROM documents),
+         spans AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS span
+           FROM toks, (SELECT unnest(range(1, 512)) AS i)
+           WHERE i <= len(w) - 7),
+         hot AS (SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+         hotpos AS (SELECT s.doc_id, s.pos FROM spans s JOIN hot USING (span)),
+         tok AS (
+           SELECT t.doc_id, i - 1 AS p, w[i] AS tk
+           FROM toks t, (SELECT unnest(range(1, 512)) AS i)
+           WHERE i <= len(w)),
+         kept AS (
+           SELECT tok.doc_id, p, tk FROM tok
+           WHERE NOT EXISTS (SELECT 1 FROM hotpos h
+                             WHERE h.doc_id = tok.doc_id AND h.pos BETWEEN p - 7 AND p))
+         SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tok_before,
+           CAST(count(k.p) AS BIGINT) AS n_tok_after,
+           md5(coalesce(string_agg(k.tk, ' ' ORDER BY k.p), '')) AS text_md5
+         FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         GROUP BY t.doc_id, len(t.w)
+         ORDER BY t.doc_id""",
     "qd24_tfidf_terms" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),

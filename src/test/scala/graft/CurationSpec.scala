@@ -115,6 +115,45 @@ class CurationSpec extends AnyFunSuite {
     assert(no == Seq("t1 t2 t3", "t4 t5 t6", "t7 t8 t9", "t10"))
   }
 
+  test("scrubRepeatedSpans deletes exactly the corpus-repeated spans, merging overlaps") {
+    import spark.implicits._
+    // docs 1 and 2 share two OVERLAPPING 3-gram spans, so their covered
+    // intervals must merge into one deleted run; doc 3 is untouched;
+    // doc 4 is shorter than the span width.
+    val docsDf = Seq(
+      (1L, "x1 b1 b2 b3 b4 x2 x3"), // spans "b1 b2 b3" and "b2 b3 b4" flagged
+      (2L, "y1 y2 b1 b2 b3 b4 y3"), // same two spans, different offsets
+      (3L, "z1 z2 z3 z4 z5"),
+      (4L, "w1 w2"))
+      .toDF("doc_id", "text")
+    val out = Curation.scrubRepeatedSpans(docsDf, "doc_id", "text", n = 3, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tok_before"), r.getAs[Int]("n_tok_after")))
+    // flagged spans: "b1 b2 b3" (docs 1,2) and "b2 b3 b4" (docs 1,2);
+    // their union covers b1..b4 in both docs, surrounding tokens survive
+    assert(out(0) == ((1L, "x1 x2 x3", 7, 3)))
+    assert(out(1) == ((2L, "y1 y2 y3", 7, 3)))
+    assert(out(2) == ((3L, "z1 z2 z3 z4 z5", 5, 5)))
+    assert(out(3) == ((4L, "w1 w2", 2, 2)))
+    // a span repeated WITHIN one doc only (df = 1) is not flagged
+    val solo = Seq(
+      (1L, "a1 a2 a3 q1 a1 a2 a3"),
+      (2L, "c1 c2 c3 c4 c5")).toDF("doc_id", "text")
+    val soloOut = Curation.scrubRepeatedSpans(solo, "doc_id", "text", n = 3, minDf = 2)
+      .orderBy("doc_id").collect().map(_.getAs[String]("text"))
+    assert(soloOut.toSeq == Seq("a1 a2 a3 q1 a1 a2 a3", "c1 c2 c3 c4 c5"))
+    // but with BOTH docs carrying it, every occurrence goes — including
+    // the repeat inside doc 1
+    val both = Seq(
+      (1L, "a1 a2 a3 q1 a1 a2 a3"),
+      (2L, "a1 a2 a3 c4 c5")).toDF("doc_id", "text")
+    val bothOut = Curation.scrubRepeatedSpans(both, "doc_id", "text", n = 3, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Int]("n_tok_after")))
+    assert(bothOut.toSeq == Seq(("q1", 1), ("c4 c5", 2)))
+  }
+
   test("domainQuota keeps exactly the k best rows per domain, ties broken by min id") {
     import spark.implicits._
     val df = Seq(
