@@ -253,6 +253,97 @@ object Curation {
     df.filter(h < rate)
   }
 
+  /** Quality-ordered token-budget selection: walk the corpus in
+    * (`quality` DESC, `idCol` ASC) order and keep documents until the
+    * running token total reaches `budget` — "the best N-billion-token
+    * subset", the selection step between scoring a corpus and training
+    * on it. A document is kept iff the total BEFORE it is under budget,
+    * so the boundary-crossing doc is included and the selection never
+    * undershoots while the corpus can cover it. Emits (idCol, quality,
+    * n_tok, cum_before).
+    *
+    * The global running sum over an arbitrary sort key needs no
+    * single-partition window: `repartitionByRange` on the sort key makes
+    * every row of partition i precede every row of partition i+1, so
+    * per-partition window sums (keyed by the captured partition id) plus
+    * a broadcast prefix over the numPartitions-row per-partition totals
+    * reconstruct the exact global cumsum — [[packSequences]]'s two-level
+    * scan generalized from a bounded id space to ANY ordering, with the
+    * range partitioner supplying the bounded bucketing. Both window
+    * branches hang off the same range exchange (Catalyst reuses it), and
+    * partition count follows `spark.sql.shuffle.partitions`, so the
+    * per-task window state stays ~corpus/P at any scale.
+    */
+  def selectByTokenBudget(df: DataFrame, idCol: String, quality: Column,
+      tokenCount: Column, budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .select(F.col(idCol), quality.as("quality"), tokenCount.cast("long").as("n_tok"))
+      .repartitionByRange(p, F.col("quality").desc, F.col(idCol))
+      .sortWithinPartitions(F.col("quality").desc, F.col(idCol))
+      .withColumn("__part", F.spark_partition_id())
+    val wIn = Window.partitionBy("__part")
+      .orderBy(F.col("quality").desc, F.col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranged.withColumn("__cum", F.sum("n_tok").over(wIn))
+    val wPre = Window.orderBy("__part").rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = ranged.groupBy("__part").agg(F.sum("n_tok").as("__tot"))
+      .withColumn("__prefix", F.coalesce(F.sum("__tot").over(wPre), F.lit(0L)))
+      .select("__part", "__prefix")
+    cum.join(F.broadcast(prefix), "__part")
+      .withColumn("cum_before", F.col("__prefix") + F.col("__cum") - F.col("n_tok"))
+      .filter(F.col("cum_before") < budget)
+      .select(idCol, "quality", "n_tok", "cum_before")
+  }
+
+  /** Leakage-safe corpus split: assign every near-dup CLUSTER — not
+    * every document — to a split, so no near-duplicate pair ever
+    * straddles train/validation/test (per-document random splitting
+    * leaks: a test doc whose near-twin sits in train is partially
+    * memorized, and eval numbers inflate). `pairs` is any near-dup edge
+    * list (`a_id`, `b_id` — [[Dedup.jaccardPairs]],
+    * [[Dedup.minhashNearDupPairs]], or an embedding-cosine variant);
+    * connected components collapse it into clusters, the cluster rep's
+    * hash decides the split for all members, and singletons hash their
+    * own id (their component). `splits` are (name, percent) in
+    * assignment order, summing to 100.
+    *
+    * Deterministic: the decision is a pure function of (seed, component)
+    * through the engine-portable [[TextFunctions.portableHash64]], so
+    * the same corpus splits identically across runs, engines, and
+    * cluster sizes — and stays STABLE under corpus growth except where
+    * new edges merge clusters (the unavoidable case: a merged cluster
+    * must move together).
+    *
+    * Scale: component discovery is [[Dedup.connectedComponents]]'
+    * log-round propagation (shuffles sized by the edge list); assignment
+    * is one left join of the corpus against the component relation
+    * (near-dup clusters only — typically a small fraction of docs) plus
+    * a narrow hash ladder.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Int)], seed: String): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100 &&
+      splits.forall(_._2 > 0),
+      s"splits must be positive percents summing to 100, got $splits")
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .withColumnRenamed("id", idCol)
+    val assigned = df.join(cc, Seq(idCol), "left")
+      .withColumn("component", F.coalesce(F.col("comp"), F.col(idCol)))
+      .drop("comp")
+    val h = F.pmod(
+      TextFunctions.portableHash64(
+        F.concat(F.lit(seed + "-"), F.col("component").cast("string"))),
+      F.lit(100L))
+    val cuts = splits.map(_._1).zip(splits.scanLeft(0)(_ + _._2).tail)
+    val ladder = cuts.init.foldRight(F.lit(cuts.last._1): Column) {
+      case ((name, hi), els) => F.when(h < hi, F.lit(name)).otherwise(els)
+    }
+    assigned.withColumn("split", ladder)
+  }
+
   /** Exact per-domain quality quota: keep the `quota` highest-`quality`
     * rows of each domain, deterministic id tie-break — the EXACT
     * counterpart of the probabilistic [[downsampleByDomain]] /

@@ -288,6 +288,29 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Quality-ordered token-budget selection: keep the best docs until
+    // the running token total crosses 8000 — greedy by (quality DESC,
+    // doc_id). The oracle recomputes the same quality score and a global
+    // window cumsum; the Spark side reconstructs that cumsum with the
+    // range-partitioned two-level scan (no single-partition window).
+    "qd28_token_budget" -> ((s, d) => {
+      Curation.selectByTokenBudget(docs(s, d), "doc_id",
+          qualityScore(F.col("text")), tokenCount(F.col("text")), budget = 8000L)
+        .orderBy("doc_id")
+    }),
+
+    // Leakage-safe 80/10/10 split: near-dup clusters (qd17's pairs at
+    // J >= 0.3) move to a split as a unit, singletons hash their own id.
+    "qd29_leakage_split" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.jaccardPairs(dd, "doc_id", "text", 3, 0.3)
+        .select("a_id", "b_id")
+      Curation.leakageSafeSplit(dd.select("doc_id"), "doc_id", pairs,
+          Seq(("train", 80), ("val", 10), ("test", 10)), "sp6")
+        .select("doc_id", "component", "split")
+        .orderBy("doc_id")
+    }),
+
     // Repeated-span scrub (exact-substring boilerplate removal): every
     // 8-token span shared by >= 2 docs is deleted from ALL of them, docs
     // rebuilt from surviving tokens. md5 of the rewritten text keeps the
@@ -493,6 +516,51 @@ object TextQueries extends QueryPack {
          FROM b LEFT JOIN ex ON ex.doc_id = b.doc_id
          LEFT JOIN nr ON nr.doc_id = b.doc_id
          ORDER BY b.doc_id""",
+    "qd28_token_budget" ->
+      """WITH q AS (
+           SELECT doc_id,
+             round(
+               least(array_length(w) / 20.0, 1.0) * 0.4 +
+               (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
+               least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3,
+               6) AS quality,
+             CAST(array_length(w) AS BIGINT) AS n_tok
+           FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)),
+         c AS (
+           SELECT doc_id, quality, n_tok,
+             coalesce(sum(n_tok) OVER (ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM q)
+         SELECT doc_id, quality, n_tok, cum_before
+         FROM c WHERE cum_before < 8000 ORDER BY doc_id""",
+    "qd29_leakage_split" ->
+      s"""WITH RECURSIVE $oracleShingles,
+         pairs AS (
+           SELECT a_id, b_id FROM (
+             SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(count(*) AS DOUBLE) /
+                 (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)), 4) AS jaccard
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             JOIN cnt ca ON ca.doc_id = a.doc_id
+             JOIN cnt cb ON cb.doc_id = b.doc_id
+             GROUP BY a.doc_id, b.doc_id)
+           WHERE jaccard >= 0.3),
+         edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+                   UNION ALL SELECT b_id AS a, a_id AS b FROM pairs),
+         reach(id, r) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         comp AS (
+           SELECT d.doc_id, least(d.doc_id, coalesce(min(r.r), d.doc_id)) AS component
+           FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+           GROUP BY d.doc_id),
+         h AS (SELECT doc_id, component,
+           CAST('0x' || substr(md5('sp6-' || CAST(component AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS hv
+           FROM comp)
+         SELECT doc_id, component,
+           CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val' ELSE 'test' END AS split
+         FROM h ORDER BY doc_id""",
     "qd27_span_scrub" ->
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w

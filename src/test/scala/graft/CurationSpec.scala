@@ -154,6 +154,63 @@ class CurationSpec extends AnyFunSuite {
     assert(bothOut.toSeq == Seq(("q1", 1), ("c4 c5", 2)))
   }
 
+  test("selectByTokenBudget equals the greedy quality-descending prefix, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    val rows = (1L to 400L).map(i => (i, rnd.nextInt(1000) / 1000.0, 1 + rnd.nextInt(50)))
+    val df = rows.toDF("doc_id", "q", "n")
+    val budget = 3000L
+    // local greedy reference: walk (q desc, id), accumulate, keep while
+    // the total BEFORE the doc is under budget
+    val expected = rows.sortBy { case (id, q, _) => (-q, id) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, _, n)) => (id, cum, cum + n) }
+      .tail.takeWhile(_._2 < budget).map(t => (t._1, t._2)).toMap
+    val out = Curation.selectByTokenBudget(df, "doc_id", F.col("q"), F.col("n"), budget)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_before")).toMap
+    assert(out == expected)
+    // partition-count-invariant: 1 partition and 7 partitions agree
+    assert(Curation.selectByTokenBudget(df, "doc_id", F.col("q"), F.col("n"), budget,
+      partitions = 1).collect().map(_.getAs[Long]("doc_id")).toSet == expected.keySet)
+    assert(Curation.selectByTokenBudget(df, "doc_id", F.col("q"), F.col("n"), budget,
+      partitions = 7).collect().map(_.getAs[Long]("doc_id")).toSet == expected.keySet)
+    // the boundary doc is included: selected tokens reach the budget
+    val selectedTokens = rows.filter(t => expected.contains(t._1)).map(_._3.toLong).sum
+    assert(selectedTokens >= budget)
+  }
+
+  test("leakageSafeSplit keeps every near-dup cluster in one split, deterministically") {
+    import spark.implicits._
+    val docsDf = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3 must co-locate; 10-11 must co-locate; rest are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val splits = Seq(("train", 80), ("val", 10), ("test", 10))
+    val out = Curation.leakageSafeSplit(docsDf, "doc_id", pairs, splits, "s1")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[String]("split"))).toMap
+    assert(out.size == 200)
+    // cluster co-assignment, min-id component rep
+    assert(Seq(1L, 2L, 3L).map(out(_)).distinct.size == 1)
+    assert(out(1L)._1 == 1L)
+    assert(Seq(10L, 11L).map(out(_)).distinct.size == 1)
+    // no near-dup pair straddles splits
+    Seq((1L, 2L), (2L, 3L), (10L, 11L)).foreach { case (a, b) =>
+      assert(out(a)._2 == out(b)._2, s"pair ($a,$b) straddles splits")
+    }
+    // deterministic across runs, every split non-empty at these sizes,
+    // and proportions roughly honored (hash-of-component, so exact
+    // counts are data-dependent but 80% must dominate)
+    val again = Curation.leakageSafeSplit(docsDf, "doc_id", pairs, splits, "s1")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(again == out.map { case (k, v) => k -> v._2 })
+    val byName = out.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+    // a different seed reshuffles at least one assignment
+    val reseeded = Curation.leakageSafeSplit(docsDf, "doc_id", pairs, splits, "s2")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(reseeded != again)
+  }
+
   test("domainQuota keeps exactly the k best rows per domain, ties broken by min id") {
     import spark.implicits._
     val df = Seq(
