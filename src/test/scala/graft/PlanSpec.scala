@@ -119,6 +119,45 @@ class PlanSpec extends AnyFunSuite {
       s"chunking must stay shuffle-free (tokenize + explode + slice):\n$plan")
   }
 
+  test("scrubRepeatedSpans counts spans with a map-side partial aggregate, no cartesian") {
+    val docs = graft.runtime.Tables.load(spark, sf, "documents")
+    val scrubbed = graft.operators.Curation.scrubRepeatedSpans(
+      docs, "doc_id", "text", n = 8, minDf = 2)
+    scrubbed.count()
+    val plan = scrubbed.queryExecution.executedPlan.toString
+    // the global span-frequency count must partial-aggregate before its
+    // exchange (repeated spans collapse in the combiner where they are
+    // common) and candidate generation must stay an equi-join
+    assert(plan.contains("partial_count"),
+      s"span df count lost its map-side partial phase:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span scrub must never plan an all-pairs join:\n$plan")
+    // the covered-token deletion is an array kernel, not a per-token join
+    assert(!plan.toLowerCase.contains("window"),
+      s"covered-token test must stay in array land, not a window:\n$plan")
+  }
+
+  test("selectByTokenBudget: windows key on the range partition id, prefix joins broadcast") {
+    val docs = graft.runtime.Tables.load(spark, sf, "documents")
+    val sel = graft.operators.Curation.selectByTokenBudget(
+      docs, "doc_id", graft.functions.TextFunctions.qualityScore(F.col("text")),
+      graft.functions.TextFunctions.tokenCount(F.col("text")), budget = 4000L)
+    sel.count()
+    val plan = sel.queryExecution.executedPlan.toString
+    // corpus-sized data flows through range + hash-by-__part exchanges;
+    // the only SinglePartition exchange allowed is the P-row per-partition
+    // totals feeding the prefix window
+    assert(plan.contains("rangepartitioning"),
+      s"budget selection lost its range partitioning:\n$plan")
+    assert(plan.contains("hashpartitioning(__part"),
+      s"per-partition cumsum window lost its __part keying:\n$plan")
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single <= 1, s"unexpected single-partition exchanges ($single):\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the P-row prefix relation must join broadcast:\n$plan")
+  }
+
   test("domainQuota reduces map-side: partial topk_rows runs below the exchange") {
     val docs = graft.runtime.Tables.load(spark, sf, "documents")
     val quota = graft.operators.Curation.domainQuota(
