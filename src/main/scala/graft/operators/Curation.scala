@@ -269,10 +269,15 @@ object Curation {
     * a broadcast prefix over the numPartitions-row per-partition totals
     * reconstruct the exact global cumsum — [[packSequences]]'s two-level
     * scan generalized from a bounded id space to ANY ordering, with the
-    * range partitioner supplying the bounded bucketing. Both window
-    * branches hang off the same range exchange (Catalyst reuses it), and
-    * partition count follows `spark.sql.shuffle.partitions`, so the
-    * per-task window state stays ~corpus/P at any scale.
+    * range partitioner supplying the bounded bucketing. The ranged
+    * 3-column relation is cached so the cumsum window and the totals
+    * aggregate share ONE scan and ONE range shuffle — exchange reuse
+    * cannot be relied on here (column pruning specializes each branch's
+    * exchange subtree and defeats `ReuseExchange`; measured 2× scans
+    * without the cache). At 100 TB swap the cache for a materialized
+    * staging write; either way the corpus is ranged once. Partition
+    * count follows `spark.sql.shuffle.partitions`, so per-task window
+    * state stays ~corpus/P at any scale.
     */
   def selectByTokenBudget(df: DataFrame, idCol: String, quality: Column,
       tokenCount: Column, budget: Long, partitions: Int = 0): DataFrame = {
@@ -284,6 +289,7 @@ object Curation {
       .repartitionByRange(p, F.col("quality").desc, F.col(idCol))
       .sortWithinPartitions(F.col("quality").desc, F.col(idCol))
       .withColumn("__part", F.spark_partition_id())
+      .cache()
     val wIn = Window.partitionBy("__part")
       .orderBy(F.col("quality").desc, F.col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -150,6 +150,12 @@ class PlanSpec extends AnyFunSuite {
     // totals feeding the prefix window
     assert(plan.contains("rangepartitioning"),
       s"budget selection lost its range partitioning:\n$plan")
+    // both the cumsum window and the totals aggregate must read the ONE
+    // cached ranged relation — without it, column pruning specializes
+    // each branch's exchange subtree, ReuseExchange misses, and the
+    // corpus is scanned + range-shuffled twice
+    assert("InMemoryTableScan".r.findAllIn(plan).size == 2,
+      s"cumsum and totals branches must share the cached ranged relation:\n$plan")
     assert(plan.contains("hashpartitioning(__part"),
       s"per-partition cumsum window lost its __part keying:\n$plan")
     val single = "Exchange SinglePartition".r.findAllIn(plan).size
