@@ -40,10 +40,23 @@ object CurationPipeline {
     * `doc_id·2²⁰ + chunk_idx` — order-preserving, so packing still
     * concatenates a document's chunks adjacently and in order (requires
     * chunk counts < 2²⁰, i.e. docs under ~10⁹ tokens at chunkSize 1k).
+    *
+    * `scrubSpanWidth > 0` enables the repeated-span scrub between
+    * redaction and the quality gate (so quality/repetition stats score
+    * the text the trainer will actually see); `tokenBudget > 0` keeps
+    * only the best documents (quality DESC) until the budget is covered;
+    * a non-empty `splits` assigns every near-dup CLUSTER (the stage-2
+    * pair list, so split hygiene uses the same similarity evidence that
+    * drove dedup) to one split and PACKS EACH SPLIT SEPARATELY — a
+    * packed sequence never mixes splits — writing
+    * `split=<name>/shard=<k>` directories.
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       budget: Int = 512, nShards: Int = 8,
-      chunkSize: Int = 0, chunkOverlap: Int = 0): StageCounts = {
+      chunkSize: Int = 0, chunkOverlap: Int = 0,
+      scrubSpanWidth: Int = 0, scrubMinDf: Int = 3,
+      tokenBudget: Long = 0L,
+      splits: Seq[(String, Int)] = Nil, splitSeed: String = "split-v1"): StageCounts = {
     val all = Tables.load(spark, sfDir, "documents")
     val bench = all.filter(F.col("doc_id") % 20 === 0)
     val corpus = all.filter(F.col("doc_id") % 20 =!= 0).cache()
@@ -78,9 +91,18 @@ object CurationPipeline {
     val redacted = Curation.redact(clean, "text")
       .drop("text").withColumnRenamed("redacted", "text")
 
+    // 4.5 (opt-in): repeated-span scrub — corpus-level boilerplate
+    // (license headers, templated footers) deleted from every carrier
+    // BEFORE quality scoring, so the gates judge the surviving text
+    val scrubbed =
+      if (scrubSpanWidth <= 0) redacted
+      else Curation.scrubRepeatedSpans(redacted, "doc_id", "text",
+          scrubSpanWidth, scrubMinDf)
+        .drop("n_tok_before", "n_tok_after")
+
     // 5. quality + language gate, then the Gopher repetition gate
     // (phrase-looped / boilerplate docs survive pure quality scores)
-    val scored = redacted.filter(
+    val scored = scrubbed.filter(
       TextFunctions.qualityScore(F.col("text")) >= 0.3 &&
         TextFunctions.langId(F.col("text")) =!= "und")
     val filtered = scored.join(
@@ -93,14 +115,41 @@ object CurationPipeline {
       rates = Map("en" -> 100, "es" -> 80, "fr" -> 80, "de" -> 60),
       defaultRate = 40, seed = "curation-v1")
 
+    // 6.6 (opt-in): token-budget selection — the best documents (by the
+    // same quality score the gate used) until the budget is covered
+    val budgeted =
+      if (tokenBudget <= 0) balanced
+      else balanced.join(
+        Curation.selectByTokenBudget(balanced, "doc_id",
+            TextFunctions.qualityScore(F.col("text")),
+            TextFunctions.tokenCount(F.col("text")), tokenBudget)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+
+    // 6.7 (opt-in): leakage-safe split assignment on DOCUMENTS (before
+    // chunking, so all of a document's chunks inherit one split) using
+    // the stage-2 near-dup pairs — pairs referencing dropped docs still
+    // merge their surviving neighbors' clusters, which is the safe
+    // direction (a dropped bridge doc forces its neighbors together)
+    val withSplit =
+      if (splits.isEmpty) budgeted
+      else Curation.leakageSafeSplit(budgeted, "doc_id", nearPairs, splits, splitSeed)
+        .drop("component")
+
     // 6.5 (opt-in): split long documents to the context budget — chunk
     // rows inherit their document's metadata columns and an
     // order-preserving synthetic id, so the packing stage below still
     // lays a document's pieces out adjacently
-    val chunked =
-      if (chunkSize <= 0) balanced
-      else Curation.chunkDocuments(balanced, "doc_id", "text", chunkSize, chunkOverlap)
-        .join(balanced.drop("text"), "doc_id")
+    // the pre-pack relation is CACHED: the packing stage consumes it
+    // once per split plus twice for stage counts, and each consumer
+    // would otherwise replan (and recompile — measured minutes of
+    // codegen) and recompute the full upstream chain of dedup + CC +
+    // scrub + gates. At 100 TB this is the staging write between
+    // curation and packing; here the in-memory form of the same thing.
+    val chunked = (
+      if (chunkSize <= 0) withSplit
+      else Curation.chunkDocuments(withSplit, "doc_id", "text", chunkSize, chunkOverlap)
+        .join(withSplit.drop("text"), "doc_id")
         // the id-space contract is enforced, not assumed: a document
         // overflowing 2^20 chunks would alias the NEXT document's id
         // range and silently corrupt pack adjacency
@@ -110,6 +159,7 @@ object CurationPipeline {
             .otherwise(F.col("doc_id") * (1L << 20) + F.col("chunk_idx")))
         .drop("chunk_idx", "n_tokens")
         .withColumnRenamed("chunk_text", "text")
+    ).cache()
 
     // 7. pack into token-budget sequences, shard for the trainer.
     // Chunk ids live in the doc_id·2^20 space, so the packing bucket
@@ -117,12 +167,20 @@ object CurationPipeline {
     // degenerates to one bucket PER DOCUMENT and the two-level prefix
     // sum collapses into a corpus-sized single-partition window
     val packBucket = if (chunkSize > 0) (1L << 20) * (1L << 20) else 1L << 20
-    val packed = Curation.packSequences(
-        chunked, "doc_id", TextFunctions.tokenCount(F.col("text")), budget,
+    def pack(df: DataFrame): DataFrame = Curation.packSequences(
+        df, "doc_id", TextFunctions.tokenCount(F.col("text")), budget,
         bucketSize = packBucket)
-      .join(chunked, "doc_id")
+      .join(df, "doc_id")
       .withColumn("shard", F.pmod(F.col("seq_id"), F.lit(nShards)))
-    packed.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    if (splits.isEmpty)
+      pack(chunked).write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    else
+      // each split packs INDEPENDENTLY (its own offsets and seq ids), so
+      // no packed sequence can straddle train/val/test; one lazy union,
+      // one write
+      splits.map { case (name, _) => pack(chunked.filter(F.col("split") === name)) }
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").partitionBy("split", "shard").parquet(outDir)
 
     val counts = StageCounts(Seq(
       "corpus" -> corpus.count(),
@@ -132,9 +190,11 @@ object CurationPipeline {
       "quality_lang" -> scored.count(),
       "repetition" -> filtered.count(),
       "balanced" -> balanced.count()) ++
+      (if (tokenBudget > 0) Seq("budgeted" -> budgeted.count()) else Nil) ++
       (if (chunkSize > 0) Seq("chunked" -> chunked.count()) else Nil) :+
       ("packed" -> spark.read.parquet(outDir).count()))
     corpus.unpersist()
+    chunked.unpersist()
     counts
   }
 

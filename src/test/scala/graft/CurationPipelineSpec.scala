@@ -64,4 +64,62 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(origDocs == plain("balanced"),
       "chunking lost or invented documents")
   }
+
+  test("scrub, token budget, and leakage-safe splits compose into the full corpus build") {
+    import graft.operators.Dedup
+    val out = TestFixtures.tmpDir("curated-full").resolve("shards").toString
+    val counts = CurationPipeline.run(spark, sf, out,
+      chunkSize = 64, chunkOverlap = 8,
+      scrubSpanWidth = 8, scrubMinDf = 2,
+      tokenBudget = 4000L,
+      splits = Seq(("train", 80), ("val", 10), ("test", 10))).stages.toMap
+
+    // the budget stage selects a strict subset at this budget, and
+    // nothing downstream drops rows
+    assert(counts("budgeted") <= counts("balanced"))
+    assert(counts("budgeted") > 0)
+    assert(counts("packed") == counts("chunked"), "packing must not drop chunk rows")
+
+    val rows = spark.read.parquet(out)
+    assert(rows.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+
+    // no packed sequence straddles splits: (split, seq_id) is the
+    // sequence identity and every sequence holds rows of ONE split by
+    // construction — verify the write preserved that
+    val mixed = rows.groupBy("split", "seq_id")
+      .agg(F.countDistinct("split").as("ns")).filter(F.col("ns") > 1).count()
+    assert(mixed == 0)
+
+    // leakage hygiene end to end: recompute the stage-2 pair list on the
+    // surviving docs and check no near-dup pair straddles splits
+    val docSplit = rows
+      .select((F.col("doc_id") / (1L << 20)).cast("long").as("d"), F.col("split"))
+      .distinct()
+    assert(docSplit.groupBy("d").agg(F.countDistinct("split").as("ns"))
+      .filter(F.col("ns") > 1).count() == 0,
+      "a document's chunks landed in different splits")
+    val all = graft.runtime.Tables.load(spark, sf, "documents")
+    val pairs = Dedup.minhashNearDupPairs(all, "doc_id", "text", n = 3, minJ = 0.6)
+    val straddle = pairs
+      .join(docSplit.withColumnRenamed("d", "a_id").withColumnRenamed("split", "sa"), "a_id")
+      .join(docSplit.withColumnRenamed("d", "b_id").withColumnRenamed("split", "sb"), "b_id")
+      .filter(F.col("sa") =!= F.col("sb")).count()
+    assert(straddle == 0, s"$straddle near-dup pairs straddle splits")
+
+    // the scrub ran: corpus-repeated 8-gram spans are gone from the output
+    val rebuilt = rows.select(
+      (F.col("doc_id") / (1L << 20)).cast("long").as("d"), F.col("text"))
+    val spans = rebuilt.select(F.col("d"), F.explode(
+        F.when(F.size(F.split(F.col("text"), "\\s+")) >= 8,
+          F.transform(
+            F.sequence(F.lit(0), F.size(F.split(F.col("text"), "\\s+")) - 8),
+            i => F.array_join(F.slice(F.split(F.col("text"), "\\s+"), i + F.lit(1), F.lit(8)), " ")))
+          .otherwise(F.array().cast("array<string>"))).as("span"))
+    // chunk overlap duplicates tokens WITHIN a doc, so only cross-doc
+    // repeats (countDistinct doc >= 2) falsify the scrub
+    val hot = spans.groupBy("span").agg(F.countDistinct("d").as("df"))
+      .filter(F.col("df") >= 2).count()
+    assert(hot == 0, s"$hot corpus-repeated spans survived the scrub")
+  }
 }
