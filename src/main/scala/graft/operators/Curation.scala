@@ -53,6 +53,32 @@ object Curation {
         F.countDistinct(F.col("__bench_id")).as("n_bench_docs"))
   }
 
+  /** Graded contamination: every training document with its benchmark
+    * n-gram overlap FRACTION — where [[decontaminate]] answers "which
+    * docs touch the benchmark at all" (and is the right gate), this
+    * answers "how much", the signal a pipeline needs to choose a
+    * threshold (a 13-gram match on 0.4% of a long document is citation;
+    * 40% is a leaked eval row). Emits (idCol, n_shingles, n_shared,
+    * overlap_frac) for every doc that HAS shingles (docs shorter than
+    * `n` carry none and are omitted, same contract as [[decontaminate]]).
+    *
+    * Same scale shape as [[decontaminate]]: benchmark shingles broadcast
+    * distinct, corpus side shuffle-free until the per-doc aggregations.
+    */
+  def contaminationScore(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val tSh = Dedup.shingleTable(train, idCol, textCol, n)
+    val bSh = Dedup.shingleTable(bench, idCol, textCol, n)
+      .select("shingle").distinct()
+    val totals = tSh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_shingles"))
+    val shared = tSh.join(F.broadcast(bSh), "shingle")
+      .groupBy(idCol).agg(F.count(F.lit(1)).as("n_shared"))
+    totals.join(shared, Seq(idCol), "left")
+      .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0L)))
+      .withColumn("overlap_frac",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 4))
+  }
+
   /** The end-to-end scrub: training docs with every contaminated doc
     * removed (left-anti against [[decontaminate]]'s flag set). The common
     * pretraining-pipeline call — flag for audit, anti-join for the shard.

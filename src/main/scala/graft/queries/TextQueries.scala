@@ -157,6 +157,17 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Graded contamination: benchmark-overlap FRACTION for every train
+    // doc (qd13 flags; this measures — the threshold-picking signal).
+    "qd30_contamination_score" -> ((s, d) => {
+      val all = docs(s, d)
+      Curation.contaminationScore(
+          all.filter(F.col("doc_id") % 20 =!= 0),
+          all.filter(F.col("doc_id") % 20 === 0),
+          "doc_id", "text", 4)
+        .orderBy("doc_id")
+    }),
+
     // Pattern redaction (PII-scrub surface): per-doc match count + md5 of
     // the redacted text proves byte-identical replacement vs the oracle.
     // The synthetic corpus carries no real PII, so the oracle query scrubs
@@ -368,6 +379,24 @@ object TextQueries extends QueryPack {
   }
 
   def oracle: Map[String, String] = Map(
+    "qd30_contamination_score" ->
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+                (SELECT unnest(range(1, 512)) AS i)
+           WHERE i <= array_length(w) - 3),
+         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+         train AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+         tot AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+         shr AS (SELECT t.doc_id, count(*) AS n_shared
+                 FROM train t JOIN bench b ON t.shingle = b.shingle
+                 GROUP BY t.doc_id)
+         SELECT tot.doc_id,
+           tot.n_shingles,
+           coalesce(shr.n_shared, 0) AS n_shared,
+           round(CAST(coalesce(shr.n_shared, 0) AS DOUBLE) / tot.n_shingles, 4) AS overlap_frac
+         FROM tot LEFT JOIN shr ON shr.doc_id = tot.doc_id
+         ORDER BY tot.doc_id""",
     "qd13_decontaminate" ->
       """WITH sh AS (
            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle

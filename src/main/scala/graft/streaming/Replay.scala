@@ -73,10 +73,25 @@ object Replay {
       timeScale: Double = 0.0,
       maxBatches: Int = Int.MaxValue): Long = {
     val spark = source.sparkSession
-    val ordered = source.withColumn("__idx",
-      F.row_number().over(Window.orderBy(F.col(tsCol), F.col(idCol))).cast("long") - 1)
+    // the indexed ordering is STAGED once per checkpoint lineage, not
+    // recomputed per batch: the per-batch `__idx` filters below would
+    // otherwise re-run the ordering window for EVERY batch (batches ×
+    // corpus sorts), and a resume in a fresh JVM would re-derive the
+    // order from a source that may have changed under it — the staged
+    // copy makes the replay order a durable fact, like the reference's
+    // producer reading one fixed CSV. _SUCCESS guards a crash mid-stage
+    // (the overwrite rewrites the directory whole). Delete the staging
+    // dir with the checkpoint to re-stage a new source.
+    val stagedPath = s"$ckptPath.staged"
+    val staged = new Path(stagedPath)
+    val fs = staged.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(stagedPath, "_SUCCESS")))
+      source.withColumn("__idx",
+        F.row_number().over(Window.orderBy(F.col(tsCol), F.col(idCol))).cast("long") - 1)
+        .write.mode("overwrite").parquet(stagedPath)
+    val ordered = spark.read.parquet(stagedPath)
 
-    val total = source.count()
+    val total = ordered.count()
     var next = readCheckpoint(spark, ckptPath) + 1
     var batches = 0
     var replayed = 0L
