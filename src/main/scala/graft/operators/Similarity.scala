@@ -277,4 +277,92 @@ object Similarity {
       .select("a_id", "b_id", "cos_sim")
   }
 
+  /** Semantic deduplication over an embedding column (the SemDeDup recipe,
+    * Abbas et al. 2023, arXiv:2303.09540): cosine near-dup pairs →
+    * connected components → one representative per semantic cluster (the
+    * min-id member, which IS the component label under
+    * [[Dedup.connectedComponents]]' min-label propagation). The
+    * embedding-space complement of the token-space clustering in
+    * `Dedup`/qd17 — catches paraphrases and translations that share no
+    * shingles.
+    *
+    * Emits one row per input vector: (idCol, component, cluster_size,
+    * is_rep). Filtering `is_rep = 1` keeps exactly one doc per semantic
+    * cluster; `cluster_size` is the threshold-picking signal.
+    *
+    * Scale: the default pair generator is the EXACT blocked all-pairs
+    * kernel ([[cosinePairsBlocked]] — quadratic by contract, the oracle
+    * tier). At 100 TB pass `candidatePairs = rpLshNearDupPairs(...)` or
+    * the [[IvfIndex]] cell-local pair list instead: everything downstream
+    * (components, sizes, rep choice) is sized by the PAIR LIST, never the
+    * corpus, and the component rounds shuffle only edges
+    * ([[Dedup.connectedComponents]]' contract).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      candidatePairs: Option[DataFrame] = None): DataFrame = {
+    val pairs = candidatePairs
+      .getOrElse(cosinePairsBlocked(df, idCol, vecCol, minCos))
+      .select("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .withColumnRenamed("id", idCol)
+    // vectors in no pair are their own singleton component
+    val labeled = df.select(F.col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("comp"), F.col(idCol)).as("component"))
+    val sizes = labeled.groupBy("component")
+      .agg(F.count(F.lit(1)).as("cluster_size"))
+    labeled.join(sizes, "component")
+      .select(F.col(idCol), F.col("component"), F.col("cluster_size"),
+        (F.col(idCol) === F.col("component")).cast("int").as("is_rep"))
+  }
+
+  /** Cluster-stratified diversity sample: assign every vector to a
+    * deterministic RP-LSH cell (sign bits over [[hyperplanes]], the same
+    * seeded family [[lshMultiProbeTopK]] probes), then keep `perCell`
+    * vectors per cell by a seeded portable hash — a downsample that
+    * preserves semantic COVERAGE instead of the marginal distribution
+    * (uniform sampling keeps duplicates of the dense modes and starves
+    * rare regions; per-cell quotas keep every region represented).
+    *
+    * Per-cell selection goes through the [[graft.plans.TopKAggregate]]
+    * map-side top-k aggregate, not a window: each map task reduces to
+    * ≤ perCell rows per cell BEFORE the shuffle, so cell skew never
+    * single-partitions the corpus. The sort key is the 2⁵⁰-bounded
+    * [[graft.functions.TextFunctions.portableHash64]] — exactly
+    * representable in the aggregate's double sort slot AND recomputable
+    * bit-for-bit by any engine with md5, which keeps the whole operator
+    * oracle-checkable. More planes → more cells → finer strata; 2^planes
+    * should be sized well below the corpus count.
+    *
+    * Emits (cell, rank, idCol) with rank 1..perCell in hash order.
+    */
+  def clusterStratifiedSample(df: DataFrame, idCol: String, vecCol: String,
+      perCell: Int, planes: Int = 4, dim: Int = 64, seed: Long = 7L,
+      sampleSeed: String = "cs1"): DataFrame = {
+    require(perCell > 0, s"perCell must be positive, got $perCell")
+    GraftFunctions.register(df.sparkSession)
+    val hp = hyperplanes(planes, dim, seed)
+    val code = hp.zipWithIndex
+      .map { case (p, j) =>
+        F.when(dot(F.col(vecCol), F.array(p.map(F.lit(_)): _*)) > 0, F.lit(1 << j))
+          .otherwise(F.lit(0))
+      }
+      .reduce((a, b) => a.bitwiseOR(b))
+    val h = F.pmod(
+      graft.functions.TextFunctions.portableHash64(
+        F.concat(F.lit(sampleSeed + "-"), F.col(idCol).cast("string"))),
+      F.lit(1L << 50))
+    df.select(F.col(idCol), code.as("cell"), h.as("__h"))
+      .groupBy("cell")
+      // topk_rows ranks field0 double DESC, field1 long ASC: negate the
+      // hash so rank order is hash ASC with the id tiebreak
+      .agg(F.call_function("topk_rows",
+        F.struct((-F.col("__h")).cast("double").as("q"), F.col(idCol)),
+        F.lit(perCell)).as("top"))
+      .select(F.col("cell"), F.posexplode(F.col("top")))
+      .select(F.col("cell"), (F.col("pos") + 1).cast("int").as("rank"),
+        F.col(s"col.$idCol").as(idCol))
+  }
+
 }

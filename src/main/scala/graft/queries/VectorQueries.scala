@@ -71,6 +71,26 @@ object VectorQueries extends QueryPack {
     // id), proving the compression tier loses nothing end-to-end.
     "qe05_quantized_ann" -> ((s, d) => {
       Similarity.quantizedTopK(emb(s, d), "vec_id", "embedding", queryId = 17L, k = 10)
+    }),
+
+    // SemDeDup semantic dedup: exact cosine pairs (qe03's kernel) →
+    // connected components → min-id representative per cluster. The
+    // oracle recomputes the components with a recursive CTE (qd17's
+    // shape, embedding edges instead of shingle edges).
+    "qe06_semantic_dedup" -> ((s, d) => {
+      Similarity.semanticDedup(emb(s, d), "vec_id", "embedding", minCos = 0.4)
+        .orderBy("vec_id")
+    }),
+
+    // Cluster-stratified diversity sample: ≤3 vectors per RP-LSH cell,
+    // chosen by a seeded portable hash through the map-side top-k
+    // aggregate — semantic-coverage-preserving downsampling. The oracle
+    // re-derives the cells from the literal hyperplanes (qe04's trick)
+    // and the selection with a plain window.
+    "qe07_cluster_sample" -> ((s, d) => {
+      Similarity.clusterStratifiedSample(emb(s, d), "vec_id", "embedding",
+          perCell = 3)
+        .orderBy("cell", "rank")
     })
   )
 
@@ -106,8 +126,54 @@ object VectorQueries extends QueryPack {
          JOIN norms na ON na.vec_id = a_id
          JOIN norms nb ON nb.vec_id = b_id
          WHERE a_id = 17 AND b_id <> 17
-         ORDER BY cos_sim DESC, neighbor_id LIMIT 10"""
+         ORDER BY cos_sim DESC, neighbor_id LIMIT 10""",
+    "qe06_semantic_dedup" ->
+      s"""WITH RECURSIVE $oracleDot,
+         thr AS (
+           SELECT a_id, b_id FROM pairs
+           JOIN norms na ON na.vec_id = a_id
+           JOIN norms nb ON nb.vec_id = b_id
+           WHERE a_id < b_id AND round(dp / (na.nrm * nb.nrm), 4) >= 0.4),
+         edges AS (SELECT a_id AS a, b_id AS b FROM thr
+                   UNION ALL SELECT b_id AS a, a_id AS b FROM thr),
+         reach(id, r) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         comp AS (
+           SELECT v.vec_id, least(v.vec_id, coalesce(min(r.r), v.vec_id)) AS component
+           FROM embeddings v LEFT JOIN reach r ON r.id = v.vec_id
+           GROUP BY v.vec_id),
+         sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         SELECT c.vec_id, c.component, s.cluster_size,
+           CAST(c.vec_id = c.component AS INT) AS is_rep
+         FROM comp c JOIN sizes s ON s.component = c.component
+         ORDER BY c.vec_id""",
+    "qe07_cluster_sample" -> clusterSampleOracle
   )
+
+  // DuckDB twin of the cluster-stratified sample (qe07): cells re-derived
+  // from the same literal hyperplanes as qe04's oracle, the 2^50-bounded
+  // portable hash recomputed from md5, and the per-cell quota as a plain
+  // window — proving the map-side topk_rows aggregate selects exactly the
+  // rows a global rank would.
+  private lazy val clusterSampleOracle: String = {
+    val hp = Similarity.hyperplanes(planes = 4, dim = 64, seed = 7L)
+    val codeExpr = hp.zipWithIndex
+      .map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(e, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1 << j} ELSE 0 END)"
+      }
+      .mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       codes AS (SELECT vec_id, $codeExpr AS cell FROM v),
+       h AS (SELECT vec_id, cell,
+         CAST('0x' || substr(md5('cs1-' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % ${1L << 50} AS hv
+         FROM codes)
+       SELECT cell, CAST(rn AS INTEGER) AS rank, vec_id FROM (
+         SELECT cell, vec_id, row_number() OVER (PARTITION BY cell ORDER BY hv, vec_id) AS rn
+         FROM h)
+       WHERE rn <= 3 ORDER BY cell, rank"""
+  }
 
   // DuckDB twin of the multi-probe RP-LSH ANN (qe04): the exact hyperplane
   // constants are embedded as list literals, so cell codes (sign bits of

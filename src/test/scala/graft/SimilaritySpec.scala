@@ -374,4 +374,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(res.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L, 3L, 4L),
       s"cluster mates escaped the probe set: ${res.map(_.get(0)).mkString(",")}")
   }
+
+  test("semanticDedup: clusters consistent with the pair list; LSH tier refines exact") {
+    val n = emb.count()
+    val res = Similarity.semanticDedup(emb, "vec_id", "embedding", minCos = 0.4)
+    val rows = res.collect()
+    // total: every vector labeled exactly once
+    assert(rows.length == n)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == n)
+    val compOf = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("component")).toMap
+    // the component label is the min-id member, and exactly it is the rep
+    rows.foreach { r =>
+      val (id, comp) = (r.getAs[Long]("vec_id"), r.getAs[Long]("component"))
+      assert(comp <= id)
+      assert((r.getAs[Int]("is_rep") == 1) == (id == comp))
+    }
+    // every near-dup pair is co-assigned
+    val pairs = Similarity.cosinePairsBlocked(emb, "vec_id", "embedding", 0.4)
+      .select("a_id", "b_id").collect()
+    assert(pairs.nonEmpty, "threshold 0.4 found no pairs — spec corpus changed?")
+    pairs.foreach { p =>
+      assert(compOf(p.getLong(0)) == compOf(p.getLong(1)))
+    }
+    // cluster sizes count the members that carry the label
+    val sizes = rows.groupBy(_.getAs[Long]("component")).view.mapValues(_.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") == sizes(r.getAs[Long]("component")))
+    }
+    // scale tier: LSH candidate pairs are a SUBSET of the exact pair list,
+    // so LSH clusters can only split exact clusters, never merge across
+    val lshPairs = Similarity.rpLshNearDupPairs(emb, "vec_id", "embedding", 0.4, dim = 64)
+    val lshRes = Similarity.semanticDedup(emb, "vec_id", "embedding", 0.4,
+      candidatePairs = Some(lshPairs)).collect()
+    val lshComp = lshRes.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("component")).toMap
+    lshComp.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(compOf).toSet.size == 1,
+        "LSH-tier cluster straddles two exact clusters")
+    }
+  }
+
+  test("clusterStratifiedSample: per-cell quota, hash order, determinism, coverage") {
+    val res = Similarity.clusterStratifiedSample(emb, "vec_id", "embedding", perCell = 3)
+    val rows = res.collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    rows.groupBy(_.getAs[Int]("cell")).foreach { case (_, members) =>
+      assert(members.length <= 3)
+      assert(members.map(_.getAs[Int]("rank")).sorted.sameElements(1 to members.length))
+    }
+    // deterministic across runs
+    val again = Similarity.clusterStratifiedSample(emb, "vec_id", "embedding", perCell = 3)
+      .collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet ==
+      again.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet)
+    // a quota >= corpus keeps everything, and the perCell=3 run covers
+    // exactly the same cells (no stratum is dropped by the quota)
+    val full = Similarity.clusterStratifiedSample(emb, "vec_id", "embedding",
+      perCell = 100000).collect()
+    assert(full.length == emb.count())
+    assert(rows.map(_.getAs[Int]("cell")).toSet == full.map(_.getAs[Int]("cell")).toSet)
+  }
 }
