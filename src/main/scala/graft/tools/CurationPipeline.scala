@@ -50,13 +50,24 @@ object CurationPipeline {
     * drove dedup) to one split and PACKS EACH SPLIT SEPARATELY — a
     * packed sequence never mixes splits — writing
     * `split=<name>/shard=<k>` directories.
+    *
+    * `semanticPairs` (doc_id-keyed `a_id`/`b_id` rows, e.g. the
+    * embedding-cosine pair tier behind [[graft.operators.Similarity
+    * .semanticDedup]]) widens the SPLIT pair list beyond token evidence:
+    * a paraphrase or translation shares no shingles, so the stage-2
+    * MinHash pairs cannot see it and a per-token-cluster split would put
+    * one side in train and the other in test — the leak the split stage
+    * exists to prevent. The semantic evidence is deliberately NOT fed to
+    * the dedup drop (whether paraphrases are duplicates is corpus
+    * policy; that they must not straddle splits is not).
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       budget: Int = 512, nShards: Int = 8,
       chunkSize: Int = 0, chunkOverlap: Int = 0,
       scrubSpanWidth: Int = 0, scrubMinDf: Int = 3,
       tokenBudget: Long = 0L,
-      splits: Seq[(String, Int)] = Nil, splitSeed: String = "split-v1"): StageCounts = {
+      splits: Seq[(String, Int)] = Nil, splitSeed: String = "split-v1",
+      semanticPairs: Option[DataFrame] = None): StageCounts = {
     val all = Tables.load(spark, sfDir, "documents")
     val bench = all.filter(F.col("doc_id") % 20 === 0)
     val corpus = all.filter(F.col("doc_id") % 20 =!= 0).cache()
@@ -131,9 +142,13 @@ object CurationPipeline {
     // the stage-2 near-dup pairs — pairs referencing dropped docs still
     // merge their surviving neighbors' clusters, which is the safe
     // direction (a dropped bridge doc forces its neighbors together)
+    val splitPairs = semanticPairs
+      .map(sp => nearPairs.select("a_id", "b_id")
+        .unionByName(sp.select("a_id", "b_id")))
+      .getOrElse(nearPairs)
     val withSplit =
       if (splits.isEmpty) budgeted
-      else Curation.leakageSafeSplit(budgeted, "doc_id", nearPairs, splits, splitSeed)
+      else Curation.leakageSafeSplit(budgeted, "doc_id", splitPairs, splits, splitSeed)
         .drop("component")
 
     // 6.5 (opt-in): split long documents to the context budget — chunk

@@ -122,4 +122,38 @@ class CurationPipelineSpec extends AnyFunSuite {
       .filter(F.col("df") >= 2).count()
     assert(hot == 0, s"$hot corpus-repeated spans survived the scrub")
   }
+
+  test("semantic pairs pull paraphrase evidence into the split assignment") {
+    import spark.implicits._
+    val splits = Seq(("train", 80), ("val", 10), ("test", 10))
+    val outA = TestFixtures.tmpDir("curated-sem-a").resolve("shards").toString
+    val countsA = CurationPipeline.run(spark, sf, outA, splits = splits).stages.toMap
+    def docSplits(out: String): Map[Long, String] = spark.read.parquet(out)
+      .select("doc_id", "split").distinct()
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val before = docSplits(outA)
+
+    // two surviving docs the token-space evidence left in DIFFERENT
+    // splits — a stand-in for a paraphrase pair MinHash cannot see
+    // (the semantic-pair CONTENT is the oracle-gated semanticDedup
+    // tier's job; this test pins the pipeline wiring)
+    val two = before.groupBy(_._2).values.map(_.keys.min).toSeq.sorted.take(2)
+    val (a, b) = (two(0), two(1))
+    assert(before(a) != before(b), "fixture needs docs in different splits")
+
+    val outB = TestFixtures.tmpDir("curated-sem-b").resolve("shards").toString
+    val countsB = CurationPipeline.run(spark, sf, outB, splits = splits,
+      semanticPairs = Some(Seq((a, b)).toDF("a_id", "b_id"))).stages.toMap
+    val after = docSplits(outB)
+
+    // the planted pair is now co-assigned, and the evidence only ever
+    // MERGES clusters — it never touches dedup/filtering stage counts
+    assert(after(a) == after(b), "planted semantic pair still straddles splits")
+    assert(countsB == countsA, "semantic pairs must not change filtering stages")
+    assert(after.keySet == before.keySet, "split stage must not drop documents")
+    // docs in neither merged cluster keep their assignment (hash of an
+    // unchanged component rep is unchanged)
+    val moved = before.keys.count(d => before(d) != after(d))
+    assert(moved <= before.size / 2, s"merge moved $moved docs — far beyond the two clusters")
+  }
 }
