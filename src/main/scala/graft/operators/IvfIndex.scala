@@ -421,6 +421,47 @@ object IvfIndex {
       .select("id", "vec", "nrm", "cell")
   }
 
+  /** Cell-local cosine near-dup pairs over the whole persisted index —
+    * the pair tier [[Similarity.semanticDedup]] plugs in at scale:
+    * candidates are generated WITHIN KMeans cells (candidate volume
+    * Σ_cell n_c², never the N² all-pairs), and the verify join carries
+    * each survivor's TRUE cosine, so the probe only prunes — precision
+    * is exact, recall is what cell granularity buys. `nProbe > 1` joins
+    * every vector under its top-nProbe cells ([[assignCellsMulti]]),
+    * catching pairs that straddle a Voronoi face for ~nProbe× candidate
+    * cost — the same trade the streaming embedding gate makes, here for
+    * the batch corpus. Monotone: the nProbe pair set contains every
+    * smaller-nProbe pair (probe lists are ordered prefixes).
+    *
+    * Scale: both join legs shuffle on the C-valued cell key; C is the
+    * index's centroid count, sized at build time so cells stay balanced
+    * (KMeans) and numerous — the skew story is the index's own.
+    */
+  def cellLocalPairs(spark: SparkSession, root: String, minCos: Double,
+      nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    GraftFunctions.register(spark)
+    val v = vectors(spark, root)
+    val asg =
+      if (nProbe == 1) v.select(F.col("id"), F.col("cell").as("pcell"))
+      else assignCellsMulti(v, "id", "vec", root, nProbe)
+        .select(F.col("id"), F.explode(F.col("cells")).as("pcell"))
+    val cands = asg.toDF("a_id", "pcell")
+      .join(asg.toDF("b_id", "pcell"), "pcell")
+      .filter(F.col("a_id") < F.col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val lhs = v.select(F.col("id").as("a_id"), F.col("vec").as("a_vec"),
+      F.col("nrm").as("a_norm"))
+    val rhs = v.select(F.col("id").as("b_id"), F.col("vec").as("b_vec"),
+      F.col("nrm").as("b_norm"))
+    cands.join(lhs, "a_id").join(rhs, "b_id")
+      .withColumn("cos_sim",
+        F.round(F.call_function("vec_dot", F.col("a_vec"), F.col("b_vec")) /
+          (F.col("a_norm") * F.col("b_norm")), 4))
+      .filter(F.col("cos_sim") >= minCos)
+      .select("a_id", "b_id", "cos_sim")
+  }
+
   /** Rank centroids by cosine to the query and return the nProbe nearest
     * cells. The centroid table is index METADATA (numCentroids rows, set
     * at build time) — ranking it on the driver is O(C·d) and is what lets

@@ -293,7 +293,7 @@ object Similarity {
     * Scale: the default pair generator is the EXACT blocked all-pairs
     * kernel ([[cosinePairsBlocked]] — quadratic by contract, the oracle
     * tier). At 100 TB pass `candidatePairs = rpLshNearDupPairs(...)` or
-    * the [[IvfIndex]] cell-local pair list instead: everything downstream
+    * [[IvfIndex.cellLocalPairs]] instead: everything downstream
     * (components, sizes, rep choice) is sized by the PAIR LIST, never the
     * corpus, and the component rounds shuffle only edges
     * ([[Dedup.connectedComponents]]' contract).

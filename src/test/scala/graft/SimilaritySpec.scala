@@ -375,6 +375,25 @@ class SimilaritySpec extends AnyFunSuite {
       s"cluster mates escaped the probe set: ${res.map(_.get(0)).mkString(",")}")
   }
 
+  test("IvfIndex.cellLocalPairs: exact cosines, subset of all-pairs, monotone in nProbe") {
+    val root = TestFixtures.tmpDir("ivf-pairs").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root)
+    val exact = Similarity.cosinePairsBlocked(emb, "vec_id", "embedding", 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def pairs(nProbe: Int): Map[(Long, Long), Double] =
+      IvfIndex.cellLocalPairs(spark, root, 0.4, nProbe).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val p1 = pairs(1)
+    val p2 = pairs(2)
+    assert(p1.nonEmpty, "cell-local probe found no pairs at all")
+    // the probe only prunes: every survivor carries its true cosine
+    p2.foreach { case (k, c) => assert(exact(k) == c, s"wrong cosine for $k") }
+    // probe lists are ordered prefixes, so the pair set grows with nProbe
+    assert(p1.keySet.subsetOf(p2.keySet), "nProbe=2 lost an nProbe=1 pair")
+    info(f"cell-local recall vs exact: nProbe=1 ${p1.size.toDouble / exact.size}%.2f, " +
+      f"nProbe=2 ${p2.size.toDouble / exact.size}%.2f (${exact.size} true pairs)")
+  }
+
   test("semanticDedup: clusters consistent with the pair list; LSH tier refines exact") {
     val n = emb.count()
     val res = Similarity.semanticDedup(emb, "vec_id", "embedding", minCos = 0.4)
