@@ -499,6 +499,57 @@ object Curation {
       .select(F.col(idCol), F.col("term"), F.col("tf"), F.col("score"), F.col("rank"))
   }
 
+  /** Okapi BM25 retrieval: the top-k documents for a literal query-term
+    * set — the retrieval primitive behind anchor-document mining and
+    * RAG-style training-pair construction ([[tfidfTopTerms]] represents
+    * documents; this RANKS them against a query, with BM25's tf
+    * saturation and length normalization that raw tf·idf lacks).
+    *
+    *   score(D,Q) = Σ_{t∈Q} ln(1 + (N−df_t+0.5)/(df_t+0.5))
+    *                  · tf_{t,D}·(k1+1) / (tf_{t,D} + k1·(1−b+b·|D|/avgdl))
+    *
+    * Scale shape: document length is a NARROW per-row expression (no
+    * token explode for the length relation); the token explode is
+    * pre-filtered to the query terms with an array kernel, so the
+    * exploded relation — and every aggregate after it — is sized by the
+    * query's posting lists, not the corpus token count. Corpus stats
+    * (N, avgdl) ride in as a broadcast 1-row cross join (the HWM
+    * pattern); the final top-k is TakeOrdered, never a global sort.
+    * Ordering ties break on the ROUNDED score then id, so the cut is
+    * engine-deterministic.
+    *
+    * Emits (idCol, n_terms, bm25), bm25 rounded to 4, at most k rows
+    * (docs containing no query term score 0 and are not returned).
+    */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val qArr = F.array(queryTerms.distinct.map(F.lit(_)): _*)
+    val lens = df.select(F.col(idCol),
+      TextFunctions.tokenCount(F.col(textCol)).cast("long").as("dl"))
+    val stats = lens.agg(F.count(F.lit(1)).as("nd"), F.avg("dl").as("avgdl"))
+    val hits = df.select(F.col(idCol),
+      F.explode(F.filter(TextFunctions.tokens(F.col(textCol)),
+        t => F.array_contains(qArr, t))).as("term"))
+    val tf = hits.groupBy(idCol, "term").agg(F.count(F.lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).as("dfreq"))
+    val idf = F.log(F.lit(1.0) +
+      (F.col("nd") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5))
+    val termScore = idf * (F.col("tf") * (k1 + 1)) /
+      (F.col("tf") + F.lit(k1) *
+        (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")))
+    tf.join(F.broadcast(dfreq), "term")
+      .join(lens, Seq(idCol))
+      .crossJoin(F.broadcast(stats))
+      .withColumn("term_score", termScore)
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_terms"),
+        F.round(F.sum("term_score"), 4).as("bm25"))
+      .orderBy(F.col("bm25").desc, F.col(idCol))
+      .limit(k)
+  }
+
   /** Word n-grams WITHOUT de-duplication — the counting relation behind
     * [[repetitionStats]] (contrast `Dedup.shingleTable`, which is
     * distinct-per-doc because Jaccard is a set measure; repetition is a

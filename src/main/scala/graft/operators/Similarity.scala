@@ -44,6 +44,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch kNN JOIN: exact top-k cosine neighbors for EVERY row of a
+    * query set at once — the retrieval-pair mining primitive (RAG
+    * training pairs, hard-negative mining, embedding-space labeling),
+    * where [[cosineTopK]] serves one query. Queries are broadcast by
+    * contract (a query set is ~10³–10⁶ rows against a corpus of 10⁹+);
+    * the corpus is scanned ONCE, never shuffled at its own size: the
+    * per-query top-k goes through the map-side-combining `topk_rows`
+    * aggregate, so each map task reduces its partition to ≤ k rows per
+    * query BEFORE the shuffle — shuffle volume is partitions × |Q| × k,
+    * independent of corpus size. (The [[IvfIndex]] probe tier answers
+    * the same question sub-linearly when an index exists; this is the
+    * exact no-index path.)
+    *
+    * Self-matches (same id on both sides, the self-join case) are
+    * excluded. Ties cut on (rounded cos DESC, neighbor id ASC) — engine-
+    * deterministic. Emits (query_id, rank, neighbor_id, cos_sim).
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(F.col(idCol).cast("long").as("neighbor_id"),
+      F.col(vecCol).as("c_vec"), norm(F.col(vecCol)).as("c_norm"))
+    val q = queries.select(F.col(idCol).cast("long").as("query_id"),
+      F.col(vecCol).as("q_vec"), norm(F.col(vecCol)).as("q_norm"))
+    c.crossJoin(F.broadcast(q))
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .select(F.col("query_id"),
+        F.struct(
+          F.round(dot(F.col("c_vec"), F.col("q_vec")) / (F.col("c_norm") * F.col("q_norm")), 4)
+            .as("cos_sim"),
+          F.col("neighbor_id")).as("cand"))
+      .groupBy("query_id")
+      .agg(F.call_function("topk_rows", F.col("cand"), F.lit(k)).as("top"))
+      .select(F.col("query_id"), F.posexplode(F.col("top")))
+      .select(F.col("query_id"), (F.col("pos") + 1).cast("int").as("rank"),
+        F.col("col.neighbor_id").as("neighbor_id"), F.col("col.cos_sim").as("cos_sim"))
+  }
+
   /** Deterministic Gaussian hyperplanes for RP-LSH, shared between the
     * Spark operators and the DuckDB oracle builder (which embeds these
     * exact constants as SQL literals so both engines compute identical

@@ -168,6 +168,15 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Okapi BM25 retrieval: top-15 docs for a 3-term query — tf
+    // saturation + length normalization over the corpus posting lists.
+    // The oracle recomputes idf/tf/dl/avgdl from the same whitespace
+    // tokens; ties cut on (rounded score, doc_id) in both engines.
+    "qd31_bm25" -> ((s, d) => {
+      Curation.bm25TopDocs(docs(s, d), "doc_id", "text",
+          queryTerms = Seq("spark", "hash", "join"), k = 15)
+    }),
+
     // Pattern redaction (PII-scrub surface): per-doc match count + md5 of
     // the redacted text proves byte-identical replacement vs the oracle.
     // The synthetic corpus carries no real PII, so the oracle query scrubs
@@ -379,6 +388,22 @@ object TextQueries extends QueryPack {
   }
 
   def oracle: Map[String, String] = Map(
+    "qd31_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         st AS (SELECT count(*) AS nd, avg(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('spark', 'hash', 'join') GROUP BY doc_id, term),
+         dfr AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term)
+         SELECT doc_id, count(*) AS n_terms,
+           round(sum(
+             ln(1.0 + (nd - dfreq + 0.5) / (dfreq + 0.5))
+             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+           ), 4) AS bm25
+         FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), st
+         GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT 15""",
     "qd30_contamination_score" ->
       """WITH sh AS (
            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle

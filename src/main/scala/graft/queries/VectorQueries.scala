@@ -91,10 +91,33 @@ object VectorQueries extends QueryPack {
       Similarity.clusterStratifiedSample(emb(s, d), "vec_id", "embedding",
           perCell = 3)
         .orderBy("cell", "rank")
+    }),
+
+    // Batch kNN join: exact top-5 neighbors for every query-set vector in
+    // ONE pass — queries broadcast, per-query top-k via the map-side
+    // topk_rows aggregate (shuffle sized by |Q|·k, never the corpus).
+    // The oracle re-ranks the brute-force pair relation with a window.
+    "qe08_knn_join" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.knnJoin(e, e.filter(F.col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "qe08_knn_join" ->
+      s"""WITH $oracleDot
+         SELECT query_id, rank, neighbor_id, cos_sim FROM (
+           SELECT a_id AS query_id, b_id AS neighbor_id,
+             round(dp / (na.nrm * nb.nrm), 4) AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY a_id
+               ORDER BY round(dp / (na.nrm * nb.nrm), 4) DESC, b_id) AS INTEGER) AS rank
+           FROM pairs
+           JOIN norms na ON na.vec_id = a_id
+           JOIN norms nb ON nb.vec_id = b_id
+           WHERE a_id % 100 = 0 AND b_id <> a_id)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "qe01_knn_cosine" ->
       s"""WITH $oracleDot
          SELECT b_id AS neighbor_id, round(dp / (na.nrm * nb.nrm), 4) AS cos_sim

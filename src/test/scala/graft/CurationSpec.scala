@@ -325,6 +325,36 @@ class CurationSpec extends AnyFunSuite {
     assert(out((2L, 2))._1 == "cherry")
   }
 
+  test("bm25TopDocs matches the hand formula; non-matching docs absent; tie cut on id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark join join"),          // dl 3: both terms
+      (2L, "spark hash"),               // dl 2: one term ("hash" not queried)
+      (3L, "other words here four"),    // dl 4: no query terms
+      (4L, "spark hash")).toDF("doc_id", "text") // identical to doc 2: exact tie
+    val out = Curation.bm25TopDocs(df, "doc_id", "text",
+        queryTerms = Seq("spark", "join"), k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("bm25"))))
+    // N=4, avgdl=11/4; df: spark 3, join 1; k1=1.2, b=0.75
+    def idf(dfreq: Double) = math.log(1.0 + (4 - dfreq + 0.5) / (dfreq + 0.5))
+    def ts(tf: Double, dl: Double, dfreq: Double) =
+      idf(dfreq) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.75))
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val d1 = r4(ts(1, 3, 3) + ts(2, 3, 1))
+    val d2 = r4(ts(1, 2, 3))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L), s"order by (score desc, id): ${out.toSeq}")
+    assert(out.toMap.apply(1L) == ((2L, d1)))
+    assert(out.toMap.apply(2L) == ((1L, d2)))
+    assert(out.toMap.apply(4L) == ((1L, d2)), "identical doc scores identically")
+    assert(!out.exists(_._1 == 3L), "docs with no query term are not returned")
+    // the top-k cut respects the deterministic order: k=2 keeps docs 1,2
+    val cut = Curation.bm25TopDocs(df, "doc_id", "text", Seq("spark", "join"), k = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(cut == Seq(1L, 2L))
+  }
+
   test("bpeTokenCount diverges from whitespace counting exactly on punctuated text") {
     import spark.implicits._
     val r = Seq(Tuple1("v2.0! the-end")).toDF("text")

@@ -56,6 +56,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnJoin equals per-query cosineTopK for every query in one pass") {
+    val queries = emb.filter(F.col("vec_id") % 100 === 0)
+    val joined = Similarity.knnJoin(emb, queries, "vec_id", "embedding", k = 5)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSeq)
+      .toMap
+    val qids = queries.select("vec_id").collect().map(_.getLong(0))
+    assert(joined.keySet == qids.toSet, "one group per query vector")
+    qids.foreach { qid =>
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", qid, 5)
+        .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSeq
+      assert(joined(qid) == exact, s"query $qid: knnJoin ${joined(qid)} != topK $exact")
+    }
+    joined.values.foreach(rows => assert(rows.size == 5))
+  }
+
   test("RP-LSH finds near-dup pairs with high recall on clustered vectors") {
     import spark.implicits._
     // 40 clusters × 5 members: members are the base + small noise, so
