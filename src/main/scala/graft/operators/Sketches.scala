@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Mergeable distinct-count sketches — the pre-aggregation pattern that
+  * makes "distinct users per (day, dim…)" tractable at 100 TB.
+  *
+  * `count(DISTINCT x)` does not re-aggregate: a daily exact count cannot
+  * be rolled into a monthly one without rescanning the raw data, so every
+  * new grain is another full pass. A Datasketches HLL sketch does
+  * re-aggregate — `union(sketch(A), sketch(B)) == sketch(A ∪ B)` — so one
+  * pass over the raw data yields fine-grained sketch rows that answer
+  * EVERY coarser grain by unioning binaries (a metadata-scale aggregate,
+  * never a rescan). Spark ships the whole surface as codegen'd
+  * aggregates: `hll_sketch_agg` / `hll_union_agg` /
+  * `hll_sketch_estimate` (Datasketches HLL_8, lgK-configurable), so this
+  * operator is plan composition, not a custom UDAF.
+  *
+  * Scale notes: the pre-agg is one shuffle on the full key (map-side
+  * partial sketches — each executor emits ONE sketch per local group,
+  * not its raw rows); every coarser rollup shuffles only pre-agg rows
+  * (|groups| × ~2^lgK bytes, independent of raw row count). Estimate
+  * error is the standard HLL ±1.04/√2^lgK (lgK 12 ≈ ±1.6% at 1σ, ~4 KiB
+  * per group).
+  *
+  * Mirrors the reference's daily/hourly gold rollups
+  * (`sql/gold_layer_views_delta.sql` daily_transaction_summary), which
+  * recompute each grain from silver instead; a sketch column would let
+  * its dashboard answer ad-hoc grains without new scans.
+  */
+object Sketches {
+
+  /** One pass over `df`: per `keyCols` group, an HLL sketch binary of
+    * `valueCol` (column `sketch`) plus its estimate (`approx_distinct`).
+    * Keep the sketch column in the stored rollup — it is the part that
+    * re-aggregates.
+    */
+  def distinctSketchRollup(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(keyCols.map(F.col): _*)
+      .agg(F.hll_sketch_agg(F.col(valueCol), F.lit(lgK)).as("sketch"))
+      .withColumn("approx_distinct", F.hll_sketch_estimate(F.col("sketch")))
+
+  /** Re-rollup: union the stored sketches down to `coarserKeys` (a subset
+    * of the pre-agg's keys — or Nil for a global count) without touching
+    * raw data. The resulting `sketch` column re-aggregates again, so
+    * grains compose (hour → day → month each from the previous).
+    */
+  def mergeToGrain(preAgg: DataFrame, coarserKeys: Seq[String]): DataFrame = {
+    val merged =
+      if (coarserKeys.isEmpty)
+        preAgg.agg(F.hll_union_agg(F.col("sketch"), F.lit(false)).as("sketch"))
+      else
+        preAgg.groupBy(coarserKeys.map(F.col): _*)
+          .agg(F.hll_union_agg(F.col("sketch"), F.lit(false)).as("sketch"))
+    merged.withColumn("approx_distinct", F.hll_sketch_estimate(F.col("sketch")))
+  }
+}

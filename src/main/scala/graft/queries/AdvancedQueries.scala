@@ -1,15 +1,18 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
 import graft.operators.{AsOfJoin, SkewJoin}
 import graft.runtime.Tables
 
 /** Operators beyond the reference's surface that a native engine would
-  * ship: point-in-time (as-of) join and explicit skew salting. Both are
-  * oracle-checked — the as-of against DuckDB's native ASOF JOIN, the
-  * salted join against the plain join it must be indistinguishable from.
+  * ship: point-in-time (as-of) join, explicit skew salting, exact
+  * distributed percentiles, time-range sliding windows, and the
+  * rank-function family. All oracle-checked — the as-of against DuckDB's
+  * native ASOF JOIN, the salted join against the plain join it must be
+  * indistinguishable from, the rest against their ANSI-SQL twins.
   */
 object AdvancedQueries extends QueryPack {
 
@@ -79,6 +82,56 @@ object AdvancedQueries extends QueryPack {
         .orderBy("check_name")
     }),
 
+    // Exact distributed percentiles (quartiles + median) per group —
+    // `percentile` is Spark's exact (sort-based, linearly interpolated)
+    // aggregate, the same "continuous quantile" definition DuckDB's
+    // quantile_cont implements. One shuffle on the group key; the
+    // per-group sort is partial-aggregated, never a global window.
+    "qa06_percentiles" -> ((s, d) => {
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          F.count(F.lit(1)).as("n"),
+          F.round(F.percentile(F.col("o_totalprice"), F.lit(0.25)), 2).as("p25"),
+          F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 2).as("p50"),
+          F.round(F.percentile(F.col("o_totalprice"), F.lit(0.75)), 2).as("p75"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Time-RANGE sliding window: per-user trailing-1-hour event count and
+    // value sum at every event — the batch twin of the streaming sliding
+    // window (WindowedAggs), expressed as a rangeBetween frame over the
+    // microsecond epoch. Key-partitioned (never a single-partition
+    // window); the frame is evaluated by one pass over each user's
+    // sorted events.
+    "qa07_sliding_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600L * 1000000, 0)
+      CoreQueries.events(s, d)
+        .withColumn("ts_us", F.unix_micros(F.col("ts")))
+        .withColumn("n_1h", F.count(F.lit(1)).over(w))
+        .withColumn("sum_1h", F.round(F.sum("value").over(w), 2))
+        .select("event_id", "user_id", "n_1h", "sum_1h")
+        .orderBy("event_id")
+    }),
+
+    // Rank-function family over a total per-group order: ntile quartile
+    // buckets, percent_rank, cume_dist, and the first/last frame values.
+    // Tie-broken by the unique key so every engine computes the same
+    // assignment.
+    "qa08_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, d, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .withColumn("cume", F.round(F.cume_dist().over(w), 6))
+        .withColumn("nation_min_bal", F.first("c_acctbal").over(w))
+        .withColumn("nation_max_bal", F.last("c_acctbal").over(wFull))
+        .orderBy("c_custkey")
+    }),
+
     // Salted fact⋈dim join — must produce exactly the plain-join rollup.
     "qa02_salted_join" -> ((s, d) => {
       val orders = Tables.load(s, d, "orders")
@@ -118,6 +171,31 @@ object AdvancedQueries extends QueryPack {
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "qa06_percentiles" ->
+      """SELECT o_orderpriority, count(*) AS n,
+         round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+         round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+         round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "qa07_sliding_window" ->
+      """SELECT event_id, user_id,
+         count(*) OVER w AS n_1h,
+         round(sum(value) OVER w, 2) AS sum_1h
+         FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "qa08_rank_family" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume,
+         first_value(c_acctbal) OVER w AS nation_min_bal,
+         last_value(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nation_max_bal
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
     "qa05_integrity_checks" ->
       """SELECT 'dup_custkey' AS check_name, count(*) AS n_violations
            FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1)

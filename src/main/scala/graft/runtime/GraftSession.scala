@@ -27,6 +27,14 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      // testdata timestamps are parquet TIMESTAMP(MICROS) WITHOUT the
+      // isAdjustedToUTC flag; inferred as TIMESTAMP_NTZ they break
+      // unix_micros / event-time watermarks and change row encoders.
+      // Read them as the session-UTC TimestampType instead — the same
+      // wall-clock instants DuckDB's naive reader sees, decided at SCAN
+      // time so timestamp filter pushdown is preserved (a post-scan cast
+      // would defeat it).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // allow co-partitioning on a SUBSET of the join keys: a table
       // bucketed by id joins on (id, shingle) without reshuffling — the
       // contract NearDupIndex/PlanSpec rely on. Semantics-preserving

@@ -216,6 +216,33 @@ class PlanSpec extends AnyFunSuite {
       s"qd24 has unexpected single-partition stages:\n$tPlan")
   }
 
+  test("qa07/qa08 frame windows key-partition — the ORDER BY is the only single-partition stage") {
+    // qa07: trailing-1h range frame windows by user_id; qa08: rank family
+    // windows by c_nationkey. In both, the sole SinglePartition exchange
+    // allowed is the final presentation ORDER BY.
+    for (name <- Seq("qa07_sliding_window", "qa08_rank_family")) {
+      val q = graft.queries.AdvancedQueries.queries(name)(spark, sf)
+      q.count()
+      val plan = q.queryExecution.executedPlan.toString
+      val key = if (name.startsWith("qa07")) "user_id" else "c_nationkey"
+      assert(plan.contains(s"hashpartitioning($key"),
+        s"$name window lost its $key partitioning:\n$plan")
+      assert("Exchange SinglePartition".r.findAllIn(plan).size <= 1,
+        s"$name has unexpected single-partition stages:\n$plan")
+    }
+  }
+
+  test("qa06 exact percentiles partial-aggregate below the exchange") {
+    val q = graft.queries.AdvancedQueries.queries("qa06_percentiles")(spark, sf)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_percentile") || plan.contains("Partial"),
+      s"percentile must map-side combine:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") ||
+      "Exchange SinglePartition".r.findAllIn(plan).size <= 1,
+      s"qa06 must shuffle on the group key, not a single partition:\n$plan")
+  }
+
   test("NearDupIndex probe never shuffles the historical relations") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

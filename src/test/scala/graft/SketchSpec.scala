@@ -41,4 +41,53 @@ class SketchSpec extends AnyFunSuite {
     val below = li.filter(F.col("l_extendedprice") <= q25).count().toDouble / li.count()
     assert(below > 0.23 && below < 0.27, s"p25 landed at $below")
   }
+
+  // ---- mergeable HLL sketch rollups (operators.Sketches): the stored
+  // fine-grained sketch must answer every coarser grain by UNION alone,
+  // within HLL error of the exact recount — that re-aggregability is the
+  // whole point of persisting sketch binaries instead of exact counts.
+
+  test("sketch rollup estimates per-group distinct within HLL error") {
+    import graft.operators.Sketches
+    val e = graft.runtime.Tables.load(spark, sf, "events")
+    val pre = Sketches.distinctSketchRollup(e, Seq("event_type"), "user_id")
+    val exact = e.groupBy("event_type")
+      .agg(F.countDistinct(F.col("user_id")).as("exact"))
+    val joined = pre.join(exact, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val est = r.getAs[Long]("approx_distinct").toDouble
+      val ex = r.getAs[Long]("exact").toDouble
+      assert(math.abs(est - ex) / ex < 0.05,
+        s"${r.getAs[String]("event_type")}: est=$est exact=$ex")
+    }
+  }
+
+  test("unioned sketches answer the coarser grain without a rescan") {
+    import graft.operators.Sketches
+    val e = graft.runtime.Tables.load(spark, sf, "events")
+      .withColumn("day", F.to_date(F.col("ts")))
+    // fine grain: (day, event_type); coarser grains from the SAME pre-agg
+    val pre = Sketches.distinctSketchRollup(e, Seq("day", "event_type"), "user_id").cache()
+    try {
+      val byType = Sketches.mergeToGrain(pre, Seq("event_type"))
+      val exactByType = e.groupBy("event_type")
+        .agg(F.countDistinct(F.col("user_id")).as("exact"))
+      byType.join(exactByType, "event_type").collect().foreach { r =>
+        val est = r.getAs[Long]("approx_distinct").toDouble
+        val ex = r.getAs[Long]("exact").toDouble
+        assert(math.abs(est - ex) / ex < 0.05,
+          s"${r.getAs[String]("event_type")}: est=$est exact=$ex")
+      }
+      // global grain: union of everything vs one direct global count
+      val global = Sketches.mergeToGrain(pre, Nil).head().getAs[Long]("approx_distinct")
+      val exactGlobal = e.agg(F.countDistinct(F.col("user_id"))).head().getLong(0)
+      assert(math.abs(global.toDouble - exactGlobal) / exactGlobal < 0.05,
+        s"global est=$global exact=$exactGlobal")
+      // grains COMPOSE: merging the by-type sketches again equals the
+      // direct global union bit-for-bit (sketch union is associative)
+      val composed = Sketches.mergeToGrain(byType, Nil).head().getAs[Long]("approx_distinct")
+      assert(composed == global, s"composed=$composed direct=$global")
+    } finally pre.unpersist()
+  }
 }
