@@ -96,5 +96,6 @@ object GraftFunctions {
     HaversineExpression.register(spark)
     DotProduct.register(spark)
     TopKAggregate.register(spark)
+    FreqItemsAggregate.register(spark)
   }
 }

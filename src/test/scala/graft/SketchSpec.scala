@@ -90,4 +90,61 @@ class SketchSpec extends AnyFunSuite {
       assert(composed == global, s"composed=$composed direct=$global")
     } finally pre.unpersist()
   }
+
+  // ---- Misra–Gries heavy hitters (plans.FreqItemsAggregate): a
+  // deterministic-error counterpart to HLL — every true heavy hitter is
+  // guaranteed present with a valid [count_lo, count_hi] interval.
+
+  private def freqItems(df: org.apache.spark.sql.DataFrame, col: String, k: Int) = {
+    graft.plans.GraftFunctions.register(spark)
+    df.agg(F.call_function("freq_items_sketch", F.col(col), F.lit(k)).as("fi"))
+      .select(F.explode(F.col("fi")).as("s"))
+      .select("s.item", "s.count_lo", "s.count_hi")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+  }
+
+  test("freq_items_sketch is exact when distinct items fit in k") {
+    import spark.implicits._
+    val df = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(5)("c")
+    val got = freqItems(df.toDF("w").repartition(8), "w", 8).map {
+      case (i, lo, hi) => assert(lo == hi, s"$i: lo=$lo hi=$hi should be exact"); i -> lo
+    }.toMap
+    assert(got == Map("a" -> 40L, "b" -> 25L, "c" -> 5L))
+  }
+
+  test("freq_items_sketch guarantees heavy hitters under distributed merge") {
+    import spark.implicits._
+    // skewed multiset: 3 heavy items + a long tail of singletons
+    val words = Seq.fill(500)("the") ++ Seq.fill(300)("of") ++ Seq.fill(200)("and") ++
+      (1 to 400).map(i => s"tail_$i")
+    val n = words.length
+    val k = 10
+    val df = new scala.util.Random(42).shuffle(words).toDF("w").repartition(16)
+    val exact = words.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val got = freqItems(df, "w", k)
+    val byItem = got.map { case (i, lo, hi) => i -> (lo, hi) }.toMap
+    // containment: anything with true count > n/(k+1) must be present
+    exact.filter(_._2 > n / (k + 1)).foreach { case (w, c) =>
+      assert(byItem.contains(w), s"heavy hitter $w (count $c) missing from $byItem")
+    }
+    // interval validity for every emitted item
+    got.foreach { case (i, lo, hi) =>
+      val t = exact(i)
+      assert(lo <= t && t <= hi, s"$i: true=$t outside [$lo,$hi]")
+      assert(hi - lo <= n / (k + 1) + 1, s"$i: error bound ${hi - lo} too wide")
+    }
+    assert(got.length <= k)
+  }
+
+  test("freq_items_sketch partial-aggregates below the exchange per group") {
+    graft.plans.GraftFunctions.register(spark)
+    val docs = graft.runtime.Tables.load(spark, sf, "documents")
+    val q = docs.groupBy("lang")
+      .agg(F.call_function("freq_items_sketch", F.col("source"), F.lit(4)).as("fi"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_freq_items_sketch"),
+      s"sketch must map-side combine:\n$plan")
+  }
 }
