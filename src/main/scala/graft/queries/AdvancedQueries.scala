@@ -132,6 +132,39 @@ object AdvancedQueries extends QueryPack {
         .orderBy("c_custkey")
     }),
 
+    // Argmax (max_by) per key: the latest event's payload per user via ONE
+    // ordered-struct max — a single partial-aggregated pass, where the
+    // row_number-window formulation would sort every row. Spark's max_by
+    // is tie-nondeterministic; lexicographic struct max with the unique
+    // key inside the struct is engine-portable.
+    "qa09_argmax" -> ((s, d) => {
+      CoreQueries.events(s, d)
+        .groupBy("user_id")
+        .agg(F.max(F.struct(F.col("ts"), F.col("event_id"), F.col("value"))).as("m"))
+        .select(
+          F.col("user_id"), F.col("m.ts").as("last_ts"),
+          F.col("m.event_id").as("last_event_id"),
+          F.round(F.col("m.value"), 2).as("last_value"))
+        .orderBy("user_id")
+    }),
+
+    // Explicit GROUPING SETS beyond CUBE/ROLLUP (q25/q26): exactly the
+    // requested grains in one pass, with GROUPING() disambiguating a
+    // rollup null from a data null.
+    "qa10_grouping_sets" -> ((s, d) => {
+      val e = CoreQueries.events(s, d)
+        .withColumn("hod", F.hour(F.col("ts")))
+      e.groupingSets(
+          Seq(Seq(F.col("event_type"), F.col("hod")), Seq(F.col("event_type")), Seq()),
+          F.col("event_type"), F.col("hod"))
+        .agg(F.count(F.lit(1)).as("n"), F.round(F.sum("value"), 2).as("total_value"))
+        .select(
+          F.coalesce(F.col("event_type"), F.lit("<all>")).as("event_type"),
+          F.coalesce(F.col("hod").cast("string"), F.lit("<all>")).as("hod"),
+          F.col("n"), F.col("total_value"))
+        .orderBy("event_type", "hod")
+    }),
+
     // Salted fact⋈dim join — must produce exactly the plain-join rollup.
     "qa02_salted_join" -> ((s, d) => {
       val orders = Tables.load(s, d, "orders")
@@ -185,6 +218,23 @@ object AdvancedQueries extends QueryPack {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "qa09_argmax" ->
+      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+         round(value, 2) AS last_value
+         FROM (SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "qa10_grouping_sets" ->
+      """SELECT coalesce(event_type, '<all>') AS event_type,
+         coalesce(CAST(hod AS VARCHAR), '<all>') AS hod, n, total_value
+         FROM (
+           SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             count(*) AS n, round(sum(value), 2) AS total_value
+           FROM events
+           GROUP BY GROUPING SETS ((event_type, EXTRACT(hour FROM ts)),
+                                   (event_type), ()))
+         ORDER BY event_type, hod""",
     "qa08_rank_family" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
          CAST(ntile(4) OVER w AS INTEGER) AS quartile,
