@@ -137,6 +137,50 @@ class SketchSpec extends AnyFunSuite {
     assert(got.length <= k)
   }
 
+  test("sketch stream folds batch rollups idempotently; grains answered from stored binaries") {
+    import graft.streaming.SketchStream
+    val work = TestFixtures.tmpDir("sketch-stream")
+    val in = work.resolve("in").toString
+    val table = work.resolve("table").toString
+    val ckpt = work.resolve("ckpt").toString
+    val e = graft.runtime.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type")
+    val schema = e.schema
+
+    // batch 0: two thirds of the events
+    e.filter(F.col("event_id") % 3 =!= 0).coalesce(1).write.mode("append").parquet(in)
+    val q1 = SketchStream.start(spark, in, schema, table, ckpt,
+      keyCols = Seq("event_type"), valueCol = "user_id")
+    q1.processAllAvailable(); q1.stop()
+    // batch 1 after restart: the remaining third (overlapping users —
+    // the union must not double count them)
+    e.filter(F.col("event_id") % 3 === 0).coalesce(1).write.mode("append").parquet(in)
+    val q2 = SketchStream.start(spark, in, schema, table, ckpt,
+      keyCols = Seq("event_type"), valueCol = "user_id")
+    q2.processAllAvailable(); q2.stop()
+
+    def estimates(): Map[String, Long] =
+      SketchStream.read(spark, table, Seq("event_type")).collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_distinct")).toMap
+    val exact = e.groupBy("event_type").agg(F.countDistinct(F.col("user_id")).as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = estimates()
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (t, x) =>
+      assert(math.abs(got(t).toDouble - x) / x < 0.05, s"$t: est=${got(t)} exact=$x")
+    }
+    // global grain from the same store
+    val global = SketchStream.read(spark, table, Nil).head().getAs[Long]("approx_distinct")
+    val exactGlobal = e.agg(F.countDistinct(F.col("user_id"))).head().getLong(0)
+    assert(math.abs(global.toDouble - exactGlobal) / exactGlobal < 0.05)
+
+    // crash replay: re-folding batch 1 (same rows, same id) is a no-op
+    val batch1 = spark.read.schema(schema).parquet(in)
+      .filter(F.col("event_id") % 3 === 0)
+    SketchStream.fold(batch1, 1L, table, Seq("event_type"), "user_id", 12)
+    assert(estimates() == got, "replayed fold changed the store")
+  }
+
   test("freq_items_sketch partial-aggregates below the exchange per group") {
     graft.plans.GraftFunctions.register(spark)
     val docs = graft.runtime.Tables.load(spark, sf, "documents")
