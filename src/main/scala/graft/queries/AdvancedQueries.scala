@@ -85,8 +85,11 @@ object AdvancedQueries extends QueryPack {
     // Exact distributed percentiles (quartiles + median) per group —
     // `percentile` is Spark's exact (sort-based, linearly interpolated)
     // aggregate, the same "continuous quantile" definition DuckDB's
-    // quantile_cont implements. One shuffle on the group key; the
-    // per-group sort is partial-aggregated, never a global window.
+    // quantile_cont implements. One shuffle on the group key; partials
+    // merge value→count maps, so aggregate state is O(distinct values
+    // per group) — exactness has a memory price at 100 TB, where the
+    // bounded-state path is percentile_approx/approxQuantile (error
+    // contracts spec'd in SketchSpec). This query is the exactness tier.
     "qa06_percentiles" -> ((s, d) => {
       Tables.load(s, d, "orders")
         .groupBy("o_orderpriority")

@@ -81,6 +81,19 @@ object StreamBench {
     }
     val predRows = spark.read.parquet(work.resolve("preds").toString).count()
 
+    // --- standing sketch service leg: per-batch HLL folds over the bronze
+    // output (distinct cards per merchant), grains answered from binaries
+    val bronzeOut = work.resolve("bronze").toString
+    val sketchSec = timed("sketch") {
+      val q = graft.streaming.SketchStream.start(spark, bronzeOut,
+        spark.read.parquet(bronzeOut).schema,
+        work.resolve("sketch-table").toString, work.resolve("ckpt-sk").toString,
+        keyCols = Seq("merchant"), valueCol = "cc_num")
+      q.processAllAvailable(); q.stop()
+    }
+    val sketchGroups = graft.streaming.SketchStream
+      .read(spark, work.resolve("sketch-table").toString, Seq("merchant")).count()
+
     // --- corpus ingest leg: curated-dedup pipeline, ~10% planted near-dups
     import spark.implicits._
     val nDocs = args.lift(1).map(_.toInt).getOrElse(5000)
@@ -157,6 +170,9 @@ object StreamBench {
         s""""bronze_tx_per_sec":${(bronzeRows / bronzeSec).toLong},""" +
         s""""score_rows":$predRows,"score_sec":$scoreSec,""" +
         s""""score_tx_per_sec":${(predRows / scoreSec).toLong},""" +
+        s""""sketch_rows":$bronzeRows,"sketch_groups":$sketchGroups,""" +
+        s""""sketch_sec":$sketchSec,""" +
+        s""""sketch_rows_per_sec":${(bronzeRows / sketchSec).toLong},""" +
         s""""corpus_docs":$nDocs,"corpus_kept":$corpusKept,"corpus_sec":$corpusSec,""" +
         s""""corpus_docs_per_sec":${(nDocs / corpusSec).toLong},""" +
         s""""embed_vecs":$nVecs,"embed_kept":$embKept,"embed_sec":$embSec,""" +
