@@ -15,6 +15,23 @@ class SourcesSpec extends AnyFunSuite {
 
   def orders = graft.runtime.Tables.load(spark, sf, "orders")
 
+  test("Tables.load rescues unadjusted-MICROS timestamps under a foreign session") {
+    // a session WITHOUT graft's inferTimestampNTZ=false conf (e.g. a
+    // driver harness calling SparkEntry on its own SparkSession) would
+    // scan the testdata's unadjusted MICROS as TIMESTAMP_NTZ; the
+    // loader's fallback must still deliver TimestampType
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    for ((t, c) <- Seq("events" -> "ts", "orders" -> "o_orderdate", "lineitem" -> "l_shipdate")) {
+      val df = graft.runtime.Tables.load(s2, sf, t)
+      assert(df.schema(c).dataType == org.apache.spark.sql.types.TimestampType,
+        s"$t.$c: ${df.schema(c).dataType}")
+    }
+    // and the NTZ-breaking function family runs
+    graft.runtime.Tables.load(s2, sf, "events")
+      .select(F.unix_micros(F.col("ts"))).head()
+  }
+
   test("CSV round-trip preserves rows and schema-by-declaration") {
     val work = TestFixtures.tmpDir("csv")
     orders.write.mode("overwrite").option("header", "true")
