@@ -168,6 +168,20 @@ object AdvancedQueries extends QueryPack {
         .orderBy("event_type", "hod")
     }),
 
+    // Fuzzy self-join (entity resolution): part pairs whose names are
+    // within edit distance 1, candidates from PassJoin-style pigeonhole
+    // segment blocking (equi-join, never a cross join), verified with
+    // exact levenshtein on the candidate set only.
+    "qa11_fuzzy_join" -> ((s, d) => {
+      import graft.operators.StringMatch
+      val p = Tables.load(s, d, "part").select("p_partkey", "p_name")
+      StringMatch.fuzzyJoinPairs(p, "p_partkey", "p_name", maxDist = 1)
+        .select(
+          F.col("a_id"), F.col("b_id"),
+          F.col("a_str").as("a_name"), F.col("b_str").as("b_name"), F.col("dist"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Salted fact⋈dim join — must produce exactly the plain-join rollup.
     "qa02_salted_join" -> ((s, d) => {
       val orders = Tables.load(s, d, "orders")
@@ -221,6 +235,15 @@ object AdvancedQueries extends QueryPack {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "qa11_fuzzy_join" ->
+      """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+         a.p_name AS a_name, b.p_name AS b_name,
+         CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+         FROM part a JOIN part b
+           ON a.p_name < b.p_name
+          AND abs(length(a.p_name) - length(b.p_name)) <= 1
+         WHERE levenshtein(a.p_name, b.p_name) = 1
+         ORDER BY a_id, b_id""",
     "qa09_argmax" ->
       """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
          round(value, 2) AS last_value
