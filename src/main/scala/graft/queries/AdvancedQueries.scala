@@ -182,6 +182,42 @@ object AdvancedQueries extends QueryPack {
         .orderBy("a_id", "b_id")
     }),
 
+    // IQR outlier detection per group (the classic training-data anomaly
+    // filter): per-type quartiles via the exact percentile aggregate,
+    // broadcast back onto the stream of rows, emit values outside
+    // 1.5×IQR. Two passes over events but only ONE shuffle (the tiny
+    // per-type quartile relation broadcasts).
+    "qa12_outliers" -> ((s, d) => {
+      val e = CoreQueries.events(s, d)
+      val bounds = e.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.25)).as("q1"),
+        F.percentile(F.col("value"), F.lit(0.75)).as("q3"))
+        .select(
+          F.col("event_type"),
+          (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).as("lo"),
+          (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).as("hi"))
+      e.join(F.broadcast(bounds), "event_type")
+        .filter(F.col("value") < F.col("lo") || F.col("value") > F.col("hi"))
+        .select(
+          F.col("event_id"), F.col("event_type"),
+          F.round(F.col("value"), 2).as("value"),
+          F.round(F.col("lo"), 6).as("lo"), F.round(F.col("hi"), 6).as("hi"))
+        .orderBy("event_id")
+    }),
+
+    // Pairwise correlation matrix in ONE aggregate pass (EDA / feature
+    // selection): every corr() is a partial-aggregable moment, so the
+    // whole matrix costs a single scan + a 1-row reduce, not a job per
+    // pair.
+    "qa13_correlations" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = for {
+        (a, i) <- cols.zipWithIndex; (b, j) <- cols.zipWithIndex if i < j
+      } yield F.round(F.corr(F.col(a), F.col(b)), 6).as(s"${a}__$b")
+      li.agg(aggs.head, aggs.tail: _*)
+    }),
+
     // Salted fact⋈dim join — must produce exactly the plain-join rollup.
     "qa02_salted_join" -> ((s, d) => {
       val orders = Tables.load(s, d, "orders")
@@ -235,6 +271,25 @@ object AdvancedQueries extends QueryPack {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "qa12_outliers" ->
+      """SELECT event_id, e.event_type, round(value, 2) AS value,
+         round(lo, 6) AS lo, round(hi, 6) AS hi
+         FROM events e JOIN (
+           SELECT event_type,
+             quantile_cont(value, 0.25) - 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) AS lo,
+             quantile_cont(value, 0.75) + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)) AS hi
+           FROM events GROUP BY event_type) b USING (event_type)
+         WHERE value < lo OR value > hi
+         ORDER BY event_id""",
+    "qa13_correlations" ->
+      """SELECT
+         round(corr(l_quantity, l_extendedprice), 6) AS l_quantity__l_extendedprice,
+         round(corr(l_quantity, l_discount), 6) AS l_quantity__l_discount,
+         round(corr(l_quantity, l_tax), 6) AS l_quantity__l_tax,
+         round(corr(l_extendedprice, l_discount), 6) AS l_extendedprice__l_discount,
+         round(corr(l_extendedprice, l_tax), 6) AS l_extendedprice__l_tax,
+         round(corr(l_discount, l_tax), 6) AS l_discount__l_tax
+         FROM lineitem""",
     "qa11_fuzzy_join" ->
       """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
          a.p_name AS a_name, b.p_name AS b_name,
