@@ -89,13 +89,31 @@ object TextFunctions {
   /** Composite quality score in [0,1]: length saturation + low punctuation
     * + stopword density (shape follows published quality-filter heuristics
     * for LLM corpora: C4/Gopher-style rules).
+    *
+    * Deliberately UNROUNDED: every term is plain IEEE-754 arithmetic over
+    * exact integer counts, so any engine evaluating the same expression
+    * tree produces the bit-identical double — decisions (thresholds,
+    * ordering, sampling weights) made on the raw value are engine-portable.
+    * Decimal `round(x, d)` is NOT: synthetic corpora produce raw scores
+    * that are exact binary fractions sitting precisely on decimal half-way
+    * boundaries (0.7703125, 0.8171875, ...), where Spark's HALF_UP and
+    * another engine's rounding diverge. Payloads that get hashed for
+    * comparison should go through [[scaledLong]] instead.
     */
   def qualityScore(text: Column): Column =
-    F.round(
-      F.least(tokenCount(text) / F.lit(20.0), F.lit(1.0)) * 0.4 +
-        (F.lit(1.0) - punctRatio(text)) * 0.3 +
-        F.least(stopwordRatio(text) * 5.0, F.lit(1.0)) * 0.3,
-      6)
+    F.least(tokenCount(text) / F.lit(20.0), F.lit(1.0)) * 0.4 +
+      (F.lit(1.0) - punctRatio(text)) * 0.3 +
+      F.least(stopwordRatio(text) * 5.0, F.lit(1.0)) * 0.3
+
+  /** Engine-exact fixed-point projection: `floor(x·10^digits + 0.5)` as a
+    * BIGINT. Unlike decimal `round`, `floor` has no tie-breaking mode —
+    * given the bit-identical input double (which portable expressions
+    * produce, see [[qualityScore]]), every engine computes the identical
+    * long. DuckDB twin: `CAST(floor(x * 1e<digits> + 0.5) AS BIGINT)`.
+    * Non-negative inputs only (floor(x+0.5) rounds half toward +inf).
+    */
+  def scaledLong(x: Column, digits: Int): Column =
+    F.floor(x * F.lit(math.pow(10, digits)) + F.lit(0.5)).cast("long")
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set. Equal for bag-of-words-identical documents.

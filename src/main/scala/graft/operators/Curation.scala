@@ -75,8 +75,9 @@ object Curation {
       .groupBy(idCol).agg(F.count(F.lit(1)).as("n_shared"))
     totals.join(shared, Seq(idCol), "left")
       .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0L)))
+      // raw exact-integer division — engine-portable (see Dedup.jaccardPairs)
       .withColumn("overlap_frac",
-        F.round(F.col("n_shared") / F.col("n_shingles"), 4))
+        F.col("n_shared") / F.col("n_shingles"))
   }
 
   /** The end-to-end scrub: training docs with every contaminated doc
@@ -613,18 +614,21 @@ object Curation {
     val d3 = gramTable(df, idCol, textCol, 3)
       .groupBy(id, F.col("gram")).agg(F.count(F.lit(1)).as("c"))
       .groupBy(idCol)
-      .agg(F.round(
+      // raw exact-integer divisions throughout: bit-identical in any
+      // engine, so the keep/drop thresholds below are portable (decimal
+      // rounding would tie-break engine-dependently on boundary fractions)
+      .agg((
         F.sum(F.when(F.col("c") > 1, F.col("c") * F.length(F.col("gram"))).otherwise(F.lit(0)))
           .cast("double") /
-          F.sum(F.col("c") * F.length(F.col("gram"))), 4).as("dup_trigram_frac"))
+          F.sum(F.col("c") * F.length(F.col("gram")))).as("dup_trigram_frac"))
 
     base
       .join(top2, Seq(idCol), "left")
       .join(d3, Seq(idCol), "left")
       .withColumn("dup_tok_frac",
-        F.round((F.col("n_tok") - F.col("n_dis")).cast("double") / F.col("n_tok"), 4))
+        (F.col("n_tok") - F.col("n_dis")).cast("double") / F.col("n_tok"))
       .withColumn("top_bigram_frac",
-        F.round((F.col("__top_c") * F.length(F.col("top_bigram"))).cast("double") / F.col("__tlen"), 4))
+        (F.col("__top_c") * F.length(F.col("top_bigram"))).cast("double") / F.col("__tlen"))
       .withColumn("keep",
         (F.coalesce(F.col("dup_tok_frac") <= maxDupTokFrac, F.lit(true)) &&
          F.coalesce(F.col("top_bigram_frac") <= maxTopBigramFrac, F.lit(true)) &&

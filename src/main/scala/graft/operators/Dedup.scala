@@ -94,8 +94,12 @@ object Dedup {
       .agg(F.count(F.lit(1)).as("shared"))
       .join(aCounts.toDF("a_id", "na"), "a_id")
       .join(bCounts.toDF("b_id", "nb"), "b_id")
+      // raw division of exact integer counts: a single correctly-rounded
+      // IEEE op, bit-identical in any engine — so the >= minJ decision is
+      // portable. Decimal rounding here would make the threshold (and any
+      // hashed payload) depend on the engine's tie mode.
       .withColumn("jaccard",
-        F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
+        F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
       .filter(F.col("jaccard") >= minJ)
       .select("a_id", "b_id", "shared", "jaccard")
   }
@@ -124,8 +128,9 @@ object Dedup {
       shared
         .join(counts.toDF("a_id", "na"), "a_id")
         .join(counts.toDF("b_id", "nb"), "b_id")
+        // raw exact-integer division — engine-portable; see jaccardVerifyBipartite
         .withColumn("jaccard",
-          F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
+          F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
         .filter(F.col("jaccard") >= minJ)
         .select("a_id", "b_id", "shared", "jaccard")
     } else {

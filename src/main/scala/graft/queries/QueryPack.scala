@@ -10,8 +10,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Determinism rules for hash-parity with the oracle:
   *   - every query ends in an ORDER BY over a unique key combination;
-  *   - every computed double column is `round(...)`-ed in BOTH dialects
-  *     (summation order differs between engines — raw fp sums won't hash-match);
+  *   - a double that is a pure expression over exact integers (ratios,
+  *     quality scores, jaccard) is engine-portable RAW — identical IEEE
+  *     expression trees produce bit-identical doubles in every engine.
+  *     Decisions (thresholds, ordering, sampling) run on the raw value;
+  *     the hashed payload carries its fixed-point image
+  *     `TextFunctions.scaledLong(x, d)` = `floor(x·10^d + 0.5)` BIGINT
+  *     (`CAST(floor(x * 10^d + 0.5) AS BIGINT)` in DuckDB). Decimal
+  *     `round(x, d)` is NOT portable: synthetic corpora land raw values
+  *     exactly on decimal half-way boundaries (x·10^d = N.5 exactly),
+  *     where engines' tie algorithms diverge (the round-6 qd28 red row);
+  *   - doubles that pass through order-dependent summation or
+  *     transcendental fns (sum/avg of doubles, ln, corr) keep `round(...)`
+  *     in BOTH dialects — parity there relies on the value not sitting
+  *     within an ulp of a rounding boundary (measure-zero for such
+  *     values, impossible to make exact cheaply). Prefer emitting exact
+  *     integer sums (sum of longs) over averaging when the payload allows;
   *   - integer-valued aggregates use `count(CASE ...)` not `sum(CASE ...)`
   *     (DuckDB sums INTEGER into HUGEINT, which breaks schema parity);
   *   - column names are aliased identically in both dialects.

@@ -20,6 +20,16 @@ object TextQueries extends QueryPack {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
 
+  // Hashed-payload projection for jaccard pair relations: the raw double
+  // drives the threshold (portable — exact-integer division), the
+  // compared payload carries its fixed-point image (engine-exact long).
+  private def jaccardPayload(df: DataFrame): DataFrame =
+    df.select(F.col("a_id"), F.col("b_id"), F.col("shared"),
+      scaledLong(F.col("jaccard"), 4).as("j_e4"))
+
+  // DuckDB-side twin of jaccardPayload's fixed-point projection.
+  private val jE4Sql = "CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS j_e4"
+
   // DuckDB-side shingle relation (word trigrams, distinct per doc).
   private val oracleShingles =
     """sh AS (
@@ -37,8 +47,8 @@ object TextQueries extends QueryPack {
         .groupBy("lang")
         .agg(
           F.count(F.lit(1)).as("n_docs"),
-          F.round(F.avg("n_tok"), 4).as("avg_tokens"),
-          F.round(F.avg("n_chars"), 4).as("avg_chars"),
+          F.sum("n_tok").cast("long").as("sum_tokens"),
+          F.sum("n_chars").cast("long").as("sum_chars"),
           F.max("n_tok").as("max_tokens"))
         .orderBy("lang")
     }),
@@ -68,19 +78,21 @@ object TextQueries extends QueryPack {
         .orderBy("lang", "pred_lang")
     }),
 
-    // Quality-score histogram (decile buckets).
+    // Quality-score histogram (decile buckets). Compared payload is the
+    // exact micro-quality SUM (long) — engine-proof; the mean is sum/n.
     "qd05_quality_score" -> ((s, d) => {
       docs(s, d)
         .select(qualityScore(F.col("text")).as("qs"))
         .withColumn("bucket", F.floor(F.col("qs") * 10).cast("int"))
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).as("n"), F.round(F.avg("qs"), 4).as("avg_qs"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(scaledLong(F.col("qs"), 6)).as("sum_q_u"))
         .orderBy("bucket")
     }),
 
     // Brute-force word-trigram Jaccard near-dup pairs (J >= 0.3).
     "qd06_jaccard_pairs" -> ((s, d) => {
-      Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.3)
+      jaccardPayload(Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.3))
         .orderBy("a_id", "b_id")
     }),
 
@@ -90,7 +102,8 @@ object TextQueries extends QueryPack {
     // qd06's for every surviving pair (at this corpus: ALL of them — the
     // flag bounds the worst bucket without costing a single true pair).
     "qd12_jaccard_cooled" -> ((s, d) => {
-      Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.3, maxDocFreq = 3)
+      jaccardPayload(Dedup.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.3,
+          maxDocFreq = 3))
         .orderBy("a_id", "b_id")
     }),
 
@@ -98,7 +111,7 @@ object TextQueries extends QueryPack {
     // J >= 0.6 — banding (32×2 over 64 hashes) has recall ~1-3e-7 at
     // 0.6, so the result equals the brute-force oracle.
     "qd07_minhash_lsh" -> ((s, d) => {
-      Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text", 3, 0.6)
+      jaccardPayload(Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text", 3, 0.6))
         .orderBy("a_id", "b_id")
     }),
 
@@ -165,6 +178,8 @@ object TextQueries extends QueryPack {
           all.filter(F.col("doc_id") % 20 =!= 0),
           all.filter(F.col("doc_id") % 20 === 0),
           "doc_id", "text", 4)
+        .withColumn("overlap_e4", scaledLong(F.col("overlap_frac"), 4))
+        .drop("overlap_frac")
         .orderBy("doc_id")
     }),
 
@@ -237,7 +252,12 @@ object TextQueries extends QueryPack {
     // keep/drop decision at the documented thresholds.
     "qd18_repetition" -> ((s, d) => {
       Curation.repetitionStats(docs(s, d), "doc_id", "text")
-        .withColumn("n_tok", F.col("n_tok").cast("long"))
+        .select(F.col("doc_id"), F.col("n_tok").cast("long").as("n_tok"),
+          scaledLong(F.col("dup_tok_frac"), 4).as("dup_tok_e4"),
+          F.col("top_bigram"),
+          scaledLong(F.col("top_bigram_frac"), 4).as("top_bigram_e4"),
+          scaledLong(F.col("dup_trigram_frac"), 4).as("dup_trigram_e4"),
+          F.col("keep"))
         .orderBy("doc_id")
     }),
 
@@ -261,7 +281,8 @@ object TextQueries extends QueryPack {
     // decision bit-for-bit.
     "qd21_quality_sample" -> ((s, d) => {
       Curation.qualityWeightedSample(docs(s, d), "doc_id", "text", "s9", 0.1, 1.0)
-        .select(F.col("doc_id"), F.col("lang"), qualityScore(F.col("text")).as("qs"))
+        .select(F.col("doc_id"), F.col("lang"),
+          scaledLong(qualityScore(F.col("text")), 6).as("q_u"))
         .orderBy("doc_id")
     }),
 
@@ -293,6 +314,8 @@ object TextQueries extends QueryPack {
     "qd26_domain_quota" -> ((s, d) => {
       Curation.domainQuota(docs(s, d), "doc_id", "lang",
           qualityScore(F.col("text")), quota = 25)
+        .withColumn("quality_u", scaledLong(F.col("quality"), 6))
+        .drop("quality")
         .orderBy("lang", "rank")
     }),
 
@@ -313,9 +336,15 @@ object TextQueries extends QueryPack {
     // doc_id). The oracle recomputes the same quality score and a global
     // window cumsum; the Spark side reconstructs that cumsum with the
     // range-partitioned two-level scan (no single-partition window).
+    // The greedy ordering runs on the micro-quality LONG (same order as
+    // the raw score up to 1e-6 ties, which doc_id then breaks identically
+    // in both engines) so ordering, cumsum, AND the hashed payload are all
+    // exact integers — no engine rounding mode can flip a row.
     "qd28_token_budget" -> ((s, d) => {
       Curation.selectByTokenBudget(docs(s, d), "doc_id",
-          qualityScore(F.col("text")), tokenCount(F.col("text")), budget = 8000L)
+          scaledLong(qualityScore(F.col("text")), 6),
+          tokenCount(F.col("text")), budget = 8000L)
+        .withColumnRenamed("quality", "quality_u")
         .orderBy("doc_id")
     }),
 
@@ -356,8 +385,7 @@ object TextQueries extends QueryPack {
         .groupBy("lang")
         .agg(F.count(F.lit(1)).as("docs"),
           F.sum("n_ws").as("ws_tokens"),
-          F.sum("n_bpe").as("bpe_tokens"),
-          F.round(F.sum("n_bpe").cast("double") / F.sum("n_ws"), 4).as("bpe_per_ws"))
+          F.sum("n_bpe").as("bpe_tokens"))
         .orderBy("lang")
     })
   )
@@ -419,7 +447,8 @@ object TextQueries extends QueryPack {
          SELECT tot.doc_id,
            tot.n_shingles,
            coalesce(shr.n_shared, 0) AS n_shared,
-           round(CAST(coalesce(shr.n_shared, 0) AS DOUBLE) / tot.n_shingles, 4) AS overlap_frac
+           CAST(floor(CAST(coalesce(shr.n_shared, 0) AS DOUBLE) / tot.n_shingles
+             * 10000 + 0.5) AS BIGINT) AS overlap_e4
          FROM tot LEFT JOIN shr ON shr.doc_id = tot.doc_id
          ORDER BY tot.doc_id""",
     "qd13_decontaminate" ->
@@ -452,15 +481,16 @@ object TextQueries extends QueryPack {
            FROM documents)
          ORDER BY doc_id""",
     "qd26_domain_quota" ->
-      """SELECT lang, CAST(rn AS INTEGER) AS rank, doc_id, q AS quality FROM (
+      """SELECT lang, CAST(rn AS INTEGER) AS rank, doc_id,
+           CAST(floor(q * 1000000 + 0.5) AS BIGINT) AS quality_u FROM (
            SELECT lang, doc_id, q,
              row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn
            FROM (
-             SELECT lang, doc_id, round(
+             SELECT lang, doc_id,
                least(array_length(w) / 20.0, 1.0) * 0.4 +
                (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
-               least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3,
-               6) AS q
+               least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3
+               AS q
              FROM (SELECT lang, doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)))
          WHERE rn <= 25 ORDER BY lang, rank""",
     "qd25_chunk_documents" ->
@@ -485,8 +515,8 @@ object TextQueries extends QueryPack {
          pairs AS (
            SELECT a_id, b_id FROM (
              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               round(CAST(count(*) AS DOUBLE) /
-                 (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)), 4) AS jaccard
+               CAST(count(*) AS DOUBLE) /
+                 (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)) AS jaccard
              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
              JOIN cnt ca ON ca.doc_id = a.doc_id
              JOIN cnt cb ON cb.doc_id = b.doc_id
@@ -523,18 +553,22 @@ object TextQueries extends QueryPack {
                 FROM toks, (SELECT unnest(range(1, 512)) AS i) WHERE i <= len(w) - 2),
          c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
          d3 AS (SELECT doc_id,
-             round(CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS DOUBLE) /
-               sum(c * length(g)), 4) AS dup_trigram_frac
+             CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS DOUBLE) /
+               sum(c * length(g)) AS dup_trigram_frac
            FROM c3 GROUP BY doc_id)
-         SELECT doc_id, n_tok, dup_tok_frac, top_bigram, top_bigram_frac, dup_trigram_frac,
+         SELECT doc_id, n_tok,
+           CAST(floor(dup_tok_frac * 10000 + 0.5) AS BIGINT) AS dup_tok_e4,
+           top_bigram,
+           CAST(floor(top_bigram_frac * 10000 + 0.5) AS BIGINT) AS top_bigram_e4,
+           CAST(floor(dup_trigram_frac * 10000 + 0.5) AS BIGINT) AS dup_trigram_e4,
            CAST(coalesce(dup_tok_frac <= 0.65, TRUE)
              AND coalesce(top_bigram_frac <= 0.10, TRUE)
              AND coalesce(dup_trigram_frac <= 0.05, TRUE) AS INT) AS keep
          FROM (
            SELECT b.doc_id, b.n_tok,
-             round(CAST(b.n_tok - b.n_dis AS DOUBLE) / b.n_tok, 4) AS dup_tok_frac,
+             CAST(b.n_tok - b.n_dis AS DOUBLE) / b.n_tok AS dup_tok_frac,
              t.top_bigram,
-             round(CAST(t.top_c * length(t.top_bigram) AS DOUBLE) / b.tlen, 4) AS top_bigram_frac,
+             CAST(t.top_c * length(t.top_bigram) AS DOUBLE) / b.tlen AS top_bigram_frac,
              d.dup_trigram_frac
            FROM base b
            LEFT JOIN top2 t ON t.doc_id = b.doc_id
@@ -553,8 +587,8 @@ object TextQueries extends QueryPack {
                 GROUP BY bf.doc_id),
          nr AS (SELECT a_id AS doc_id, min(b_id) AS near_match FROM (
              SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
-               round(CAST(count(*) AS DOUBLE) /
-                 (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)), 4) AS j
+               CAST(count(*) AS DOUBLE) /
+                 (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)) AS j
              FROM sh sa JOIN b ON b.doc_id = sa.doc_id
              JOIN sh sb ON sb.shingle = sa.shingle
              JOIN h ON h.doc_id = sb.doc_id
@@ -573,27 +607,27 @@ object TextQueries extends QueryPack {
     "qd28_token_budget" ->
       """WITH q AS (
            SELECT doc_id,
-             round(
+             CAST(floor((
                least(array_length(w) / 20.0, 1.0) * 0.4 +
                (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
-               least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3,
-               6) AS quality,
+               least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3
+             ) * 1000000 + 0.5) AS BIGINT) AS quality_u,
              CAST(array_length(w) AS BIGINT) AS n_tok
            FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)),
          c AS (
-           SELECT doc_id, quality, n_tok,
-             coalesce(sum(n_tok) OVER (ORDER BY quality DESC, doc_id
+           SELECT doc_id, quality_u, n_tok,
+             coalesce(sum(n_tok) OVER (ORDER BY quality_u DESC, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
            FROM q)
-         SELECT doc_id, quality, n_tok, cum_before
+         SELECT doc_id, quality_u, n_tok, cum_before
          FROM c WHERE cum_before < 8000 ORDER BY doc_id""",
     "qd29_leakage_split" ->
       s"""WITH RECURSIVE $oracleShingles,
          pairs AS (
            SELECT a_id, b_id FROM (
              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               round(CAST(count(*) AS DOUBLE) /
-                 (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)), 4) AS jaccard
+               CAST(count(*) AS DOUBLE) /
+                 (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)) AS jaccard
              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
              JOIN cnt ca ON ca.doc_id = a.doc_id
              JOIN cnt cb ON cb.doc_id = b.doc_id
@@ -672,14 +706,13 @@ object TextQueries extends QueryPack {
     "qd21_quality_sample" ->
       """WITH q AS (
            SELECT doc_id, lang,
-             round(
-               least(array_length(w) / 20.0, 1.0) * 0.4 +
-               (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
-               least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3,
-               6) AS qs,
+             least(array_length(w) / 20.0, 1.0) * 0.4 +
+             (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
+             least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3
+             AS qs,
              CAST('0x' || substr(md5('s9-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS h
            FROM (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
-         SELECT doc_id, lang, qs FROM q
+         SELECT doc_id, lang, CAST(floor(qs * 1000000 + 0.5) AS BIGINT) AS q_u FROM q
          WHERE CAST(h AS DOUBLE) < (0.1 + 0.9 * qs) * 10000.0
          ORDER BY doc_id""",
     "qd19_bpe_tokens" ->
@@ -690,8 +723,7 @@ object TextQueries extends QueryPack {
            FROM t)
          SELECT lang, count(*) AS docs,
            CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
-           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
-           round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 4) AS bpe_per_ws
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens
          FROM c GROUP BY lang ORDER BY lang""",
     "qd08_simhash" -> simhashOracle,
     "qd09_fingerprints" ->
@@ -705,8 +737,8 @@ object TextQueries extends QueryPack {
          FROM documents ORDER BY doc_id""",
     "qd01_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-         round(avg(array_length(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
-         round(avg(n_chars), 4) AS avg_chars,
+         CAST(sum(array_length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          CAST(max(array_length(regexp_split_to_array(trim(text), '\s+'))) AS INTEGER) AS max_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
     "qd02_exact_dedup" ->
@@ -740,12 +772,12 @@ object TextQueries extends QueryPack {
          GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
     "qd05_quality_score" ->
       """SELECT CAST(floor(qs * 10) AS INTEGER) AS bucket, count(*) AS n,
-         round(avg(qs), 4) AS avg_qs FROM (
-           SELECT round(
+         sum(CAST(floor(qs * 1000000 + 0.5) AS BIGINT)) AS sum_q_u FROM (
+           SELECT
              least(array_length(w) / 20.0, 1.0) * 0.4 +
              (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
-             least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3,
-             6) AS qs
+             least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3
+             AS qs
            FROM (SELECT text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
          GROUP BY bucket ORDER BY bucket""",
     "qd10_word_count" ->
@@ -758,10 +790,10 @@ object TextQueries extends QueryPack {
          FROM documents GROUP BY lang ORDER BY lang""",
     "qd06_jaccard_pairs" ->
       s"""WITH $oracleShingles
-         SELECT a_id, b_id, shared, jaccard FROM (
+         SELECT a_id, b_id, shared, $jE4Sql FROM (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
-             round(CAST(count(*) AS DOUBLE) /
-               (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)), 4) AS jaccard
+             CAST(count(*) AS DOUBLE) /
+               (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)) AS jaccard
            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            JOIN cnt ca ON ca.doc_id = a.doc_id
            JOIN cnt cb ON cb.doc_id = b.doc_id
@@ -773,10 +805,10 @@ object TextQueries extends QueryPack {
            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 3)),
          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
            FROM cool a JOIN cool b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
-         SELECT a_id, b_id, shared, jaccard FROM (
+         SELECT a_id, b_id, shared, $jE4Sql FROM (
            SELECT c.a_id, c.b_id, count(*) AS shared,
-             round(CAST(count(*) AS DOUBLE) /
-               (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)), 4) AS jaccard
+             CAST(count(*) AS DOUBLE) /
+               (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)) AS jaccard
            FROM cand c
            JOIN sh a ON a.doc_id = c.a_id
            JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
@@ -786,10 +818,10 @@ object TextQueries extends QueryPack {
          WHERE jaccard >= 0.3 ORDER BY a_id, b_id""",
     "qd07_minhash_lsh" ->
       s"""WITH $oracleShingles
-         SELECT a_id, b_id, shared, jaccard FROM (
+         SELECT a_id, b_id, shared, $jE4Sql FROM (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared,
-             round(CAST(count(*) AS DOUBLE) /
-               (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)), 4) AS jaccard
+             CAST(count(*) AS DOUBLE) /
+               (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)) AS jaccard
            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
            JOIN cnt ca ON ca.doc_id = a.doc_id
            JOIN cnt cb ON cb.doc_id = b.doc_id

@@ -178,6 +178,31 @@ class CurationSpec extends AnyFunSuite {
     assert(selectedTokens >= budget)
   }
 
+  test("scaledLong + integer-payload token budget are exact on half-way boundary scores (qd28 regression)") {
+    import spark.implicits._
+    // The raw quality scores the sf0.01 corpus actually produces for
+    // several docs: exact products x·1e6 = NNN.5, where decimal round(x,6)
+    // is a coin flip between engines (Spark HALF_UP on the decimal
+    // expansion vs scaled-double rounding elsewhere). floor(x·1e6 + 0.5)
+    // is two IEEE ops + floor — no tie mode, every engine agrees.
+    val boundary = Seq(0.7703125, 0.8171875, 0.8640625)
+    val micro = boundary.toDF("x")
+      .select(TextFunctions.scaledLong(F.col("x"), 6).as("u"))
+      .collect().map(_.getLong(0)).toList
+    assert(micro == boundary.map(x => math.floor(x * 1e6 + 0.5).toLong))
+    assert(micro == List(770313L, 817188L, 864063L))
+
+    // And the token-budget selection ordered by the micro-quality LONG is
+    // integer-exact end to end: greedy reference over (micro desc, id)
+    val rows = boundary.zipWithIndex.map { case (q, i) => (i.toLong, q, 100L) } ++
+      Seq((10L, 0.9, 100L), (11L, 0.1, 100L))
+    val sel = Curation.selectByTokenBudget(rows.toDF("doc_id", "q", "n"), "doc_id",
+        TextFunctions.scaledLong(F.col("q"), 6), F.col("n"), budget = 300L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // micro order: 10 (900000), 2 (864063), 1 (817188) fill the 300 budget
+    assert(sel == Set(10L, 2L, 1L))
+  }
+
   test("leakageSafeSplit keeps every near-dup cluster in one split, deterministically") {
     import spark.implicits._
     val docsDf = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
@@ -381,10 +406,10 @@ class CurationSpec extends AnyFunSuite {
 
     val d1 = out(1L)
     // 6 tokens, 2 distinct -> 4/6; "a b" x3 of 5 bigrams, 3*3 chars of 11;
-    // both trigrams repeat -> 1.0
-    assert(d1.getAs[Double]("dup_tok_frac") == 0.6667)
+    // both trigrams repeat -> 1.0 (raw exact-integer ratios, unrounded)
+    assert(d1.getAs[Double]("dup_tok_frac") == 4.0 / 6.0)
     assert(d1.getAs[String]("top_bigram") == "a b")
-    assert(d1.getAs[Double]("top_bigram_frac") == 0.8182)
+    assert(d1.getAs[Double]("top_bigram_frac") == 9.0 / 11.0)
     assert(d1.getAs[Double]("dup_trigram_frac") == 1.0)
     assert(d1.getAs[Int]("keep") == 0)
 
@@ -398,7 +423,7 @@ class CurationSpec extends AnyFunSuite {
     val d3 = out(3L)
     // top count 3 shared by "p q" and "q r": lexicographic min wins
     assert(d3.getAs[String]("top_bigram") == "p q")
-    assert(d3.getAs[Double]("top_bigram_frac") == 0.5294)
+    assert(d3.getAs[Double]("top_bigram_frac") == 9.0 / 17.0)
     assert(d3.getAs[Double]("dup_trigram_frac") == 1.0)
     assert(d3.getAs[Int]("keep") == 0)
 
