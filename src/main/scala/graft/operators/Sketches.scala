@@ -54,6 +54,11 @@ object Sketches {
       else
         preAgg.groupBy(coarserKeys.map(F.col): _*)
           .agg(F.hll_union_agg(F.col("sketch"), F.lit(false)).as("sketch"))
-    merged.withColumn("approx_distinct", F.hll_sketch_estimate(F.col("sketch")))
+    // a global (coarserKeys=Nil) merge of an EMPTY pre-agg still emits one
+    // row, with a null sketch — estimate 0, not null, so long-typed readers
+    // (SketchStream.read → getAs[Long]) don't NPE on a pre-first-batch store
+    merged.withColumn("approx_distinct",
+      F.when(F.col("sketch").isNull, F.lit(0L))
+        .otherwise(F.hll_sketch_estimate(F.col("sketch"))))
   }
 }

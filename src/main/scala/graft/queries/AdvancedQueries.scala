@@ -160,10 +160,14 @@ object AdvancedQueries extends QueryPack {
       e.groupingSets(
           Seq(Seq(F.col("event_type"), F.col("hod")), Seq(F.col("event_type")), Seq()),
           F.col("event_type"), F.col("hod"))
-        .agg(F.count(F.lit(1)).as("n"), F.round(F.sum("value"), 2).as("total_value"))
+        .agg(F.count(F.lit(1)).as("n"), F.round(F.sum("value"), 2).as("total_value"),
+          F.grouping(F.col("event_type")).as("__g_et"),
+          F.grouping(F.col("hod")).as("__g_hod"))
         .select(
-          F.coalesce(F.col("event_type"), F.lit("<all>")).as("event_type"),
-          F.coalesce(F.col("hod").cast("string"), F.lit("<all>")).as("hod"),
+          F.when(F.col("__g_et") === 1, F.lit("<all>"))
+            .otherwise(F.col("event_type")).as("event_type"),
+          F.when(F.col("__g_hod") === 1, F.lit("<all>"))
+            .otherwise(F.col("hod").cast("string")).as("hod"),
           F.col("n"), F.col("total_value"))
         .orderBy("event_type", "hod")
     }),
@@ -307,14 +311,15 @@ object AdvancedQueries extends QueryPack {
              ORDER BY ts DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1 ORDER BY user_id""",
     "qa10_grouping_sets" ->
-      """SELECT coalesce(event_type, '<all>') AS event_type,
-         coalesce(CAST(hod AS VARCHAR), '<all>') AS hod, n, total_value
+      """SELECT CASE WHEN g_et = 1 THEN '<all>' ELSE event_type END AS event_type,
+         CASE WHEN g_hod = 1 THEN '<all>' ELSE CAST(hod AS VARCHAR) END AS hod,
+         n, total_value
          FROM (
-           SELECT event_type, EXTRACT(hour FROM ts) AS hod,
-             count(*) AS n, round(sum(value), 2) AS total_value
-           FROM events
-           GROUP BY GROUPING SETS ((event_type, EXTRACT(hour FROM ts)),
-                                   (event_type), ()))
+           SELECT event_type, hod,
+             count(*) AS n, round(sum(value), 2) AS total_value,
+             GROUPING(event_type) AS g_et, GROUPING(hod) AS g_hod
+           FROM (SELECT event_type, EXTRACT(hour FROM ts) AS hod, value FROM events)
+           GROUP BY GROUPING SETS ((event_type, hod), (event_type), ()))
          ORDER BY event_type, hod""",
     "qa08_rank_family" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,

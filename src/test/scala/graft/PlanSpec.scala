@@ -236,10 +236,9 @@ class PlanSpec extends AnyFunSuite {
     val q = graft.queries.AdvancedQueries.queries("qa06_percentiles")(spark, sf)
     q.count()
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_percentile") || plan.contains("Partial"),
-      s"percentile must map-side combine:\n$plan")
-    assert(!plan.contains("Exchange SinglePartition") ||
-      "Exchange SinglePartition".r.findAllIn(plan).size <= 1,
+    assert(plan.contains("partial_percentile"),
+      s"percentile must map-side combine (partial_percentile below the exchange):\n$plan")
+    assert("Exchange SinglePartition".r.findAllIn(plan).size == 0,
       s"qa06 must shuffle on the group key, not a single partition:\n$plan")
   }
 

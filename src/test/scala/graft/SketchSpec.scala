@@ -91,6 +91,21 @@ class SketchSpec extends AnyFunSuite {
     } finally pre.unpersist()
   }
 
+  test("global merge of an empty pre-agg estimates 0, not null (pre-first-batch read)") {
+    import graft.operators.Sketches
+    val e = graft.runtime.Tables.load(spark, sf, "events")
+      .withColumn("day", F.to_date(F.col("ts")))
+    val emptyPre = Sketches.distinctSketchRollup(
+      e.filter(F.lit(false)), Seq("day", "event_type"), "user_id")
+    // global-grain agg over zero rows still yields one row; long-typed
+    // readers (SketchStream.read) must see 0, not an NPE-inducing null
+    val row = Sketches.mergeToGrain(emptyPre, Nil).head()
+    assert(!row.isNullAt(row.fieldIndex("approx_distinct")))
+    assert(row.getAs[Long]("approx_distinct") == 0L)
+    // keyed grain over zero rows stays zero-row (no phantom groups)
+    assert(Sketches.mergeToGrain(emptyPre, Seq("event_type")).isEmpty)
+  }
+
   // ---- Misra–Gries heavy hitters (plans.FreqItemsAggregate): a
   // deterministic-error counterpart to HLL — every true heavy hitter is
   // guaranteed present with a valid [count_lo, count_hi] interval.
