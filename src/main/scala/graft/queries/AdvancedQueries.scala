@@ -101,6 +101,27 @@ object AdvancedQueries extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // The BOUNDED-STATE percentile tier (qa06's 100 TB path),
+    // driver-checked as an error-contract row: percentile_approx at
+    // accuracy 100 guarantees rank error <= 1%, so the sketch median must
+    // land inside the exact [p40, p60] bracket (10x margin) per group.
+    // Spark computes both tiers and emits the verdict bit; the oracle
+    // recomputes the group census and asserts the contract holds — a
+    // sketch regression beyond its bound reds the row.
+    "qa14_approx_percentile_gate" -> ((s, d) => {
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          F.count(F.lit(1)).as("n"),
+          F.percentile_approx(F.col("o_totalprice"), F.lit(0.5), F.lit(100)).as("__apx"),
+          F.percentile(F.col("o_totalprice"), F.lit(0.4)).as("__lo"),
+          F.percentile(F.col("o_totalprice"), F.lit(0.6)).as("__hi"))
+        .select(F.col("o_orderpriority"), F.col("n"),
+          (F.col("__apx") >= F.col("__lo") && F.col("__apx") <= F.col("__hi"))
+            .cast("int").as("ok"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Time-RANGE sliding window: per-user trailing-1-hour event count and
     // value sum at every event — the batch twin of the streaming sliding
     // window (WindowedAggs), expressed as a rangeBetween frame over the
@@ -261,6 +282,9 @@ object AdvancedQueries extends QueryPack {
       """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "qa14_approx_percentile_gate" ->
+      """SELECT o_orderpriority, count(*) AS n, CAST(1 AS INT) AS ok
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "qa06_percentiles" ->
       """SELECT o_orderpriority, count(*) AS n,
          round(quantile_cont(o_totalprice, 0.25), 2) AS p25,

@@ -360,6 +360,22 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // The SCALE tier of qd29, driver-checked end to end: split pairs come
+    // from the MinHash+LSH generator (band-bucket candidates → exact
+    // verify) — the generator that actually runs at 100 TB — instead of
+    // the brute-force shingle self-join. At J >= 0.6 the 32×2 band
+    // settings' recall is ~1-3e-7 (qd07's contract), so components and
+    // split assignment equal the oracle's brute-force derivation exactly.
+    "qd32_leakage_split_lsh" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.minhashNearDupPairs(dd, "doc_id", "text", 3, 0.6)
+        .select("a_id", "b_id")
+      Curation.leakageSafeSplit(dd.select("doc_id"), "doc_id", pairs,
+          Seq(("train", 80), ("val", 10), ("test", 10)), "sp7")
+        .select("doc_id", "component", "split")
+        .orderBy("doc_id")
+    }),
+
     // Repeated-span scrub (exact-substring boilerplate removal): every
     // 8-token span shared by >= 2 docs is deleted from ALL of them, docs
     // rebuilt from surviving tokens. md5 of the rewritten text keeps the
@@ -621,6 +637,34 @@ object TextQueries extends QueryPack {
            FROM q)
          SELECT doc_id, quality_u, n_tok, cum_before
          FROM c WHERE cum_before < 8000 ORDER BY doc_id""",
+    "qd32_leakage_split_lsh" ->
+      s"""WITH RECURSIVE $oracleShingles,
+         pairs AS (
+           SELECT a_id, b_id FROM (
+             SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS DOUBLE) /
+                 (any_value(ca.n_sh) + any_value(cb.n_sh) - count(*)) AS jaccard
+             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             JOIN cnt ca ON ca.doc_id = a.doc_id
+             JOIN cnt cb ON cb.doc_id = b.doc_id
+             GROUP BY a.doc_id, b.doc_id)
+           WHERE jaccard >= 0.6),
+         edges AS (SELECT a_id AS a, b_id AS b FROM pairs
+                   UNION ALL SELECT b_id AS a, a_id AS b FROM pairs),
+         reach(id, r) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         comp AS (
+           SELECT d.doc_id, least(d.doc_id, coalesce(min(r.r), d.doc_id)) AS component
+           FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+           GROUP BY d.doc_id),
+         h AS (SELECT doc_id, component,
+           CAST('0x' || substr(md5('sp7-' || CAST(component AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS hv
+           FROM comp)
+         SELECT doc_id, component,
+           CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val' ELSE 'test' END AS split
+         FROM h ORDER BY doc_id""",
     "qd29_leakage_split" ->
       s"""WITH RECURSIVE $oracleShingles,
          pairs AS (

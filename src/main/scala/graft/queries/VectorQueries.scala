@@ -93,6 +93,23 @@ object VectorQueries extends QueryPack {
         .orderBy("cell", "rank")
     }),
 
+    // The SCALE tier of qe06, driver-checked end to end: candidate pairs
+    // come from the random-hyperplane LSH generator (chunk-bucket
+    // candidates → exact cosine verify) — the generator that replaces the
+    // quadratic blocked kernel at 100 TB — then flow through the same
+    // components → representative assignment. 12 chunks of 2 bits at
+    // cos >= 0.8 (bit-collision p ≈ 0.795) give miss probability
+    // (1-p²)¹² ≈ 6e-6 per true pair, and the oracle's brute-force
+    // derivation confirms recall = 1 on this corpus exactly.
+    "qe09_semantic_dedup_lsh" -> ((s, d) => {
+      val e = emb(s, d)
+      val pairs = Similarity.rpLshNearDupPairs(e, "vec_id", "embedding",
+          minCos = 0.8, dim = 64, bits = 24, chunkBits = 2)
+      Similarity.semanticDedup(e, "vec_id", "embedding", minCos = 0.8,
+          candidatePairs = Some(pairs))
+        .orderBy("vec_id")
+    }),
+
     // Batch kNN join: exact top-5 neighbors for every query-set vector in
     // ONE pass — queries broadcast, per-query top-k via the map-side
     // topk_rows aggregate (shuffle sized by |Q|·k, never the corpus).
@@ -172,7 +189,29 @@ object VectorQueries extends QueryPack {
            CAST(c.vec_id = c.component AS INT) AS is_rep
          FROM comp c JOIN sizes s ON s.component = c.component
          ORDER BY c.vec_id""",
-    "qe07_cluster_sample" -> clusterSampleOracle
+    "qe07_cluster_sample" -> clusterSampleOracle,
+    "qe09_semantic_dedup_lsh" ->
+      s"""WITH RECURSIVE $oracleDot,
+         thr AS (
+           SELECT a_id, b_id FROM pairs
+           JOIN norms na ON na.vec_id = a_id
+           JOIN norms nb ON nb.vec_id = b_id
+           WHERE a_id < b_id AND round(dp / (na.nrm * nb.nrm), 4) >= 0.8),
+         edges AS (SELECT a_id AS a, b_id AS b FROM thr
+                   UNION ALL SELECT b_id AS a, a_id AS b FROM thr),
+         reach(id, r) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         comp AS (
+           SELECT v.vec_id, least(v.vec_id, coalesce(min(r.r), v.vec_id)) AS component
+           FROM embeddings v LEFT JOIN reach r ON r.id = v.vec_id
+           GROUP BY v.vec_id),
+         sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         SELECT c.vec_id, c.component, s.cluster_size,
+           CAST(c.vec_id = c.component AS INT) AS is_rep
+         FROM comp c JOIN sizes s ON s.component = c.component
+         ORDER BY c.vec_id"""
   )
 
   // DuckDB twin of the cluster-stratified sample (qe07): cells re-derived
