@@ -104,6 +104,18 @@ object Dedup {
       .select("a_id", "b_id", "shared", "jaccard")
   }
 
+  /** Exact-Jaccard verification of (a_id, b_id) candidate pairs against a
+    * caller-supplied shingle relation (id, shingle) and its per-doc counts
+    * (id, n_sh) — the one-corpus face of [[jaccardVerifyBipartite]],
+    * exposed so a streaming trigger that has ALREADY shingled its batch
+    * (and reuses that relation for the history probe and the index fold)
+    * doesn't re-tokenize per consumer. Column ORDER matters on both
+    * relations (joined positionally).
+    */
+  private[graft] def verifyCandidates(
+      cands: DataFrame, sh: DataFrame, counts: DataFrame, minJ: Double): DataFrame =
+    jaccardVerify(cands, sh, counts, minJ)
+
   /** Brute-force n-gram Jaccard pairs with similarity >= minJ.
     * Distributed as: shingle self-equi-join (shuffle on shingle) →
     * per-pair shared counts → join with per-doc shingle counts.

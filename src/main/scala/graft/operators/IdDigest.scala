@@ -65,14 +65,21 @@ object IdDigest {
     * batch-sized passes (one agg, one bloom build); the result is
     * metadata-sized.
     */
-  def digestFrame(batch: DataFrame, idCol: String, epoch: Long): DataFrame = {
+  def digestFrame(batch: DataFrame, idCol: String, epoch: Long,
+      precomputed: Option[(Long, Long, Long)] = None): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
     require(batch.schema(idCol).dataType == LongType,
       s"id digests require a LongType id column, got ${batch.schema(idCol).dataType}")
     val ids = batch.select(F.col(idCol).as("id"))
-    val r = ids.agg(F.count(F.lit(1)).as("n"),
-      F.min("id").as("min_id"), F.max("id").as("max_id")).head()
+    // callers that already aggregated the batch (e.g. the append guard's
+    // combined stats pass) supply (n, min, max) so the only job here is
+    // the bloom build
+    val r = precomputed match {
+      case Some((n0, mn0, mx0)) => org.apache.spark.sql.Row(n0, mn0, mx0)
+      case None => ids.agg(F.count(F.lit(1)).as("n"),
+        F.min("id").as("min_id"), F.max("id").as("max_id")).head()
+    }
     val n = r.getLong(0)
     val bloomBytes =
       if (n == 0) Array.empty[Byte]
@@ -107,7 +114,8 @@ object IdDigest {
     * probing all fetched blooms per row.
     */
   def suspectEpochs(batch: DataFrame, idCol: String,
-      digests: DataFrame, presentEpochs: Seq[Long]): Seq[Long] = {
+      digests: DataFrame, presentEpochs: Seq[Long],
+      precomputed: Option[(Long, Long, Long)] = None): Seq[Long] = {
     val spark = batch.sparkSession
     register(spark)
     // metadata only — never the bloom column (parquet prunes it away).
@@ -121,8 +129,13 @@ object IdDigest {
 
     val ids = batch.select(F.col(idCol).as("id")).cache()
     try {
-      val b = ids.agg(F.count(F.lit(1)).as("n"),
-        F.min("id").as("mn"), F.max("id").as("mx")).head()
+      // `precomputed` (n, min, max) skips the batch aggregate — the
+      // append guard's combined stats pass already has it
+      val b = precomputed match {
+        case Some((n0, mn0, mx0)) => org.apache.spark.sql.Row(n0, mn0, mx0)
+        case None => ids.agg(F.count(F.lit(1)).as("n"),
+          F.min("id").as("mn"), F.max("id").as("mx")).head()
+      }
       if (b.getLong(0) == 0L) return uncovered
       val (bMin, bMax) = (b.getLong(1), b.getLong(2))
       val overlapping = screenable.collect {

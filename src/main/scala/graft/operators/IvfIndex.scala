@@ -102,6 +102,16 @@ object IvfIndex {
     IdDigest.digestFrame(vecs.select("id"), "id", BuildEpoch)
       .coalesce(1).write.mode("overwrite")
       .partitionBy("epoch").parquet(s"$root/digests")
+
+    // seed the cell-occupancy metadata (see [[cellOccupancy]]): counting
+    // the just-written vectors references only the partition column, so
+    // the scan reads parquet footers, not vector data — a one-off at
+    // build time; appends keep it current from their own batch frames
+    spark.read.parquet(s"$root/vectors").groupBy("cell")
+      .agg(F.count(F.lit(1)).as("n"))
+      .withColumn("epoch", F.lit(BuildEpoch))
+      .coalesce(1).write.mode("overwrite")
+      .partitionBy("epoch").parquet(s"$root/cellcounts")
   }
 
   /** Incremental ingest: assign NEW vectors to the EXISTING centroids and
@@ -207,6 +217,15 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch").parquet(s"$root/digests")
+
+    // fold this epoch's cell occupancy row-set (batch-sized agg) so the
+    // drift monitor ([[maxCellShare]]) stays metadata-only; same replay
+    // discipline as the digest
+    assigned.groupBy("cell").agg(F.count(F.lit(1)).as("n"))
+      .withColumn("epoch", F.lit(epoch))
+      .coalesce(1).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$root/cellcounts")
   }
 
   /** Fold every epoch <= `upToEpoch` into the single consolidated
@@ -266,15 +285,21 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("epoch").parquet(s"$root/digests")
+    consolidated.groupBy("cell").agg(F.count(F.lit(1)).as("n"))
+      .withColumn("epoch", F.lit(BuildEpoch))
+      .coalesce(1).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$root/cellcounts")
 
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
     cold.filter(_ != BuildEpoch).foreach { e =>
-      // digest FIRST: a crash between the two deletes then leaves a
-      // vectors dir whose epoch the re-run still lists as cold (cleaned
-      // up normally). The other order would strand the digest forever —
+      // metadata relations FIRST: a crash between the deletes then leaves
+      // a vectors dir whose epoch the re-run still lists as cold (cleaned
+      // up normally). The other order would strand metadata forever —
       // listEpochs consults the vectors side, so an epoch with no
       // vectors dir is never folded again.
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/cellcounts/epoch=$e"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/digests/epoch=$e"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/vectors/epoch=$e"), true)
     }
@@ -298,15 +323,107 @@ object IvfIndex {
     * `numCentroids = 0` (the default) keeps the index's CURRENT cell
     * count (read from its centroid table) — a maintenance rebuild must
     * not silently reshape an index built with a different C.
+    *
+    * `excludeEpoch` drops one epoch from the fold — an ingest stream
+    * rebuilding at the START of trigger E passes `Some(E)`: a CRASHED
+    * previous attempt of the same trigger may already have folded
+    * epoch E into `root`, and consolidating those rows into `newRoot`'s
+    * build epoch would shadow the replayed batch's own vectors in its
+    * dedup gate (the gate excludes epoch E, not the build epoch). The
+    * replay re-folds epoch E into the new generation itself.
     */
   def rebuild(spark: SparkSession, root: String, newRoot: String,
-      numCentroids: Int = 0, seed: Long = 42L, trainFraction: Double = 1.0): Unit = {
+      numCentroids: Int = 0, seed: Long = 42L, trainFraction: Double = 1.0,
+      excludeEpoch: Option[Long] = None): Unit = {
     require(newRoot != root,
       "rebuild writes a fresh index; pass a different root and flip the pointer after")
     val c = if (numCentroids > 0) numCentroids
       else spark.read.parquet(s"$root/centroids.parquet").count().toInt
-    build(vectors(spark, root).select("id", "vec"), "id", "vec", newRoot,
+    build(vectors(spark, root, excludeEpoch).select("id", "vec"), "id", "vec", newRoot,
       c, seed, trainFraction)
+  }
+
+  /** Per-cell occupancy of the whole index: (cell, n), aggregated from
+    * the `cellcounts` metadata relation that [[build]] / [[appendAssigned]]
+    * / [[compact]] maintain — C rows per epoch, so the monitor reads
+    * METADATA, never the vector data. An index written before cellcounts
+    * existed falls back to counting the vectors relation grouped by its
+    * partition column (footer-sized reads — the degraded path, one-off
+    * until the next append refreshes the metadata).
+    */
+  def cellOccupancy(spark: SparkSession, root: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/cellcounts")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val perEpoch =
+      if (fs.exists(p)) spark.read.parquet(s"$root/cellcounts").select("cell", "n")
+      else spark.read.parquet(s"$root/vectors").groupBy("cell")
+        .agg(F.count(F.lit(1)).as("n")).select("cell", "n")
+    perEpoch.groupBy("cell").agg(F.sum("n").as("n"))
+  }
+
+  /** The drift monitor: share of the corpus held by the fullest cell
+    * (1/C when balanced, → 1.0 as appends pile into one cell), plus the
+    * total vector count. Metadata-sized — safe to call every trigger.
+    */
+  def cellStats(spark: SparkSession, root: String): (Double, Long) = {
+    val r = cellOccupancy(spark, root)
+      .agg(F.max("n").as("mx"), F.sum("n").as("total")).head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) (0.0, 0L)
+    else (r.getLong(0).toDouble / r.getLong(1), r.getLong(1))
+  }
+
+  /** Standing drift response: [[rebuild]] into `newRoot` iff the fullest
+    * cell holds >= `maxShare` of a corpus of at least `minTotal` vectors
+    * (the floor stops a near-empty index from thrashing rebuilds).
+    * Returns whether a rebuild ran — the caller flips its root pointer
+    * (e.g. [[flipCurrent]]) only on `true`. The monitor read is
+    * metadata-sized, so calling this on every maintenance cadence is
+    * free when balanced.
+    */
+  def rebuildIfSkewed(spark: SparkSession, root: String, newRoot: String,
+      maxShare: Double = 0.5, minTotal: Long = 1000L, seed: Long = 42L,
+      trainFraction: Double = 1.0, excludeEpoch: Option[Long] = None): Boolean = {
+    val (share, total) = cellStats(spark, root)
+    val skewed = total >= minTotal && share >= maxShare
+    if (skewed)
+      rebuild(spark, root, newRoot, seed = seed, trainFraction = trainFraction,
+        excludeEpoch = excludeEpoch)
+    skewed
+  }
+
+  /** Resolve an index HANDLE to its live generation: if `handle/CURRENT`
+    * exists it names the generation root ([[flipCurrent]] wrote it);
+    * otherwise the handle IS the root (an index that never rebuilt).
+    * One metadata read — resolve per trigger / per query, so a rebuild
+    * committed by the maintenance cadence is picked up without restarting
+    * anything.
+    */
+  def currentRoot(spark: SparkSession, handle: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$handle/CURRENT")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) handle
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+  }
+
+  /** Commit a new generation: atomically point `handle/CURRENT` at
+    * `genRoot` (write-temp-then-rename — readers see either the old or
+    * the new pointer, never a partial write). The old generation's files
+    * are NOT deleted: in-flight readers may still hold its paths; retire
+    * old generations from the maintenance driver once drained.
+    */
+  def flipCurrent(spark: SparkSession, handle: String, genRoot: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = new org.apache.hadoop.fs.Path(s"$handle/CURRENT")
+    val tmp = new org.apache.hadoop.fs.Path(s"$handle/CURRENT.tmp")
+    val fs = cur.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(genRoot.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(cur)) fs.delete(cur, false)
+    require(fs.rename(tmp, cur), s"failed to commit CURRENT pointer at $handle")
   }
 
   /** The digest relation (n, min_id, max_id, bloom, epoch) as a LAZY

@@ -58,18 +58,26 @@ object NearDupIndex {
     * `insertInto` matches by POSITION and the `epoch` partition column
     * sits last in each table's schema.
     */
-  private def relations(sh: DataFrame, idCol: String, cfg: Config,
-      epoch: Long): Seq[(DataFrame, String, String)] = {
+  private def relations(sh: DataFrame, bucketRel: DataFrame, countsRel: DataFrame,
+      idCol: String, epoch: Long): Seq[(DataFrame, String, String)] = {
     val tag = F.lit(epoch).as("epoch")
     val shingles = sh.select(F.col(idCol), F.col("shingle"), tag)
-    val counts = sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
-      .select(F.col(idCol), F.col("n_sh"), tag)
-    val buckets = Dedup.lshBuckets(
-        Dedup.minhashSignatures(sh, idCol, cfg.numHashes), idCol, cfg.bands, cfg.rowsPerBand)
-      .select(F.col(idCol), F.col("band_idx"), F.col("band_hash"), tag)
+    val counts = countsRel.select(F.col(idCol), F.col("n_sh"), tag)
+    val buckets = bucketRel.select(F.col(idCol), F.col("band_idx"), F.col("band_hash"), tag)
     Seq((shingles, "_shingles", idCol), (counts, "_counts", idCol),
       (buckets, "_buckets", "band_hash"))
   }
+
+  /** The per-doc shingle-count relation (id, n_sh) for a shingle table. */
+  private def countShingles(sh: DataFrame, idCol: String): DataFrame =
+    sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
+
+  /** The LSH bucket relation (id, band_idx, band_hash) for a shingle
+    * relation under `cfg`'s band family.
+    */
+  private def codeBuckets(sh: DataFrame, idCol: String, cfg: Config): DataFrame =
+    Dedup.lshBuckets(
+      Dedup.minhashSignatures(sh, idCol, cfg.numHashes), idCol, cfg.bands, cfg.rowsPerBand)
 
   /** Offline build: shingle + sign the corpus once, persist the bucket /
     * shingle / count relations as epoch-partitioned bucketed catalog
@@ -90,7 +98,8 @@ object NearDupIndex {
     // the guard to its exact-scan fallback.
     spark.sql(s"DROP TABLE IF EXISTS ${name}_digest")
     val sh = Dedup.shingleTable(corpus, idCol, textCol, cfg.n).cache()
-    relations(sh, idCol, cfg, BuildEpoch).foreach { case (df, suffix, bucketCol) =>
+    relations(sh, codeBuckets(sh, idCol, cfg), countShingles(sh, idCol), idCol,
+        BuildEpoch).foreach { case (df, suffix, bucketCol) =>
       df.write.mode("overwrite")
         .partitionBy("epoch")
         .bucketBy(cfg.buckets, bucketCol).sortBy(bucketCol)
@@ -188,25 +197,73 @@ object NearDupIndex {
     */
   def append(batch: DataFrame, idCol: String, textCol: String, name: String,
       epoch: Long, cfg: Config = Config(), requireNewIds: Boolean = true): Unit = {
+    val sh = Dedup.shingleTable(batch, idCol, textCol, cfg.n).cache()
+    // also unpersist on a failed write — retries re-cache
+    try appendCoded(batch, sh, codeBuckets(sh, idCol, cfg), idCol, name, epoch, cfg,
+      requireNewIds)
+    finally sh.unpersist()
+  }
+
+  /** [[append]] for a caller that has ALREADY shingled and LSH-coded the
+    * batch — the streaming ingest trigger computes (shingles, buckets)
+    * once for its intra-batch dedup and history probe, then folds the
+    * accepted SUBSET here by semi-join instead of re-tokenizing a third
+    * time. `sh` / `buckets` must cover exactly `batch`'s rows under the
+    * index's band family; the caller owns their caching.
+    */
+  private[graft] def appendCoded(batch: DataFrame, sh: DataFrame, buckets: DataFrame,
+      idCol: String, name: String, epoch: Long, cfg: Config,
+      requireNewIds: Boolean = true, counts: Option[DataFrame] = None,
+      onStage: (String, Double) => Unit = null): Unit = {
+    def staged[T](stage: String)(body: => T): T =
+      if (onStage == null) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        onStage(stage, (System.nanoTime() - t0) / 1e9)
+        r
+      }
     val spark = batch.sparkSession
     requireSameFamily(spark, name, cfg)
-    if (requireNewIds) {
-      // batch-INTERNAL uniqueness first — the cross-epoch join below
-      // excludes this epoch, so a doc id arriving twice WITHIN one batch
-      // would pass it and double its shingle rows in this epoch. Batch-
-      // sized groupBy, cheap by construction.
-      val dups = batch.groupBy(idCol).count().filter(F.col("count") > 1)
-        .limit(5).collect().map(_.get(0))
-      require(dups.isEmpty,
-        s"batch contains internally duplicated ids (sample: ${dups.mkString(",")}); " +
-          "ids must be unique within a batch as well as across the index lifetime")
+    val longIds = batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    // ONE combined aggregate over the batch serves three consumers that
+    // each used to run their own pass: the internal-uniqueness guard
+    // (count vs count-distinct), the digest range screen (min/max), and
+    // the digest row itself — per-trigger job count is the throughput
+    // constant at micro-batch sizes, so passes that can share, share.
+    val stats: Option[(Long, Long, Long)] =
+      if (longIds) staged("fold.stats") {
+        val r = batch.agg(F.count(F.lit(1)).as("n"),
+          F.count_distinct(F.col(idCol)).as("nd"),
+          F.min(idCol).as("mn"), F.max(idCol).as("mx")).head()
+        val n = r.getLong(0)
+        if (requireNewIds && n != r.getLong(1)) {
+          val dups = batch.groupBy(idCol).count().filter(F.col("count") > 1)
+            .limit(5).collect().map(_.get(0))
+          require(dups.isEmpty, // always false here — build the sample for the message
+            s"batch contains internally duplicated ids (sample: ${dups.mkString(",")}); " +
+              "ids must be unique within a batch as well as across the index lifetime")
+        }
+        Some((n, if (n == 0) 0L else r.getLong(2), if (n == 0) 0L else r.getLong(3)))
+      } else None
+    if (requireNewIds) staged("fold.guard") {
+      // batch-INTERNAL uniqueness for non-long id types (long ids were
+      // checked by the combined stats pass above): a doc id arriving
+      // twice WITHIN one batch would pass the cross-epoch join below
+      // (it excludes this epoch) and double its shingle rows.
+      if (!longIds) {
+        val dups = batch.groupBy(idCol).count().filter(F.col("count") > 1)
+          .limit(5).collect().map(_.get(0))
+        require(dups.isEmpty,
+          s"batch contains internally duplicated ids (sample: ${dups.mkString(",")}); " +
+            "ids must be unique within a batch as well as across the index lifetime")
+      }
       // cross-epoch check via the per-epoch id digests where available
       // (long ids + a `_digest` table): range + bloom screening is
       // batch-sized and usually proves the append clean with zero
       // index-data I/O; only bloom-hit (or digest-less) epochs get the
       // exact scan, epoch-partition-pruned. Other id types, and indexes
       // built before digests existed, keep the full exact scan.
-      val longIds = batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType
       val scanEpochs: Option[Seq[Long]] =
         if (longIds && spark.catalog.tableExists(s"${name}_digest")) {
           // lazy frame: suspectEpochs pulls metadata once (serving both
@@ -215,7 +272,8 @@ object NearDupIndex {
           val digests = spark.table(s"${name}_digest").filter(F.col("epoch") =!= epoch)
           Some(IdDigest.suspectEpochs(
             batch.select(F.col(idCol).as("id")), "id", digests,
-            presentEpochs = presentEpochs(spark, name).filter(_ != epoch)))
+            presentEpochs = presentEpochs(spark, name).filter(_ != epoch),
+            precomputed = stats))
         } else None
       if (scanEpochs.forall(_.nonEmpty)) {
         val hist = spark.table(s"${name}_counts").filter(F.col("epoch") =!= epoch)
@@ -228,21 +286,53 @@ object NearDupIndex {
             "ids must be unique across the index lifetime")
       }
     }
-    val sh = Dedup.shingleTable(batch, idCol, textCol, cfg.n).cache()
-    try withDynamicOverwrite(spark) {
-      relations(sh, idCol, cfg, epoch).foreach { case (df, suffix, _) =>
-        df.write.mode("overwrite").insertInto(s"$name$suffix")
+    // the digest's bloom build only reads batch ids — start it NOW so it
+    // overlaps the relation writes below (its WRITE still happens last,
+    // after counts: a digest must never COVER an epoch whose counts
+    // partition isn't committed, or a crash window would let a colliding
+    // later append bloom-hit, exact-scan an absent partition, and pass)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val digestF: Option[Future[DataFrame]] =
+        if (longIds)
+          Some(Future(IdDigest.digestFrame(
+            batch.select(F.col(idCol).as("id")), "id", epoch, precomputed = stats)))
+        else None
+      withDynamicOverwrite(spark) {
+        val rels = relations(sh, buckets,
+          counts.getOrElse(countShingles(sh, idCol)), idCol, epoch)
+        // shingles ∥ counts: independent tables, neither makes the epoch
+        // DISCOVERABLE (buckets) nor COVERED (digest) — a crash leaving
+        // any subset converges on replay exactly as the sequential order
+        // did. Buckets still go strictly last.
+        val Seq(shinglesRel, countsRel, bucketsRel) = rels
+        staged("fold.write_sh_counts") {
+          val writes = Seq(shinglesRel, countsRel).map { case (df, suffix, _) =>
+            Future(df.write.mode("overwrite").insertInto(s"$name$suffix"))
+          }
+          writes.foreach(Await.result(_, Duration.Inf))
+        }
+        staged("fold.write_buckets") {
+          val (df, suffix, _) = bucketsRel
+          df.write.mode("overwrite").insertInto(s"$name$suffix")
+        }
+        // fold this epoch's id digest under the same overwrite discipline;
+        // a pre-digest index gains its digest table on first append (its
+        // old epochs stay uncovered → conservatively exact-scanned)
+        digestF.foreach { f =>
+          staged("fold.digest") {
+            val digest = Await.result(f, Duration.Inf)
+            if (spark.catalog.tableExists(s"${name}_digest"))
+              digest.write.mode("overwrite").insertInto(s"${name}_digest")
+            else digest.write.partitionBy("epoch").saveAsTable(s"${name}_digest")
+          }
+        }
       }
-      // fold this epoch's id digest under the same overwrite discipline;
-      // a pre-digest index gains its digest table on first append (its
-      // old epochs stay uncovered → conservatively exact-scanned)
-      if (batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
-        val digest = IdDigest.digestFrame(batch.select(F.col(idCol).as("id")), "id", epoch)
-        if (spark.catalog.tableExists(s"${name}_digest"))
-          digest.write.mode("overwrite").insertInto(s"${name}_digest")
-        else digest.write.partitionBy("epoch").saveAsTable(s"${name}_digest")
-      }
-    } finally sh.unpersist() // also on a failed write — retries re-cache
+    } finally pool.shutdown()
   }
 
   /** Test hook: perform only the first `firstRelations` of [[append]]'s
@@ -253,7 +343,8 @@ object NearDupIndex {
       name: String, epoch: Long, cfg: Config, firstRelations: Int): Unit = {
     val sh = Dedup.shingleTable(batch, idCol, textCol, cfg.n)
     withDynamicOverwrite(batch.sparkSession) {
-      relations(sh, idCol, cfg, epoch).take(firstRelations).foreach {
+      relations(sh, codeBuckets(sh, idCol, cfg), countShingles(sh, idCol), idCol,
+          epoch).take(firstRelations).foreach {
         case (df, suffix, _) => df.write.mode("overwrite").insertInto(s"$name$suffix")
       }
     }
@@ -369,20 +460,34 @@ object NearDupIndex {
       idCol: String, textCol: String, name: String, minJ: Double,
       cfg: Config = Config(),
       excludeEpoch: Option[Long] = None): (DataFrame, () => Unit) = {
-    requireSameFamily(spark, name, cfg)
     val bSh = Dedup.shingleTable(batch, idCol, textCol, cfg.n).cache()
-    val bBuckets = Dedup.lshBuckets(
-      Dedup.minhashSignatures(bSh, idCol, cfg.numHashes), idCol, cfg.bands, cfg.rowsPerBand)
+    val bCounts = bSh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
+    val verified = probeCoded(spark, bSh, codeBuckets(bSh, idCol, cfg), bCounts,
+      idCol, name, minJ, cfg, excludeEpoch)
+    (verified, () => { bSh.unpersist(blocking = true); () })
+  }
+
+  /** [[probe]] for a caller that has ALREADY shingled and LSH-coded the
+    * batch (same contract as [[appendCoded]]): `bSh` = (id, shingle),
+    * `bBuckets` = (id, band_idx, band_hash) under the index's band
+    * family, `bCounts` = (id, n_sh). The candidate set is restricted by
+    * whatever subset of ids `bBuckets` carries, so a streaming trigger
+    * passes full-batch shingles/counts but survivor-filtered buckets.
+    * Caller owns all caching.
+    */
+  private[graft] def probeCoded(spark: SparkSession, bSh: DataFrame, bBuckets: DataFrame,
+      bCounts: DataFrame, idCol: String, name: String, minJ: Double, cfg: Config,
+      excludeEpoch: Option[Long]): DataFrame = {
+    requireSameFamily(spark, name, cfg)
     val hBuckets = histRel(spark, s"${name}_buckets",
       Seq(idCol, "band_idx", "band_hash"), excludeEpoch)
-    val cands = bBuckets.toDF("a_id", "band_idx", "band_hash")
+    val cands = bBuckets.select(F.col(idCol), F.col("band_idx"), F.col("band_hash"))
+      .toDF("a_id", "band_idx", "band_hash")
       .join(hBuckets.toDF("b_id", "band_idx", "band_hash"),
         Seq("band_idx", "band_hash"))
       .select("a_id", "b_id").distinct()
-    val bCounts = bSh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
-    val verified = Dedup.jaccardVerifyBipartite(
+    Dedup.jaccardVerifyBipartite(
       cands, bSh, histRel(spark, s"${name}_shingles", Seq(idCol, "shingle"), excludeEpoch),
       bCounts, histRel(spark, s"${name}_counts", Seq(idCol, "n_sh"), excludeEpoch), minJ)
-    (verified, () => { bSh.unpersist(blocking = true); () })
   }
 }

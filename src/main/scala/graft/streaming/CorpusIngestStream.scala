@@ -62,10 +62,37 @@ object CorpusIngestStream {
     * scenarios without a streaming query; every step is deterministic
     * and idempotent per batch id (see object scaladoc).
     *
+    * The batch text is tokenized, shingled, and MinHash-coded exactly
+    * ONCE: the cached (shingle, count, bucket) relations feed all three
+    * consumers — intra-batch pair generation, the history probe
+    * ([[graft.operators.NearDupIndex.probeCoded]], buckets semi-joined to
+    * intra survivors), and the index fold
+    * ([[graft.operators.NearDupIndex.appendCoded]], all relations
+    * semi-joined to the accepted set). The pre-r7 shape re-shingled per
+    * consumer (3× tokenize+explode+distinct, 2× 64-hash signatures) and
+    * re-ran the guard/digest aggregates separately; at micro-batch sizes
+    * the trigger's cost is the JOB COUNT, not the data, so the r7 shape
+    * shares every pass that can be shared (and `appendCoded` overlaps
+    * its independent writes). Measured ([[graft.tools.ProfileCorpusTrigger]],
+    * 5k docs × ~60 words, 10% planted near-dups, quiet local[32]):
+    * 20.9 s → 14.8 s per trigger; StreamBench corpus leg 171 → 303
+    * docs/s at batch 5k. Stage breakdown of the shared shape (same run,
+    * via `onStage`, seconds): curate 0.7 / shingle 0.9 / code 1.1 /
+    * intra pairs+components 4.0 / probe 1.4 / land 0.3 / fold 5.3
+    * (stats 0.4, guard 0.2, shingles∥counts writes 2.0, buckets write
+    * 2.3, digest 0.2) — the remaining constant is ~10 small Spark
+    * jobs/writes of ~0.4-2 s each, which amortize with batch size
+    * (627 docs/s at batch 20k pre-dates these cuts).
+    *
     * `crashAfterFoldRelations` is CRASH INJECTION for specs only: when
     * `Some(k)`, the fold stops after its k-th relation write (as if the
     * JVM died there) so a test can replay the batch and prove
     * convergence. Production callers never set it.
+    *
+    * `onStage` (profiling only, e.g. [[graft.tools.ProfileCorpusTrigger]])
+    * receives (stage, seconds) per pipeline stage; non-null forces each
+    * cached relation eagerly so the stages are separable — production
+    * callers leave it null and keep the fully lazy plan.
     */
   private[graft] def processBatch(
       spark: SparkSession,
@@ -77,7 +104,16 @@ object CorpusIngestStream {
       cfg: NearDupIndex.Config,
       curate: DataFrame => DataFrame,
       compactEvery: Int = 0,
-      crashAfterFoldRelations: Option[Int] = None): Unit = {
+      crashAfterFoldRelations: Option[Int] = None,
+      onStage: (String, Double) => Unit = null): Unit = {
+    def staged[T](name: String)(body: => T): T =
+      if (onStage == null) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        onStage(name, (System.nanoTime() - t0) / 1e9)
+        r
+      }
     // maintenance runs FIRST, before the probe: a crash mid-compaction
     // replays this trigger, and re-running the (replay-idempotent)
     // compaction to its fixpoint BEFORE any probe means the probe never
@@ -87,7 +123,7 @@ object CorpusIngestStream {
     // upToEpoch = batchId - 1: checkpoint-committed epochs can never be
     // replayed, so folding them can't shadow a replayed batch's own docs.
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      NearDupIndex.compact(spark, indexName, upToEpoch = batchId - 1)
+      staged("compact")(NearDupIndex.compact(spark, indexName, upToEpoch = batchId - 1))
     // full-row dedup first: a re-delivered file (same doc in two files of
     // one trigger) must not wedge the stream on append's id guard — the
     // guard throws, the replay re-reads the same files, and the trigger
@@ -96,39 +132,70 @@ object CorpusIngestStream {
     // that is upstream corruption worth stopping the stream for, not
     // something to paper over with an arbitrary pick. Batch-sized shuffle.
     val b = curate(batch.dropDuplicates()).cache()
-    // 1. intra-batch: one representative per near-dup cluster
-    val (pairs, pairsCleanup) = Dedup.minhashNearDupPairsTracked(
-      b, "doc_id", "text", cfg.n, minJ, cfg.numHashes, cfg.bands, cfg.rowsPerBand)
-    val intraLosers = Dedup.connectedComponents(pairs, "a_id", "b_id")
-      .filter(F.col("id") =!= F.col("comp"))
-      .select(F.col("id").as("doc_id"))
-    val intra = b.join(intraLosers, Seq("doc_id"), "left_anti")
-    // 2. cross-history: drop anything the index already covers; a replay
-    //    must not be shadowed by its own partial fold, hence excludeEpoch
-    val (histProbe, probeCleanup) = NearDupIndex.probeTracked(
-      spark, intra, "doc_id", "text", indexName, minJ, cfg,
-      excludeEpoch = Some(batchId))
-    val histLosers = histProbe.select(F.col("a_id").as("doc_id")).distinct()
-    val accepted = intra.join(histLosers, Seq("doc_id"), "left_anti").cache()
+    // code the batch ONCE (see scaladoc): these two cached relations are
+    // every downstream stage's input
+    val sh = Dedup.shingleTable(b, "doc_id", "text", cfg.n).cache()
+    // tiny (one row per doc) but read by three consumers (intra verify,
+    // probe verify, fold relation) — cache saves two shuffles over sh
+    val counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("n_sh")).cache()
+    val buckets = Dedup.lshBuckets(
+      Dedup.minhashSignatures(sh, "doc_id", cfg.numHashes),
+      "doc_id", cfg.bands, cfg.rowsPerBand).cache()
+    if (onStage != null) { // force the caches so later stages time cleanly
+      staged("curate")(b.count()); staged("shingle")(sh.count())
+      staged("code")(buckets.count())
+    }
+    val accepted = try {
+      // 1. intra-batch: one representative per near-dup cluster
+      val intraLosers = staged("intra") {
+        val pairs = Dedup.verifyCandidates(
+          Dedup.lshCandidates(buckets, "doc_id"), sh, counts, minJ)
+        // connectedComponents runs eagerly (checkpointed label rounds)
+        Dedup.connectedComponents(pairs, "a_id", "b_id")
+          .filter(F.col("id") =!= F.col("comp"))
+          .select(F.col("id").as("doc_id"))
+      }
+      val intra = b.join(intraLosers, Seq("doc_id"), "left_anti")
+      // 2. cross-history: drop anything the index already covers; a replay
+      //    must not be shadowed by its own partial fold, hence excludeEpoch.
+      //    Buckets are narrowed to the intra survivors (losers must not
+      //    spend history candidates); full-batch shingles/counts are fine —
+      //    the candidate join restricts them to the same survivor set.
+      val histProbe = NearDupIndex.probeCoded(spark, sh,
+        buckets.join(intraLosers, Seq("doc_id"), "left_anti"), counts,
+        "doc_id", indexName, minJ, cfg, excludeEpoch = Some(batchId))
+      val histLosers = histProbe.select(F.col("a_id").as("doc_id")).distinct()
+      intra.join(histLosers, Seq("doc_id"), "left_anti").cache()
+    } catch { case t: Throwable =>
+      buckets.unpersist(); counts.unpersist(); sh.unpersist(); b.unpersist(); throw t
+    }
     try {
       // 3. land the survivors, then fold them into history — both writes
       //    are idempotent overwrites keyed by batchId
-      if (!accepted.isEmpty) {
-        accepted.write.mode("overwrite").parquet(s"$acceptedPath/batch=$batchId")
-        crashAfterFoldRelations match {
+      if (staged("probe")(!accepted.isEmpty)) {
+        staged("land")(
+          accepted.write.mode("overwrite").parquet(s"$acceptedPath/batch=$batchId"))
+        val accIds = accepted.select("doc_id")
+        staged("fold")(crashAfterFoldRelations match {
           case Some(k) =>
             NearDupIndex.appendPartial(accepted, "doc_id", "text", indexName, batchId, cfg, k)
           case None =>
-            NearDupIndex.append(accepted, "doc_id", "text", indexName, batchId, cfg)
-        }
+            NearDupIndex.appendCoded(accepted,
+              sh.join(accIds, Seq("doc_id"), "left_semi"),
+              buckets.join(accIds, Seq("doc_id"), "left_semi"),
+              "doc_id", indexName, batchId, cfg,
+              counts = Some(counts.join(accIds, Seq("doc_id"), "left_semi")),
+              onStage = onStage)
+        })
       }
     } finally {
       // this runs once per trigger, forever — and a FAILED trigger gets
       // replayed in the same session, so the release must happen on the
       // error path too or retries accumulate caches without bound
       accepted.unpersist()
-      probeCleanup()
-      pairsCleanup()
+      buckets.unpersist()
+      counts.unpersist()
+      sh.unpersist()
       b.unpersist()
     }
   }
@@ -150,10 +217,11 @@ object CorpusIngestStream {
       cfg: NearDupIndex.Config = NearDupIndex.Config(),
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       curate: DataFrame => DataFrame = identity,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
     val docs = spark.readStream
       .schema(docSchema)
-      .option("maxFilesPerTrigger", 10)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inputDir)
     docs.writeStream
       .outputMode("append")

@@ -107,15 +107,40 @@ object EmbeddingIngestStream {
       curate: DataFrame => DataFrame = vecGate(),
       broadcastMaxRows: Long = BroadcastMaxRows,
       compactEvery: Int = 0,
-      crashBeforeFold: Boolean = false): Unit = {
+      crashBeforeFold: Boolean = false,
+      rebuildEvery: Int = 0,
+      rebuildMaxShare: Double = 0.5,
+      rebuildMinTotal: Long = 1000L): Unit = {
     GraftFunctions.register(spark)
+    // `indexRoot` is a HANDLE: resolved to its live generation every
+    // trigger, so a rebuild committed below (or by another maintenance
+    // driver) is picked up without restarting the stream
+    val root0 = IvfIndex.currentRoot(spark, indexRoot)
     // maintenance FIRST, before the gate reads history: compaction is
     // replay-idempotent, so a crash mid-compaction re-runs it to its
     // fixpoint here before any probe sees a half-compacted index.
     // upToEpoch = batchId - 1: checkpoint-committed epochs can never be
     // replayed, so folding them can't shadow a replayed batch.
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      IvfIndex.compact(spark, indexRoot, upToEpoch = batchId - 1)
+      IvfIndex.compact(spark, root0, upToEpoch = batchId - 1)
+    // drift response on its own cadence: the monitor read is metadata-
+    // sized (cellcounts relation), so a balanced index pays ~nothing. A
+    // triggered rebuild folds every epoch EXCEPT this one (a crashed
+    // previous attempt of THIS trigger may have folded epoch=batchId —
+    // consolidating it would self-shadow the replay's dedup gate) into a
+    // fresh generation under the handle, then commits the CURRENT
+    // pointer. Crash windows converge: before the flip the replay
+    // re-runs the (full-overwrite, idempotent) rebuild; after it, the
+    // generation guard below makes the replay a no-op.
+    val liveRoot =
+      if (rebuildEvery > 0 && batchId > 0 && batchId % rebuildEvery == 0) {
+        val gen = s"$indexRoot/gen-$batchId"
+        if (root0 != gen && IvfIndex.rebuildIfSkewed(spark, root0, gen,
+            rebuildMaxShare, rebuildMinTotal, excludeEpoch = Some(batchId))) {
+          IvfIndex.flipCurrent(spark, indexRoot, gen)
+          gen
+        } else root0
+      } else root0
     // full-row dedup first: a re-delivered file (same vector in two files
     // of one trigger) must not wedge the stream on append's id guard —
     // identical rows are absorbed here, while the same id with DIFFERENT
@@ -123,7 +148,7 @@ object EmbeddingIngestStream {
     // corruption, not something to pick-one past). Batch-sized shuffle;
     // array columns group by value, so this is safe on the embedding col.
     val assigned = IvfIndex.assignCellsMulti(
-        curate(batch.dropDuplicates()), "vec_id", "embedding", indexRoot, nProbeGate)
+        curate(batch.dropDuplicates()), "vec_id", "embedding", liveRoot, nProbeGate)
       .withColumn("cell", F.col("cells").getItem(0))
       .withColumn("nrm", F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))))
       .cache()
@@ -175,7 +200,7 @@ object EmbeddingIngestStream {
     // correctly (an extra cell's history rows join to nothing)
     val batchCells = assigned.select(F.explode(F.col("cells")).as("c"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val hist = IvfIndex.vectors(spark, indexRoot, excludeEpoch = Some(batchId))
+    val hist = IvfIndex.vectors(spark, liveRoot, excludeEpoch = Some(batchId))
       .filter(F.col("cell").isin(batchCells: _*))
       .select(F.col("id").as("b_id"), F.col("vec").as("b_vec"),
         F.col("nrm").as("b_nrm"), F.col("cell"))
@@ -199,7 +224,7 @@ object EmbeddingIngestStream {
           .write.mode("overwrite").parquet(s"$acceptedPath/batch=$batchId")
         if (!crashBeforeFold)
           IvfIndex.appendAssigned(
-            accepted.select("id", "vec", "nrm", "cell"), indexRoot, batchId)
+            accepted.select("id", "vec", "nrm", "cell"), liveRoot, batchId)
       }
     } finally {
       // release on the error path too — a failed trigger is replayed in
@@ -220,10 +245,14 @@ object EmbeddingIngestStream {
       nProbeGate: Int = 2,
       curate: DataFrame => DataFrame = vecGate(),
       broadcastMaxRows: Long = BroadcastMaxRows,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      rebuildEvery: Int = 0,
+      rebuildMaxShare: Double = 0.5,
+      rebuildMinTotal: Long = 1000L,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
     val vecs = spark.readStream
       .schema(vecSchema)
-      .option("maxFilesPerTrigger", 10)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inputDir)
     vecs.writeStream
       .outputMode("append")
@@ -232,7 +261,9 @@ object EmbeddingIngestStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           processBatch(spark, batch, batchId, acceptedPath, indexRoot, maxCos,
-            nProbeGate, curate, broadcastMaxRows, compactEvery)
+            nProbeGate, curate, broadcastMaxRows, compactEvery,
+            rebuildEvery = rebuildEvery, rebuildMaxShare = rebuildMaxShare,
+            rebuildMinTotal = rebuildMinTotal)
       }
       .start()
   }

@@ -1,0 +1,204 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators.{Dedup, IvfIndex, Similarity}
+import graft.runtime.{GraftSession, Tables}
+
+/** Scale-crossover evidence for the approximate tiers (not part of the
+  * driver contract): times each EXACT kernel beside its scale-tier
+  * replacement on progressively larger corpora derived from the driver's
+  * sf testdata, so the "approximate tier takes over at 100 TB" story is
+  * measured, not asserted.
+  *
+  * Corpus derivations preserve the similarity structure LINEARLY (organic
+  * corpora don't get quadratically more duplicates as they grow):
+  *   - documents: replica r suffixes every token with `_r` — replicas
+  *     share no shingles, each keeps the original near-dup structure;
+  *   - boilerplate variant: the SAME 30-token sentence is appended to
+  *     every 10th doc — shared-shingle doc frequency then grows WITH the
+  *     corpus, the organic failure mode (headers, licenses, templates)
+  *     that blows up the exact kernel's shingle self-join quadratically;
+  *   - embeddings: replica r applies a seeded dimension permutation plus
+  *     sign flips (an orthogonal transform: intra-block cosines exact,
+  *     cross-block decorrelated), and every 10th vector gets a planted
+  *     near-dup (small perturbation, cos >= ~0.99).
+  *
+  * Four legs:
+  *   1. text_pairs — [[Dedup.jaccardPairs]] vs [[Dedup.minhashNearDupPairs]]
+  *      on the benign-df corpus: verified pair sets must be IDENTICAL at
+  *      these band settings; with bounded shingle sharing both kernels
+  *      scale near-linearly (the LSH tier costs a small constant more).
+  *   2. text_boilerplate — the naive exact kernel vs the production
+  *      configuration (LSH + `maxDocFreq` skew guard) as boilerplate df
+  *      grows with the corpus: exact candidate volume grows ~k², the
+  *      guarded tier stays ~linear, and the VERIFIED pair sets are still
+  *      identical (a boilerplate-only overlap can never reach J >= 0.6:
+  *      28 shared shingles over ~86-shingle docs caps J at ~0.24).
+  *   3. semantic_dedup — [[Similarity.semanticDedup]] over the exact
+  *      blocked all-pairs kernel vs over [[IvfIndex.cellLocalPairs]]
+  *      with cell count GROWING with the corpus (C = 8k): candidates
+  *      Σ n_c² stay ~linear per vector while exact pays n²; planted
+  *      near-dups measure representative agreement.
+  *   4. ann_topk — [[Similarity.knnJoin]] brute top-k vs [[IvfIndex]]
+  *      probes (build amortizes over queries) with measured recall@10.
+  *
+  * Usage: runMain graft.tools.ScaleBench [sfDir] [outJson]
+  * Writes the result table to `outJson` (default docs/BENCH_SCALE.json)
+  * and prints each row as it lands.
+  */
+object ScaleBench {
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val r = f
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  /** Block-replicate documents: replica r gets disjoint ids and a
+    * token-rewritten text (suffix `_r`), so shingle sets are disjoint
+    * across replicas and near-dup structure scales linearly.
+    */
+  private def replicateDocs(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { r =>
+      docs.select(
+        (F.col("doc_id") + F.lit(r * 10000000L)).as("doc_id"),
+        F.array_join(
+          F.transform(F.split(F.col("text"), " "), t => F.concat(t, F.lit(s"_$r"))),
+          " ").as("text"))
+    }.reduce(_.union(_))
+
+  /** The 30-token boilerplate sentence every 10th doc carries — its
+    * shingles' doc frequency grows linearly with the corpus.
+    */
+  private val Boilerplate: String =
+    (1 to 30).map(i => s"bp$i").mkString(" ")
+
+  private def withBoilerplate(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      F.when(F.col("doc_id") % 10 === 0,
+        F.concat(F.col("text"), F.lit(" " + Boilerplate)))
+        .otherwise(F.col("text")))
+
+  /** Block-replicate embeddings under a per-replica orthogonal transform
+    * (seeded dim permutation + sign flips): intra-block cosines exact,
+    * cross-block decorrelated. Every 10th vector gains a planted
+    * near-dup (id + 5e6, coordinate noise ~1% of scale).
+    */
+  private def replicateVecs(emb: DataFrame, k: Int, dim: Int): DataFrame = {
+    val blocks = (0 until k).map { r =>
+      val rnd = new scala.util.Random(1000L + r)
+      val perm = rnd.shuffle((0 until dim).toVector)
+      val sign = IndexedSeq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+      emb.select(
+        (F.col("vec_id") + F.lit(r * 10000000L)).as("vec_id"),
+        F.array((0 until dim).map(d =>
+          F.col("embedding").getItem(perm(d)).cast("double") * F.lit(sign(d))): _*)
+          .as("embedding"))
+    }.reduce(_.union(_))
+    val dups = blocks.filter(F.col("vec_id") % 10 === 0)
+      .select((F.col("vec_id") + 5000000L).as("vec_id"),
+        F.transform(F.col("embedding"),
+          x => x * (F.lit(1.0) + (F.pmod(F.xxhash64(F.col("vec_id"), x), F.lit(100L))
+            .cast("double") - 50.0) / 5000.0)).as("embedding"))
+    blocks.union(dups)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outJson = args.lift(1).getOrElse("docs/BENCH_SCALE.json")
+    val load0 = graft.Bench.loadavg()
+    val spark = GraftSession.get("scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val dim = emb.head().getSeq[Any](1).size
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    def emit(row: String): Unit = { rows += row; println(row) }
+
+    // --- 1. benign-df corpus: exact shingle self-join vs MinHash+LSH
+    for (k <- Seq(1, 2, 4, 8)) {
+      val df = replicateDocs(docs, k).cache()
+      val n = df.count()
+      val (tEx, nEx) = time(Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.6).count())
+      val (tLsh, nLsh) = time(Dedup.minhashNearDupPairs(df, "doc_id", "text", 3, 0.6).count())
+      emit(s"""{"leg":"text_pairs","scale":$k,"n_docs":$n,""" +
+        f""""exact_sec":$tEx%.2f,"lsh_sec":$tLsh%.2f,""" +
+        s""""exact_pairs":$nEx,"lsh_pairs":$nLsh,"identical":${nEx == nLsh}}""")
+      df.unpersist()
+    }
+
+    // --- 2. boilerplate corpus: naive exact vs production (LSH + skew guard)
+    for (k <- Seq(1, 2, 4, 8)) {
+      val df = withBoilerplate(replicateDocs(docs, k)).cache()
+      val n = df.count()
+      val (tEx, nEx) = time(Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.6).count())
+      val (tLsh, nLsh) = time(
+        Dedup.minhashNearDupPairs(df, "doc_id", "text", 3, 0.6, maxDocFreq = 50).count())
+      emit(s"""{"leg":"text_boilerplate","scale":$k,"n_docs":$n,""" +
+        f""""exact_naive_sec":$tEx%.2f,"lsh_guarded_sec":$tLsh%.2f,""" +
+        s""""exact_pairs":$nEx,"lsh_pairs":$nLsh,"identical":${nEx == nLsh}}""")
+      df.unpersist()
+    }
+
+    // --- 3. semantic dedup: exact blocked all-pairs vs IVF cell-local
+    //     pairs with C growing with the corpus
+    for (k <- Seq(1, 4, 16)) {
+      val v = replicateVecs(emb, k, dim).cache()
+      val n = v.count()
+      val (tEx, repEx) = time(
+        Similarity.semanticDedup(v, "vec_id", "embedding", 0.9)
+          .filter(F.col("is_rep") === 1).count())
+      val root = s"/tmp/graft-scalebench-sem-$k-${System.nanoTime()}"
+      val (tBuild, _) = time(
+        IvfIndex.build(v, "vec_id", "embedding", root, numCentroids = 8 * k))
+      val (tIvf, repIvf) = time(
+        Similarity.semanticDedup(v, "vec_id", "embedding", 0.9,
+          candidatePairs = Some(IvfIndex.cellLocalPairs(spark, root, 0.9, nProbe = 2)))
+          .filter(F.col("is_rep") === 1).count())
+      emit(s"""{"leg":"semantic_dedup","scale":$k,"n_vecs":$n,"n_cells":${8 * k},""" +
+        f""""exact_sec":$tEx%.2f,"ivf_build_sec":$tBuild%.2f,"ivf_pairs_sec":$tIvf%.2f,""" +
+        s""""exact_reps":$repEx,"ivf_reps":$repIvf}""")
+      v.unpersist()
+    }
+
+    // --- 4. ANN: brute kNN join vs IVF probe (20 queries, k=10)
+    for (k <- Seq(1, 4, 16)) {
+      val v = replicateVecs(emb, k, dim).cache()
+      val n = v.count()
+      val queries = v.limit(20).cache()
+      val qRows = queries.collect()
+      val (tBrute, _) = time(Similarity.knnJoin(v, queries, "vec_id", "embedding", 10).count())
+      val bruteTop = Similarity.knnJoin(v, queries, "vec_id", "embedding", 10)
+        .collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      val root = s"/tmp/graft-scalebench-ivf-$k-${System.nanoTime()}"
+      val (tBuild, _) = time(
+        IvfIndex.build(v, "vec_id", "embedding", root, numCentroids = 8 * k))
+      val (tProbe, ivfTop) = time {
+        qRows.map { r =>
+          val qid = r.getAs[Long]("vec_id")
+          val qv = r.getSeq[Double](1).toArray
+          qid -> IvfIndex.topKByVector(spark, root, qv, 10, nProbe = 4,
+              excludeId = Some(qid))
+            .collect().map(_.getAs[Long]("neighbor_id")).toSet
+        }.toMap
+      }
+      val recall = ivfTop.map { case (q, s) =>
+        (s intersect bruteTop.getOrElse(q, Set.empty)).size.toDouble / 10.0
+      }.sum / ivfTop.size
+      emit(s"""{"leg":"ann_topk","scale":$k,"n_vecs":$n,"n_queries":20,""" +
+        f""""brute_sec":$tBrute%.2f,"ivf_build_sec":$tBuild%.2f,""" +
+        f""""ivf_probe_sec":$tProbe%.2f,"ivf_recall_at_10":$recall%.3f}""")
+      queries.unpersist(); v.unpersist()
+    }
+
+    val doc = s"""{"metric":"scale_crossover","unit":"sec","sf_dir":"$sfDir",""" +
+      s""""load_start":$load0,"load_end":${graft.Bench.loadavg()},""" +
+      s""""rows":[${rows.mkString(",\n ")}]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson), doc.getBytes("UTF-8"))
+    spark.stop()
+  }
+}

@@ -646,4 +646,138 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(boom2.getMessage.contains("internally duplicated"))
   }
+
+  test("sustained drift trips the occupancy monitor and the stream rebuilds unattended") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    import graft.streaming.EmbeddingIngestStream
+    val work = TestFixtures.tmpDir("emb-autorebuild")
+    val handle = work.resolve("ivf").toString
+    val accepted = work.resolve("acc").toString
+    val rnd = new scala.util.Random(61L)
+    def near(offset: Double) =
+      Array.tabulate(8)(d => rnd.nextGaussian() + (if (d == 0) offset else 0.0)).toSeq
+    // build on the origin mode; every subsequent batch arrives from a
+    // SHIFTED mode, so one build-time cell soaks up all new vectors
+    IvfIndex.build((0 until 100).map(i => (i.toLong, near(0.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", handle, numCentroids = 4)
+
+    def drive(batchId: Long, batch: Seq[(Long, Seq[Double])], maxShare: Double): Unit =
+      EmbeddingIngestStream.processBatch(spark, batch.toDF("vec_id", "embedding"),
+        batchId, accepted, handle, maxCos = 0.999,
+        rebuildEvery = 2, rebuildMaxShare = maxShare, rebuildMinTotal = 50L)
+
+    val drifted = (1 to 5).map(b =>
+      b.toLong -> (0 until 80).map(i => (1000L * b + i, near(15.0)))).toMap
+    drive(1L, drifted(1L), maxShare = 1.1)
+    // pick the bar just ABOVE the post-batch-1 share: batch 2's cadence
+    // check must see "not yet drifted enough" deterministically, and the
+    // share is monotone (every drifted vector lands in the same argmin
+    // cell), so batch 4's check deterministically crosses it
+    val (share1, _) = IvfIndex.cellStats(spark, handle)
+    val bar = share1 + 0.03
+    drive(2L, drifted(2L), bar)
+    assert(IvfIndex.currentRoot(spark, handle) == handle,
+      "monitor must not rebuild before the share crosses the threshold")
+    drive(3L, drifted(3L), bar)
+    val (shareBefore, _) = IvfIndex.cellStats(spark, handle)
+    assert(shareBefore >= bar, s"fixture failed to drift: share $shareBefore < $bar")
+    // cadence batch 4: the monitor trips, the stream rebuilds into a
+    // fresh generation and commits the CURRENT pointer — no manual step
+    drive(4L, drifted(4L), bar)
+    val gen = IvfIndex.currentRoot(spark, handle)
+    assert(gen == s"$handle/gen-4", s"expected an auto-committed generation, got $gen")
+    val (shareAfter, total) = IvfIndex.cellStats(spark, gen)
+    assert(shareAfter < shareBefore,
+      s"rebuild did not rebalance: $shareBefore -> $shareAfter")
+    // nothing lost: the generation holds the seed corpus plus every
+    // ACCEPTED vector (the gate may legitimately drop a random pair that
+    // crosses maxCos — count the landed set, not the sent set; batch 4
+    // folded into the new generation)
+    val acceptedSoFar = spark.read.parquet(accepted).count()
+    assert(total == 100L + acceptedSoFar, s"generation lost vectors: $total")
+    assert(spark.read.parquet(s"$gen/vectors").count() == total)
+
+    // the stream keeps ingesting against the new generation: an exact
+    // copy of a pre-rebuild survivor is still gated, novelty still lands
+    val replayCopy = drifted(3L).head._2
+    drive(5L, Seq((9000L, replayCopy), (9001L, near(15.0))), bar)
+    val ids = spark.read.parquet(accepted).select("vec_id").as[Long].collect().toSet
+    assert(!ids.contains(9000L), "rebuilt generation no longer gates history dups")
+    assert(ids.contains(9001L), "novel vector must survive the rebuilt gate")
+    assert(spark.read.parquet(s"$gen/vectors").filter($"id" === 9001L).count() == 1,
+      "post-rebuild folds must land in the live generation")
+  }
+
+  test("concurrent corpus + embedding streams on one session: no partition truncation") {
+    import spark.implicits._
+    import graft.operators.{IvfIndex, NearDupIndex}
+    import graft.streaming.{CorpusIngestStream, EmbeddingIngestStream}
+    val work = TestFixtures.tmpDir("two-streams")
+    val rnd = new scala.util.Random(67L)
+    def noise(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(5000)}").mkString(" ")
+
+    // corpus leg: catalog-table index (session-conf dynamic-overwrite
+    // window under NearDupIndex.overwriteConfLock) — the topology the
+    // lock exists for is BOTH legs' writers interleaving on one session
+    val name = s"race_${System.nanoTime()}"
+    NearDupIndex.build(Seq((1L, noise(60))).toDF("doc_id", "text"),
+      "doc_id", "text", name)
+    val corpusIn = work.resolve("corpus-in")
+    java.nio.file.Files.createDirectories(corpusIn)
+    val docIds = (0 until 6).map { f =>
+      val id = 100L + f
+      java.nio.file.Files.write(corpusIn.resolve(f"c$f%02d.jsonl"),
+        s"""{"doc_id": $id, "text": "${noise(60)}"}""".getBytes("UTF-8"))
+      id
+    }
+
+    // embedding leg: path-based IVF index (per-write dynamic option)
+    val root = work.resolve("ivf").toString
+    def rand() = Array.fill(16)(rnd.nextGaussian())
+    IvfIndex.build((0 until 20).map(i => (i.toLong, rand().toSeq))
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", root, numCentroids = 2)
+    val embIn = work.resolve("emb-in")
+    java.nio.file.Files.createDirectories(embIn)
+    val vecIds = (0 until 6).map { f =>
+      val id = 500L + f
+      java.nio.file.Files.write(embIn.resolve(f"v$f%02d.jsonl"),
+        s"""{"vec_id": $id, "embedding": [${rand().mkString(",")}]}""".getBytes("UTF-8"))
+      id
+    }
+
+    // one file per trigger on both legs → 6 interleaving triggers each,
+    // every one a dynamic-overwrite fold racing the other stream's
+    val accC = work.resolve("accC").toString
+    val accE = work.resolve("accE").toString
+    val qc = CorpusIngestStream.start(spark, corpusIn.toString, accC,
+      work.resolve("ckptC").toString, name,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"),
+      maxFilesPerTrigger = 1)
+    val qe = EmbeddingIngestStream.start(spark, embIn.toString, accE,
+      work.resolve("ckptE").toString, root, maxCos = 0.999,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"),
+      maxFilesPerTrigger = 1)
+    try {
+      qc.processAllAvailable(); qe.processAllAvailable()
+      // drain again: both were definitely live simultaneously above; a
+      // second pass catches files that raced the first drain's cutoff
+      qc.processAllAvailable(); qe.processAllAvailable()
+    } finally { qc.stop(); qe.stop() }
+
+    // both accepted sets complete — nothing dropped by a raced overwrite
+    assert(spark.read.parquet(accC).select("doc_id").as[Long].collect().toSet
+      == docIds.toSet)
+    assert(spark.read.parquet(accE).select("vec_id").as[Long].collect().toSet
+      == vecIds.toSet)
+    // no partition truncation: every corpus doc (seed + all 6 epochs)
+    // still has exactly one counts row, and every epoch survived
+    val counts = spark.table(s"${name}_counts")
+    assert(counts.groupBy("doc_id").count().filter($"count" =!= 1).count() == 0)
+    assert(counts.select("doc_id").as[Long].collect().toSet == (docIds.toSet + 1L))
+    // same on the IVF side: seed + every folded vector, one row each
+    val vecs = spark.read.parquet(s"$root/vectors")
+    assert(vecs.count() == 20L + vecIds.size)
+    assert(vecs.groupBy("id").count().filter($"count" =!= 1).count() == 0)
+  }
 }
