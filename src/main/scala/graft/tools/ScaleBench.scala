@@ -108,6 +108,9 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outJson = args.lift(1).getOrElse("docs/BENCH_SCALE.json")
+    // dev iteration: arg 3 selects legs, e.g. "ann" or "text,boiler"
+    val legs = args.lift(2).map(_.split(",").toSet)
+      .getOrElse(Set("text", "boiler", "semantic", "ann"))
     val load0 = graft.Bench.loadavg()
     val spark = GraftSession.get("scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -119,7 +122,7 @@ object ScaleBench {
     def emit(row: String): Unit = { rows += row; println(row) }
 
     // --- 1. benign-df corpus: exact shingle self-join vs MinHash+LSH
-    for (k <- Seq(1, 2, 4, 8)) {
+    if (legs("text")) for (k <- Seq(1, 2, 4, 8)) {
       val df = replicateDocs(docs, k).cache()
       val n = df.count()
       val (tEx, nEx) = time(Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.6).count())
@@ -131,7 +134,7 @@ object ScaleBench {
     }
 
     // --- 2. boilerplate corpus: naive exact vs production (LSH + skew guard)
-    for (k <- Seq(1, 2, 4, 8)) {
+    if (legs("boiler")) for (k <- Seq(1, 2, 4, 8)) {
       val df = withBoilerplate(replicateDocs(docs, k)).cache()
       val n = df.count()
       val (tEx, nEx) = time(Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.6).count())
@@ -145,7 +148,7 @@ object ScaleBench {
 
     // --- 3. semantic dedup: exact blocked all-pairs vs IVF cell-local
     //     pairs with C growing with the corpus
-    for (k <- Seq(1, 4, 16)) {
+    if (legs("semantic")) for (k <- Seq(1, 4, 16)) {
       val v = replicateVecs(emb, k, dim).cache()
       val n = v.count()
       val (tEx, repEx) = time(
@@ -164,24 +167,37 @@ object ScaleBench {
       v.unpersist()
     }
 
-    // --- 4. ANN: brute kNN join vs IVF probe (20 queries, k=10)
-    for (k <- Seq(1, 4, 16)) {
+    // --- 4. ANN: brute kNN join vs IVF probe. Two recall readings: the
+    //     near-dup retrieval the dedup pipeline performs (is the planted
+    //     cos≈0.9999 twin found? — cell-local by construction) and the
+    //     harsher top-10 overlap on data with little cluster structure
+    //     (the textbook IVF trade nProbe tunes). The probe path is the
+    //     SERVING api (one driver-side job per query, partition-pruned
+    //     scan); knnJoin is the batch api (one job for all queries) —
+    //     compare throughput per leg accordingly.
+    if (legs("ann")) for (k <- Seq(1, 4, 16)) {
       val v = replicateVecs(emb, k, dim).cache()
       val n = v.count()
-      val queries = v.limit(20).cache()
+      // deterministic query set: ids 0,10,...,90 carry a planted twin at
+      // id+5e6; ids 1,11,...,91 don't
+      val queries = v.filter(F.col("vec_id") < 100 &&
+        (F.col("vec_id") % 10 === 0 || F.col("vec_id") % 10 === 1)).cache()
       val qRows = queries.collect()
+      val nq = qRows.length
       val (tBrute, _) = time(Similarity.knnJoin(v, queries, "vec_id", "embedding", 10).count())
       val bruteTop = Similarity.knnJoin(v, queries, "vec_id", "embedding", 10)
         .collect().groupBy(_.getAs[Long]("query_id"))
         .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
       val root = s"/tmp/graft-scalebench-ivf-$k-${System.nanoTime()}"
+      val cells = 8 * k
+      val nProbe = math.max(4, cells / 8)
       val (tBuild, _) = time(
-        IvfIndex.build(v, "vec_id", "embedding", root, numCentroids = 8 * k))
+        IvfIndex.build(v, "vec_id", "embedding", root, numCentroids = cells))
       val (tProbe, ivfTop) = time {
         qRows.map { r =>
           val qid = r.getAs[Long]("vec_id")
           val qv = r.getSeq[Double](1).toArray
-          qid -> IvfIndex.topKByVector(spark, root, qv, 10, nProbe = 4,
+          qid -> IvfIndex.topKByVector(spark, root, qv, 10, nProbe = nProbe,
               excludeId = Some(qid))
             .collect().map(_.getAs[Long]("neighbor_id")).toSet
         }.toMap
@@ -189,9 +205,14 @@ object ScaleBench {
       val recall = ivfTop.map { case (q, s) =>
         (s intersect bruteTop.getOrElse(q, Set.empty)).size.toDouble / 10.0
       }.sum / ivfTop.size
-      emit(s"""{"leg":"ann_topk","scale":$k,"n_vecs":$n,"n_queries":20,""" +
+      val dupQs = ivfTop.keySet.filter(_ % 10 == 0)
+      val dupRecall = dupQs.count(q => ivfTop(q).contains(q + 5000000L))
+        .toDouble / dupQs.size
+      emit(s"""{"leg":"ann_topk","scale":$k,"n_vecs":$n,"n_queries":$nq,""" +
+        s""""n_cells":$cells,"n_probe":$nProbe,""" +
         f""""brute_sec":$tBrute%.2f,"ivf_build_sec":$tBuild%.2f,""" +
-        f""""ivf_probe_sec":$tProbe%.2f,"ivf_recall_at_10":$recall%.3f}""")
+        f""""ivf_probe_sec":$tProbe%.2f,"ivf_recall_at_10":$recall%.3f,""" +
+        f""""planted_dup_recall":$dupRecall%.3f}""")
       queries.unpersist(); v.unpersist()
     }
 
