@@ -409,11 +409,46 @@ object IvfIndex {
     }
   }
 
+  /** Retire every generation under `handle` except the live one: the
+    * base index at the handle root (when CURRENT points elsewhere) and
+    * any `gen-*` directory that is not the current root. Returns the
+    * retired roots. Maintenance context: run from the single maintenance
+    * driver once in-flight readers of the old generations have drained,
+    * and not concurrent with a rebuild (a crashed pre-flip rebuild's
+    * half-written generation is safely retired here — its replay re-runs
+    * the full-overwrite build).
+    */
+  def retireOldGenerations(spark: SparkSession, handle: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val base = new org.apache.hadoop.fs.Path(handle)
+    val fs = base.getFileSystem(conf)
+    val cur = currentRoot(spark, handle)
+    val retired = scala.collection.mutable.ArrayBuffer.empty[String]
+    // the handle-root base index is generation zero — retire its data
+    // dirs only (never CURRENT or the gen-* children living beside them)
+    if (cur != handle &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$handle/vectors"))) {
+      Seq("vectors", "digests", "cellcounts", "centroids.parquet", "compacting")
+        .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(s"$handle/$d"), true))
+      retired += handle
+    }
+    // compare FULLY-QUALIFIED paths: listStatus returns scheme-qualified
+    // paths while the CURRENT pointer stores the raw string — a naive
+    // string compare would retire the live generation
+    val curQ = fs.makeQualified(new org.apache.hadoop.fs.Path(cur))
+    if (fs.exists(base)) fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+      .map(_.getPath)
+      .filter(p => fs.makeQualified(p) != curQ)
+      .foreach { p => fs.delete(p, true); retired += p.toString }
+    retired.toSeq
+  }
+
   /** Commit a new generation: atomically point `handle/CURRENT` at
     * `genRoot` (write-temp-then-rename — readers see either the old or
     * the new pointer, never a partial write). The old generation's files
     * are NOT deleted: in-flight readers may still hold its paths; retire
-    * old generations from the maintenance driver once drained.
+    * old generations via [[retireOldGenerations]] once drained.
     */
   def flipCurrent(spark: SparkSession, handle: String, genRoot: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()

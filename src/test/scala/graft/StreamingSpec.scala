@@ -707,6 +707,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.contains(9001L), "novel vector must survive the rebuilt gate")
     assert(spark.read.parquet(s"$gen/vectors").filter($"id" === 9001L).count() == 1,
       "post-rebuild folds must land in the live generation")
+
+    // maintenance: retiring old generations removes the drained base
+    // index but NEVER the live generation, and the stream keeps working
+    val retired = IvfIndex.retireOldGenerations(spark, handle)
+    assert(retired == Seq(handle), s"expected only the base index retired: $retired")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$handle/vectors")),
+      "base generation data must be gone")
+    assert(IvfIndex.currentRoot(spark, handle) == gen)
+    assert(spark.read.parquet(s"$gen/vectors").filter($"id" === 9001L).count() == 1)
+    drive(7L, Seq((9100L, near(15.0))), bar) // odd id: off the rebuild cadence
+    assert(spark.read.parquet(s"$gen/vectors").filter($"id" === 9100L).count() == 1,
+      "ingest must continue against the live generation after retirement")
   }
 
   test("concurrent corpus + embedding streams on one session: no partition truncation") {
