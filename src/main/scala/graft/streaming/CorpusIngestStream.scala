@@ -148,12 +148,19 @@ object CorpusIngestStream {
     val accepted = try {
       // 1. intra-batch: one representative per near-dup cluster
       val intraLosers = staged("intra") {
-        val pairs = Dedup.verifyCandidates(
+        var pairs = Dedup.verifyCandidates(
           Dedup.lshCandidates(buckets, "doc_id"), sh, counts, minJ)
+        if (onStage != null) { // profiling: split pair generation from CC
+          pairs = pairs.cache()
+          staged("intra.pairs")(pairs.count())
+        }
         // connectedComponents runs eagerly (checkpointed label rounds)
-        Dedup.connectedComponents(pairs, "a_id", "b_id")
-          .filter(F.col("id") =!= F.col("comp"))
-          .select(F.col("id").as("doc_id"))
+        val losers = staged("intra.cc")(
+          Dedup.connectedComponents(pairs, "a_id", "b_id")
+            .filter(F.col("id") =!= F.col("comp"))
+            .select(F.col("id").as("doc_id")))
+        if (onStage != null) pairs.unpersist()
+        losers
       }
       val intra = b.join(intraLosers, Seq("doc_id"), "left_anti")
       // 2. cross-history: drop anything the index already covers; a replay
@@ -170,11 +177,17 @@ object CorpusIngestStream {
       buckets.unpersist(); counts.unpersist(); sh.unpersist(); b.unpersist(); throw t
     }
     try {
-      // 3. land the survivors, then fold them into history — both writes
-      //    are idempotent overwrites keyed by batchId
+      // 3. land the survivors and fold them into history — both are
+      //    idempotent overwrites keyed by batchId with no ordering
+      //    dependency (a crash anywhere replays both to the same state),
+      //    so the land write runs CONCURRENTLY with the fold's guard and
+      //    early relation writes
       if (staged("probe")(!accepted.isEmpty)) {
-        staged("land")(
-          accepted.write.mode("overwrite").parquet(s"$acceptedPath/batch=$batchId"))
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val landF = Future(staged("land")(
+          accepted.write.mode("overwrite").parquet(s"$acceptedPath/batch=$batchId")))(
+          scala.concurrent.ExecutionContext.global)
         val accIds = accepted.select("doc_id")
         staged("fold")(crashAfterFoldRelations match {
           case Some(k) =>
@@ -187,6 +200,7 @@ object CorpusIngestStream {
               counts = Some(counts.join(accIds, Seq("doc_id"), "left_semi")),
               onStage = onStage)
         })
+        Await.result(landF, Duration.Inf)
       }
     } finally {
       // this runs once per trigger, forever — and a FAILED trigger gets
