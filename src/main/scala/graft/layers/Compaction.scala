@@ -124,6 +124,70 @@ object Compaction {
     needy.map(p => (p.spec, p.files, p.bytes)).toDF("partition", "files_before", "bytes")
   }
 
+  /** Fold COLD partitions of a path-based layer into one consolidated
+    * partition — the partition-COUNT maintenance [[compact]] (which only
+    * merges files WITHIN partitions) cannot do. The ingest streams land
+    * survivors under `batch=<trigger id>/`, one directory per trigger:
+    * a 10-second cadence mints ~8,640 partitions/day, and at 100 TB the
+    * listing cost of a reader grows with trigger COUNT, not data. This
+    * folds every `partitionCol=N` with N <= `upTo` into
+    * `partitionCol=<consolidatedValue>`, bounding directory counts the
+    * way [[graft.operators.IvfIndex.compact]] bounds epoch file-sets.
+    *
+    * Correctness contract: layer rows must be GLOBALLY UNIQUE as full
+    * rows (both accepted layers are — dedup admits each doc/vector
+    * once), because the fold's fixpoint is `dropDuplicates` over
+    * whatever cold + consolidated content a re-run finds. That makes
+    * every crash window converge: staging is recomputed from surviving
+    * sources, the consolidated write is a dynamic partition overwrite,
+    * and a death mid-delete leaves survivors whose content the
+    * consolidated partition already holds. Pass `upTo` = current batch
+    * id - 1 from a streaming caller: checkpoint-committed batches can
+    * never replay, so folding them cannot race a trigger's own
+    * `batch=<id>` overwrite. Provenance trade, stated plainly: folded
+    * rows lose their per-batch provenance value (they all become
+    * `consolidatedValue`); hot partitions keep theirs.
+    *
+    * Each fold rewrites the consolidated partition in full — cost grows
+    * with the archived corpus, so the CADENCE (not the call) is what
+    * keeps amortized per-trigger cost batch-sized; run it from the
+    * single maintenance driver like every other fold here.
+    *
+    * Returns the number of cold partitions folded (0 = nothing to do,
+    * nothing touched).
+    */
+  def foldColdPartitions(spark: SparkSession, root: String, partitionCol: String,
+      upTo: Long, consolidatedValue: Long = -1L): Int = {
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val rootPath = fs.makeQualified(new Path(root))
+    if (!fs.exists(rootPath)) return 0
+    val cold = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+      .map(_.getPath.getName.stripPrefix(s"$partitionCol=").toLong)
+      .filter(n => n <= upTo && n != consolidatedValue)
+    if (cold.isEmpty) return 0
+
+    // staging OUTSIDE the layer root — a non-partition directory inside
+    // it would break every reader's partition discovery
+    val staging = s"${root}__folding"
+    val dataCols = spark.read.parquet(root).columns.filter(_ != partitionCol).toSeq
+    spark.read.parquet(root)
+      .filter(F.col(partitionCol) <= upTo) // partition-pruned: cold + consolidated only
+      .select(dataCols.map(F.col): _*)
+      .dropDuplicates()
+      .write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging)
+      .withColumn(partitionCol, F.lit(consolidatedValue))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(root)
+    cold.foreach(n =>
+      fs.delete(new Path(s"$root/$partitionCol=$n"), true))
+    fs.delete(new Path(staging), true)
+    cold.size
+  }
+
   /** [[compact]] for partitioned CATALOG tables — including bucketed ones
     * like [[graft.operators.NearDupIndex]]'s relations, which the
     * path-based [[compact]] cannot rewrite (a raw parquet write would

@@ -129,4 +129,49 @@ class CompactionSpec extends AnyFunSuite {
     val n = fileNames(work, "d=1").size
     assert(n > 1, s"expected multiple small files, got $n")
   }
+
+  test("foldColdPartitions archives cold batch dirs into one consolidated partition") {
+    import spark.implicits._
+    val work = TestFixtures.tmpDir("fold-batches").toString
+    // the accepted-layer shape the ingest streams write: one batch=<id>
+    // dir per trigger, rows globally unique
+    (0L to 3L).foreach { b =>
+      (0 until 20).map(i => (b * 100 + i, s"doc ${b * 100 + i}"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$work/batch=$b")
+    }
+    def dirs() = new java.io.File(work).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    def ids() = spark.read.parquet(work).select("doc_id").as[Long].collect().toSet
+    val all = ids()
+    assert(dirs() == Set("batch=0", "batch=1", "batch=2", "batch=3"))
+
+    // fold batches <= 2; the in-flight batch 3 keeps its provenance dir
+    assert(Compaction.foldColdPartitions(spark, work, "batch", upTo = 2L) == 3)
+    assert(dirs() == Set("batch=-1", "batch=3"), s"unexpected dirs: ${dirs()}")
+    assert(ids() == all, "folding must not change layer content")
+    assert(spark.read.parquet(work).filter($"batch" === 3).count() == 20,
+      "hot partition must be untouched")
+    assert(spark.read.parquet(work).filter($"batch" === -1).count() == 60)
+
+    // idempotent: nothing cold left below the watermark
+    assert(Compaction.foldColdPartitions(spark, work, "batch", upTo = 2L) == 0)
+    assert(ids() == all)
+
+    // crash-window fixpoint: a cold dir that survived a died delete holds
+    // rows the consolidated partition already has — refolding absorbs
+    // them without duplicating (rows are globally unique, dropDuplicates
+    // is the fixpoint)
+    spark.read.parquet(work).filter($"batch" === -1).limit(20)
+      .select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/batch=1")
+    assert(Compaction.foldColdPartitions(spark, work, "batch", upTo = 2L) == 1)
+    assert(ids() == all, "refold must absorb the survivor, not duplicate it")
+    assert(spark.read.parquet(work).count() == all.size)
+
+    // a later fold absorbs the now-cold batch 3 too
+    assert(Compaction.foldColdPartitions(spark, work, "batch", upTo = 3L) == 1)
+    assert(dirs() == Set("batch=-1"))
+    assert(ids() == all)
+  }
 }
