@@ -310,14 +310,26 @@ object NearDupIndex {
         // any subset converges on replay exactly as the sequential order
         // did. Buckets still go strictly last.
         val Seq(shinglesRel, countsRel, bucketsRel) = rels
+        // align the write partitioning with the table's bucket spec:
+        // repartition(numBuckets, bucketCol) uses the SAME partition-id
+        // expression as the bucketed-table writer (pmod(murmur3, n)), so
+        // each task holds exactly one bucket and the epoch lands as ONE
+        // file per bucket per relation — instead of (input partitions ×
+        // buckets) small files whose create/commit overhead dominated the
+        // fold at micro-batch sizes and whose listing cost compaction
+        // existed to claw back. The extra shuffle is batch-sized.
+        def aligned(rel: (DataFrame, String, String)): (DataFrame, String) = {
+          val (df, suffix, bucketCol) = rel
+          (df.repartition(cfg.buckets, F.col(bucketCol)), suffix)
+        }
         staged("fold.write_sh_counts") {
-          val writes = Seq(shinglesRel, countsRel).map { case (df, suffix, _) =>
+          val writes = Seq(shinglesRel, countsRel).map(aligned).map { case (df, suffix) =>
             Future(df.write.mode("overwrite").insertInto(s"$name$suffix"))
           }
           writes.foreach(Await.result(_, Duration.Inf))
         }
         staged("fold.write_buckets") {
-          val (df, suffix, _) = bucketsRel
+          val (df, suffix) = aligned(bucketsRel)
           df.write.mode("overwrite").insertInto(s"$name$suffix")
         }
         // fold this epoch's id digest under the same overwrite discipline;
@@ -345,7 +357,9 @@ object NearDupIndex {
     withDynamicOverwrite(batch.sparkSession) {
       relations(sh, codeBuckets(sh, idCol, cfg), countShingles(sh, idCol), idCol,
           epoch).take(firstRelations).foreach {
-        case (df, suffix, _) => df.write.mode("overwrite").insertInto(s"$name$suffix")
+        case (df, suffix, bucketCol) =>
+          df.repartition(cfg.buckets, F.col(bucketCol))
+            .write.mode("overwrite").insertInto(s"$name$suffix")
       }
     }
   }
@@ -381,6 +395,7 @@ object NearDupIndex {
     }.distinct.filter(_ <= upToEpoch)
     if (cold.isEmpty || cold == Seq(BuildEpoch)) return
 
+    val numBuckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
     suffixes.foreach { s =>
       val t = spark.table(s"$name$s")
       val dataCols = t.columns.filter(_ != "epoch").toSeq
@@ -389,9 +404,15 @@ object NearDupIndex {
         .select(dataCols.map(F.col): _*)
         .dropDuplicates()
         .write.mode("overwrite").saveAsTable(staging)
+      // bucket-aligned fold (see [[appendCoded]]): the consolidated
+      // partition lands as exactly one file per bucket — the very file
+      // count this maintenance pass exists to restore. Bucket count is
+      // the file-parallelism knob at scale; size it with the corpus.
+      val bucketCol = if (s == "_buckets") "band_hash" else dataCols.head
       withDynamicOverwrite(spark) {
         spark.table(staging)
           .select(dataCols.map(F.col) :+ F.lit(BuildEpoch).as("epoch"): _*)
+          .repartition(numBuckets, F.col(bucketCol))
           .write.mode("overwrite").insertInto(s"$name$s")
       }
     }

@@ -329,7 +329,7 @@ class DedupSpec extends AnyFunSuite {
       s"cleanups must unpersist the two shingle caches: $before -> $after")
   }
 
-  test("connectedComponents labels every node with its component's min id") {
+  test("connectedComponents labels every node with its component's min id (both tiers)") {
     import spark.implicits._
     // a chain, a pair, and a triangle; edge direction is arbitrary
     val edges = Seq(
@@ -337,20 +337,35 @@ class DedupSpec extends AnyFunSuite {
       (10L, 11L),
       (20L, 21L), (21L, 22L), (22L, 20L)
     ).toDF("src", "dst")
-    val cc = Dedup.connectedComponents(edges, "src", "dst")
-      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
-    assert(cc == Map(
-      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // smallGraphEdges = 0 forces the distributed pointer-doubling tier;
+    // the default takes the driver union-find tier — labels must agree
+    for (threshold <- Seq(1 << 20, 0)) {
+      val cc = Dedup.connectedComponents(edges, "src", "dst", smallGraphEdges = threshold)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+      assert(cc == Map(
+        1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L), s"threshold=$threshold")
+    }
   }
 
   test("connectedComponents converges on a long path within maxIter (pointer doubling)") {
     import spark.implicits._
     // 64-node path: plain min-propagation needs 63 rounds; with pointer
-    // doubling the label front collapses inside the default maxIter=25
+    // doubling the label front collapses inside the default maxIter=25.
+    // Forcing the distributed tier is the point of this test.
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
-    val cc = Dedup.connectedComponents(edges, "src", "dst").collect()
+    val cc = Dedup.connectedComponents(edges, "src", "dst", smallGraphEdges = 0).collect()
+    assert(cc.length == 64)
+    assert(cc.forall(_.getAs[Long]("comp") == 0L))
+  }
+
+  test("connectedComponents falls over to the distributed tier mid-probe") {
+    import spark.implicits._
+    // threshold smaller than the edge list: the bounded probe overflows
+    // and the distributed rounds must produce the same labels anyway
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges, "src", "dst", smallGraphEdges = 10).collect()
     assert(cc.length == 64)
     assert(cc.forall(_.getAs[Long]("comp") == 0L))
   }
@@ -372,9 +387,12 @@ class DedupSpec extends AnyFunSuite {
     }
     val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
     val expected = nodes.map(n => n -> find(n)).toMap
-    val cc = Dedup.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
-      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
-    assert(cc == expected)
+    for (threshold <- Seq(1 << 20, 0)) {
+      val cc = Dedup.connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+          smallGraphEdges = threshold)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+      assert(cc == expected, s"threshold=$threshold")
+    }
   }
 
   test("language id picks marker-dense language and falls back to und") {

@@ -157,10 +157,13 @@ class PropertySpec extends AnyFunSuite {
       }
       val expected = edges.flatMap { case (a, b) => Seq(a, b) }
         .distinct.map(n => n -> find(n)).toMap
-      val got = graft.operators.Dedup
-        .connectedComponents(edges.toDF("src", "dst"), "src", "dst")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected, s"edges: $edges")
+      for (threshold <- Seq(1 << 20, 0)) { // driver union-find AND distributed tier
+        val got = graft.operators.Dedup
+          .connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+            smallGraphEdges = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"threshold=$threshold edges: $edges")
+      }
     }
   }
 }
