@@ -370,8 +370,15 @@ object Dedup {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25, smallGraphEdges: Int = 1 << 20): DataFrame = {
     val spark = edges.sparkSession
+    // materialize the edge list ONCE before anything probes it: `limit`'s
+    // incremental take would otherwise re-execute the (often expensive —
+    // pair verification) upstream plan per take attempt, and the
+    // distributed rounds re-read it every iteration anyway. Blocks stay
+    // resident after return (same LRU policy as the checkpointed label
+    // rounds below — edge lists are duplicate-mass-sized, so bounded).
     val pairs = edges
       .select(F.col(srcCol).cast("long").as("src"), F.col(dstCol).cast("long").as("dst"))
+      .localCheckpoint()
     if (smallGraphEdges > 0) {
       import spark.implicits._
       val probe = pairs.as[(Long, Long)].limit(smallGraphEdges + 1).collect()
@@ -397,10 +404,11 @@ object Dedup {
     }
     // no distinct(): min-propagation is idempotent under duplicate
     // edges, so deduplicating the edge list would buy nothing and cost a
-    // full shuffle before the first round
+    // full shuffle before the first round. No second checkpoint: the
+    // union is a narrow re-read of the checkpointed edge blocks, so the
+    // lineage stays flat across rounds without storing the list twice.
     val sym = pairs
       .union(pairs.select(F.col("dst").as("src"), F.col("src").as("dst")))
-      .localCheckpoint()
     var labels = sym.select(F.col("src").as("id")).distinct()
       .select(F.col("id"), F.col("id").as("comp"))
       .localCheckpoint()

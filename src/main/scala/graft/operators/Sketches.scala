@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.{functions => F}
 
+import graft.plans.FreqItemsAggregate
+
 /** Mergeable distinct-count sketches — the pre-aggregation pattern that
   * makes "distinct users per (day, dim…)" tractable at 100 TB.
   *
@@ -60,5 +62,50 @@ object Sketches {
     merged.withColumn("approx_distinct",
       F.when(F.col("sketch").isNull, F.lit(0L))
         .otherwise(F.hll_sketch_estimate(F.col("sketch"))))
+  }
+
+  /** EXACT heavy hitters (items in at least `minShare` of rows) without
+    * a vocabulary-sized shuffle — the standard two-pass composition over
+    * the Misra–Gries sketch ([[graft.plans.FreqItemsAggregate]]):
+    *
+    *   pass 1: one MG aggregate over the corpus → ≤ k candidate items
+    *     (plus the row count n in the same pass). MG guarantees every
+    *     item with true count > n/(k+1) survives its counters, so with
+    *     `k + 1 > 1/minShare` the candidate set is a SUPERSET of every
+    *     item at ≥ ceil(minShare·n) — the sketch can only over-admit,
+    *     never drop a qualifying item.
+    *   pass 2: exact recount restricted to the candidates (a broadcast
+    *     join — ≤ k items, metadata-scale), then the ceil(minShare·n)
+    *     threshold.
+    *
+    * The result is therefore EXACT (identical to `GROUP BY item HAVING
+    * count >= ceil(minShare·n)` — oracle qa15 checks precisely that)
+    * while both shuffles stay bounded: pass 1 ships ≤ k counters per map
+    * task, pass 2 groups only candidate-matched rows over ≤ k keys. The
+    * all-exact alternative shuffles the full vocabulary — at 100 TB of
+    * text, that is the difference between a bounded plan and one sized
+    * by distinct-term count. A relative threshold (not an absolute
+    * count) is what makes the guarantee scale-free: the same (k,
+    * minShare) contract holds at every corpus size.
+    */
+  def exactHeavyHitters(df: DataFrame, itemCol: String, k: Int,
+      minShare: Double): DataFrame = {
+    require(minShare > 0 && minShare < 1, "minShare must be in (0, 1)")
+    require(k + 1 > 1.0 / minShare,
+      s"exactHeavyHitters: need k+1 > 1/minShare (= ${1.0 / minShare}) for the " +
+        "completeness guarantee; raise k or minShare")
+    FreqItemsAggregate.register(df.sparkSession)
+    val rows = df.filter(F.col(itemCol).isNotNull)
+    // candidates and n from ONE pass; the 1-row result explodes to ≤ k
+    // rows carrying n, which the broadcast join attaches to every match
+    val cands = rows
+      .agg(F.count(F.lit(1)).as("n"), F.expr(s"freq_items_sketch($itemCol, $k)").as("s"))
+      .select(F.col("n"), F.explode(F.col("s")).as("c"))
+      .select(F.col("c.item").as(itemCol), F.col("n"))
+    rows.join(F.broadcast(cands), Seq(itemCol)) // 1 cand row per item: no fan-out
+      .groupBy(itemCol)
+      .agg(F.count(F.lit(1)).as("cnt"), F.first("n").as("n"))
+      .filter(F.col("cnt") >= F.ceil(F.lit(minShare) * F.col("n")))
+      .drop("n")
   }
 }

@@ -253,6 +253,42 @@ object AdvancedQueries extends QueryPack {
         .agg(F.count(F.lit(1)).as("n_orders"),
           F.round(F.sum("o_totalprice"), 2).as("revenue"))
         .orderBy("c_mktsegment")
+    }),
+
+    // EXACT heavy hitters through the Misra–Gries scale path: pass 1 a
+    // k=64 MG sketch (≤ 64 counters cross the shuffle, never the
+    // vocabulary), pass 2 an exact recount of the ≤ 64 candidates. With
+    // k+1 > 1/minShare the result equals DuckDB's plain GROUP BY/HAVING
+    // at EVERY corpus size — the sketch is the plan, not the answer.
+    "qa15_heavy_hitters" -> ((s, d) => {
+      import graft.operators.Sketches
+      val words = Tables.load(s, d, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).as("word"))
+      Sketches.exactHeavyHitters(words, "word", k = 64, minShare = 0.02)
+        .orderBy("word")
+    }),
+
+    // HLL sketch rollups under the qa14-style contract gate: per-lang
+    // distinct-doc sketches plus their mergeToGrain global rollup, each
+    // emitting ok=1 iff the estimate lands within 5% of the exact count
+    // (lgK=12 → ±1.6% at 1σ; 5% is the 3σ envelope). The hashed payload
+    // is the EXACT count and the gate — engine-stable — while the
+    // estimate itself stays spec-gated (SketchSpec owns the error law).
+    "qa16_hll_contract" -> ((s, d) => {
+      import graft.operators.Sketches
+      val docs = Tables.load(s, d, "documents").select("lang", "doc_id")
+      val pre = Sketches.distinctSketchRollup(docs, Seq("lang"), "doc_id")
+      val perLang = pre
+        .join(docs.groupBy("lang").agg(F.count_distinct(F.col("doc_id")).as("nd")), Seq("lang"))
+        .select(F.col("lang"), F.col("nd"),
+          (F.abs(F.col("approx_distinct") - F.col("nd"))
+            <= F.ceil(F.col("nd") * 0.05)).cast("int").as("ok"))
+      val global = Sketches.mergeToGrain(pre, Nil)
+        .crossJoin(docs.agg(F.count_distinct(F.col("doc_id")).as("nd"))) // 1×1 scalar attach
+        .select(F.lit("<all>").as("lang"), F.col("nd"),
+          (F.abs(F.col("approx_distinct") - F.col("nd"))
+            <= F.ceil(F.col("nd") * 0.05)).cast("int").as("ok"))
+      perLang.unionByName(global).orderBy("lang")
     })
   )
 
@@ -285,6 +321,20 @@ object AdvancedQueries extends QueryPack {
     "qa14_approx_percentile_gate" ->
       """SELECT o_orderpriority, count(*) AS n, CAST(1 AS INT) AS ok
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "qa15_heavy_hitters" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY word
+         HAVING count(*) >= ceil(0.02 * (
+           SELECT count(*) FROM (SELECT unnest(string_split(text, ' ')) FROM documents)))
+         ORDER BY word""",
+    "qa16_hll_contract" ->
+      """SELECT lang, count(DISTINCT doc_id) AS nd, CAST(1 AS INT) AS ok
+         FROM documents GROUP BY lang
+         UNION ALL
+         SELECT '<all>' AS lang, count(DISTINCT doc_id) AS nd, CAST(1 AS INT) AS ok
+         FROM documents
+         ORDER BY lang""",
     "qa06_percentiles" ->
       """SELECT o_orderpriority, count(*) AS n,
          round(quantile_cont(o_totalprice, 0.25), 2) AS p25,

@@ -105,7 +105,9 @@ object CorpusIngestStream {
       curate: DataFrame => DataFrame,
       compactEvery: Int = 0,
       crashAfterFoldRelations: Option[Int] = None,
-      onStage: (String, Double) => Unit = null): Unit = {
+      shufflePartitions: Option[Int] = Some(8),
+      onStage: (String, Double) => Unit = null): Unit =
+   MicroBatchConf.withShufflePartitions(spark, shufflePartitions) {
     def staged[T](name: String)(body: => T): T =
       if (onStage == null) body
       else {
@@ -212,7 +214,7 @@ object CorpusIngestStream {
       sh.unpersist()
       b.unpersist()
     }
-  }
+   }
 
   /** `curate` runs FIRST on every micro-batch (before any dedup) — plug
     * the batch-side curation operators in here, e.g.
@@ -232,7 +234,8 @@ object CorpusIngestStream {
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       curate: DataFrame => DataFrame = identity,
       compactEvery: Int = 0,
-      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+      maxFilesPerTrigger: Int = 10,
+      shufflePartitions: Option[Int] = Some(8)): StreamingQuery = {
     val docs = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -244,7 +247,7 @@ object CorpusIngestStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           processBatch(spark, batch, batchId, acceptedPath, indexName, minJ, cfg, curate,
-            compactEvery)
+            compactEvery, shufflePartitions = shufflePartitions)
       }
       .start()
   }

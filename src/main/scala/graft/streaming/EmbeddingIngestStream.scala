@@ -110,7 +110,9 @@ object EmbeddingIngestStream {
       crashBeforeFold: Boolean = false,
       rebuildEvery: Int = 0,
       rebuildMaxShare: Double = 0.5,
-      rebuildMinTotal: Long = 1000L): Unit = {
+      rebuildMinTotal: Long = 1000L,
+      shufflePartitions: Option[Int] = Some(8)): Unit =
+   MicroBatchConf.withShufflePartitions(spark, shufflePartitions) {
     GraftFunctions.register(spark)
     // `indexRoot` is a HANDLE: resolved to its live generation every
     // trigger, so a rebuild committed below (or by another maintenance
@@ -232,7 +234,7 @@ object EmbeddingIngestStream {
       accepted.unpersist()
       assigned.unpersist()
     }
-  }
+   }
 
   def start(
       spark: SparkSession,
@@ -249,7 +251,8 @@ object EmbeddingIngestStream {
       rebuildEvery: Int = 0,
       rebuildMaxShare: Double = 0.5,
       rebuildMinTotal: Long = 1000L,
-      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+      maxFilesPerTrigger: Int = 10,
+      shufflePartitions: Option[Int] = Some(8)): StreamingQuery = {
     val vecs = spark.readStream
       .schema(vecSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -263,7 +266,7 @@ object EmbeddingIngestStream {
           processBatch(spark, batch, batchId, acceptedPath, indexRoot, maxCos,
             nProbeGate, curate, broadcastMaxRows, compactEvery,
             rebuildEvery = rebuildEvery, rebuildMaxShare = rebuildMaxShare,
-            rebuildMinTotal = rebuildMinTotal)
+            rebuildMinTotal = rebuildMinTotal, shufflePartitions = shufflePartitions)
       }
       .start()
   }

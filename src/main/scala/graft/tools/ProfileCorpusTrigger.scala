@@ -16,15 +16,40 @@ import graft.streaming.CorpusIngestStream
   * plugged in, so the per-trigger constant is attributable instead of
   * guessed. Prints one JSON line with the stage breakdown.
   *
-  * Usage: runMain graft.tools.ProfileCorpusTrigger [nDocs]
+  * Usage: runMain graft.tools.ProfileCorpusTrigger [nDocs] [lazy]
+  *
+  * With the `lazy` flag the stage timer stays null (the PRODUCTION plan
+  * shape — nothing force-cached early) and a SparkListener records every
+  * job's wall time and description instead, so the trigger's job-count
+  * constant is attributable without perturbing it.
   */
 object ProfileCorpusTrigger {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(5000)
+    val lazyMode = args.lift(1).contains("lazy")
     val load0 = graft.Bench.loadavg()
     val spark = GraftSession.get("profile-corpus-trigger")
     spark.sparkContext.setLogLevel("ERROR")
+    // experiment knob: pass a third arg to size shuffle partitions to the
+    // micro-batch instead of the session default
+    args.lift(2).foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     import spark.implicits._
+
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val jobSecs = mutable.LinkedHashMap.empty[Int, (String, Double)]
+    if (lazyMode) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          // the result stage's name carries the action's call site
+          val desc = e.stageInfos.lastOption.map(_.name).getOrElse("?")
+          jobs.put(e.jobId, (desc, e.time))
+        }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobs.get(e.jobId)).foreach { case (desc, t0) =>
+            jobSecs.synchronized { jobSecs(e.jobId) = (desc, (e.time - t0) / 1e3) }
+          }
+        }
+      })
 
     val rnd = new Random(42L)
     def docText(r: Random) = Seq.fill(60)(s"w${r.nextInt(20000)}").mkString(" ")
@@ -45,7 +70,7 @@ object ProfileCorpusTrigger {
     try {
       CorpusIngestStream.processBatch(spark, docs.toDF("doc_id", "text"), 0L,
         work.resolve("accepted").toString, name, 0.6, NearDupIndex.Config(),
-        identity, onStage = (s, sec) => stages(s) = sec)
+        identity, onStage = if (lazyMode) null else (s, sec) => stages(s) = sec)
     } finally {
       Seq("_shingles", "_counts", "_buckets", "_meta", "_digest").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS $name$s"))
@@ -59,6 +84,12 @@ object ProfileCorpusTrigger {
         f""""kept":$kept,"total_sec":$total%.3f,"docs_per_sec":${(nDocs / total).toLong},""" +
         f""""load_start":$load0,"load_end":${graft.Bench.loadavg()},""" +
         s""""stages":{$stageJson}}""")
+    if (lazyMode) jobSecs.synchronized {
+      jobSecs.toSeq.sortBy(_._1).foreach { case (id, (desc, sec)) =>
+        println(f"job $id%3d  $sec%6.2fs  ${desc.take(110)}")
+      }
+      println(f"jobs: ${jobSecs.size}, sum ${jobSecs.values.map(_._2).sum}%.2fs")
+    }
     spark.stop()
   }
 }

@@ -196,6 +196,30 @@ class SketchSpec extends AnyFunSuite {
     assert(estimates() == got, "replayed fold changed the store")
   }
 
+  test("exactHeavyHitters equals plain GROUP BY/HAVING with vocab >> k (decrement regime)") {
+    import spark.implicits._
+    // 2000 distinct tail items (1 row each) + 5 planted hitters: the MG
+    // counter table (k=16) overflows constantly, so the candidate pass
+    // runs its decrement path — and the two-pass result must STILL be
+    // exact because k+1=17 > 1/minShare=10
+    val rows =
+      (0 until 2000).map(i => s"tail_$i") ++
+        Seq.fill(900)("hot_a") ++ Seq.fill(700)("hot_b") ++ Seq.fill(500)("hot_c") ++
+        Seq.fill(420)("hot_d") ++ Seq.fill(100)("warm_e") // 100 < ceil(0.1*4620)=462
+    val df = scala.util.Random.shuffle(rows).toDF("item")
+    val got = graft.operators.Sketches.exactHeavyHitters(df, "item", k = 16, minShare = 0.1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = rows.size
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= math.ceil(0.1 * n).toLong).toMap
+    assert(got == exact, s"got=$got exact=$exact")
+    assert(got.keySet == Set("hot_a", "hot_b", "hot_c"), s"n=$n got=$got")
+    // contract violations refuse loudly instead of silently under-reporting
+    intercept[IllegalArgumentException] {
+      graft.operators.Sketches.exactHeavyHitters(df, "item", k = 8, minShare = 0.1)
+    }
+  }
+
   test("freq_items_sketch partial-aggregates below the exchange per group") {
     graft.plans.GraftFunctions.register(spark)
     val docs = graft.runtime.Tables.load(spark, sf, "documents")
