@@ -72,17 +72,23 @@ object CorpusIngestStream {
     * consumer (3× tokenize+explode+distinct, 2× 64-hash signatures) and
     * re-ran the guard/digest aggregates separately; at micro-batch sizes
     * the trigger's cost is the JOB COUNT, not the data, so the r7 shape
-    * shares every pass that can be shared (and `appendCoded` overlaps
-    * its independent writes). Measured ([[graft.tools.ProfileCorpusTrigger]],
-    * 5k docs × ~60 words, 10% planted near-dups, quiet local[32]):
-    * 20.9 s → 14.8 s per trigger; StreamBench corpus leg 171 → 303
-    * docs/s at batch 5k. Stage breakdown of the shared shape (same run,
-    * via `onStage`, seconds): curate 0.7 / shingle 0.9 / code 1.1 /
-    * intra pairs+components 4.0 / probe 1.4 / land 0.3 / fold 5.3
-    * (stats 0.4, guard 0.2, shingles∥counts writes 2.0, buckets write
-    * 2.3, digest 0.2) — the remaining constant is ~10 small Spark
-    * jobs/writes of ~0.4-2 s each, which amortize with batch size
-    * (627 docs/s at batch 20k pre-dates these cuts).
+    * shares every pass that can be shared, overlaps `appendCoded`'s
+    * independent writes, sizes every shuffle to the batch
+    * ([[MicroBatchConf]], session 32 → 8), resolves intra components on
+    * the driver ([[graft.operators.Dedup.connectedComponents]]'
+    * bounded small-graph tier instead of 2+ eager checkpoint rounds),
+    * and lands each index epoch as one file per bucket (bucket-aligned
+    * repartition in [[graft.operators.NearDupIndex.appendCoded]]).
+    * Measured ([[graft.tools.ProfileCorpusTrigger]], 5k docs × ~60
+    * words, 10% planted near-dups, quiet local[32]): 20.9 s (r6) →
+    * 8.2 s per trigger; StreamBench corpus leg 171 → 545 docs/s at
+    * batch 5k. Stage breakdown (eager profile, seconds): curate 0.5 /
+    * shingle 0.6 / code 0.7 / intra 1.7 (pairs 1.0, components 0.3) /
+    * probe 0.9 / land 0.2 / fold 2.8 (stats 0.3, guard 0.1,
+    * shingles∥counts writes 1.1, buckets write 1.0, digest 0.1) — the
+    * remaining constant is the catalog/commit overhead of the four
+    * idempotent writes plus ~8 sub-second jobs, all of which amortize
+    * with batch size.
     *
     * `crashAfterFoldRelations` is CRASH INJECTION for specs only: when
     * `Some(k)`, the fold stops after its k-th relation write (as if the

@@ -18,7 +18,13 @@ import graft.streaming.{BronzeStream, CorpusIngestStream, EmbeddingIngestStream,
   * near-dups) in docs/s and embedding ingest (cell-local cosine dedup
   * against the IVF index) in vecs/s.
   *
-  * Usage: runMain graft.tools.StreamBench [nRows] [nDocs] [nVecs]
+  * Usage: runMain graft.tools.StreamBench [nRows] [nDocs] [nVecs] [legs]
+  *
+  * `legs` is a comma-set of bronze,score,sketch,corpus,embed (default
+  * all) — a single leg on a quiet box measures that leg without the
+  * earlier legs' JIT/page-cache heat bleeding into its wall time; the
+  * JSON then carries only the run legs. `sketch` folds the bronze
+  * output, so asking for it pulls `bronze` in.
   */
 object StreamBench {
 
@@ -53,8 +59,13 @@ object StreamBench {
     val in = work.resolve("in")
     Files.createDirectories(in)
     val rnd = new Random(42L)
+    val legSel = args.lift(3).map(_.split(",").toSet)
+      .getOrElse(Set("bronze", "score", "sketch", "corpus", "embed"))
+    val legs = if (legSel("sketch")) legSel + "bronze" else legSel
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+
     // several files so maxFilesPerTrigger paces like Kafka partitions
-    (0 until 10).foreach { f =>
+    if (legs("bronze") || legs("score")) (0 until 10).foreach { f =>
       val lines = (0 until n / 10).map(i => envelope(rnd, f * (n / 10) + i))
       Files.write(in.resolve(f"part$f%02d.jsonl"), String.join("\n", lines: _*).getBytes("UTF-8"))
     }
@@ -66,119 +77,153 @@ object StreamBench {
       sec
     }
 
-    val bronzeSec = timed("bronze") {
-      val q = BronzeStream.start(spark, in.toString,
-        work.resolve("bronze").toString, work.resolve("ckpt-b").toString)
-      q.processAllAvailable(); q.stop()
+    if (legs("bronze")) {
+      val bronzeSec = timed("bronze") {
+        val q = BronzeStream.start(spark, in.toString,
+          work.resolve("bronze").toString, work.resolve("ckpt-b").toString)
+        q.processAllAvailable(); q.stop()
+      }
+      val bronzeRows = spark.read.parquet(work.resolve("bronze").toString).count()
+      parts += s""""bronze_rows":$bronzeRows,"bronze_sec":$bronzeSec,""" +
+        s""""bronze_tx_per_sec":${(bronzeRows / bronzeSec).toLong}"""
     }
-    val bronzeRows = spark.read.parquet(work.resolve("bronze").toString).count()
 
-    val scoreSec = timed("score") {
-      val q = ScoringStream.start(spark, in.toString,
-        work.resolve("preds").toString, work.resolve("alerts").toString,
-        work.resolve("ckpt-s").toString)
-      q.processAllAvailable(); q.stop()
+    if (legs("score")) {
+      val scoreSec = timed("score") {
+        val q = ScoringStream.start(spark, in.toString,
+          work.resolve("preds").toString, work.resolve("alerts").toString,
+          work.resolve("ckpt-s").toString)
+        q.processAllAvailable(); q.stop()
+      }
+      val predRows = spark.read.parquet(work.resolve("preds").toString).count()
+      parts += s""""score_rows":$predRows,"score_sec":$scoreSec,""" +
+        s""""score_tx_per_sec":${(predRows / scoreSec).toLong}"""
     }
-    val predRows = spark.read.parquet(work.resolve("preds").toString).count()
 
     // --- standing sketch service leg: per-batch HLL folds over the bronze
     // output (distinct cards per merchant), grains answered from binaries
-    val bronzeOut = work.resolve("bronze").toString
-    val sketchSec = timed("sketch") {
-      val q = graft.streaming.SketchStream.start(spark, bronzeOut,
-        spark.read.parquet(bronzeOut).schema,
-        work.resolve("sketch-table").toString, work.resolve("ckpt-sk").toString,
-        keyCols = Seq("merchant"), valueCol = "cc_num")
-      q.processAllAvailable(); q.stop()
+    if (legs("sketch")) {
+      val bronzeOut = work.resolve("bronze").toString
+      val bronzeRows = spark.read.parquet(bronzeOut).count()
+      val sketchSec = timed("sketch") {
+        val q = graft.streaming.SketchStream.start(spark, bronzeOut,
+          spark.read.parquet(bronzeOut).schema,
+          work.resolve("sketch-table").toString, work.resolve("ckpt-sk").toString,
+          keyCols = Seq("merchant"), valueCol = "cc_num")
+        q.processAllAvailable(); q.stop()
+      }
+      val sketchGroups = graft.streaming.SketchStream
+        .read(spark, work.resolve("sketch-table").toString, Seq("merchant")).count()
+      parts += s""""sketch_rows":$bronzeRows,"sketch_groups":$sketchGroups,""" +
+        s""""sketch_sec":$sketchSec,""" +
+        s""""sketch_rows_per_sec":${(bronzeRows / sketchSec).toLong}"""
     }
-    val sketchGroups = graft.streaming.SketchStream
-      .read(spark, work.resolve("sketch-table").toString, Seq("merchant")).count()
 
     // --- corpus ingest leg: curated-dedup pipeline, ~10% planted near-dups
     import spark.implicits._
-    val nDocs = args.lift(1).map(_.toInt).getOrElse(5000)
     def docText(r: Random) = Seq.fill(60)(s"w${r.nextInt(20000)}").mkString(" ")
-    val seedDocs = (0 until 500).map(i => (i.toLong, docText(rnd)))
-    val corpusName = s"sb_corpus_${System.nanoTime()}"
-    graft.operators.NearDupIndex.build(
-      seedDocs.toDF("doc_id", "text"), "doc_id", "text", corpusName)
-    val corpusIn = work.resolve("corpus-in")
-    Files.createDirectories(corpusIn)
-    var prevDoc = seedDocs.head._2
-    val docLines = (0 until nDocs).map { i =>
-      val t = if (i % 10 == 9) s"$prevDoc tail $i" else { prevDoc = docText(rnd); prevDoc }
-      s"""{"doc_id": ${1000L + i}, "text": "$t"}"""
-    }
-    Files.write(corpusIn.resolve("docs.jsonl"),
-      String.join("\n", docLines: _*).getBytes("UTF-8"))
-    val (corpusSec, corpusKept) =
-      try {
-        val sec = timed("corpus") {
-          val q = CorpusIngestStream.start(spark, corpusIn.toString,
-            work.resolve("corpus-out").toString, work.resolve("ckpt-c").toString, corpusName)
-          q.processAllAvailable(); q.stop()
-        }
-        (sec, spark.read.parquet(work.resolve("corpus-out").toString).count())
-      } finally {
-        // the index tables carry a unique run id — drop them (also on a
-        // failed leg) or every run leaves four orphans in the warehouse
-        Seq("_shingles", "_counts", "_buckets", "_meta").foreach(s =>
-          spark.sql(s"DROP TABLE IF EXISTS $corpusName$s"))
+    if (legs("corpus")) {
+      val nDocs = args.lift(1).map(_.toInt).getOrElse(5000)
+      val seedDocs = (0 until 500).map(i => (i.toLong, docText(rnd)))
+      // untimed warmup — one small trigger through a scratch index warms
+      // the codegen/JIT paths the timed leg then reuses (the same
+      // convention as [[graft.Bench]]'s sf0.001 warmup pass; a solo cold
+      // leg otherwise pays ~2 s of first-use compilation inside `timed`)
+      val warmName = s"sb_warm_${System.nanoTime()}"
+      graft.operators.NearDupIndex.build(
+        seedDocs.take(100).toDF("doc_id", "text"), "doc_id", "text", warmName)
+      try
+        CorpusIngestStream.processBatch(spark,
+          (0 until 500).map(i => (5000000L + i, docText(rnd))).toDF("doc_id", "text"),
+          0L, work.resolve("warm-out").toString, warmName, 0.6,
+          graft.operators.NearDupIndex.Config(), identity)
+      finally
+        Seq("_shingles", "_counts", "_buckets", "_meta", "_digest").foreach(s =>
+          spark.sql(s"DROP TABLE IF EXISTS $warmName$s"))
+      val corpusName = s"sb_corpus_${System.nanoTime()}"
+      graft.operators.NearDupIndex.build(
+        seedDocs.toDF("doc_id", "text"), "doc_id", "text", corpusName)
+      val corpusIn = work.resolve("corpus-in")
+      Files.createDirectories(corpusIn)
+      var prevDoc = seedDocs.head._2
+      val docLines = (0 until nDocs).map { i =>
+        val t = if (i % 10 == 9) s"$prevDoc tail $i" else { prevDoc = docText(rnd); prevDoc }
+        s"""{"doc_id": ${1000L + i}, "text": "$t"}"""
       }
+      Files.write(corpusIn.resolve("docs.jsonl"),
+        String.join("\n", docLines: _*).getBytes("UTF-8"))
+      val (corpusSec, corpusKept) =
+        try {
+          val sec = timed("corpus") {
+            val q = CorpusIngestStream.start(spark, corpusIn.toString,
+              work.resolve("corpus-out").toString, work.resolve("ckpt-c").toString, corpusName)
+            q.processAllAvailable(); q.stop()
+          }
+          (sec, spark.read.parquet(work.resolve("corpus-out").toString).count())
+        } finally {
+          // the index tables carry a unique run id — drop them (also on a
+          // failed leg) or every run leaves four orphans in the warehouse
+          Seq("_shingles", "_counts", "_buckets", "_meta").foreach(s =>
+            spark.sql(s"DROP TABLE IF EXISTS $corpusName$s"))
+        }
+      parts += s""""corpus_docs":$nDocs,"corpus_kept":$corpusKept,"corpus_sec":$corpusSec,""" +
+        s""""corpus_docs_per_sec":${(nDocs / corpusSec).toLong}"""
+    }
 
     // --- embedding ingest leg: cell-local cosine dedup vs the IVF index
-    val nVecs = args.lift(2).map(_.toInt).getOrElse(20000)
-    def vec(r: Random) = Array.fill(64)(r.nextGaussian())
-    val seedVecs = (0 until 2000).map(i => (i.toLong, vec(rnd).toSeq))
-    val ivfRoot = work.resolve("sb-ivf").toString
-    graft.operators.IvfIndex.build(
-      seedVecs.toDF("vec_id", "embedding"), "vec_id", "embedding", ivfRoot)
-    val embIn = work.resolve("emb-in")
-    Files.createDirectories(embIn)
-    val vecLines = (0 until nVecs).map { i =>
-      val v = if (i % 10 == 9) seedVecs(rnd.nextInt(2000))._2 else vec(rnd).toSeq
-      s"""{"vec_id": ${10000L + i}, "embedding": [${v.mkString(",")}]}"""
-    }
-    Files.write(embIn.resolve("vecs.jsonl"),
-      String.join("\n", vecLines: _*).getBytes("UTF-8"))
-    val embSec = timed("embed") {
-      val q = EmbeddingIngestStream.start(spark, embIn.toString,
-        work.resolve("emb-out").toString, work.resolve("ckpt-e").toString, ivfRoot)
-      q.processAllAvailable(); q.stop()
-    }
-    val embKept = spark.read.parquet(work.resolve("emb-out").toString).count()
+    if (legs("embed")) {
+      val nVecs = args.lift(2).map(_.toInt).getOrElse(20000)
+      def vec(r: Random) = Array.fill(64)(r.nextGaussian())
+      val seedVecs = (0 until 2000).map(i => (i.toLong, vec(rnd).toSeq))
+      // untimed warmup (see the corpus leg): scratch IVF root, 500 vectors
+      val warmRoot = work.resolve("sb-ivf-warm").toString
+      graft.operators.IvfIndex.build(
+        seedVecs.take(200).toDF("vec_id", "embedding"), "vec_id", "embedding", warmRoot)
+      EmbeddingIngestStream.processBatch(spark,
+        (0 until 500).map(i => (6000000L + i, vec(rnd).toSeq)).toDF("vec_id", "embedding"),
+        0L, work.resolve("warm-emb-out").toString, warmRoot, 0.995)
+      val ivfRoot = work.resolve("sb-ivf").toString
+      graft.operators.IvfIndex.build(
+        seedVecs.toDF("vec_id", "embedding"), "vec_id", "embedding", ivfRoot)
+      val embIn = work.resolve("emb-in")
+      Files.createDirectories(embIn)
+      val vecLines = (0 until nVecs).map { i =>
+        val v = if (i % 10 == 9) seedVecs(rnd.nextInt(2000))._2 else vec(rnd).toSeq
+        s"""{"vec_id": ${10000L + i}, "embedding": [${v.mkString(",")}]}"""
+      }
+      Files.write(embIn.resolve("vecs.jsonl"),
+        String.join("\n", vecLines: _*).getBytes("UTF-8"))
+      val embSec = timed("embed") {
+        val q = EmbeddingIngestStream.start(spark, embIn.toString,
+          work.resolve("emb-out").toString, work.resolve("ckpt-e").toString, ivfRoot)
+        q.processAllAvailable(); q.stop()
+      }
+      val embKept = spark.read.parquet(work.resolve("emb-out").toString).count()
 
-    // same leg, single-probe gate (nProbeGate=1) against a fresh identical
-    // index — quantifies what the default multi-probe (top-2 cells, fewer
-    // face-straddling misses) costs per trigger. Fresh root/checkpoint so
-    // the first leg's folds don't inflate this one's history.
-    val ivfRoot1 = work.resolve("sb-ivf1").toString
-    graft.operators.IvfIndex.build(
-      seedVecs.toDF("vec_id", "embedding"), "vec_id", "embedding", ivfRoot1)
-    val embSec1 = timed("embed-1probe") {
-      val q = EmbeddingIngestStream.start(spark, embIn.toString,
-        work.resolve("emb-out1").toString, work.resolve("ckpt-e1").toString, ivfRoot1,
-        nProbeGate = 1)
-      q.processAllAvailable(); q.stop()
+      // same leg, single-probe gate (nProbeGate=1) against a fresh identical
+      // index — quantifies what the default multi-probe (top-2 cells, fewer
+      // face-straddling misses) costs per trigger. Fresh root/checkpoint so
+      // the first leg's folds don't inflate this one's history.
+      val ivfRoot1 = work.resolve("sb-ivf1").toString
+      graft.operators.IvfIndex.build(
+        seedVecs.toDF("vec_id", "embedding"), "vec_id", "embedding", ivfRoot1)
+      val embSec1 = timed("embed-1probe") {
+        val q = EmbeddingIngestStream.start(spark, embIn.toString,
+          work.resolve("emb-out1").toString, work.resolve("ckpt-e1").toString, ivfRoot1,
+          nProbeGate = 1)
+        q.processAllAvailable(); q.stop()
+      }
+      val embKept1 = spark.read.parquet(work.resolve("emb-out1").toString).count()
+      parts += s""""embed_vecs":$nVecs,"embed_kept":$embKept,"embed_sec":$embSec,""" +
+        s""""embed_vecs_per_sec":${(nVecs / embSec).toLong},""" +
+        s""""embed_1probe_kept":$embKept1,"embed_1probe_sec":$embSec1,""" +
+        s""""embed_1probe_vecs_per_sec":${(nVecs / embSec1).toLong}"""
     }
-    val embKept1 = spark.read.parquet(work.resolve("emb-out1").toString).count()
 
     println(
       s"""{"metric":"stream_throughput","unit":"tx_per_sec",""" +
         s""""load_start":$load0,"load_end":${loadavg()},""" +
-        s""""bronze_rows":$bronzeRows,"bronze_sec":$bronzeSec,""" +
-        s""""bronze_tx_per_sec":${(bronzeRows / bronzeSec).toLong},""" +
-        s""""score_rows":$predRows,"score_sec":$scoreSec,""" +
-        s""""score_tx_per_sec":${(predRows / scoreSec).toLong},""" +
-        s""""sketch_rows":$bronzeRows,"sketch_groups":$sketchGroups,""" +
-        s""""sketch_sec":$sketchSec,""" +
-        s""""sketch_rows_per_sec":${(bronzeRows / sketchSec).toLong},""" +
-        s""""corpus_docs":$nDocs,"corpus_kept":$corpusKept,"corpus_sec":$corpusSec,""" +
-        s""""corpus_docs_per_sec":${(nDocs / corpusSec).toLong},""" +
-        s""""embed_vecs":$nVecs,"embed_kept":$embKept,"embed_sec":$embSec,""" +
-        s""""embed_vecs_per_sec":${(nVecs / embSec).toLong},""" +
-        s""""embed_1probe_kept":$embKept1,"embed_1probe_sec":$embSec1,""" +
-        s""""embed_1probe_vecs_per_sec":${(nVecs / embSec1).toLong},""" +
+        parts.mkString(",") + "," +
         s""""baseline_tx_per_sec":"20-50 (BASELINE.md streaming throughput)"}""")
     spark.stop()
   }
