@@ -711,4 +711,53 @@ object IvfIndex {
       .head().getAs[Seq[Double]]("vec").toArray
     topKByVector(spark, root, q, k, nProbe, excludeId = Some(queryId))
   }
+
+  /** Batch ANN join against the index — the bulk-retrieval twin of
+    * [[Similarity.knnJoin]] (which scans every (query, vector) pair).
+    * One job for the whole query set: each query is assigned its
+    * top-`nProbe` cells by the shuffle-free literal-centroid kernel
+    * ([[assignCellsMulti]]), the index scan is pruned to the UNION of
+    * probed cells (a literal IN over a collected ≤ C-int cell set — the
+    * same partition-pruning pattern as the embedding ingest gate), and
+    * candidates meet in a cell-equi broadcast join feeding the map-side
+    * `topk_rows` aggregate — shuffle sized by |Q|·k, I/O by the probed
+    * cells, never the corpus.
+    *
+    * Exactness dial: with `nProbe = C` (every cell probed) the candidate
+    * set is total and the result EQUALS brute-force
+    * [[Similarity.knnJoin]] — oracle qe10 pins that equality through the
+    * driver — while `nProbe << C` is the serving-scale configuration
+    * whose recall the index's cell granularity buys (SimilaritySpec
+    * planted-duplicate contract). Each index vector lives in exactly one
+    * cell and a query's probe list is distinct, so no candidate is
+    * scored twice. Output schema matches [[Similarity.knnJoin]]:
+    * (query_id, rank, neighbor_id, cos_sim), rank by (cos_sim DESC,
+    * neighbor_id) — identical tie policy, identical 4-decimal rounding.
+    */
+  def knnJoin(spark: SparkSession, root: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    val q = assignCellsMulti(queries, idCol, vecCol, root, nProbe)
+      .withColumn("q_norm", F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))))
+      .select(F.col("id").cast("long").as("query_id"), F.col("vec").as("q_vec"),
+        F.col("q_norm"), F.explode(F.col("cells")).as("cell"))
+    // metadata-scale collect (≤ C ints): a literal predicate prunes the
+    // untouched cell partitions — a join-side restriction alone would
+    // still read the whole table
+    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    vectors(spark, root)
+      .filter(F.col("cell").isin(probedCells: _*))
+      .join(F.broadcast(q), Seq("cell"))
+      .filter(F.col("id") =!= F.col("query_id"))
+      .select(F.col("query_id"),
+        F.struct(
+          F.round(F.call_function("vec_dot", F.col("vec"), F.col("q_vec"))
+            / (F.col("nrm") * F.col("q_norm")), 4).as("cos_sim"),
+          F.col("id").as("neighbor_id")).as("cand"))
+      .groupBy("query_id")
+      .agg(F.call_function("topk_rows", F.col("cand"), F.lit(k)).as("top"))
+      .select(F.col("query_id"), F.posexplode(F.col("top")))
+      .select(F.col("query_id"), (F.col("pos") + 1).cast("int").as("rank"),
+        F.col("col.neighbor_id").as("neighbor_id"), F.col("col.cos_sim").as("cos_sim"))
+  }
 }

@@ -119,6 +119,26 @@ object VectorQueries extends QueryPack {
       Similarity.knnJoin(e, e.filter(F.col("vec_id") % 100 === 0),
           "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // Batch ANN join THROUGH the persisted IVF index, exactness-dialed:
+    // every cell probed (nProbe = C) makes the candidate set total, so
+    // the result must EQUAL brute force — the oracle is qe08's window
+    // re-rank on a disjoint query set. nProbe << C is the serving-scale
+    // configuration (partition-pruned scan, recall bought by cell
+    // granularity — SimilaritySpec's planted-duplicate contract). The
+    // KMeans build runs into a scratch root; with all cells probed the
+    // equality holds for ANY centroid placement, which is what lets an
+    // iterative-fit index surface be driver-checked at all.
+    "qe10_ivf_knn_join" -> ((s, d) => {
+      import graft.operators.IvfIndex
+      val e = emb(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-qe10-").toString
+      IvfIndex.build(e, "vec_id", "embedding", root, numCentroids = 8)
+      IvfIndex.knnJoin(s, root, e.filter(F.col("vec_id") % 100 === 50),
+          "vec_id", "embedding", k = 5, nProbe = 8)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -134,6 +154,18 @@ object VectorQueries extends QueryPack {
            JOIN norms na ON na.vec_id = a_id
            JOIN norms nb ON nb.vec_id = b_id
            WHERE a_id % 100 = 0 AND b_id <> a_id)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "qe10_ivf_knn_join" ->
+      s"""WITH $oracleDot
+         SELECT query_id, rank, neighbor_id, cos_sim FROM (
+           SELECT a_id AS query_id, b_id AS neighbor_id,
+             round(dp / (na.nrm * nb.nrm), 4) AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY a_id
+               ORDER BY round(dp / (na.nrm * nb.nrm), 4) DESC, b_id) AS INTEGER) AS rank
+           FROM pairs
+           JOIN norms na ON na.vec_id = a_id
+           JOIN norms nb ON nb.vec_id = b_id
+           WHERE a_id % 100 = 50 AND b_id <> a_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
     "qe01_knn_cosine" ->
       s"""WITH $oracleDot

@@ -123,6 +123,32 @@ class SimilaritySpec extends AnyFunSuite {
       "nProbe = numCentroids must equal the exact scan")
   }
 
+  test("IvfIndex.knnJoin: all-cell probe equals brute knnJoin; planted twin found cell-locally") {
+    import spark.implicits._
+    val root = TestFixtures.tmpDir("ivf-knnjoin").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
+    val queries = emb.filter(F.col("vec_id") % 50 === 0)
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).sorted.toSeq
+    // nProbe = C → total candidate set → must equal brute force exactly
+    val viaIvf = key(IvfIndex.knnJoin(spark, root, queries, "vec_id", "embedding",
+      k = 5, nProbe = 8).collect())
+    val brute = key(Similarity.knnJoin(emb, queries, "vec_id", "embedding", k = 5).collect())
+    assert(viaIvf == brute, "all-cell IVF join diverged from brute force")
+    // serving config (nProbe = 1): an identical planted twin shares its
+    // source's cell (same vector → same centroid argmin), so the
+    // cell-local probe must surface it at rank 1 with cos 1.0
+    val src = emb.filter(F.col("vec_id") === 3L)
+      .select(F.col("embedding")).head().getSeq[Float](0)
+    val twin = Seq((900001L, src)).toDF("vec_id", "embedding")
+    IvfIndex.append(twin, "vec_id", "embedding", root, epoch = 0L)
+    val hit = IvfIndex.knnJoin(spark, root, emb.filter(F.col("vec_id") === 3L),
+        "vec_id", "embedding", k = 1, nProbe = 1).collect()
+    assert(hit.length == 1 && hit.head.getAs[Long]("neighbor_id") == 900001L &&
+      hit.head.getAs[Double]("cos_sim") == 1.0, s"planted twin missed: ${hit.toSeq}")
+  }
+
   test("IvfIndex.append folds new vectors into the existing cells") {
     import spark.implicits._
     val root = TestFixtures.tmpDir("ivf-append").toString
