@@ -202,6 +202,17 @@ object ScaleBench {
             .collect().map(_.getAs[Long]("neighbor_id")).toSet
         }.toMap
       }
+      // the BATCH api over the same index/probe budget — one job for the
+      // whole query set (the apples-to-apples comparison with knnJoin,
+      // where the per-query probe above is the serving-latency api)
+      val (tJoin, joinTop) = time {
+        IvfIndex.knnJoin(spark, root, queries, "vec_id", "embedding", 10, nProbe = nProbe)
+          .collect().groupBy(_.getAs[Long]("query_id"))
+          .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      }
+      val joinRecall = joinTop.map { case (q, s) =>
+        (s intersect bruteTop.getOrElse(q, Set.empty)).size.toDouble / 10.0
+      }.sum / joinTop.size
       val recall = ivfTop.map { case (q, s) =>
         (s intersect bruteTop.getOrElse(q, Set.empty)).size.toDouble / 10.0
       }.sum / ivfTop.size
@@ -212,6 +223,7 @@ object ScaleBench {
         s""""n_cells":$cells,"n_probe":$nProbe,""" +
         f""""brute_sec":$tBrute%.2f,"ivf_build_sec":$tBuild%.2f,""" +
         f""""ivf_probe_sec":$tProbe%.2f,"ivf_recall_at_10":$recall%.3f,""" +
+        f""""ivf_join_sec":$tJoin%.2f,"ivf_join_recall_at_10":$joinRecall%.3f,""" +
         f""""planted_dup_recall":$dupRecall%.3f}""")
       queries.unpersist(); v.unpersist()
     }

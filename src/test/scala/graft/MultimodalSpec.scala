@@ -108,6 +108,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!bad.decoded && bad.sample_rate == -1.0) // no JDK mp3 codec: fallback
   }
 
+  test("decodeVideo reads a real MJPEG-AVI: header metadata, luminance, motion, frames") {
+    import spark.implicits._
+    def jpegFrame(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (shade << 16) | (shade << 8) | shade
+      for (y <- 0 until 16; x <- 0 until 32) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    // assemble a minimal but spec-shaped AVI: RIFF('AVI ') > LIST(hdrl) >
+    // avih, then LIST(movi) > one '00dc' JPEG chunk per frame (RIFF
+    // little-endian sizes, chunks padded to even offsets)
+    def avi(frames: Seq[Array[Byte]], usPerFrame: Int, w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u32(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(id.getBytes("US-ASCII")); b.write(u32(data.length)); b.write(data)
+        if (data.length % 2 == 1) b.write(0)
+        b.toByteArray
+      }
+      val avihData = new java.io.ByteArrayOutputStream()
+      avihData.write(u32(usPerFrame)); avihData.write(u32(0)); avihData.write(u32(0))
+      avihData.write(u32(0)); avihData.write(u32(frames.size)); avihData.write(u32(0))
+      avihData.write(u32(1)); avihData.write(u32(0)); avihData.write(u32(w))
+      avihData.write(u32(h)); (0 until 4).foreach(_ => avihData.write(u32(0)))
+      val hdrl = "hdrl".getBytes("US-ASCII") ++ chunk("avih", avihData.toByteArray)
+      val movi = "movi".getBytes("US-ASCII") ++
+        frames.flatMap(f => chunk("00dc", f)).toArray
+      val body = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", hdrl) ++ chunk("LIST", movi)
+      out.write("RIFF".getBytes("US-ASCII")); out.write(u32(body.length)); out.write(body)
+      out.toByteArray
+    }
+
+    // 4 frames, alternating dark/bright — real motion between every pair
+    val bytes = avi(Seq(jpegFrame(10), jpegFrame(240), jpegFrame(10), jpegFrame(240)),
+      usPerFrame = 40000, w = 32, h = 16) // 25 fps
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", "video/x-msvideo", 0, 0, 0L, bytes),
+      Multimodal.MediaRecord(2L, "video", "video/mp4", 0, 0, 0L, Array[Byte](9, 9, 9)))
+      .toDS()
+    val out = Multimodal.decodeVideos(media).collect().map(f => f.media_id -> f).toMap
+
+    val v = out(1L)
+    assert(v.decoded)
+    assert(v.width == 32 && v.height == 16 && v.n_frames == 4)
+    assert(math.abs(v.fps - 25.0) < 1e-9 && v.duration_ms == 160L)
+    // alternating ~10/~240 shades: mean ≈ 125, per-step motion ≈ 230
+    assert(math.abs(v.mean_lum - 125.0) < 15.0, s"mean_lum ${v.mean_lum}")
+    assert(v.motion > 180.0, s"motion ${v.motion}")
+    assert(!out(2L).decoded) // non-AVI falls back, pipeline stays total
+
+    // frame extraction: every 2nd frame → indices 0 and 2, real pixels
+    val frames = Multimodal.extractVideoFrames(media, everyNth = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.ts_ms)).toSeq ==
+      Seq((1L, 0, 0L), (1L, 2, 80L)))
+    frames.foreach { f =>
+      assert(f.width == 32 && f.height == 16)
+      assert(f.mean_lum < 30.0, s"sampled frames are the dark ones: ${f.mean_lum}")
+    }
+
+    // a static clip (same frame repeated) reads ~zero motion
+    val still = avi(Seq(jpegFrame(100), jpegFrame(100), jpegFrame(100)), 40000, 32, 16)
+    val sv = Multimodal.decodeVideo(
+      Multimodal.MediaRecord(3L, "video", "video/x-msvideo", 0, 0, 0L, still))
+    assert(sv.decoded && sv.motion < 1.0, s"static clip motion ${sv.motion}")
+  }
+
   test("visual near-dup: decoded grid embeddings feed the similarity operators directly") {
     import spark.implicits._
     def noisePng(seed: Int, flipOnePixel: Boolean): Array[Byte] = {
