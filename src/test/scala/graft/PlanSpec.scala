@@ -80,6 +80,24 @@ class PlanSpec extends AnyFunSuite {
       s"probe did not prune partitions:\n$plan")
   }
 
+  test("IvfIndex.knnJoin plans a pruned scan + broadcast query side, never a cartesian") {
+    val root = TestFixtures.tmpDir("ivf-knnjoin-plan").toString
+    val emb = graft.runtime.Tables.load(spark, sf, "embeddings")
+    graft.operators.IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
+    val out = graft.operators.IvfIndex.knnJoin(spark, root,
+      emb.filter(F.col("vec_id") % 50 === 0), "vec_id", "embedding", k = 3, nProbe = 2)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"index scan must prune to the probed cells:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query side must broadcast (a cell-key shuffle join caps parallelism at C):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay cell-equi:\n$plan")
+    assert(plan.contains("partial_topk_rows"),
+      s"per-query top-k must map-side combine:\n$plan")
+  }
+
   test("decontaminate broadcasts the benchmark shingle relation (corpus side never shuffles pre-agg)") {
     val docs = graft.runtime.Tables.load(spark, sf, "documents")
     val out = graft.operators.Curation.decontaminate(
