@@ -20,17 +20,37 @@ import org.apache.spark.sql.SparkSession
   * setting for another; analytics sessions should not share a session
   * with a high-rate ingest stream anyway. Pass `None` to leave the
   * session conf untouched (e.g. when batches are corpus-sized).
+  *
+  * Restore is DEPTH-COUNTED per session: with two streams on one
+  * session, overlapping triggers would otherwise interleave their
+  * save/restore (T2 saves T1's already-lowered value, T1 restores the
+  * original, T2 "restores" the micro-batch value) and leave the session
+  * pinned at 8 after both streams stop. The FIRST entrant records the
+  * session's value, the LAST exiter restores it — proven by
+  * ConcurrentIngestSpec's two-streams race.
   */
 private[graft] object MicroBatchConf {
 
   private val Key = "spark.sql.shuffle.partitions"
 
+  /** session -> (nesting depth, value to restore when depth hits 0).
+    * Guarded by its own monitor; sessions are few (usually one). */
+  private val entered =
+    scala.collection.mutable.Map.empty[SparkSession, (Int, String)]
+
   def withShufflePartitions[T](spark: SparkSession, n: Option[Int])(body: => T): T =
     n match {
       case None => body
       case Some(p) =>
-        val prev = spark.conf.get(Key)
-        spark.conf.set(Key, p)
-        try body finally spark.conf.set(Key, prev)
+        entered.synchronized {
+          val (depth, saved) = entered.getOrElse(spark, (0, spark.conf.get(Key)))
+          entered.update(spark, (depth + 1, saved))
+          spark.conf.set(Key, p)
+        }
+        try body finally entered.synchronized {
+          val (depth, saved) = entered(spark)
+          if (depth == 1) { entered.remove(spark); spark.conf.set(Key, saved) }
+          else entered.update(spark, (depth - 1, saved))
+        }
     }
 }
