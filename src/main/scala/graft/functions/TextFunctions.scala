@@ -105,6 +105,16 @@ object TextFunctions {
       (F.lit(1.0) - punctRatio(text)) * 0.3 +
       F.least(stopwordRatio(text) * 5.0, F.lit(1.0)) * 0.3
 
+  /** Byte-level compression-ratio quality signal — wraps the native
+    * codegen expression [[graft.plans.DeflateRatioExpression]] (requires
+    * [[graft.plans.GraftFunctions.register]] on the session). Low ratios
+    * mark repetitive/templated text the word-level filters miss; gate
+    * with a length floor (short strings report overhead-dominated
+    * ratios > 1). Spec-gated — no SQL-engine analog exists.
+    */
+  def deflateRatio(text: Column): Column =
+    F.call_function("deflate_ratio", text)
+
   /** Engine-exact fixed-point projection: `floor(x·10^digits + 0.5)` as a
     * BIGINT. Unlike decimal `round`, `floor` has no tie-breaking mode —
     * given the bit-identical input double (which portable expressions

@@ -231,6 +231,64 @@ object Curation {
       n: Int, minDf: Int): DataFrame = {
     require(n >= 1, s"span width must be positive, got $n")
     require(minDf >= 2, s"minDf < 2 would flag every span, got $minDf")
+    val (base, spans) = tokenizeSpans(df, idCol, textCol, n)
+    val hot = spans.groupBy("span")
+      .agg(F.countDistinct(F.col(idCol)).as("__df"))
+      .filter(F.col("__df") >= minDf)
+      .select("span")
+    scrubAtStarts(base, spans.join(hot, "span"), idCol, textCol, n)
+  }
+
+  /** Repeated-span DEDUP (exact-substring deduplication proper): for
+    * every word `n`-gram appearing in at least `minDf` distinct
+    * documents, KEEP the occurrence(s) in one canonical document — the
+    * smallest `idCol` containing the span — and delete it everywhere
+    * else. This is the policy difference from [[scrubRepeatedSpans]]:
+    * the scrub treats a repeated span as boilerplate and removes ALL
+    * copies (navigation menus, license headers); dedup treats it as
+    * CONTENT that happens to be syndicated (a quote, a wire-service
+    * paragraph, a copied README section) and preserves exactly one copy
+    * for training — the remove-all-but-one exact-substring pass of Lee
+    * et al. (arXiv:2107.06499) at fixed token width.
+    *
+    * Determinism and edge semantics: the keeper is `min(idCol)` per
+    * span, so the output is a pure function of the corpus. Within the
+    * keeper document a span repeated multiple times keeps every
+    * occurrence (intra-doc repetition is [[repetitionStats]] /
+    * [[scrubRepeatedSpans]] territory). A token in doc d is deleted iff
+    * some flagged span whose keeper is NOT d covers it — so a keeper
+    * doc can still lose tokens where an overlapping DIFFERENT span is
+    * kept by a smaller doc id; deletion wins over retention on overlap,
+    * keeping the rule one `exists` probe per token. Coverage, interval
+    * union, whitespace normalization, null handling, and the emitted
+    * `n_tok_before`/`n_tok_after` columns are exactly
+    * [[scrubRepeatedSpans]]'s (shared tail).
+    *
+    * Scale: identical shape to [[scrubRepeatedSpans]] — the keeper
+    * `min(idCol)` rides the same map-side-combined span aggregate, and
+    * the `!= keeper` filter runs on the joined-back flagged subset
+    * before the per-doc start-position collect, so non-flagged docs
+    * never materialize interval state.
+    */
+  def dedupRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int = 2): DataFrame = {
+    require(n >= 1, s"span width must be positive, got $n")
+    require(minDf >= 2, s"minDf < 2 would flag every span, got $minDf")
+    val (base, spans) = tokenizeSpans(df, idCol, textCol, n)
+    val hot = spans.groupBy("span")
+      .agg(F.countDistinct(F.col(idCol)).as("__df"),
+        F.min(F.col(idCol)).as("__keeper"))
+      .filter(F.col("__df") >= minDf)
+      .select("span", "__keeper")
+    val flagged = spans.join(hot, "span")
+      .filter(F.col(idCol) =!= F.col("__keeper"))
+    scrubAtStarts(base, flagged, idCol, textCol, n)
+  }
+
+  /** Shared head of the span family: tokenized base + exploded
+    * (id, pos, span) relation for width-`n` word grams. */
+  private def tokenizeSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): (DataFrame, DataFrame) = {
     val toks = TextFunctions.tokens(F.coalesce(F.col(textCol), F.lit("")))
     val base = df.withColumn("__toks", toks)
     val spans = base
@@ -240,11 +298,16 @@ object Curation {
           F.transform(F.sequence(F.lit(0), F.size(F.col("__toks")) - n),
             i => F.array_join(F.slice(F.col("__toks"), i + F.lit(1), F.lit(n)), " ")))
           .as(Seq("pos", "span")))
-    val hot = spans.groupBy("span")
-      .agg(F.countDistinct(F.col(idCol)).as("__df"))
-      .filter(F.col("__df") >= minDf)
-      .select("span")
-    val hotStarts = spans.join(hot, "span")
+    (base, spans)
+  }
+
+  /** Shared tail of the span family: given the flagged (id, pos, …)
+    * start positions, delete every token covered by a flagged start in
+    * `[p-n+1, p]` and rebuild the text (union-of-intervals rule, see
+    * [[scrubRepeatedSpans]]). */
+  private def scrubAtStarts(base: DataFrame, flagged: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val hotStarts = flagged
       .groupBy(idCol)
       .agg(F.sort_array(F.collect_list(F.col("pos"))).as("__hot"))
     base.join(hotStarts, Seq(idCol), "left")

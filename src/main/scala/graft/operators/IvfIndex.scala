@@ -346,16 +346,28 @@ object IvfIndex {
   /** Per-cell occupancy of the whole index: (cell, n), aggregated from
     * the `cellcounts` metadata relation that [[build]] / [[appendAssigned]]
     * / [[compact]] maintain — C rows per epoch, so the monitor reads
-    * METADATA, never the vector data. An index written before cellcounts
-    * existed falls back to counting the vectors relation grouped by its
-    * partition column (footer-sized reads — the degraded path, one-off
-    * until the next append refreshes the metadata).
+    * METADATA, never the vector data. The metadata path is used only
+    * when cellcounts COVERS every vectors epoch (a two-listing check):
+    * an index written before cellcounts existed gains the relation on
+    * its first append, but only for the NEW epoch — trusting that
+    * partial dir would make the monitor see a 5k-vector append as the
+    * whole corpus and misfire (or mask) a rebuild. Until a compact or
+    * rebuild backfills full coverage, such an index falls back to
+    * counting the vectors relation grouped by its partition column.
     */
   def cellOccupancy(spark: SparkSession, root: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$root/cellcounts")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def epochDirs(dir: String): Set[String] = {
+      val d = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("epoch=")).toSet
+    }
+    val covered = fs.exists(p) &&
+      epochDirs(s"$root/vectors").subsetOf(epochDirs(s"$root/cellcounts"))
     val perEpoch =
-      if (fs.exists(p)) spark.read.parquet(s"$root/cellcounts").select("cell", "n")
+      if (covered) spark.read.parquet(s"$root/cellcounts").select("cell", "n")
       else spark.read.parquet(s"$root/vectors").groupBy("cell")
         .agg(F.count(F.lit(1)).as("n")).select("cell", "n")
     perEpoch.groupBy("cell").agg(F.sum("n").as("n"))
@@ -399,14 +411,23 @@ object IvfIndex {
     * anything.
     */
   def currentRoot(spark: SparkSession, handle: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$handle/CURRENT")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) handle
-    else {
+    val fs = new org.apache.hadoop.fs.Path(handle)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def read(p: org.apache.hadoop.fs.Path): String = {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     }
+    val cur = new org.apache.hadoop.fs.Path(s"$handle/CURRENT")
+    val tmp = new org.apache.hadoop.fs.Path(s"$handle/CURRENT.tmp")
+    if (fs.exists(cur)) read(cur)
+    // mid-flip window: [[flipCurrent]] deletes CURRENT only AFTER the
+    // fully-written tmp exists, so a reader (or a crash-restart) landing
+    // between the delete and the rename must resolve the tmp — falling
+    // back to the handle base here would silently read a generation that
+    // retireOldGenerations may already have deleted
+    else if (fs.exists(tmp)) read(tmp)
+    else handle
   }
 
   /** Retire every generation under `handle` except the live one: the
@@ -444,11 +465,16 @@ object IvfIndex {
     retired.toSeq
   }
 
-  /** Commit a new generation: atomically point `handle/CURRENT` at
-    * `genRoot` (write-temp-then-rename — readers see either the old or
-    * the new pointer, never a partial write). The old generation's files
-    * are NOT deleted: in-flight readers may still hold its paths; retire
-    * old generations via [[retireOldGenerations]] once drained.
+  /** Commit a new generation: point `handle/CURRENT` at `genRoot` via
+    * write-temp / delete / rename. Readers never see a partial pointer:
+    * the tmp is fully written and closed BEFORE the old CURRENT is
+    * deleted, and [[currentRoot]] resolves the tmp during the
+    * delete→rename window — so every instant of the flip (and a crash at
+    * any point of it) resolves to either the complete old or the
+    * complete new pointer, never the possibly-retired handle base. The
+    * old generation's files are NOT deleted: in-flight readers may still
+    * hold its paths; retire old generations via
+    * [[retireOldGenerations]] once drained.
     */
   def flipCurrent(spark: SparkSession, handle: String, genRoot: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
@@ -741,13 +767,19 @@ object IvfIndex {
       .withColumn("q_norm", F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))))
       .select(F.col("id").cast("long").as("query_id"), F.col("vec").as("q_vec"),
         F.col("q_norm"), F.explode(F.col("cells")).as("cell"))
-    // metadata-scale collect (≤ C ints): a literal predicate prunes the
-    // untouched cell partitions — a join-side restriction alone would
-    // still read the whole table
-    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    // collect the exploded query relation ONCE — it is broadcast-bounded
+    // by construction, so localizing it costs what the broadcast costs
+    // anyway, and both consumers (the ≤ C-int literal cell predicate
+    // that prunes untouched partitions, and the broadcast join side as a
+    // LocalRelation) come from the single kernel evaluation instead of
+    // re-running the per-row C-struct assignment twice
+    val qRows = q.collect()
+    val probedCells = qRows.map(_.getAs[Int]("cell")).distinct.toSeq
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), q.schema)
     vectors(spark, root)
       .filter(F.col("cell").isin(probedCells: _*))
-      .join(F.broadcast(q), Seq("cell"))
+      .join(F.broadcast(qLocal), Seq("cell"))
       .filter(F.col("id") =!= F.col("query_id"))
       .select(F.col("query_id"),
         F.struct(

@@ -264,7 +264,11 @@ object Multimodal {
         if (dataEnd < dataStart) return // corrupt size: stop this level
         id match {
           case "LIST" | "RIFF" => if (size >= 4) walk(dataStart + 4, dataEnd)
-          case "avih" if size >= 40 =>
+          // guard on the CLAMPED extent, not the declared size: a
+          // truncated file can declare 40 bytes it doesn't have, and an
+          // unclamped read would throw out of the whole task instead of
+          // degrading to decoded=false
+          case "avih" if size >= 40 && dataStart + 40 <= dataEnd =>
             avih = Some((u32(dataStart), u32(dataStart + 16),
               u32(dataStart + 32).toInt, u32(dataStart + 36).toInt))
           case s if s.length == 4 && (s.endsWith("dc") || s.endsWith("db")) =>

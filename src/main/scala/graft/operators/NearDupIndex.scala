@@ -216,13 +216,7 @@ object NearDupIndex {
       requireNewIds: Boolean = true, counts: Option[DataFrame] = None,
       onStage: (String, Double) => Unit = null): Unit = {
     def staged[T](stage: String)(body: => T): T =
-      if (onStage == null) body
-      else {
-        val t0 = System.nanoTime()
-        val r = body
-        onStage(stage, (System.nanoTime() - t0) / 1e9)
-        r
-      }
+      graft.runtime.StageTimer.staged(onStage, stage)(body)
     val spark = batch.sparkSession
     requireSameFamily(spark, name, cfg)
     val longIds = batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType
@@ -326,7 +320,15 @@ object NearDupIndex {
           val writes = Seq(shinglesRel, countsRel).map(aligned).map { case (df, suffix) =>
             Future(df.write.mode("overwrite").insertInto(s"$name$suffix"))
           }
-          writes.foreach(Await.result(_, Duration.Inf))
+          // await BOTH before anything can leave the dynamic-overwrite
+          // window: if the first await rethrows while the sibling is
+          // still in flight, withDynamicOverwrite's finally would
+          // restore the static mode under the surviving insertInto and
+          // it would truncate every other epoch's partitions — so each
+          // future is awaited to completion first, THEN the first
+          // failure propagates
+          val results = writes.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+          results.foreach(_.get)
         }
         staged("fold.write_buckets") {
           val (df, suffix) = aligned(bucketsRel)

@@ -94,6 +94,7 @@ object DotProduct {
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     HaversineExpression.register(spark)
+    DeflateRatioExpression.register(spark)
     DotProduct.register(spark)
     TopKAggregate.register(spark)
     FreqItemsAggregate.register(spark)

@@ -389,6 +389,18 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Exact-substring DEDUP (keep the min-doc_id canonical copy, scrub
+    // the rest) — the policy complement of qd27's remove-everywhere
+    // boilerplate scrub; same output shape so the two are comparable.
+    "qd33_span_dedup" -> ((s, d) => {
+      Curation.dedupRepeatedSpans(docs(s, d), "doc_id", "text", n = 8, minDf = 2)
+        .select(F.col("doc_id"),
+          F.col("n_tok_before").cast("long").as("n_tok_before"),
+          F.col("n_tok_after").cast("long").as("n_tok_after"),
+          F.md5(F.col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Subword (BPE-ish regex) vs whitespace token counting. The corpus is
     // pure lowercase words, where the two modes coincide — a punctuated
     // suffix is appended per doc so the subword split genuinely diverges
@@ -703,6 +715,33 @@ object TextQueries extends QueryPack {
            WHERE i <= len(w) - 7),
          hot AS (SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
          hotpos AS (SELECT s.doc_id, s.pos FROM spans s JOIN hot USING (span)),
+         tok AS (
+           SELECT t.doc_id, i - 1 AS p, w[i] AS tk
+           FROM toks t, (SELECT unnest(range(1, 512)) AS i)
+           WHERE i <= len(w)),
+         kept AS (
+           SELECT tok.doc_id, p, tk FROM tok
+           WHERE NOT EXISTS (SELECT 1 FROM hotpos h
+                             WHERE h.doc_id = tok.doc_id AND h.pos BETWEEN p - 7 AND p))
+         SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tok_before,
+           CAST(count(k.p) AS BIGINT) AS n_tok_after,
+           md5(coalesce(string_agg(k.tk, ' ' ORDER BY k.p), '')) AS text_md5
+         FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         GROUP BY t.doc_id, len(t.w)
+         ORDER BY t.doc_id""",
+    "qd33_span_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+           FROM documents),
+         spans AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS span
+           FROM toks, (SELECT unnest(range(1, 512)) AS i)
+           WHERE i <= len(w) - 7),
+         hot AS (SELECT span, min(doc_id) AS keeper FROM spans
+                 GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+         hotpos AS (SELECT s.doc_id, s.pos FROM spans s JOIN hot USING (span)
+                    WHERE s.doc_id <> hot.keeper),
          tok AS (
            SELECT t.doc_id, i - 1 AS p, w[i] AS tk
            FROM toks t, (SELECT unnest(range(1, 512)) AS i)

@@ -115,13 +115,7 @@ object CorpusIngestStream {
       onStage: (String, Double) => Unit = null): Unit =
    MicroBatchConf.withShufflePartitions(spark, shufflePartitions) {
     def staged[T](name: String)(body: => T): T =
-      if (onStage == null) body
-      else {
-        val t0 = System.nanoTime()
-        val r = body
-        onStage(name, (System.nanoTime() - t0) / 1e9)
-        r
-      }
+      graft.runtime.StageTimer.staged(onStage, name)(body)
     // maintenance runs FIRST, before the probe: a crash mid-compaction
     // replays this trigger, and re-running the (replay-idempotent)
     // compaction to its fixpoint BEFORE any probe means the probe never
@@ -197,18 +191,31 @@ object CorpusIngestStream {
           accepted.write.mode("overwrite").parquet(s"$acceptedPath/batch=$batchId")))(
           scala.concurrent.ExecutionContext.global)
         val accIds = accepted.select("doc_id")
-        staged("fold")(crashAfterFoldRelations match {
-          case Some(k) =>
-            NearDupIndex.appendPartial(accepted, "doc_id", "text", indexName, batchId, cfg, k)
-          case None =>
-            NearDupIndex.appendCoded(accepted,
-              sh.join(accIds, Seq("doc_id"), "left_semi"),
-              buckets.join(accIds, Seq("doc_id"), "left_semi"),
-              "doc_id", indexName, batchId, cfg,
-              counts = Some(counts.join(accIds, Seq("doc_id"), "left_semi")),
-              onStage = onStage)
-        })
-        Await.result(landF, Duration.Inf)
+        // the land future must be awaited on EVERY exit path: a fold
+        // failure that escapes without the await would leave the land
+        // write in flight while the finally unpersists its caches and
+        // the replayed trigger overwrites the same batch=N directory
+        // under it — two concurrent overwrites of one path. Awaiting in
+        // the finally (and keeping the fold's failure primary when both
+        // fail) serializes the orphan out of existence.
+        try {
+          staged("fold")(crashAfterFoldRelations match {
+            case Some(k) =>
+              NearDupIndex.appendPartial(accepted, "doc_id", "text", indexName, batchId, cfg, k)
+            case None =>
+              NearDupIndex.appendCoded(accepted,
+                sh.join(accIds, Seq("doc_id"), "left_semi"),
+                buckets.join(accIds, Seq("doc_id"), "left_semi"),
+                "doc_id", indexName, batchId, cfg,
+                counts = Some(counts.join(accIds, Seq("doc_id"), "left_semi")),
+                onStage = onStage)
+          })
+          Await.result(landF, Duration.Inf)
+        } catch { case fold: Throwable =>
+          try Await.result(landF, Duration.Inf)
+          catch { case land: Throwable if land ne fold => fold.addSuppressed(land) }
+          throw fold
+        }
       }
     } finally {
       // this runs once per trigger, forever — and a FAILED trigger gets

@@ -34,31 +34,60 @@ object AlertTail {
     * fraud probability (%.1f%%), risk level, location (city, state),
     * detection time. `tx` is the parsed transaction table (bronze shape);
     * alerts missing a transaction row keep N/A fields rather than being
-    * dropped (left join) — a notification must never vanish because
-    * enrichment lagged.
+    * dropped — a notification must never vanish because enrichment
+    * lagged.
+    *
+    * Join shape: Spark cannot broadcast the PRESERVED side of an outer
+    * join (unmatched build rows aren't trackable across executors), so a
+    * single `right_outer` keeping all alerts would silently fall back to
+    * a sort-merge join that shuffles the whole transaction table per
+    * notification batch. Instead: an INNER join with the alert batch
+    * broadcast (tx streams in place, column-pruned, never shuffled),
+    * plus a left-anti of the alert batch against the matched ids —
+    * themselves a broadcast-sized projection — union'd back with N/A
+    * enrichment. Two narrow unshuffled passes over tx beat one pass that
+    * shuffles it.
+    *
+    * Per-field N/A handling is explicit `when(isNotNull)`: the
+    * tempting `coalesce(format_string(...), lit("N/A"))` never fires —
+    * Java's Formatter renders a null arg as the string "null" (so
+    * `format_string` returns "$null", non-null), and `concat_ws` skips
+    * nulls and returns "" rather than null.
     */
   def render(alerts: DataFrame, tx: DataFrame): DataFrame = {
     val t = tx.select("trans_num", "amt", "first", "last", "merchant", "city", "state")
-    // right-outer with the alert batch broadcast: the transaction table
-    // streams in place (never shuffled at its own size), every alert row
-    // survives even without an enrichment match
-    t.join(F.broadcast(alerts), Seq("trans_num"), "right_outer")
-      .select(F.col("trans_num"), F.col("prediction_time"),
-        F.concat(
-          F.lit("🚨 FRAUD DETECTED "), emoji(F.col("risk_level")),
-          F.lit(" | "), F.coalesce(F.col("risk_level"), F.lit("?")), F.lit(" Risk"),
-          F.lit(" | tx `"), F.col("trans_num"), F.lit("`"),
-          F.lit(" | "), F.coalesce(F.format_string("$%.2f", F.col("amt")), F.lit("N/A")),
-          F.lit(" | "),
-          F.coalesce(F.concat_ws(" ", F.col("first"), F.col("last")), F.lit("N/A")),
-          F.lit(" @ "), F.coalesce(F.col("merchant"), F.lit("N/A")),
-          F.lit(" | prob "),
-          F.format_string("%.1f%%", F.col("prediction_score") * 100),
-          F.lit(" | 📍 "),
-          F.coalesce(F.concat_ws(", ", F.col("city"), F.col("state")), F.lit("N/A")),
-          F.lit(" | ⏰ "), F.col("prediction_time").cast("string")
-        ).as("message"))
+    val matched = t.join(F.broadcast(alerts), Seq("trans_num"))
+    val missing = alerts
+      .join(F.broadcast(matched.select("trans_num")), Seq("trans_num"), "left_anti")
+      .withColumn("amt", F.lit(null).cast("double"))
+      .withColumn("first", F.lit(null).cast("string"))
+      .withColumn("last", F.lit(null).cast("string"))
+      .withColumn("merchant", F.lit(null).cast("string"))
+      .withColumn("city", F.lit(null).cast("string"))
+      .withColumn("state", F.lit(null).cast("string"))
+    message(matched).unionByName(message(missing))
   }
+
+  private def message(enriched: DataFrame): DataFrame =
+    enriched.select(F.col("trans_num"), F.col("prediction_time"),
+      F.concat(
+        F.lit("🚨 FRAUD DETECTED "), emoji(F.col("risk_level")),
+        F.lit(" | "), F.coalesce(F.col("risk_level"), F.lit("?")), F.lit(" Risk"),
+        F.lit(" | tx `"), F.col("trans_num"), F.lit("`"),
+        F.lit(" | "),
+        F.when(F.col("amt").isNotNull, F.format_string("$%.2f", F.col("amt")))
+          .otherwise(F.lit("N/A")),
+        F.lit(" | "),
+        F.when(F.col("first").isNotNull || F.col("last").isNotNull,
+          F.concat_ws(" ", F.col("first"), F.col("last"))).otherwise(F.lit("N/A")),
+        F.lit(" @ "), F.coalesce(F.col("merchant"), F.lit("N/A")),
+        F.lit(" | prob "),
+        F.format_string("%.1f%%", F.col("prediction_score") * 100),
+        F.lit(" | 📍 "),
+        F.when(F.col("city").isNotNull || F.col("state").isNotNull,
+          F.concat_ws(", ", F.col("city"), F.col("state"))).otherwise(F.lit("N/A")),
+        F.lit(" | ⏰ "), F.col("prediction_time").cast("string")
+      ).as("message"))
 
   /** Follow the alert log: each micro-batch of new alert rows is rendered
     * against the transaction table and handed to `sink` (default:

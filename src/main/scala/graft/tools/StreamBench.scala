@@ -163,7 +163,7 @@ object StreamBench {
         } finally {
           // the index tables carry a unique run id — drop them (also on a
           // failed leg) or every run leaves four orphans in the warehouse
-          Seq("_shingles", "_counts", "_buckets", "_meta").foreach(s =>
+          Seq("_shingles", "_counts", "_buckets", "_meta", "_digest").foreach(s =>
             spark.sql(s"DROP TABLE IF EXISTS $corpusName$s"))
         }
       parts += s""""corpus_docs":$nDocs,"corpus_kept":$corpusKept,"corpus_sec":$corpusSec,""" +

@@ -67,4 +67,34 @@ class AlertTailSpec extends AnyFunSuite {
     assert(all.count(_.contains("RT_HIGH_0002")) == 1, "late alert not delivered once")
     assert(all.find(_.contains("RT_HIGH_0002")).get.contains("Boston, MA"))
   }
+
+  test("render keeps an alert with no enrichment row, with real N/A fields, unshuffled") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val ts = java.sql.Timestamp.valueOf("2024-03-02 23:59:00")
+    val alerts = Seq(
+      ("TX_MATCHED", 0.91, "HIGH", ts),
+      ("TX_ORPHAN", 0.77, "MEDIUM", ts))
+      .toDF("trans_num", "prediction_score", "risk_level", "prediction_time")
+    val tx = Seq(("TX_MATCHED", 12.5, "Ada", "Lovelace", "m1", "London", "UK"))
+      .toDF("trans_num", "amt", "first", "last", "merchant", "city", "state")
+    val out = AlertTail.render(alerts, tx)
+    val msgs = out.collect().map(r => r.getAs[String]("trans_num") ->
+      r.getAs[String]("message")).toMap
+    assert(msgs.keySet == Set("TX_MATCHED", "TX_ORPHAN"),
+      "an alert without a transaction row must still be delivered")
+    assert(msgs("TX_MATCHED").contains("$12.50"))
+    assert(msgs("TX_MATCHED").contains("Ada Lovelace"))
+    // the orphan renders genuine N/A — not "$null" (Formatter renders a
+    // null arg as the string "null") and not an empty concat_ws
+    val orphan = msgs("TX_ORPHAN")
+    assert(orphan.contains("| N/A | N/A @ N/A"), s"N/A fallbacks missing: $orphan")
+    assert(!orphan.contains("null"), s"null leaked into the render: $orphan")
+    // plan shape: the tx side must reach the joins unshuffled — the only
+    // allowed exchanges are the two alert-batch broadcasts
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortMergeJoin"),
+      s"tx side fell back to a shuffled join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
 }

@@ -154,6 +154,78 @@ class CurationSpec extends AnyFunSuite {
     assert(bothOut.toSeq == Seq(("q1", 1), ("c4 c5", 2)))
   }
 
+  test("deflate_ratio separates repetitive from varied text; codegen matches direct compute") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(59L)
+    val varied = Seq.fill(200)(s"w${rnd.nextInt(100000)}").mkString(" ")
+    val repetitive = Seq.fill(200)("spam").mkString(" ")
+    val df = Seq((1L, varied), (2L, repetitive), (3L, ""), (4L, null: String))
+      .toDF("id", "text")
+      .withColumn("ratio", TextFunctions.deflateRatio(F.col("text")))
+    val out = df.orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(2)) None else Some(r.getAs[Double]("ratio")))).toMap
+    // repetitive text compresses hard; varied text far less (the random
+    // "wNNNNN" vocabulary shares a prefix and a digit alphabet, so it
+    // still deflates to ~0.47 — natural prose sits higher)
+    assert(out(2L).get < 0.10, s"repetitive ratio ${out(2L)}")
+    assert(out(1L).get > 0.35, s"varied ratio ${out(1L)}")
+    assert(out(1L).get > out(2L).get * 4)
+    assert(out(3L).contains(1.0), "empty string is defined as 1.0")
+    assert(out(4L).isEmpty, "null must propagate null")
+    // the codegen'd dataframe path equals the direct static compute
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(out(1L).get ==
+      graft.plans.DeflateRatioExpression.compute(UTF8String.fromString(varied)))
+    assert(out(2L).get ==
+      graft.plans.DeflateRatioExpression.compute(UTF8String.fromString(repetitive)))
+    // SQL surface
+    assert(spark.sql("SELECT deflate_ratio('x y z') AS r").head().getDouble(0) > 0)
+    // gate shape: length floor first, then the ratio threshold — the
+    // composed curation filter the ingest `curate` hook would use
+    val gated = Seq((1L, varied), (2L, repetitive)).toDF("doc_id", "text")
+      .filter(TextFunctions.tokenCount(F.col("text")) >= 50 &&
+        TextFunctions.deflateRatio(F.col("text")) >= 0.2)
+    assert(gated.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("dedupRepeatedSpans keeps the min-id canonical copy, scrubs every other occurrence") {
+    import spark.implicits._
+    // docs 1 and 2 share a 4-token run (two overlapping 3-gram spans):
+    // doc 1 is the keeper and keeps it, doc 2 loses the whole run
+    val docsDf = Seq(
+      (1L, "x1 b1 b2 b3 b4 x2 x3"),
+      (2L, "y1 y2 b1 b2 b3 b4 y3"),
+      (3L, "z1 z2 z3 z4 z5"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupRepeatedSpans(docsDf, "doc_id", "text", n = 3, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Int]("n_tok_before"), r.getAs[Int]("n_tok_after")))
+    assert(out(0) == ((1L, "x1 b1 b2 b3 b4 x2 x3", 7, 7)), "keeper must be untouched")
+    assert(out(1) == ((2L, "y1 y2 y3", 7, 3)))
+    assert(out(2) == ((3L, "z1 z2 z3 z4 z5", 5, 5)))
+    // three docs sharing the span: min id keeps, BOTH others scrubbed,
+    // including a repeated occurrence inside a non-keeper
+    val three = Seq(
+      (5L, "a1 a2 a3 c1 c2"),
+      (7L, "d1 a1 a2 a3 d2 a1 a2 a3"),
+      (9L, "e1 e2 a1 a2 a3"))
+      .toDF("doc_id", "text")
+    val threeOut = Curation.dedupRepeatedSpans(three, "doc_id", "text", n = 3, minDf = 2)
+      .orderBy("doc_id").collect().map(_.getAs[String]("text"))
+    assert(threeOut.toSeq == Seq("a1 a2 a3 c1 c2", "d1 d2", "e1 e2"))
+    // within-keeper repetition survives (intra-doc repetition is the
+    // scrub's job, not dedup's)
+    val keeperRepeat = Seq(
+      (1L, "a1 a2 a3 q1 a1 a2 a3"),
+      (2L, "a1 a2 a3 c4 c5")).toDF("doc_id", "text")
+    val krOut = Curation.dedupRepeatedSpans(keeperRepeat, "doc_id", "text", n = 3, minDf = 2)
+      .orderBy("doc_id").collect().map(_.getAs[String]("text"))
+    assert(krOut.toSeq == Seq("a1 a2 a3 q1 a1 a2 a3", "c4 c5"))
+  }
+
   test("selectByTokenBudget equals the greedy quality-descending prefix, any partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(31L)
