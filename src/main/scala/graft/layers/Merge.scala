@@ -1,0 +1,193 @@
+package graft.layers
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** General MERGE (upsert with update/delete clauses) and SCD Type 2
+  * dimension maintenance — the two Delta-style table-maintenance
+  * operations the reference gets from its lakehouse format
+  * (`MERGE INTO` on Delta tables) and this engine re-expresses as
+  * declarative plans over parquet + dynamic partition overwrite. The
+  * reference's own upsert surface is insert-only
+  * (`realtime_prediction_job.py`'s left-anti prediction sink,
+  * [[graft.scoring.RuleModel.newPredictionsOnly]]); these operators add
+  * the general forms a warehouse needs for dimension/fact maintenance.
+  *
+  * Both are CONTENT TRANSFORMS: they return the table's new content as a
+  * lazy DataFrame (composable, oracle-checkable — ql07/ql08), and
+  * [[mergeInPlace]] adds the partition-scoped copy-on-write commit.
+  */
+object Merge {
+
+  /** MERGE semantics as one full-outer reconstruction:
+    *
+    *   - matched (key in both): source's values win for every non-key
+    *     column of `source` (SCD1 update); when `deleteWhen` is set and
+    *     true on the matched pair, the row is dropped
+    *     (`WHEN MATCHED AND cond THEN DELETE`);
+    *   - target-only: row kept unchanged;
+    *   - source-only: row inserted (columns the source lacks are null).
+    *
+    * Null keys follow SQL MERGE: they never match (plain equality), so a
+    * null-keyed source row inserts and a null-keyed target row survives
+    * untouched. `deleteWhen` may reference both sides with `t.`/`s.`
+    * qualifiers. Duplicate keys in `source` are the caller's bug
+    * (MERGE's standard precondition — the join would fan out); dedup
+    * upstream with [[graft.operators.Dedup]].
+    *
+    * Scale: ONE shuffle of each side on the merge keys. A full-outer
+    * join has NO broadcast path in Spark (neither side's unmatched rows
+    * can be tracked across executors), so this is the plan for any
+    * source size — the lever that keeps the big side small is
+    * [[mergeInPlace]]'s partition pruning, which bounds the target side
+    * to the touched partitions before this join runs. Columns not in
+    * `source` stream through untouched; no driver-side rows.
+    */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[Column] = None): DataFrame = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val updateCols = source.columns.filterNot(keys.contains)
+    require(updateCols.forall(target.columns.contains),
+      s"source carries columns absent from the target: " +
+        updateCols.filterNot(target.columns.contains).mkString(","))
+    val keepCols = target.columns.filterNot(keys.contains)
+      .filterNot(updateCols.contains)
+    // presence tags: key columns can be null on either side, so
+    // side-presence must not be probed through them
+    val t = target.withColumn("__in_t", F.lit(1)).as("t")
+    val s = source.withColumn("__in_s", F.lit(1)).as("s")
+    val joined = t.join(s,
+      keys.map(k => F.col(s"t.$k") === F.col(s"s.$k")).reduce(_ && _),
+      "full_outer")
+    val matched = F.col("t.__in_t").isNotNull && F.col("s.__in_s").isNotNull
+    val keyCols = keys.map(k => F.coalesce(F.col(s"s.$k"), F.col(s"t.$k")).as(k))
+    val updated = updateCols.map(c =>
+      F.when(F.col("s.__in_s").isNotNull, F.col(s"s.$c"))
+        .otherwise(F.col(s"t.$c")).as(c))
+    val kept = keepCols.map(c => F.col(s"t.$c").as(c))
+    val deleted = deleteWhen match {
+      case Some(cond) => matched && cond
+      case None => F.lit(false)
+    }
+    joined.filter(!deleted)
+      .select(keyCols ++ updated ++ kept: _*)
+      // restore the target's column order so the result unions/overwrites
+      // cleanly against the existing table
+      .select(target.columns.map(F.col).toIndexedSeq: _*)
+  }
+
+  /** Partition-scoped copy-on-write commit of [[merge]]: only partitions
+    * the source TOUCHES are read, merged, and rewritten (dynamic
+    * partition overwrite, same idempotent replay discipline as the index
+    * folds); untouched partitions are never opened. A metadata-sized
+    * collect of the source's distinct partition values drives both the
+    * target-side partition pruning (a literal IN that reaches the scan)
+    * and the overwrite's footprint.
+    *
+    * CONTRACT: `partitionCol` must be functionally determined by the
+    * merge keys on BOTH sides (the date-partitioned-fact shape, e.g.
+    * keyed (order_date, order_id)) — an update that moves a row across
+    * partitions would leave the stale copy in the old partition unread
+    * and untouched. `assertPartitionLocal` (default on) verifies the
+    * SOURCE half of that contract with one batch-sized aggregate (every
+    * key maps to exactly one partition value); the target half is the
+    * table's write invariant.
+    *
+    * Idempotent under replay: re-running with the same source overwrites
+    * the same partitions with the same content. Returns the touched
+    * partition values.
+    */
+  def mergeInPlace(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String], partitionCol: String,
+      deleteWhen: Option[Column] = None,
+      assertPartitionLocal: Boolean = true): Seq[Any] = {
+    if (assertPartitionLocal && !keys.contains(partitionCol)) {
+      val bad = source.groupBy(keys.map(F.col): _*)
+        .agg(F.countDistinct(F.col(partitionCol)).as("n"))
+        .filter(F.col("n") > 1).limit(1).count()
+      require(bad == 0,
+        s"source maps one merge key to multiple $partitionCol values — a " +
+          "cross-partition move is outside mergeInPlace's contract; use merge + full rewrite")
+    }
+    val touched = source.select(partitionCol).distinct().collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return touched
+    val pruned = spark.read.parquet(path)
+      .filter(F.col(partitionCol).isin(touched: _*))
+    val merged = merge(pruned, source, keys, deleteWhen)
+    // path-based writes honor the per-write dynamic option, but route
+    // through the session lock anyway so a concurrent catalog writer in
+    // the same session can never observe a static window
+    graft.operators.NearDupIndex.withDynamicOverwrite(spark) {
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol).parquet(path)
+    }
+    touched
+  }
+
+  /** SCD Type 2 dimension maintenance: `dim` carries
+    * (key, attrs..., valid_from, valid_to, is_current) and `updates`
+    * carries (key, tracked attrs...) observed at `changeTs`. Emits the
+    * dim's new content:
+    *
+    *   - a current row whose tracked attrs CHANGED is closed
+    *     (valid_to = changeTs, is_current = false) and a new current
+    *     version inserted (valid_from = changeTs, valid_to = null);
+    *   - an update identical on every tracked attr is a no-op (no
+    *     version churn from redundant re-deliveries);
+    *   - a brand-new key inserts its first current version (untracked
+    *     attr columns null);
+    *   - already-closed history rows pass through untouched — zero joins
+    *     on the history side, so cost is sized by |current| + |updates|,
+    *     never the accumulated version count.
+    *
+    * Tracked attrs = every non-key column of `updates` (each must exist
+    * in `dim`); change detection is null-safe (`<=>`). One update row
+    * per key per call (MERGE's precondition); feed multi-version
+    * histories one changeTs at a time — version chains stay linear by
+    * construction.
+    */
+  def scd2(dim: DataFrame, updates: DataFrame, key: String,
+      changeTs: Column): DataFrame = {
+    val tracked = updates.columns.filterNot(_ == key)
+    require(tracked.nonEmpty, "scd2 needs at least one tracked attribute")
+    require(tracked.forall(dim.columns.contains),
+      "updates carry columns absent from the dim: " +
+        tracked.filterNot(dim.columns.contains).mkString(","))
+    val scdCols = Seq("valid_from", "valid_to", "is_current")
+    require(scdCols.forall(dim.columns.contains),
+      s"dim must carry ${scdCols.mkString(", ")}")
+    val history = dim.filter(!F.col("is_current"))
+    val current = dim.filter(F.col("is_current"))
+    val ju = current.as("d").join(
+      updates.withColumn("__upd", F.lit(1)).as("u"), Seq(key), "full_outer")
+    val updPresent = F.col("u.__upd").isNotNull
+    val isNewKey = F.col("d.is_current").isNull
+    val changed = tracked.map(c => !(F.col(s"d.$c") <=> F.col(s"u.$c")))
+      .reduce(_ || _)
+    val attrCols = dim.columns.filterNot(c => c == key || scdCols.contains(c))
+    val closeOut = ju.filter(!isNewKey && updPresent && changed)
+      .select(Seq(F.col(key)) ++
+        attrCols.map(c => F.col(s"d.$c").as(c)) ++
+        Seq(F.col("d.valid_from").as("valid_from"),
+          changeTs.as("valid_to"), F.lit(false).as("is_current")): _*)
+    val newVersion = ju.filter(updPresent && (isNewKey || changed))
+      .select(Seq(F.col(key)) ++
+        attrCols.map(c =>
+          (if (tracked.contains(c)) F.col(s"u.$c")
+           else F.col(s"d.$c")).as(c)) ++
+        Seq(changeTs.as("valid_from"),
+          F.lit(null).cast(dim.schema("valid_to").dataType).as("valid_to"),
+          F.lit(true).as("is_current")): _*)
+    val untouched = ju.filter(!isNewKey && (!updPresent || !changed))
+      .select(Seq(F.col(key)) ++
+        attrCols.map(c => F.col(s"d.$c").as(c)) ++
+        Seq(F.col("d.valid_from").as("valid_from"),
+          F.col("d.valid_to").as("valid_to"),
+          F.col("d.is_current").as("is_current")): _*)
+    val order = dim.columns.toIndexedSeq
+    Seq(history, closeOut, newVersion, untouched)
+      .map(_.select(order.map(F.col): _*))
+      .reduce(_ unionByName _)
+  }
+}

@@ -109,6 +109,65 @@ object LakehouseQueries extends QueryPack {
         .orderBy("value_bin")
     }),
 
+    // General MERGE (update + delete + insert clauses) as a content
+    // transform — graft.layers.Merge.merge against a DuckDB full-outer
+    // reconstruction. Source: 10%-sampled price updates (flag 'U'), a
+    // delete clause on matched 'F' targets, and offset-keyed inserts.
+    "ql07_merge_upsert" -> ((s, d) => {
+      val o = graft.runtime.Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val updates = o.filter(F.col("o_orderkey") % 10 === 0)
+        .select(F.col("o_orderkey"),
+          (F.col("o_totalprice") * 1.1).as("o_totalprice"),
+          F.lit("U").as("o_orderstatus"))
+      val inserts = o.filter(F.col("o_orderkey") % 97 === 0)
+        .select((F.col("o_orderkey") + 100000000L).as("o_orderkey"),
+          F.col("o_totalprice"), F.lit("N").as("o_orderstatus"))
+      graft.layers.Merge.merge(o, updates.unionByName(inserts),
+          Seq("o_orderkey"),
+          deleteWhen = Some(F.col("t.o_orderstatus") === "F"))
+        .select(F.col("o_orderkey"),
+          graft.functions.TextFunctions.scaledLong(F.col("o_totalprice"), 2)
+            .as("price_c"),
+          F.col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
+    // SCD Type 2 dimension maintenance — close-out + new-version +
+    // no-op + brand-new-key + history passthrough, all in one batch.
+    "ql08_scd2" -> ((s, d) => {
+      val c = graft.runtime.Tables.load(s, d, "customer")
+      val cur = c.select(F.col("c_custkey"),
+        F.col("c_mktsegment"),
+        F.to_date(F.lit("2020-01-01")).as("valid_from"),
+        F.lit(null).cast("date").as("valid_to"),
+        F.lit(true).as("is_current"))
+      val hist = c.filter(F.col("c_custkey") % 5 === 0)
+        .select(F.col("c_custkey"), F.lit("OLD").as("c_mktsegment"),
+          F.to_date(F.lit("2019-01-01")).as("valid_from"),
+          F.to_date(F.lit("2020-01-01")).as("valid_to"),
+          F.lit(false).as("is_current"))
+      val dim = cur.unionByName(hist)
+      val updates = c.filter(F.col("c_custkey") % 7 === 0)
+        .select(F.col("c_custkey"),
+          F.when(F.col("c_custkey") % 14 === 0, F.col("c_mktsegment"))
+            .otherwise(F.concat(F.col("c_mktsegment"), F.lit("_V2")))
+            .as("c_mktsegment"))
+        .unionByName(c.filter(F.col("c_custkey") % 31 === 0)
+          .select((F.col("c_custkey") + 1000000L).as("c_custkey"),
+            F.lit("NEW").as("c_mktsegment")))
+      graft.layers.Merge.scd2(dim, updates, "c_custkey",
+          F.to_date(F.lit("2024-06-01")))
+        // string/int payload: a Spark DATE round-trips to python date
+        // objects while DuckDB emits datetime64 — format both sides
+        // (QueryPack parity rules)
+        .select(F.col("c_custkey"), F.col("c_mktsegment"),
+          F.date_format(F.col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          F.date_format(F.col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          F.col("is_current").cast("int").as("is_current"))
+        .orderBy("c_custkey", "valid_from", "is_current")
+    }),
+
     // latest_metrics shape: single-row global metrics + alert ladder.
     "ql04_latest_metrics" -> ((s, d) => {
       ev(s, d).agg(
@@ -177,6 +236,61 @@ object LakehouseQueries extends QueryPack {
            FROM events JOIN customer ON user_id = c_custkey
            GROUP BY c_mktsegment)
          ORDER BY c_mktsegment""",
+    "ql07_merge_upsert" ->
+      """WITH src AS (
+           SELECT o_orderkey AS k, o_totalprice * 1.1 AS p, 'U' AS st
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_totalprice, 'N'
+           FROM orders WHERE o_orderkey % 97 = 0),
+         m AS (
+           SELECT coalesce(s.k, t.o_orderkey) AS o_orderkey,
+             CASE WHEN s.k IS NOT NULL THEN s.p ELSE t.o_totalprice END AS price,
+             CASE WHEN s.k IS NOT NULL THEN s.st ELSE t.o_orderstatus END AS status,
+             (s.k IS NOT NULL AND t.o_orderkey IS NOT NULL
+               AND t.o_orderstatus = 'F') AS del
+           FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.k)
+         SELECT o_orderkey,
+           CAST(floor(price * 1e2 + 0.5) AS BIGINT) AS price_c,
+           status AS o_orderstatus
+         FROM m WHERE NOT coalesce(del, FALSE)
+         ORDER BY o_orderkey""",
+    "ql08_scd2" ->
+      """WITH cur AS (
+           SELECT c_custkey AS k, c_mktsegment AS seg,
+             DATE '2020-01-01' AS vf, CAST(NULL AS DATE) AS vt, TRUE AS cu
+           FROM customer),
+         hist AS (
+           SELECT c_custkey AS k, 'OLD' AS seg, DATE '2019-01-01' AS vf,
+             DATE '2020-01-01' AS vt, FALSE AS cu
+           FROM customer WHERE c_custkey % 5 = 0),
+         upd AS (
+           SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 14 = 0 THEN c_mktsegment
+                  ELSE c_mktsegment || '_V2' END AS seg
+           FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey % 31 = 0),
+         j AS (
+           SELECT coalesce(cur.k, upd.k) AS k, cur.seg AS dseg, upd.seg AS useg,
+             cur.k IS NOT NULL AS hasd, upd.k IS NOT NULL AS hasu, cur.vf AS vf
+           FROM cur FULL OUTER JOIN upd ON cur.k = upd.k),
+         outp AS (
+           SELECT k, seg, vf, vt, cu FROM hist
+           UNION ALL
+           SELECT k, dseg, vf, DATE '2024-06-01', FALSE FROM j
+           WHERE hasd AND hasu AND dseg IS DISTINCT FROM useg
+           UNION ALL
+           SELECT k, useg, DATE '2024-06-01', CAST(NULL AS DATE), TRUE FROM j
+           WHERE hasu AND (NOT hasd OR dseg IS DISTINCT FROM useg)
+           UNION ALL
+           SELECT k, dseg, vf, CAST(NULL AS DATE), TRUE FROM j
+           WHERE hasd AND (NOT hasu OR NOT (dseg IS DISTINCT FROM useg)))
+         SELECT k AS c_custkey, seg AS c_mktsegment,
+           strftime(vf, '%Y-%m-%d') AS valid_from,
+           strftime(vt, '%Y-%m-%d') AS valid_to,
+           CAST(cu AS INT) AS is_current
+         FROM outp ORDER BY c_custkey, valid_from, is_current""",
     "ql06_error_patterns" ->
       """SELECT CASE WHEN value < 50 THEN 1 WHEN value < 150 THEN 2
                     WHEN value < 300 THEN 3 ELSE 4 END AS value_bin,

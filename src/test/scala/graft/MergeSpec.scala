@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.layers.Merge
+
+/** MERGE / SCD2 table maintenance ([[graft.layers.Merge]]) — clause
+  * semantics, null-key behavior, the partition-scoped copy-on-write
+  * commit, and linear SCD2 version chains. The full-corpus semantics run
+  * under the DuckDB hash gate as ql07/ql08.
+  */
+class MergeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.runtime.GraftSession
+    .builder("graft-test", "8").getOrCreate()
+
+  test("merge: update, keep, insert, delete clauses; null keys never match") {
+    import spark.implicits._
+    val target = Seq(
+      (Some(1L), "a", 10.0), // updated
+      (Some(2L), "b", 20.0), // kept (no source row)
+      (Some(3L), "F", 30.0), // deleted (matched + condition)
+      (None: Option[Long], "n", 40.0)) // null key: survives untouched
+      .toDF("k", "status", "amt")
+    val source = Seq(
+      (Some(1L), "U", 11.0),
+      (Some(3L), "U", 31.0),
+      (Some(9L), "I", 90.0), // inserted
+      (None: Option[Long], "NI", 99.0)) // null key: inserted, not matched
+      .toDF("k", "status", "amt")
+    val out = Merge.merge(target, source, Seq("k"),
+      deleteWhen = Some(F.col("t.status") === "F"))
+    assert(out.columns.toSeq == Seq("k", "status", "amt"), "column order preserved")
+    val rows = out.collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getAs[String]("status"), r.getAs[Double]("amt"))).toSet
+    assert(rows == Set(
+      (Some(1L), "U", 11.0),
+      (Some(2L), "b", 20.0),
+      (Some(9L), "I", 90.0),
+      (None, "n", 40.0),
+      (None, "NI", 99.0)), s"got $rows")
+  }
+
+  test("merge: target-only columns stream through on updates, null on inserts") {
+    import spark.implicits._
+    val target = Seq((1L, "a", "extra1"), (2L, "b", "extra2")).toDF("k", "v", "note")
+    val source = Seq((1L, "A"), (5L, "E")).toDF("k", "v")
+    val rows = Merge.merge(target, source, Seq("k")).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"), r.getAs[String]("note"))).toSet
+    assert(rows == Set((1L, "A", "extra1"), (2L, "b", "extra2"), (5L, "E", null)))
+  }
+
+  test("mergeInPlace rewrites only touched partitions; replay idempotent; contract enforced") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("merge-cow").resolve("t").toString
+    val target = Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0), (4L, "2024-01-03", 40.0))
+      .toDF("id", "day", "v")
+    target.write.partitionBy("day").parquet(path)
+    def partFiles(day: String): Map[String, Long] = {
+      val d = new java.io.File(s"$path/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before02 = partFiles("2024-01-02")
+    val before03 = partFiles("2024-01-03")
+
+    // touch only day=2024-01-01: one update + one insert
+    val source = Seq((1L, "2024-01-01", 11.0), (9L, "2024-01-01", 90.0))
+      .toDF("id", "day", "v")
+    val touched = Merge.mergeInPlace(spark, path, source, Seq("id"), "day")
+    assert(touched == Seq("2024-01-01"))
+    val after = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("v")).toMap
+    assert(after == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0, 9L -> 90.0))
+    // untouched partitions: identical files, untouched on disk
+    assert(partFiles("2024-01-02") == before02, "day=02 was rewritten")
+    assert(partFiles("2024-01-03") == before03, "day=03 was rewritten")
+
+    // replay converges to the same content
+    Merge.mergeInPlace(spark, path, source, Seq("id"), "day")
+    val replayed = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("v")).toMap
+    assert(replayed == after)
+
+    // a source mapping one key to two partitions violates the contract
+    val mover = Seq((1L, "2024-01-01", 1.0), (1L, "2024-01-02", 2.0))
+      .toDF("id", "day", "v")
+    val boom = intercept[IllegalArgumentException] {
+      Merge.mergeInPlace(spark, path, mover, Seq("id"), "day")
+    }
+    assert(boom.getMessage.contains("cross-partition"))
+  }
+
+  test("scd2 chains versions linearly across consecutive batches; no-op updates don't churn") {
+    import spark.implicits._
+    val d0 = F.to_date(F.lit("2020-01-01"))
+    val dim0 = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+      .select(F.col("k"), F.col("tier"), d0.as("valid_from"),
+        F.lit(null).cast("date").as("valid_to"), F.lit(true).as("is_current"))
+    // batch 1: key 1 changes, key 2 redundant re-delivery, key 3 new
+    val u1 = Seq((1L, "plat"), (2L, "silver"), (3L, "bronze")).toDF("k", "tier")
+    val dim1 = Merge.scd2(dim0, u1, "k", F.to_date(F.lit("2021-01-01")))
+    val s1 = dim1.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("tier"),
+      Option(r.getAs[java.sql.Date]("valid_to")).map(_.toString),
+      r.getAs[Boolean]("is_current"))).toSet
+    assert(s1 == Set(
+      (1L, "gold", Some("2021-01-01"), false),
+      (1L, "plat", None, true),
+      (2L, "silver", None, true), // no churn on the redundant update
+      (3L, "bronze", None, true)))
+
+    // batch 2: key 1 changes AGAIN — history stays, chain stays linear
+    val dim2 = Merge.scd2(dim1, Seq((1L, "dia")).toDF("k", "tier"), "k",
+      F.to_date(F.lit("2022-01-01")))
+    val v1 = dim2.filter(F.col("k") === 1L).collect()
+      .map(r => (r.getAs[String]("tier"),
+        Option(r.getAs[java.sql.Date]("valid_from")).map(_.toString),
+        Option(r.getAs[java.sql.Date]("valid_to")).map(_.toString),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(v1 == Set(
+      ("gold", Some("2020-01-01"), Some("2021-01-01"), false),
+      ("plat", Some("2021-01-01"), Some("2022-01-01"), false),
+      ("dia", Some("2022-01-01"), None, true)),
+      s"version chain broken: $v1")
+    // exactly one current row per key, intervals abut
+    val perKey = dim2.filter(F.col("is_current")).groupBy("k").count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(perKey.forall(_ == 1L))
+  }
+}

@@ -178,6 +178,21 @@ class MultimodalSpec extends AnyFunSuite {
     val sv = Multimodal.decodeVideo(
       Multimodal.MediaRecord(3L, "video", "video/x-msvideo", 0, 0, 0L, still))
     assert(sv.decoded && sv.motion < 1.0, s"static clip motion ${sv.motion}")
+
+    // a TRUNCATED avi — declared avih size survives but the bytes end
+    // mid-header — must degrade to decoded=false, not throw out of the
+    // task (a crawled corpus always contains cut-off files)
+    val full = avi(Seq(jpegFrame(100)), 40000, 32, 16)
+    val headerStart = {
+      // find 'avih' and cut inside its 40-byte payload
+      val idx = full.indexOfSlice("avih".getBytes("US-ASCII"))
+      assert(idx > 0, "fixture must contain an avih chunk")
+      idx + 8 + 20
+    }
+    val truncated = java.util.Arrays.copyOfRange(full, 0, headerStart)
+    val tv = Multimodal.decodeVideo(
+      Multimodal.MediaRecord(4L, "video", "video/x-msvideo", 0, 0, 0L, truncated))
+    assert(!tv.decoded, "truncated avih must fall back, not crash")
   }
 
   test("visual near-dup: decoded grid embeddings feed the similarity operators directly") {

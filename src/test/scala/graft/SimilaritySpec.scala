@@ -343,6 +343,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(boom.getMessage.contains("unique"))
   }
 
+  test("currentRoot resolves every instant of a generation flip, including the crash window") {
+    import spark.implicits._
+    val handle = TestFixtures.tmpDir("ivf-flip").toString
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => (i * 8 + d).toDouble))).toDF("vec_id", "embedding")
+    IvfIndex.build(vecs, "vec_id", "embedding", handle, numCentroids = 2)
+    assert(IvfIndex.currentRoot(spark, handle) == handle, "no pointer yet → the base")
+
+    val gen1 = s"$handle/gen-1"
+    IvfIndex.rebuild(spark, handle, gen1, numCentroids = 2)
+    IvfIndex.flipCurrent(spark, handle, gen1)
+    assert(IvfIndex.currentRoot(spark, handle) == gen1)
+
+    // simulate a crash in flipCurrent's delete→rename window for the
+    // NEXT flip: the fully-written tmp exists, CURRENT is gone. The
+    // resolver must follow the tmp — the base generation may already be
+    // retired, so falling back to the handle would read deleted data.
+    val gen2 = s"$handle/gen-2"
+    IvfIndex.rebuild(spark, gen1, gen2, numCentroids = 2)
+    val fs = new org.apache.hadoop.fs.Path(handle)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$handle/CURRENT.tmp"), true)
+    try out.write(gen2.getBytes("UTF-8")) finally out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$handle/CURRENT"), false)
+    assert(IvfIndex.currentRoot(spark, handle) == gen2,
+      "mid-flip window must resolve the complete tmp pointer")
+    // and a completed flip from the same state converges normally
+    IvfIndex.flipCurrent(spark, handle, gen2)
+    assert(IvfIndex.currentRoot(spark, handle) == gen2)
+    assert(spark.read.parquet(
+      s"${IvfIndex.currentRoot(spark, handle)}/vectors").count() == 40)
+  }
+
   test("IVF+SQ8 quantized probe equals the float probe over the same cells") {
     val root = TestFixtures.tmpDir("ivf-sq8").toString
     IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
