@@ -1,0 +1,104 @@
+package graft.layers
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned snapshots with time-travel reads — the Delta-style
+  * `VERSION AS OF` surface for SLOWLY-CHANGING, DIMENSION-SIZED tables:
+  * each write lands a complete copy under `path/version=N` and then
+  * commits a LATEST pointer, so readers only ever see fully-written
+  * versions and any historical version stays readable until vacuumed.
+  *
+  * Commit protocol is [[graft.operators.IvfIndex.flipCurrent]]'s
+  * (write-tmp → delete → rename, with the tmp consulted during the
+  * delete→rename window), so a crash at any point leaves the previous
+  * version live — a half-written data directory without a pointer flip
+  * is invisible and simply overwritten by the next attempt.
+  *
+  * Scope and scale: full-copy-per-version is the DIMENSION shape (small
+  * tables, cheap copies, instant point-in-time reads for auditing and
+  * reproducible training runs — pin `version=N` in a manifest and the
+  * run re-reads byte-identical inputs). Fact-sized history uses the
+  * engine's partitioned appends + HWM incremental reads
+  * ([[graft.layers.Hwm]]) instead; and row-level maintenance inside a
+  * version is [[Merge]]'s job. Reads open exactly one version directory
+  * (no listing of the others' contents); `versions`/`latestVersion` are
+  * one directory listing.
+  */
+object Snapshots {
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def pointer(spark: SparkSession, path: String): Option[Long] = {
+    val f = fs(spark, path)
+    def read(p: Path): Option[Long] = {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+    val cur = new Path(s"$path/LATEST")
+    val tmp = new Path(s"$path/LATEST.tmp")
+    if (f.exists(cur)) read(cur)
+    else if (f.exists(tmp)) read(tmp) // mid-flip window, tmp is complete
+    else None
+  }
+
+  /** Snapshot `df` as the next version; returns the committed version
+    * number. The data write is an overwrite of its own `version=N`
+    * directory (idempotent per N); the pointer flip commits it.
+    */
+  def write(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val v = pointer(spark, path).map(_ + 1).getOrElse(0L)
+    df.write.mode("overwrite").parquet(s"$path/version=$v")
+    val f = fs(spark, path)
+    val cur = new Path(s"$path/LATEST")
+    val tmp = new Path(s"$path/LATEST.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (f.exists(cur)) f.delete(cur, false)
+    require(f.rename(tmp, cur), s"failed to commit LATEST pointer at $path")
+    v
+  }
+
+  def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    pointer(spark, path)
+
+  /** Committed versions still on disk (vacuum removes old ones). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    val base = new Path(path)
+    val latest = pointer(spark, path)
+    if (!f.exists(base) || latest.isEmpty) return Seq.empty
+    f.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("version="))
+      .map(_.getPath.getName.stripPrefix("version=").toLong)
+      .filter(_ <= latest.get) // a crashed in-flight write is not a version
+      .sorted
+  }
+
+  /** Read a pinned version (`VERSION AS OF`), or the latest when
+    * `version < 0`. Throws on a vacuumed or never-committed version.
+    */
+  def read(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version
+      else pointer(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    require(versions(spark, path).contains(v),
+      s"version $v is not available at $path (vacuumed or never committed)")
+    spark.read.parquet(s"$path/version=$v")
+  }
+
+  /** Drop all but the newest `keepLast` committed versions; the latest
+    * is always kept. Returns the vacuumed version numbers.
+    */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val f = fs(spark, path)
+    val vs = versions(spark, path)
+    val drop = vs.dropRight(keepLast)
+    drop.foreach(v => f.delete(new Path(s"$path/version=$v"), true))
+    drop
+  }
+}

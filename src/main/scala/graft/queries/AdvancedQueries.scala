@@ -289,6 +289,22 @@ object AdvancedQueries extends QueryPack {
           (F.abs(F.col("approx_distinct") - F.col("nd"))
             <= F.ceil(F.col("nd") * 0.05)).cast("int").as("ok"))
       perLang.unionByName(global).orderBy("lang")
+    }),
+
+    // CDC latest-state compaction: collapse an event stream to the last
+    // row per key (ts DESC, id DESC tiebreak) — the read-side compaction
+    // step of every CDC mirror, and what Merge.mergeInPlace's source
+    // preparation runs when a batch carries several versions of one key.
+    // One window shuffle on the key; no self-join, no global sort.
+    "qa17_cdc_compact" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc, F.col("event_id").desc)
+      Tables.load(s, d, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") === 1)
+        .select(F.col("user_id"), F.col("event_id"), F.col("event_type"),
+          graft.functions.TextFunctions.scaledLong(F.col("value"), 2).as("value_c"))
+        .orderBy("user_id")
     })
   )
 
@@ -335,6 +351,13 @@ object AdvancedQueries extends QueryPack {
          SELECT '<all>' AS lang, count(DISTINCT doc_id) AS nd, CAST(1 AS INT) AS ok
          FROM documents
          ORDER BY lang""",
+    "qa17_cdc_compact" ->
+      """SELECT user_id, event_id, event_type,
+           CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS value_c
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
     "qa06_percentiles" ->
       """SELECT o_orderpriority, count(*) AS n,
          round(quantile_cont(o_totalprice, 0.25), 2) AS p25,

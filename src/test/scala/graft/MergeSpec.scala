@@ -96,6 +96,37 @@ class MergeSpec extends AnyFunSuite {
     assert(boom.getMessage.contains("cross-partition"))
   }
 
+  test("snapshots: time-travel reads, crash-invisible writes, vacuum keeps the tail") {
+    import spark.implicits._
+    import graft.layers.Snapshots
+    val path = TestFixtures.tmpDir("snapshots").resolve("dim").toString
+    assert(Snapshots.latestVersion(spark, path).isEmpty)
+    assert(Snapshots.write(Seq((1L, "a")).toDF("k", "v"), path) == 0L)
+    assert(Snapshots.write(Seq((1L, "a2"), (2L, "b")).toDF("k", "v"), path) == 1L)
+    assert(Snapshots.latestVersion(spark, path).contains(1L))
+    assert(Snapshots.versions(spark, path) == Seq(0L, 1L))
+    // VERSION AS OF: pinned reads are byte-stable history
+    assert(Snapshots.read(spark, path, 0L).collect().map(_.getString(1)).toSeq == Seq("a"))
+    assert(Snapshots.read(spark, path).count() == 2)
+
+    // a crashed write (data dir landed, pointer never flipped) is
+    // INVISIBLE: latest stays 1, the orphan dir is not a version, and
+    // the next committed write simply overwrites it
+    Seq((9L, "ghost")).toDF("k", "v").write.mode("overwrite")
+      .parquet(s"$path/version=2")
+    assert(Snapshots.latestVersion(spark, path).contains(1L))
+    assert(Snapshots.versions(spark, path) == Seq(0L, 1L))
+    intercept[IllegalArgumentException](Snapshots.read(spark, path, 2L))
+    assert(Snapshots.write(Seq((3L, "c")).toDF("k", "v"), path) == 2L)
+    assert(Snapshots.read(spark, path, 2L).collect().map(_.getString(1)).toSeq == Seq("c"))
+
+    // vacuum: drops the head, keeps the tail, latest always readable
+    assert(Snapshots.vacuum(spark, path, keepLast = 2) == Seq(0L))
+    assert(Snapshots.versions(spark, path) == Seq(1L, 2L))
+    intercept[IllegalArgumentException](Snapshots.read(spark, path, 0L))
+    assert(Snapshots.read(spark, path).count() == 1)
+  }
+
   test("scd2 chains versions linearly across consecutive batches; no-op updates don't churn") {
     import spark.implicits._
     val d0 = F.to_date(F.lit("2020-01-01"))
