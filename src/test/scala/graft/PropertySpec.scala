@@ -166,4 +166,68 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("merge: idempotent, key-complete, and equal to a local reference on generated tables") {
+    import spark.implicits._
+    val table: Gen[List[(Long, Int)]] = for {
+      n <- Gen.choose(0, 25)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 15L); v <- Gen.choose(0, 99)
+      } yield (k, v))
+    } yield rows.distinctBy(_._1) // unique keys per side (MERGE precondition)
+    samples(for { t <- table; s <- table } yield (t, s), 30).foreach { case (t, s) =>
+      val tDf = t.toDF("k", "v"); val sDf = s.toDF("k", "v")
+      val out = graft.layers.Merge.merge(tDf, sDf, Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // local reference: source wins on overlap, both sides complete
+      val expected = t.toMap ++ s.toMap
+      assert(out == expected, s"t=$t s=$s")
+      // idempotent: merging the same source again changes nothing
+      val again = graft.layers.Merge.merge(out.toSeq.toDF("k", "v"), sDf, Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(again == expected)
+    }
+  }
+
+  test("scd2: exactly one current row per live key; closed intervals abut; content tracks updates") {
+    import spark.implicits._
+    val updatesGen: Gen[List[(Long, Int)]] = for {
+      n <- Gen.choose(0, 12)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 9L); v <- Gen.choose(0, 3)
+      } yield (k, v))
+    } yield rows.distinctBy(_._1)
+    val d0 = F.to_date(F.lit("2020-01-01"))
+    samples(for { a <- updatesGen; b <- updatesGen } yield (a, b), 15)
+      .foreach { case (u1, u2) =>
+        var dim = Seq((0L, -1), (1L, -1)).toDF("k", "v")
+          .select(F.col("k"), F.col("v"), d0.as("valid_from"),
+            F.lit(null).cast("date").as("valid_to"), F.lit(true).as("is_current"))
+        val batches = Seq(("2021-01-01", u1), ("2022-01-01", u2))
+        batches.foreach { case (ts, u) =>
+          dim = graft.layers.Merge.scd2(dim, u.toDF("k", "v"), "k",
+            F.to_date(F.lit(ts)))
+        }
+        val rows = dim.collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getDate(2).toString, Option(r.getDate(3)).map(_.toString),
+          r.getBoolean(4)))
+        // one current row per key, and its value is the last write
+        val lastWrite = (Map(0L -> -1, 1L -> -1) ++ u1.toMap) ++ u2.toMap
+        val current = rows.filter(_._5).map(r => r._1 -> r._2).toMap
+        assert(current == lastWrite, s"u1=$u1 u2=$u2 rows=${rows.toSeq}")
+        // per key: versions ordered by valid_from abut exactly (each
+        // closed row's valid_to equals the next row's valid_from)
+        rows.groupBy(_._1).foreach { case (k, vs) =>
+          val chain = vs.sortBy(_._3)
+          chain.sliding(2).foreach {
+            case Array(prev, next) =>
+              assert(prev._4.contains(next._3),
+                s"gap in chain for key $k: ${chain.toSeq}")
+            case _ => ()
+          }
+          assert(chain.last._4.isEmpty && chain.last._5, s"tail not open for $k")
+          assert(chain.init.forall(!_._5))
+        }
+      }
+  }
 }
