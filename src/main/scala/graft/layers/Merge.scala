@@ -109,11 +109,8 @@ object Merge {
         s"source maps one merge key to multiple $partitionCol values — a " +
           "cross-partition move is outside mergeInPlace's contract; use merge + full rewrite")
     }
-    val touched = source.select(partitionCol).distinct().collect().map(_.get(0)).toSeq
+    val (touched, merged) = mergePlan(spark, path, source, keys, partitionCol, deleteWhen)
     if (touched.isEmpty) return touched
-    val pruned = spark.read.parquet(path)
-      .filter(F.col(partitionCol).isin(touched: _*))
-    val merged = merge(pruned, source, keys, deleteWhen)
     // path-based writes honor the per-write dynamic option, but route
     // through the session lock anyway so a concurrent catalog writer in
     // the same session can never observe a static window
@@ -124,6 +121,48 @@ object Merge {
     }
     touched
   }
+
+  /** [[mergeInPlace]]'s read side, exposed so PlanSpec can pin that the
+    * literal touched-partition predicate reaches the scan as a
+    * PartitionFilter — the invariant the copy-on-write cost model rests
+    * on. */
+  private[graft] def mergePlan(spark: SparkSession, path: String,
+      source: DataFrame, keys: Seq[String], partitionCol: String,
+      deleteWhen: Option[Column]): (Seq[Any], DataFrame) = {
+    val touched = source.select(partitionCol).distinct().collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return (touched, source)
+    val pruned = spark.read.parquet(path)
+      .filter(F.col(partitionCol).isin(touched: _*))
+    (touched, merge(pruned, source, keys, deleteWhen))
+  }
+
+  /** [[merge]] committed against a [[Snapshots]]-versioned table: read
+    * the latest version, merge, snapshot the result as the next version
+    * — auditable dimension maintenance where every MERGE batch leaves
+    * the pre-merge state pinnable (`VERSION AS OF`). A first call on an
+    * empty path bootstraps version 0 from the source. Returns the
+    * committed version. Full-copy per version — the dimension shape
+    * ([[Snapshots]] scaladoc); fact-sized tables use [[mergeInPlace]].
+    */
+  def mergeSnapshot(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String], deleteWhen: Option[Column] = None): Long =
+    Snapshots.latestVersion(spark, path) match {
+      case None => Snapshots.write(source, path)
+      case Some(_) =>
+        Snapshots.write(
+          merge(Snapshots.read(spark, path), source, keys, deleteWhen), path)
+    }
+
+  /** [[scd2]] committed against a [[Snapshots]]-versioned table — the
+    * two history axes composed: scd2 keeps ROW-level validity intervals
+    * inside the table, the snapshot keeps TABLE-level states across
+    * maintenance batches (e.g. "what did the whole dim look like before
+    * Tuesday's load" — something intervals alone can't answer once a
+    * bad batch is corrected). Returns the committed version.
+    */
+  def scd2Snapshot(spark: SparkSession, path: String, updates: DataFrame,
+      key: String, changeTs: Column): Long =
+    Snapshots.write(scd2(Snapshots.read(spark, path), updates, key, changeTs), path)
 
   /** SCD Type 2 dimension maintenance: `dim` carries
     * (key, attrs..., valid_from, valid_to, is_current) and `updates`

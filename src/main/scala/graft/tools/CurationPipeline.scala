@@ -43,7 +43,12 @@ object CurationPipeline {
     *
     * `scrubSpanWidth > 0` enables the repeated-span scrub between
     * redaction and the quality gate (so quality/repetition stats score
-    * the text the trainer will actually see); `tokenBudget > 0` keeps
+    * the text the trainer will actually see); `spanDedupWidth > 0` adds
+    * the canonical-copy span DEDUP after it (syndicated content kept
+    * once, [[graft.operators.Curation.dedupRepeatedSpans]]);
+    * `minDeflateRatio > 0` adds the byte-level compression-ratio gate
+    * to stage 5 (`deflate_ratio`, catches sub-token repetition the
+    * word-level filters miss); `tokenBudget > 0` keeps
     * only the best documents (quality DESC) until the budget is covered;
     * a non-empty `splits` assigns every near-dup CLUSTER (the stage-2
     * pair list, so split hygiene uses the same similarity evidence that
@@ -65,9 +70,12 @@ object CurationPipeline {
       budget: Int = 512, nShards: Int = 8,
       chunkSize: Int = 0, chunkOverlap: Int = 0,
       scrubSpanWidth: Int = 0, scrubMinDf: Int = 3,
+      spanDedupWidth: Int = 0, spanDedupMinDf: Int = 2,
+      minDeflateRatio: Double = 0.0,
       tokenBudget: Long = 0L,
       splits: Seq[(String, Int)] = Nil, splitSeed: String = "split-v1",
       semanticPairs: Option[DataFrame] = None): StageCounts = {
+    if (minDeflateRatio > 0) graft.plans.GraftFunctions.register(spark)
     val all = Tables.load(spark, sfDir, "documents")
     val bench = all.filter(F.col("doc_id") % 20 === 0)
     val corpus = all.filter(F.col("doc_id") % 20 =!= 0).cache()
@@ -111,11 +119,27 @@ object CurationPipeline {
           scrubSpanWidth, scrubMinDf)
         .drop("n_tok_before", "n_tok_after")
 
+    // 4.6 (opt-in): cross-doc span DEDUP — syndicated content (quotes,
+    // wire paragraphs) kept once in its min-id carrier, scrubbed from
+    // the rest; runs AFTER the scrub so boilerplate is already gone and
+    // what remains repeated really is content
+    val spanDeduped =
+      if (spanDedupWidth <= 0) scrubbed
+      else Curation.dedupRepeatedSpans(scrubbed, "doc_id", "text",
+          spanDedupWidth, spanDedupMinDf)
+        .drop("n_tok_before", "n_tok_after")
+
     // 5. quality + language gate, then the Gopher repetition gate
-    // (phrase-looped / boilerplate docs survive pure quality scores)
-    val scored = scrubbed.filter(
+    // (phrase-looped / boilerplate docs survive pure quality scores);
+    // minDeflateRatio > 0 adds the byte-level compression gate — short
+    // docs pass trivially (overhead-dominated ratios exceed any sane
+    // threshold), so no separate length floor is needed here
+    val scored = spanDeduped.filter(
       TextFunctions.qualityScore(F.col("text")) >= 0.3 &&
-        TextFunctions.langId(F.col("text")) =!= "und")
+        TextFunctions.langId(F.col("text")) =!= "und" &&
+        (if (minDeflateRatio > 0)
+          TextFunctions.deflateRatio(F.col("text")) >= minDeflateRatio
+         else F.lit(true)))
     val filtered = scored.join(
       Curation.repetitionStats(scored, "doc_id", "text")
         .filter(F.col("keep") === 1).select("doc_id"),
@@ -203,11 +227,17 @@ object CurationPipeline {
       "near_dedup" -> nearDeduped.count(),
       "decontaminated" -> clean.count(),
       "quality_lang" -> scored.count(),
+      // span stages rewrite text rather than dropping rows, so their
+      // row counts equal the prior stage's — n_tok deltas are the
+      // signal and CurationSpec owns them; only the gate stages report
       "repetition" -> filtered.count(),
       "balanced" -> balanced.count()) ++
       (if (tokenBudget > 0) Seq("budgeted" -> budgeted.count()) else Nil) ++
       (if (chunkSize > 0) Seq("chunked" -> chunked.count()) else Nil) :+
-      ("packed" -> spark.read.parquet(outDir).count()))
+      // a fully-filtered corpus writes no partition dirs, and a
+      // schema-less read of the empty root throws — that's an empty
+      // corpus, not a pipeline failure
+      ("packed" -> scala.util.Try(spark.read.parquet(outDir).count()).getOrElse(0L)))
     corpus.unpersist()
     chunked.unpersist()
     counts

@@ -123,6 +123,47 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(hot == 0, s"$hot corpus-repeated spans survived the scrub")
   }
 
+  test("span dedup and the deflate gate compose: one canonical copy survives, gate is monotone") {
+    val out = TestFixtures.tmpDir("curated-spandedup").resolve("shards").toString
+    val counts = CurationPipeline.run(spark, sf, out,
+      spanDedupWidth = 8, spanDedupMinDf = 2, minDeflateRatio = 0.05).stages.toMap
+    assert(counts("packed") > 0)
+
+    def spans8(df: org.apache.spark.sql.DataFrame, idCol: String) = {
+      val toks = F.split(F.col("text"), "\\s+")
+      df.select(F.col(idCol).as("d"), F.explode(
+        F.when(F.size(toks) >= 8,
+          F.transform(F.sequence(F.lit(0), F.size(toks) - 8),
+            i => F.array_join(F.slice(toks, i + F.lit(1), F.lit(8)), " ")))
+          .otherwise(F.array().cast("array<string>"))).as("span"))
+    }
+    // DEDUP, not scrub: no 8-gram appears in two output docs...
+    val outDocs = spark.read.parquet(out)
+    assert(spans8(outDocs, "doc_id").groupBy("span")
+      .agg(F.countDistinct("d").as("df")).filter(F.col("df") >= 2).count() == 0,
+      "a cross-doc repeated span survived dedup in two carriers")
+    // ...but canonical copies of input-corpus-repeated spans DO survive
+    // (the scrub would have deleted every copy)
+    val corpus = graft.runtime.Tables.load(spark, sf, "documents")
+      .filter(F.col("doc_id") % 20 =!= 0)
+    val inputHot = spans8(corpus, "doc_id").groupBy("span")
+      .agg(F.countDistinct("d").as("df")).filter(F.col("df") >= 2).select("span")
+    val keptCanonical = spans8(outDocs, "doc_id")
+      .join(inputHot, "span").select("span").distinct().count()
+    assert(keptCanonical > 0,
+      "no canonical copy survived — span DEDUP behaved like the scrub")
+
+    // the deflate gate is monotone in its threshold, and a stricter
+    // threshold genuinely bites on this corpus (sub-median 0.45 vs the
+    // pass-everything 0.05) without emptying it
+    val outHarsh = TestFixtures.tmpDir("curated-deflate").resolve("shards").toString
+    val harsh = CurationPipeline.run(spark, sf, outHarsh,
+      spanDedupWidth = 8, spanDedupMinDf = 2, minDeflateRatio = 0.45).stages.toMap
+    assert(harsh("quality_lang") < counts("quality_lang"),
+      s"deflate gate at 0.45 did not bite: ${harsh("quality_lang")} vs ${counts("quality_lang")}")
+    assert(harsh("packed") > 0, "0.45 should keep the above-median half")
+  }
+
   test("semantic pairs pull paraphrase evidence into the split assignment") {
     import spark.implicits._
     val splits = Seq(("train", 80), ("val", 10), ("test", 10))

@@ -127,6 +127,23 @@ class MergeSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, path).count() == 1)
   }
 
+  test("mergeSnapshot: every merge batch leaves the pre-merge state pinnable") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("merge-snap").resolve("dim").toString
+    // bootstrap, then two merge batches
+    assert(Merge.mergeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k")) == 0L)
+    assert(Merge.mergeSnapshot(spark, path,
+      Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), Seq("k")) == 1L)
+    assert(Merge.mergeSnapshot(spark, path,
+      Seq((2L, "b3")).toDF("k", "v"), Seq("k")) == 2L)
+    def state(v: Long) = graft.layers.Snapshots.read(spark, path, v)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state(0L) == Map(1L -> "a", 2L -> "b"))
+    assert(state(1L) == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    assert(state(2L) == Map(1L -> "a2", 2L -> "b3", 3L -> "c"))
+  }
+
   test("scd2 chains versions linearly across consecutive batches; no-op updates don't churn") {
     import spark.implicits._
     val d0 = F.to_date(F.lit("2020-01-01"))

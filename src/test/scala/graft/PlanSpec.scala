@@ -349,6 +349,24 @@ class PlanSpec extends AnyFunSuite {
       s"history scan must partition-prune to the batch's cells:\n$plan")
   }
 
+  test("mergeInPlace reads only touched partitions — the literal IN reaches the scan") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("merge-plan").resolve("t").toString
+    (1 to 30).map(i => (i.toLong, s"2024-01-${"%02d".format(i % 3 + 1)}", i * 1.0))
+      .toDF("id", "day", "v").write.partitionBy("day").parquet(path)
+    val source = Seq((1L, "2024-01-01", 9.0)).toDF("id", "day", "v")
+    val (touched, merged) = graft.layers.Merge.mergePlan(
+      spark, path, source, Seq("id"), "day", None)
+    assert(touched == Seq("2024-01-01"))
+    merged.count()
+    val plan = merged.queryExecution.executedPlan.toString
+    // a single touched value simplifies IN → equality; both forms prune
+    assert("PartitionFilters: \\[[^\\]]*day#\\d+ (= 2024-01-01|IN \\(2024-01-01)".r
+      .findFirstIn(plan).isDefined,
+      s"touched-partition predicate did not reach the scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("GraftExtensions injects native functions at session build") {
     spark // materialize the shared session first
     SparkSession.clearActiveSession()
