@@ -32,8 +32,14 @@ object Merge {
     * null-keyed source row inserts and a null-keyed target row survives
     * untouched. `deleteWhen` may reference both sides with `t.`/`s.`
     * qualifiers. Duplicate keys in `source` are the caller's bug
-    * (MERGE's standard precondition — the join would fan out); dedup
-    * upstream with [[graft.operators.Dedup]].
+    * (MERGE's standard precondition — the join would fan out); the
+    * default guard makes that bug LOUD instead of a silent row
+    * multiplication: a count window over the source keys feeds
+    * `raise_error`, failing the job at execution with no extra action
+    * (one source-sized window pass — the source shuffles on the keys
+    * for the join anyway). Disable with `guardDuplicateKeys = false`
+    * when the source is unique by construction (a dropDuplicates, the
+    * qa17 latest-state compaction).
     *
     * Scale: ONE shuffle of each side on the merge keys. A full-outer
     * join has NO broadcast path in Spark (neither side's unmatched rows
@@ -44,7 +50,8 @@ object Merge {
     * `source` stream through untouched; no driver-side rows.
     */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
-      deleteWhen: Option[Column] = None): DataFrame = {
+      deleteWhen: Option[Column] = None,
+      guardDuplicateKeys: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val updateCols = source.columns.filterNot(keys.contains)
     require(updateCols.forall(target.columns.contains),
@@ -52,10 +59,11 @@ object Merge {
         updateCols.filterNot(target.columns.contains).mkString(","))
     val keepCols = target.columns.filterNot(keys.contains)
       .filterNot(updateCols.contains)
+    val guarded = if (guardDuplicateKeys) guardUnique(source, keys) else source
     // presence tags: key columns can be null on either side, so
     // side-presence must not be probed through them
     val t = target.withColumn("__in_t", F.lit(1)).as("t")
-    val s = source.withColumn("__in_s", F.lit(1)).as("s")
+    val s = guarded.withColumn("__in_s", F.lit(1)).as("s")
     val joined = t.join(s,
       keys.map(k => F.col(s"t.$k") === F.col(s"s.$k")).reduce(_ && _),
       "full_outer")
@@ -122,6 +130,25 @@ object Merge {
     touched
   }
 
+  /** Lazy duplicate-key tripwire: a count window over `keys` feeds
+    * `raise_error`, so a duplicated (fully non-null) key fails the job
+    * at execution instead of silently fanning the join out. Null keys
+    * are exempt — under SQL MERGE they never match, so several
+    * null-keyed rows are legitimate independent inserts.
+    */
+  private def guardUnique(source: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(F.col): _*)
+    val allSet = keys.map(k => F.col(k).isNotNull).reduce(_ && _)
+    source.withColumn("__nk", F.count(F.lit(1)).over(w))
+      .withColumn(keys.head,
+        F.when(F.col("__nk") > 1 && allSet, F.raise_error(F.concat(
+          F.lit(s"merge source has duplicate keys (${keys.mkString(",")}), e.g. "),
+          F.concat_ws(",", keys.map(k => F.col(k).cast("string")): _*)))
+          .cast(source.schema(keys.head).dataType))
+          .otherwise(F.col(keys.head)))
+      .drop("__nk")
+  }
+
   /** [[mergeInPlace]]'s read side, exposed so PlanSpec can pin that the
     * literal touched-partition predicate reaches the scan as a
     * PartitionFilter — the invariant the copy-on-write cost model rests
@@ -186,8 +213,10 @@ object Merge {
     * histories one changeTs at a time — version chains stay linear by
     * construction.
     */
-  def scd2(dim: DataFrame, updates: DataFrame, key: String,
-      changeTs: Column): DataFrame = {
+  def scd2(dim: DataFrame, updates0: DataFrame, key: String,
+      changeTs: Column, guardDuplicateKeys: Boolean = true): DataFrame = {
+    val updates =
+      if (guardDuplicateKeys) guardUnique(updates0, Seq(key)) else updates0
     val tracked = updates.columns.filterNot(_ == key)
     require(tracked.nonEmpty, "scd2 needs at least one tracked attribute")
     require(tracked.forall(dim.columns.contains),

@@ -44,6 +44,24 @@ class MergeSpec extends AnyFunSuite {
       (None, "NI", 99.0)), s"got $rows")
   }
 
+  test("merge: a duplicated source key fails loudly instead of fanning out") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val dupSource = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+    val boom = intercept[Exception] {
+      Merge.merge(target, dupSource, Seq("k")).collect()
+    }
+    assert(boom.getMessage.contains("duplicate keys"), boom.getMessage)
+    // the knob: a pre-deduplicated caller can skip the window pass —
+    // fan-out then on their head (documented), here just no throw
+    assert(Merge.merge(target, dupSource.dropDuplicates("k"), Seq("k"),
+      guardDuplicateKeys = false).count() == 1)
+    // several null-keyed rows are independent inserts, never duplicates
+    val nulls = Seq((None: Option[Long], "n1"), (None: Option[Long], "n2"))
+      .toDF("k", "v")
+    assert(Merge.merge(target, nulls, Seq("k")).count() == 3)
+  }
+
   test("merge: target-only columns stream through on updates, null on inserts") {
     import spark.implicits._
     val target = Seq((1L, "a", "extra1"), (2L, "b", "extra2")).toDF("k", "v", "note")
