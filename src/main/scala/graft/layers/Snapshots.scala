@@ -49,16 +49,32 @@ object Snapshots {
     * directory (idempotent per N); the pointer flip commits it.
     */
   def write(df: DataFrame, path: String): Long = {
+    val v = pointer(df.sparkSession, path).map(_ + 1).getOrElse(0L)
+    writeVersion(df, path, v)
+  }
+
+  /** Snapshot `df` under a CALLER-OWNED version number — the streaming
+    * epoch discipline applied to snapshots: a caller with a stable
+    * batch id (e.g. [[graft.streaming.DimMaintenanceStream]]) passes it
+    * here, so a replayed batch overwrites the SAME version with the
+    * same content instead of appending a duplicate — exactly-once
+    * version history by construction. The pointer only ever advances
+    * (`max(current, v)`): replaying an old batch restores its directory
+    * but cannot roll LATEST back.
+    */
+  def writeVersion(df: DataFrame, path: String, v: Long): Long = {
+    require(v >= 0, s"version must be non-negative, got $v")
     val spark = df.sparkSession
-    val v = pointer(spark, path).map(_ + 1).getOrElse(0L)
     df.write.mode("overwrite").parquet(s"$path/version=$v")
-    val f = fs(spark, path)
-    val cur = new Path(s"$path/LATEST")
-    val tmp = new Path(s"$path/LATEST.tmp")
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (f.exists(cur)) f.delete(cur, false)
-    require(f.rename(tmp, cur), s"failed to commit LATEST pointer at $path")
+    if (pointer(spark, path).forall(_ < v)) {
+      val f = fs(spark, path)
+      val cur = new Path(s"$path/LATEST")
+      val tmp = new Path(s"$path/LATEST.tmp")
+      val out = f.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      if (f.exists(cur)) f.delete(cur, false)
+      require(f.rename(tmp, cur), s"failed to commit LATEST pointer at $path")
+    }
     v
   }
 

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{functions => F}
+
+import graft.layers.{Merge, Snapshots}
+
+/** Streaming CDC dimension maintenance — the engine's three table-
+  * maintenance pieces composed into one standing leg:
+  *
+  *   1. each micro-batch of change events is COMPACTED to its latest
+  *      state per key (qa17's latest-row semantics, computed as ONE
+  *      ordered-struct max — `(ts, attrs...)` gives a total order, so
+  *      the survivor is deterministic even when a key changes twice in
+  *      one batch or the batch is replayed with rows in another order);
+  *   2. the compacted batch drives [[graft.layers.Merge.scd2]] against
+  *      the dimension's LATEST snapshot — changed attrs close the
+  *      current version and open a new one, redundant re-deliveries
+  *      are no-ops, new keys insert (the duplicate-key tripwire is OFF:
+  *      compaction guarantees uniqueness by construction);
+  *   3. the new dimension content lands via
+  *      [[graft.layers.Snapshots.writeVersion]] under `version=<batchId>`
+  *      — the streaming epoch discipline applied to snapshots.
+  *
+  * Delivery semantics: effectively exactly-once under replay. scd2 is
+  * idempotent on re-application (the replayed batch's attrs equal the
+  * already-updated current rows → no churn), the snapshot write
+  * overwrites the batch's OWN version directory, and the LATEST pointer
+  * only advances — so a crash anywhere between compaction and commit
+  * converges on replay, and the version history carries no duplicates.
+  * Batch-level `valid_from`/`valid_to` stamps use the batch's max event
+  * time (deterministic per batch content); finer-than-batch ordering is
+  * already resolved by step 1.
+  *
+  * Every version of the dimension stays pinnable (`VERSION AS OF`) until
+  * vacuumed — the audit trail a plain rewritten dim cannot give ("which
+  * batch flipped this customer's segment, and what did the table look
+  * like before it").
+  *
+  * Scale: the dimension shape — the per-trigger cost is one
+  * batch-sized compaction, one current-slice full-outer join
+  * (history rows stream through scd2 join-free), one dimension-sized
+  * snapshot write. Fact-sized tables belong on partitioned appends +
+  * [[graft.layers.Merge.mergeInPlace]], not here.
+  */
+object DimMaintenanceStream {
+
+  /** One micro-batch: compact → scd2 → version-stamped snapshot.
+    * Exposed for specs to drive crash/replay scenarios directly.
+    * `batch` must carry `key`, `tsCol`, and the tracked attrs (every
+    * other column).
+    */
+  private[graft] def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      dimPath: String,
+      key: String,
+      tsCol: String): Unit = {
+    val attrs = batch.columns.filterNot(c => c == key || c == tsCol).toSeq
+    require(attrs.nonEmpty, s"batch needs at least one tracked attr beside $key/$tsCol")
+    // 1. latest state per key: ordered-struct max — (ts, attrs...) is a
+    // total order, so the pick is deterministic under replay/reorder
+    val compacted = batch
+      .groupBy(F.col(key))
+      .agg(F.max(F.struct((tsCol +: attrs).map(F.col): _*)).as("__m"))
+      .select(F.col(key) +: (tsCol +: attrs).map(c => F.col(s"__m.$c").as(c)): _*)
+      .cache()
+    try {
+      if (compacted.isEmpty) return
+      val changeTs = compacted.agg(F.max(F.col(tsCol))).head().get(0)
+      val updates = compacted.drop(tsCol)
+      // 2. current dim = the greatest committed version STRICTLY BELOW
+      // this batch — never "latest": a replayed batch's latest IS its
+      // own target version, and the lazy read would have its files
+      // deleted under it by the overwrite (observed as FILE_NOT_EXIST
+      // mid-write). Basing on < batchId gives the replay the SAME base
+      // as the original attempt — identical recompute — and the write
+      // target is never a source directory. (Corollary: while the
+      // stream runs, vacuum must keep at least the last two versions.)
+      val dim = Snapshots.versions(spark, dimPath).filter(_ < batchId)
+          .lastOption match {
+        case Some(v) => Snapshots.read(spark, dimPath, v)
+        case None =>
+          val tsType = batch.schema(tsCol).dataType
+          val schema = StructType(
+            batch.schema.fields.filter(f => f.name == key || attrs.contains(f.name)) ++
+              Seq(
+                org.apache.spark.sql.types.StructField("valid_from", tsType),
+                org.apache.spark.sql.types.StructField("valid_to", tsType),
+                org.apache.spark.sql.types.StructField("is_current",
+                  org.apache.spark.sql.types.BooleanType)))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+      val next = Merge.scd2(dim, updates, key, F.lit(changeTs),
+        guardDuplicateKeys = false) // compaction made keys unique
+      // 3. exactly-once commit: the batch's own version, pointer only advances
+      Snapshots.writeVersion(next, dimPath, batchId)
+      ()
+    } finally compacted.unpersist()
+  }
+
+  /** Follow a CDC change-event directory (JSON lines with `key`,
+    * `tsCol`, and tracked attr columns per `schema`) into a versioned
+    * SCD2 dimension at `dimPath`.
+    */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      dimPath: String,
+      checkpointDir: String,
+      schema: StructType,
+      key: String,
+      tsCol: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    val changes = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inputDir)
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          processBatch(spark, batch, batchId, dimPath, key, tsCol)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.layers.Snapshots
+import graft.streaming.DimMaintenanceStream
+
+/** Streaming CDC dimension maintenance: latest-state compaction → SCD2 →
+  * version-stamped snapshots, exactly-once per batch.
+  */
+class DimMaintenanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.runtime.GraftSession
+    .builder("graft-test", "8").getOrCreate()
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("seg", StringType),
+    StructField("ts", TimestampType)))
+
+  private def row(k: Long, seg: String, ts: String) =
+    s"""{"k": $k, "seg": "$seg", "ts": "$ts"}"""
+
+  test("CDC stream maintains a versioned SCD2 dimension; every batch pinnable") {
+    val work = TestFixtures.tmpDir("dim-maint")
+    val in = work.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    val dim = work.resolve("dim").toString
+    val base = System.currentTimeMillis() - 3600000L
+    def writeFile(name: String, seq: Int, rows: Seq[String]): Unit = {
+      val p = java.nio.file.Files.writeString(in.resolve(name), rows.mkString("\n"))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(base + seq * 10000L))
+    }
+    // batch 0: key 1 changes TWICE in one batch (compaction must keep
+    // the later state), key 2 appears once
+    writeFile("f1.jsonl", 1, Seq(
+      row(1L, "a", "2024-01-01 10:00:00"),
+      row(1L, "b", "2024-01-01 11:00:00"),
+      row(2L, "x", "2024-01-01 10:30:00")))
+    // batch 1: redundant re-delivery for 1, real change for 2, new key 3
+    writeFile("f2.jsonl", 2, Seq(
+      row(1L, "b", "2024-01-02 09:00:00"),
+      row(2L, "y", "2024-01-02 09:00:00"),
+      row(3L, "z", "2024-01-02 09:00:00")))
+
+    val q = DimMaintenanceStream.start(spark, in.toString, dim,
+      work.resolve("ckpt").toString, schema, "k", "ts",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+
+    val cur = Snapshots.read(spark, dim).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("seg"),
+        r.getAs[java.sql.Timestamp]("valid_from").toString,
+        Option(r.getAs[java.sql.Timestamp]("valid_to")).map(_.toString),
+        r.getAs[Boolean]("is_current"))).toSet
+    // batch-granular stamps: batch 0's max event time is 11:00
+    assert(cur == Set(
+      (1L, "b", "2024-01-01 11:00:00.0", None, true), // redundant → NO churn
+      (2L, "x", "2024-01-01 11:00:00.0", Some("2024-01-02 09:00:00.0"), false),
+      (2L, "y", "2024-01-02 09:00:00.0", None, true),
+      (3L, "z", "2024-01-02 09:00:00.0", None, true)), s"got $cur")
+
+    // the audit trail: batch 0's state is pinnable
+    assert(Snapshots.versions(spark, dim) == Seq(0L, 1L))
+    val v0 = Snapshots.read(spark, dim, 0L).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("seg")).toMap
+    assert(v0 == Map(1L -> "b", 2L -> "x"),
+      "VERSION AS OF batch 0 must show the pre-second-batch dimension")
+
+    // replayed batch: scd2 no-ops, its OWN version is overwritten, the
+    // pointer does not advance, no duplicate versions appear
+    import spark.implicits._
+    val b1 = Seq((1L, "b", java.sql.Timestamp.valueOf("2024-01-02 09:00:00")),
+      (2L, "y", java.sql.Timestamp.valueOf("2024-01-02 09:00:00")),
+      (3L, "z", java.sql.Timestamp.valueOf("2024-01-02 09:00:00")))
+      .toDF("k", "seg", "ts")
+    DimMaintenanceStream.processBatch(spark, b1, 1L, dim, "k", "ts")
+    assert(Snapshots.versions(spark, dim) == Seq(0L, 1L))
+    assert(Snapshots.latestVersion(spark, dim).contains(1L))
+    val replayed = Snapshots.read(spark, dim).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("seg"),
+        r.getAs[java.sql.Timestamp]("valid_from").toString,
+        Option(r.getAs[java.sql.Timestamp]("valid_to")).map(_.toString),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(replayed == cur, "replay must converge to the same dimension")
+
+    // a later batch advances normally after the replay
+    val b2 = Seq((2L, "w", java.sql.Timestamp.valueOf("2024-01-03 08:00:00")))
+      .toDF("k", "seg", "ts")
+    DimMaintenanceStream.processBatch(spark, b2, 2L, dim, "k", "ts")
+    assert(Snapshots.versions(spark, dim) == Seq(0L, 1L, 2L))
+    val k2 = Snapshots.read(spark, dim).filter(F.col("k") === 2L).collect()
+      .map(r => (r.getAs[String]("seg"), r.getAs[Boolean]("is_current"))).toSet
+    assert(k2 == Set(("x", false), ("y", false), ("w", true)))
+  }
+}
