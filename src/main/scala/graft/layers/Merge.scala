@@ -74,7 +74,11 @@ object Merge {
         .otherwise(F.col(s"t.$c")).as(c))
     val kept = keepCols.map(c => F.col(s"t.$c").as(c))
     val deleted = deleteWhen match {
-      case Some(cond) => matched && cond
+      // coalesce: a NULL condition on a matched pair means NOT deleted
+      // (SQL MERGE's WHEN MATCHED AND cond semantics — the ql07 oracle's
+      // NOT coalesce(del, FALSE)); without it, filter(!null) would
+      // silently DROP the row instead of updating it
+      case Some(cond) => F.coalesce(matched && cond, F.lit(false))
       case None => F.lit(false)
     }
     joined.filter(!deleted)
@@ -105,29 +109,42 @@ object Merge {
     * the same partitions with the same content. Returns the touched
     * partition values.
     */
-  def mergeInPlace(spark: SparkSession, path: String, source: DataFrame,
+  def mergeInPlace(spark: SparkSession, path: String, source0: DataFrame,
       keys: Seq[String], partitionCol: String,
       deleteWhen: Option[Column] = None,
       assertPartitionLocal: Boolean = true): Seq[Any] = {
-    if (assertPartitionLocal && !keys.contains(partitionCol)) {
-      val bad = source.groupBy(keys.map(F.col): _*)
-        .agg(F.countDistinct(F.col(partitionCol)).as("n"))
-        .filter(F.col("n") > 1).limit(1).count()
-      require(bad == 0,
-        s"source maps one merge key to multiple $partitionCol values — a " +
-          "cross-partition move is outside mergeInPlace's contract; use merge + full rewrite")
-    }
-    val (touched, merged) = mergePlan(spark, path, source, keys, partitionCol, deleteWhen)
-    if (touched.isEmpty) return touched
-    // path-based writes honor the per-write dynamic option, but route
-    // through the session lock anyway so a concurrent catalog writer in
-    // the same session can never observe a static window
-    graft.operators.NearDupIndex.withDynamicOverwrite(spark) {
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionCol).parquet(path)
-    }
-    touched
+    // the source lineage feeds three consumers (contract check, touched
+    // collect, the merge write) — cache it so an expensive upstream (a
+    // compacted CDC batch) computes once per commit
+    val source = source0.cache()
+    try {
+      if (assertPartitionLocal && !keys.contains(partitionCol)) {
+        val bad = source.groupBy(keys.map(F.col): _*)
+          .agg(F.countDistinct(F.col(partitionCol)).as("n"))
+          .filter(F.col("n") > 1).limit(1).count()
+        require(bad == 0,
+          s"source maps one merge key to multiple $partitionCol values — a " +
+            "cross-partition move is outside mergeInPlace's contract; use merge + full rewrite")
+      }
+      val (touched, merged) = mergePlan(spark, path, source, keys, partitionCol, deleteWhen)
+      if (touched.isEmpty) return touched
+      // a NULL partition value cannot be pruned (isin(null) matches
+      // nothing), so the existing null-partition rows would be excluded
+      // from the merge input while the dynamic overwrite REPLACES that
+      // partition — silently deleting them. Reject instead.
+      require(!touched.contains(null),
+        s"source carries a null $partitionCol — the null partition cannot be " +
+          "copy-on-write merged (pruning can't select it); clean the source or use merge + full rewrite")
+      // path-based writes honor the per-write dynamic option, but route
+      // through the session lock anyway so a concurrent catalog writer in
+      // the same session can never observe a static window
+      graft.operators.NearDupIndex.withDynamicOverwrite(spark) {
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol).parquet(path)
+      }
+      touched
+    } finally source.unpersist()
   }
 
   /** Lazy duplicate-key tripwire: a count window over `keys` feeds

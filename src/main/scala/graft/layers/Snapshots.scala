@@ -30,19 +30,9 @@ object Snapshots {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def pointer(spark: SparkSession, path: String): Option[Long] = {
-    val f = fs(spark, path)
-    def read(p: Path): Option[Long] = {
-      val in = f.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
-    val cur = new Path(s"$path/LATEST")
-    val tmp = new Path(s"$path/LATEST.tmp")
-    if (f.exists(cur)) read(cur)
-    else if (f.exists(tmp)) read(tmp) // mid-flip window, tmp is complete
-    else None
-  }
+  private def pointer(spark: SparkSession, path: String): Option[Long] =
+    graft.runtime.PointerFile.read(fs(spark, path),
+      new Path(s"$path/LATEST"), new Path(s"$path/LATEST.tmp")).map(_.toLong)
 
   /** Snapshot `df` as the next version; returns the committed version
     * number. The data write is an overwrite of its own `version=N`
@@ -66,15 +56,9 @@ object Snapshots {
     require(v >= 0, s"version must be non-negative, got $v")
     val spark = df.sparkSession
     df.write.mode("overwrite").parquet(s"$path/version=$v")
-    if (pointer(spark, path).forall(_ < v)) {
-      val f = fs(spark, path)
-      val cur = new Path(s"$path/LATEST")
-      val tmp = new Path(s"$path/LATEST.tmp")
-      val out = f.create(tmp, true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      if (f.exists(cur)) f.delete(cur, false)
-      require(f.rename(tmp, cur), s"failed to commit LATEST pointer at $path")
-    }
+    if (pointer(spark, path).forall(_ < v))
+      graft.runtime.PointerFile.commit(fs(spark, path),
+        new Path(s"$path/LATEST"), new Path(s"$path/LATEST.tmp"), v.toString)
     v
   }
 

@@ -368,8 +368,14 @@ object IvfIndex {
       epochDirs(s"$root/vectors").subsetOf(epochDirs(s"$root/cellcounts"))
     val perEpoch =
       if (covered) spark.read.parquet(s"$root/cellcounts").select("cell", "n")
-      else spark.read.parquet(s"$root/vectors").groupBy("cell")
-        .agg(F.count(F.lit(1)).as("n")).select("cell", "n")
+      // the fallback dedups (id, cell): a compact that crashed between
+      // deleting cellcounts/epoch=e and vectors/epoch=e leaves that
+      // epoch's vectors in BOTH the consolidated build epoch and the
+      // cold one — a raw count would double them and could misfire a
+      // rebuild until the compact replays
+      else spark.read.parquet(s"$root/vectors")
+        .select("id", "cell").dropDuplicates("id", "cell")
+        .groupBy("cell").agg(F.count(F.lit(1)).as("n")).select("cell", "n")
     perEpoch.groupBy("cell").agg(F.sum("n").as("n"))
   }
 
@@ -413,21 +419,15 @@ object IvfIndex {
   def currentRoot(spark: SparkSession, handle: String): String = {
     val fs = new org.apache.hadoop.fs.Path(handle)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    def read(p: org.apache.hadoop.fs.Path): String = {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    }
-    val cur = new org.apache.hadoop.fs.Path(s"$handle/CURRENT")
-    val tmp = new org.apache.hadoop.fs.Path(s"$handle/CURRENT.tmp")
-    if (fs.exists(cur)) read(cur)
-    // mid-flip window: [[flipCurrent]] deletes CURRENT only AFTER the
-    // fully-written tmp exists, so a reader (or a crash-restart) landing
-    // between the delete and the rename must resolve the tmp — falling
-    // back to the handle base here would silently read a generation that
-    // retireOldGenerations may already have deleted
-    else if (fs.exists(tmp)) read(tmp)
-    else handle
+    // [[graft.runtime.PointerFile]] races safely against a concurrent
+    // flip (open-first, tmp fallback, one retry): the mid-flip window
+    // resolves the complete tmp — falling back to the handle base there
+    // would silently read a generation retireOldGenerations may already
+    // have deleted
+    graft.runtime.PointerFile.read(fs,
+      new org.apache.hadoop.fs.Path(s"$handle/CURRENT"),
+      new org.apache.hadoop.fs.Path(s"$handle/CURRENT.tmp"))
+      .getOrElse(handle)
   }
 
   /** Retire every generation under `handle` except the live one: the
@@ -477,14 +477,10 @@ object IvfIndex {
     * [[retireOldGenerations]] once drained.
     */
   def flipCurrent(spark: SparkSession, handle: String, genRoot: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
     val cur = new org.apache.hadoop.fs.Path(s"$handle/CURRENT")
-    val tmp = new org.apache.hadoop.fs.Path(s"$handle/CURRENT.tmp")
-    val fs = cur.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(genRoot.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(cur)) fs.delete(cur, false)
-    require(fs.rename(tmp, cur), s"failed to commit CURRENT pointer at $handle")
+    graft.runtime.PointerFile.commit(
+      cur.getFileSystem(spark.sessionState.newHadoopConf()), cur,
+      new org.apache.hadoop.fs.Path(s"$handle/CURRENT.tmp"), genRoot)
   }
 
   /** The digest relation (n, min_id, max_id, bloom, epoch) as a LAZY

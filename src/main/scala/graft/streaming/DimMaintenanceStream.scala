@@ -16,10 +16,13 @@ import graft.layers.{Merge, Snapshots}
   *      the survivor is deterministic even when a key changes twice in
   *      one batch or the batch is replayed with rows in another order);
   *   2. the compacted batch drives [[graft.layers.Merge.scd2]] against
-  *      the dimension's LATEST snapshot — changed attrs close the
-  *      current version and open a new one, redundant re-deliveries
-  *      are no-ops, new keys insert (the duplicate-key tripwire is OFF:
-  *      compaction guarantees uniqueness by construction);
+  *      the base snapshot — changed attrs close the current version and
+  *      open a new one, redundant re-deliveries are no-ops, new keys
+  *      insert (the duplicate-key tripwire is OFF: compaction
+  *      guarantees uniqueness by construction). Cross-batch ordering is
+  *      event-time last-writer-wins: an event older than its key's
+  *      current `valid_from` is dropped as stale rather than regressing
+  *      the dimension;
   *   3. the new dimension content lands via
   *      [[graft.layers.Snapshots.writeVersion]] under `version=<batchId>`
   *      — the streaming epoch discipline applied to snapshots.
@@ -70,8 +73,6 @@ object DimMaintenanceStream {
       .cache()
     try {
       if (compacted.isEmpty) return
-      val changeTs = compacted.agg(F.max(F.col(tsCol))).head().get(0)
-      val updates = compacted.drop(tsCol)
       // 2. current dim = the greatest committed version STRICTLY BELOW
       // this batch — never "latest": a replayed batch's latest IS its
       // own target version, and the lazy read would have its files
@@ -95,11 +96,30 @@ object DimMaintenanceStream {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
-      val next = Merge.scd2(dim, updates, key, F.lit(changeTs),
-        guardDuplicateKeys = false) // compaction made keys unique
-      // 3. exactly-once commit: the batch's own version, pointer only advances
-      Snapshots.writeVersion(next, dimPath, batchId)
-      ()
+      // 2.5 event-time last-writer-wins ACROSS batches: a late event
+      // whose ts precedes its key's current valid_from is STALE — the
+      // dim already holds fresher state — and applying it would regress
+      // the attribute and mint an inverted interval (valid_to <
+      // valid_from). Compaction only orders within the batch; this
+      // left-join compares against the dim. Conservative at batch
+      // granularity: valid_from carries the BATCH's max event time, so
+      // an event older than any co-batched one can be dropped — the
+      // price of batch-level stamping, documented above.
+      val fresh = compacted
+        .join(dim.filter(F.col("is_current"))
+          .select(F.col(key), F.col("valid_from").as("__vf")), Seq(key), "left")
+        .filter(F.col("__vf").isNull || F.col(tsCol) >= F.col("__vf"))
+        .drop("__vf")
+        .cache()
+      try {
+        if (fresh.isEmpty) return // nothing but stale re-deliveries
+        val changeTs = fresh.agg(F.max(F.col(tsCol))).head().get(0)
+        val next = Merge.scd2(dim, fresh.drop(tsCol), key, F.lit(changeTs),
+          guardDuplicateKeys = false) // compaction made keys unique
+        // 3. exactly-once commit: batch's own version, pointer only advances
+        Snapshots.writeVersion(next, dimPath, batchId)
+        ()
+      } finally fresh.unpersist()
     } finally compacted.unpersist()
   }
 

@@ -236,8 +236,13 @@ object CurationPipeline {
       (if (chunkSize > 0) Seq("chunked" -> chunked.count()) else Nil) :+
       // a fully-filtered corpus writes no partition dirs, and a
       // schema-less read of the empty root throws — that's an empty
-      // corpus, not a pipeline failure
-      ("packed" -> scala.util.Try(spark.read.parquet(outDir).count()).getOrElse(0L)))
+      // corpus, not a pipeline failure. ONLY that case maps to 0: a
+      // transient FS/permission error must still fail the run, not
+      // report a silent empty corpus
+      ("packed" -> (try spark.read.parquet(outDir).count() catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => 0L
+      })))
     corpus.unpersist()
     chunked.unpersist()
     counts

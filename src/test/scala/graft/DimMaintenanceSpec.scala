@@ -96,5 +96,23 @@ class DimMaintenanceSpec extends AnyFunSuite {
     val k2 = Snapshots.read(spark, dim).filter(F.col("k") === 2L).collect()
       .map(r => (r.getAs[String]("seg"), r.getAs[Boolean]("is_current"))).toSet
     assert(k2 == Set(("x", false), ("y", false), ("w", true)))
+
+    // a LATE event (ts before the key's current valid_from) must not
+    // regress the dimension or mint an inverted interval — it is stale,
+    // the dim already holds fresher state; a stale-only batch commits
+    // no version at all
+    val late = Seq((2L, "ancient", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "seg", "ts")
+    DimMaintenanceStream.processBatch(spark, late, 3L, dim, "k", "ts")
+    assert(Snapshots.versions(spark, dim) == Seq(0L, 1L, 2L),
+      "a stale-only batch must not commit a version")
+    val k2After = Snapshots.read(spark, dim).filter(F.col("k") === 2L)
+      .filter(F.col("is_current")).collect().map(_.getAs[String]("seg")).toSeq
+    assert(k2After == Seq("w"), s"late event regressed the dim: $k2After")
+    // and no row anywhere has valid_to < valid_from
+    val inverted = Snapshots.read(spark, dim)
+      .filter(F.col("valid_to").isNotNull &&
+        F.col("valid_to") < F.col("valid_from")).count()
+    assert(inverted == 0)
   }
 }

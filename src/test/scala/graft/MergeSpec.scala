@@ -44,6 +44,30 @@ class MergeSpec extends AnyFunSuite {
       (None, "NI", 99.0)), s"got $rows")
   }
 
+  test("merge: a NULL deleteWhen condition means NOT deleted — the row updates") {
+    import spark.implicits._
+    val target = Seq((1L, null: String, 10.0), (2L, "F", 20.0)).toDF("k", "flag", "amt")
+    val source = Seq((1L, "F", 11.0), (2L, "F", 21.0)).toDF("k", "flag", "amt")
+    // t.flag is NULL for key 1: (matched && (t.flag === "F")) is NULL →
+    // SQL MERGE applies the update; key 2's TRUE condition deletes
+    val rows = Merge.merge(target, source, Seq("k"),
+        deleteWhen = Some(F.col("t.flag") === "F")).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("amt")).toMap
+    assert(rows == Map(1L -> 11.0), s"got $rows")
+  }
+
+  test("mergeInPlace rejects a null partition value instead of silently dropping the null partition") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("merge-nullpart").resolve("t").toString
+    Seq((1L, "2024-01-01", 1.0)).toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(path)
+    val nullSource = Seq((2L, null: String, 2.0)).toDF("id", "day", "v")
+    val boom = intercept[IllegalArgumentException] {
+      Merge.mergeInPlace(spark, path, nullSource, Seq("id"), "day")
+    }
+    assert(boom.getMessage.contains("null day"), boom.getMessage)
+  }
+
   test("merge: a duplicated source key fails loudly instead of fanning out") {
     import spark.implicits._
     val target = Seq((1L, "a")).toDF("k", "v")
