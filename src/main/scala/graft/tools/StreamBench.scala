@@ -60,7 +60,7 @@ object StreamBench {
     Files.createDirectories(in)
     val rnd = new Random(42L)
     val legSel = args.lift(3).map(_.split(",").toSet)
-      .getOrElse(Set("bronze", "score", "sketch", "corpus", "embed"))
+      .getOrElse(Set("bronze", "score", "sketch", "corpus", "embed", "dim"))
     val legs = if (legSel("sketch")) legSel + "bronze" else legSel
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -218,6 +218,53 @@ object StreamBench {
         s""""embed_vecs_per_sec":${(nVecs / embSec).toLong},""" +
         s""""embed_1probe_kept":$embKept1,"embed_1probe_sec":$embSec1,""" +
         s""""embed_1probe_vecs_per_sec":${(nVecs / embSec1).toLong}"""
+    }
+
+    if (legs("dim")) {
+      // CDC dimension maintenance: 40k change events over 8k keys in 4
+      // micro-batches (churny: ~5 events/key, re-deliveries and true
+      // changes mixed) → compaction → SCD2 → versioned snapshot per
+      // batch. The per-trigger cost is the current-slice join plus the
+      // dimension-sized snapshot write — events/s is the CDC drain rate.
+      val nEvents = 40000
+      val nKeys = 8000
+      val dimIn = work.resolve("dim-in")
+      Files.createDirectories(dimIn)
+      val segs = Array("A", "B", "C", "D")
+      (0 until 4).foreach { f =>
+        val lines = (0 until nEvents / 4).map { i =>
+          val k = rnd.nextInt(nKeys)
+          val ts = f"2024-02-${f + 1}%02d ${10 + rnd.nextInt(10)}%02d:00:00"
+          s"""{"k": $k, "seg": "${segs(rnd.nextInt(4))}", "ts": "$ts"}"""
+        }
+        val p = dimIn.resolve(f"c$f%02d.jsonl")
+        Files.write(p, String.join("\n", lines: _*).getBytes("UTF-8"))
+        // strictly increasing mtimes: the file source orders batches by
+        // modification time and back-to-back writes tie on it
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 3600000L + f * 10000L))
+      }
+      val dimPath = work.resolve("dim").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("seg",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType)))
+      val dimSec = timed("dim") {
+        val q = graft.streaming.DimMaintenanceStream.start(spark, dimIn.toString,
+          dimPath, work.resolve("ckpt-dim").toString, schema, "k", "ts",
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+          maxFilesPerTrigger = 1)
+        q.processAllAvailable(); q.stop()
+      }
+      val dimRows = graft.layers.Snapshots.read(spark, dimPath).count()
+      val dimVersions = graft.layers.Snapshots.versions(spark, dimPath).size
+      parts += s""""dim_events":$nEvents,"dim_keys":$nKeys,"dim_sec":$dimSec,""" +
+        s""""dim_events_per_sec":${(nEvents / dimSec).toLong},""" +
+        s""""dim_rows":$dimRows,"dim_versions":$dimVersions"""
     }
 
     println(
