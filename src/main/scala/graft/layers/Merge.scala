@@ -51,14 +51,22 @@ object Merge {
     */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
       deleteWhen: Option[Column] = None,
-      guardDuplicateKeys: Boolean = true): DataFrame = {
+      guardDuplicateKeys: Boolean = true,
+      allowSchemaEvolution: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val updateCols = source.columns.filterNot(keys.contains)
-    require(updateCols.forall(target.columns.contains),
-      s"source carries columns absent from the target: " +
-        updateCols.filterNot(target.columns.contains).mkString(","))
+    // schema evolution (Delta's mergeSchema analog): columns the source
+    // adds are APPENDED to the table — pre-existing target rows carry
+    // null there, exactly the backfill semantics a widening ALTER TABLE
+    // gives. Off by default: an unexpected new column is usually an
+    // upstream contract break worth failing on.
+    val newCols = updateCols.filterNot(target.columns.contains)
+    require(allowSchemaEvolution || newCols.isEmpty,
+      s"source carries columns absent from the target: ${newCols.mkString(",")} " +
+        "(pass allowSchemaEvolution = true to append them)")
     val keepCols = target.columns.filterNot(keys.contains)
       .filterNot(updateCols.contains)
+    val outColumns = target.columns ++ newCols
     val guarded = if (guardDuplicateKeys) guardUnique(source, keys) else source
     // presence tags: key columns can be null on either side, so
     // side-presence must not be probed through them
@@ -71,7 +79,10 @@ object Merge {
     val keyCols = keys.map(k => F.coalesce(F.col(s"s.$k"), F.col(s"t.$k")).as(k))
     val updated = updateCols.map(c =>
       F.when(F.col("s.__in_s").isNotNull, F.col(s"s.$c"))
-        .otherwise(F.col(s"t.$c")).as(c))
+        // an evolved column has no target side — unmatched target rows
+        // backfill null there
+        .otherwise(if (newCols.contains(c)) F.lit(null) else F.col(s"t.$c"))
+        .as(c))
     val kept = keepCols.map(c => F.col(s"t.$c").as(c))
     val deleted = deleteWhen match {
       // coalesce: a NULL condition on a matched pair means NOT deleted
@@ -83,9 +94,10 @@ object Merge {
     }
     joined.filter(!deleted)
       .select(keyCols ++ updated ++ kept: _*)
-      // restore the target's column order so the result unions/overwrites
-      // cleanly against the existing table
-      .select(target.columns.map(F.col).toIndexedSeq: _*)
+      // restore the target's column order (evolved columns appended
+      // last) so the result unions/overwrites cleanly against the
+      // existing table
+      .select(outColumns.map(F.col).toIndexedSeq: _*)
   }
 
   /** Partition-scoped copy-on-write commit of [[merge]]: only partitions

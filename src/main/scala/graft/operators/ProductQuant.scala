@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+import graft.plans.GraftFunctions
+
+/** Product quantization (PQ) — the third compression tier of the ANN
+  * stack (float scan → SQ8 int8 re-rank → PQ): vectors are split into
+  * `m` subspaces, each subspace k-means-coded to one of `k` centroid
+  * ids, so a D-float vector stores as m single-byte codes — 32× smaller
+  * than float32 at (m=8, D=64) vs SQ8's 4×. Query-time scoring is
+  * ASYMMETRIC DISTANCE COMPUTATION: the query precomputes an m×k table
+  * of subspace inner products ONCE (driver-side, metadata-scale), and
+  * each corpus row's approximate cosine is m table LOOKUPS — no
+  * per-row float math at all — followed by an exact re-rank of the
+  * k·margin survivors on the full vectors (the same margin discipline
+  * as [[Similarity.quantizedTopK]]). Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search" (TPAMI 2011).
+  *
+  * All cosine-space: vectors are L2-normalized before coding, so
+  * `sum_j <q_j, c_{j,code_j}>` approximates the cosine directly.
+  *
+  * Scale: training is a DRIVER-LOCAL Lloyd's loop over a deterministic
+  * hash-ordered sample (m·k·dim doubles of state — metadata; the
+  * standard PQ practice of sampling the train set); encoding is one
+  * narrow codegen'd pass (m·k literal `vec_dot`s per row, one-off per
+  * corpus); the scan side of a query reads ONLY the m-byte codes
+  * (column pruning — the float vectors are touched just for the
+  * k·margin re-rank rows). The codes relation drops into the same
+  * epoch/partition discipline as the SQ8 columns if persisted beside
+  * an [[IvfIndex]]; spec-gated (recall + planted-duplicate contracts,
+  * like the RP-LSH tier) — PQ scores are approximate by construction,
+  * so no SQL oracle can hash-match them.
+  */
+object ProductQuant {
+
+  /** Trained codebooks: `centroids(j)(c)` is subspace j's c-th centroid
+    * (length dim/m). */
+  final case class Codebooks(m: Int, k: Int, dim: Int,
+      centroids: Array[Array[Array[Double]]]) {
+    def subDim: Int = dim / m
+  }
+
+  /** Train per-subspace codebooks on a deterministic sample: rows are
+    * hash-ordered by id (portable, seed-stable) and the first
+    * `sampleN` normalized vectors feed a local Lloyd's loop per
+    * subspace (k-means, first-k-distinct init — deterministic, no RNG).
+    */
+  def train(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      sampleN: Int = 10000, iters: Int = 15): Codebooks = {
+    require(m >= 1 && k >= 2 && k <= 256, s"need 1 <= m, 2 <= k <= 256; got m=$m k=$k")
+    val sample = df
+      .select(F.col(idCol).as("id"),
+        normalized(F.col(vecCol)).as("v"))
+      .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getAs[Seq[Double]]("v").toArray)
+    require(sample.nonEmpty, "cannot train PQ on an empty relation")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val ds = dim / m
+    val centroids = Array.tabulate(m) { j =>
+      val slices = sample.map(v => java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds))
+      lloyd(slices, k, iters)
+    }
+    Codebooks(m, k, dim, centroids)
+  }
+
+  /** Local Lloyd's k-means: init = first k distinct points (padded by
+    * repetition when the sample has fewer), empty clusters re-seeded
+    * from the globally farthest point — all deterministic.
+    */
+  private def lloyd(xs: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val distinct = xs.distinctBy(_.toSeq).take(k)
+    var cents = Array.tabulate(k)(i => distinct(i % distinct.length).clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](xs.head.length))
+      val counts = new Array[Long](k)
+      xs.foreach { x =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) { val d = d2(x, cents(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+        counts(best) += 1
+        val s = sums(best); var i = 0
+        while (i < x.length) { s(i) += x(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) {
+          // deterministic re-seed: the point farthest from its centroid
+          xs.maxBy(x => cents.map(d2(x, _)).min)
+        } else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  private def normalized(vec: Column): Column = {
+    val nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), (acc, x) => acc + x * x))
+    F.transform(vec, x => x / nrm)
+  }
+
+  /** Encode every vector as m codes: per subspace, argmin over the k
+    * literal centroids — the [[IvfIndex.assignCellsMulti]] kernel
+    * applied per slice; one narrow codegen'd pass, no shuffle. Emits
+    * (idCol, pq_codes array<tinyint>).
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val vn = normalized(asDouble(F.col(vecCol)))
+    val codeCols: Seq[Column] = (0 until cb.m).map { j =>
+      val slice = F.slice(vn, j * cb.subDim + 1, cb.subDim)
+      val cands = (0 until cb.k).map { c =>
+        val cent = cb.centroids(j)(c)
+        val cArr = F.array(cent.map(F.lit(_)).toIndexedSeq: _*)
+        val cc = cent.map(x => x * x).sum
+        F.struct(
+          (F.lit(cc) - F.lit(2.0) * F.call_function("vec_dot", slice, cArr)).as("d"),
+          F.lit(c).as("c"))
+      }
+      F.array_sort(F.array(cands: _*)).getItem(0).getField("c")
+    }
+    df.select(F.col(idCol),
+      F.transform(F.array(codeCols: _*), c => c.cast("byte")).as("pq_codes"))
+  }
+
+  /** Approximate top-k by ADC + exact re-rank: the query's m×k inner-
+    * product table is computed once on the driver and baked in as
+    * LITERAL arrays, so each corpus row scores as m `element_at`
+    * lookups over its byte codes — the scan reads codes only. The
+    * k·margin best candidates re-rank exactly on the full vectors
+    * (id-pruned join), restoring exact cosines and absorbing PQ's
+    * quantization error the way [[Similarity.quantizedTopK]]'s margin
+    * does for SQ8. Output: (neighbor_id, cos_sim) rounded to 4, ranked
+    * (cos_sim DESC, id).
+    */
+  def topK(codes: DataFrame, vectors: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], cb: Codebooks, k: Int, margin: Int = 10): DataFrame = {
+    val spark = codes.sparkSession
+    GraftFunctions.register(spark)
+    require(query.length == cb.dim, s"query dim ${query.length} != codebook dim ${cb.dim}")
+    val qn = {
+      val n = math.sqrt(query.map(x => x * x).sum)
+      query.map(_ / n)
+    }
+    // the ADC table: table(j)(c) = <q_j, centroid_{j,c}>
+    val tables: Seq[Column] = (0 until cb.m).map { j =>
+      val qSub = java.util.Arrays.copyOfRange(qn, j * cb.subDim, (j + 1) * cb.subDim)
+      F.array(cb.centroids(j).map(cent =>
+        F.lit(cent.zip(qSub).map { case (a, b) => a * b }.sum)).toIndexedSeq: _*)
+    }
+    val adc = (0 until cb.m).map(j =>
+      F.element_at(tables(j), F.col("pq_codes").getItem(j).cast("int") + 1))
+      .reduce(_ + _)
+    val candidates = codes
+      .select(F.col(idCol), adc.as("approx_cos"))
+      .orderBy(F.col("approx_cos").desc, F.col(idCol))
+      .limit(k * margin)
+    val qArr = F.array(query.map(F.lit(_)).toIndexedSeq: _*)
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    vectors.join(F.broadcast(candidates.select(idCol)), idCol)
+      .select(F.col(idCol).as("neighbor_id"),
+        F.round(F.call_function("vec_dot", asDouble(F.col(vecCol)), qArr)
+          / (F.sqrt(F.aggregate(asDouble(F.col(vecCol)), F.lit(0.0),
+              (acc, x) => acc + x * x)) * F.lit(qNorm)), 4).as("cos_sim"))
+      .orderBy(F.col("cos_sim").desc, F.col("neighbor_id"))
+      .limit(k)
+  }
+
+  private def asDouble(c: Column): Column = F.transform(c, x => x.cast("double"))
+}

@@ -44,6 +44,25 @@ class MergeSpec extends AnyFunSuite {
       (None, "NI", 99.0)), s"got $rows")
   }
 
+  test("merge: schema evolution appends new source columns, backfilling target rows with null") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val source = Seq((1L, "A", 0.9), (3L, "C", 0.5)).toDF("k", "v", "score")
+    // off by default: a new column is a loud contract break
+    val boom = intercept[IllegalArgumentException] {
+      Merge.merge(target, source, Seq("k"))
+    }
+    assert(boom.getMessage.contains("score"), boom.getMessage)
+    val out = Merge.merge(target, source, Seq("k"), allowSchemaEvolution = true)
+    assert(out.columns.toSeq == Seq("k", "v", "score"), "evolved column appended last")
+    val rows = out.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+      Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(rows == Set(
+      (1L, "A", Some(0.9)),
+      (2L, "b", None), // untouched target row backfills null
+      (3L, "C", Some(0.5))))
+  }
+
   test("merge: a NULL deleteWhen condition means NOT deleted — the row updates") {
     import spark.implicits._
     val target = Seq((1L, null: String, 10.0), (2L, "F", 20.0)).toDF("k", "flag", "amt")
