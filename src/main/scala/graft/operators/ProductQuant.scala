@@ -50,6 +50,7 @@ object ProductQuant {
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
       sampleN: Int = 10000, iters: Int = 15): Codebooks = {
     require(m >= 1 && k >= 2 && k <= 256, s"need 1 <= m, 2 <= k <= 256; got m=$m k=$k")
+    GraftFunctions.register(df.sparkSession) // normalized() uses vec_dot
     val sample = df
       .select(F.col(idCol).as("id"),
         normalized(F.col(vecCol)).as("v"))
@@ -100,8 +101,15 @@ object ProductQuant {
     cents
   }
 
+  /** L2-normalize via the codegen'd `vec_dot` self-product: the
+    * higher-order `F.aggregate` alternative is CodegenFallback AND gets
+    * re-evaluated for EVERY element when embedded inside a `transform`
+    * lambda — O(D²) interpreted work per row (measured: it dominated
+    * the encode pass). Callers must F.col-materialize the result before
+    * slicing so the division happens once.
+    */
   private def normalized(vec: Column): Column = {
-    val nrm = F.sqrt(F.aggregate(vec, F.lit(0.0), (acc, x) => acc + x * x))
+    val nrm = F.sqrt(F.call_function("vec_dot", vec, vec))
     F.transform(vec, x => x / nrm)
   }
 
@@ -112,9 +120,16 @@ object ProductQuant {
     */
   def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val vn = normalized(asDouble(F.col(vecCol)))
+    // materialize the normalized vector, THEN each subspace slice, as
+    // projection steps — the k candidate structs of a subspace then
+    // reference one computed slice column instead of re-slicing (and
+    // re-normalizing) k times each
+    val staged = df
+      .select(F.col(idCol), normalized(asDouble(F.col(vecCol))).as("__vn"))
+      .select(F.col(idCol) +: (0 until cb.m).map(j =>
+        F.slice(F.col("__vn"), j * cb.subDim + 1, cb.subDim).as(s"__s$j")): _*)
     val codeCols: Seq[Column] = (0 until cb.m).map { j =>
-      val slice = F.slice(vn, j * cb.subDim + 1, cb.subDim)
+      val slice = F.col(s"__s$j")
       val cands = (0 until cb.k).map { c =>
         val cent = cb.centroids(j)(c)
         val cArr = F.array(cent.map(F.lit(_)).toIndexedSeq: _*)
@@ -125,7 +140,7 @@ object ProductQuant {
       }
       F.array_sort(F.array(cands: _*)).getItem(0).getField("c")
     }
-    df.select(F.col(idCol),
+    staged.select(F.col(idCol),
       F.transform(F.array(codeCols: _*), c => c.cast("byte")).as("pq_codes"))
   }
 
@@ -164,10 +179,11 @@ object ProductQuant {
     val qArr = F.array(query.map(F.lit(_)).toIndexedSeq: _*)
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     vectors.join(F.broadcast(candidates.select(idCol)), idCol)
-      .select(F.col(idCol).as("neighbor_id"),
-        F.round(F.call_function("vec_dot", asDouble(F.col(vecCol)), qArr)
-          / (F.sqrt(F.aggregate(asDouble(F.col(vecCol)), F.lit(0.0),
-              (acc, x) => acc + x * x)) * F.lit(qNorm)), 4).as("cos_sim"))
+      .select(F.col(idCol).as("neighbor_id"), asDouble(F.col(vecCol)).as("__v"))
+      .select(F.col("neighbor_id"),
+        F.round(F.call_function("vec_dot", F.col("__v"), qArr)
+          / (F.sqrt(F.call_function("vec_dot", F.col("__v"), F.col("__v")))
+            * F.lit(qNorm)), 4).as("cos_sim"))
       .orderBy(F.col("cos_sim").desc, F.col("neighbor_id"))
       .limit(k)
   }

@@ -219,11 +219,43 @@ object ScaleBench {
       val dupQs = ivfTop.keySet.filter(_ % 10 == 0)
       val dupRecall = dupQs.count(q => ivfTop(q).contains(q + 5000000L))
         .toDouble / dupQs.size
+      // PQ tier over the same corpus: train+encode once (amortizes like
+      // the IVF build), per-query ADC over the m-byte codes + exact
+      // re-rank — the 32× compression path's wall time and recall
+      val (tPqBuild, (cb, codes)) = time {
+        val cb0 = graft.operators.ProductQuant.train(v, "vec_id", "embedding", m = 8, k = 16)
+        val c = graft.operators.ProductQuant.encode(v, "vec_id", "embedding", cb0).cache()
+        c.count()
+        (cb0, c)
+      }
+      // margin is PQ's recall dial (re-rank row budget, scan unchanged):
+      // decorrelated random vectors are PQ's WORST case (no structure
+      // for the subspace codebooks; real embeddings are clustered, see
+      // ProductQuantSpec's 1.0), so measure the dial at 10 and 30
+      def pqRecallAt(margin: Int): (Double, Double) = {
+        val (t, top) = time {
+          qRows.map { r =>
+            val qid = r.getAs[Long]("vec_id")
+            val qv = r.getSeq[Double](1).toArray
+            qid -> graft.operators.ProductQuant
+              .topK(codes, v, "vec_id", "embedding", qv, cb, 11, margin) // 11: self included
+              .collect().map(_.getAs[Long]("neighbor_id")).filter(_ != qid).take(10).toSet
+          }.toMap
+        }
+        (t, top.map { case (q, s) =>
+          (s intersect bruteTop.getOrElse(q, Set.empty)).size.toDouble / 10.0
+        }.sum / top.size)
+      }
+      val (tPq, pqRecall) = pqRecallAt(10)
+      val (_, pqRecall30) = pqRecallAt(30)
+      codes.unpersist()
       emit(s"""{"leg":"ann_topk","scale":$k,"n_vecs":$n,"n_queries":$nq,""" +
         s""""n_cells":$cells,"n_probe":$nProbe,""" +
         f""""brute_sec":$tBrute%.2f,"ivf_build_sec":$tBuild%.2f,""" +
         f""""ivf_probe_sec":$tProbe%.2f,"ivf_recall_at_10":$recall%.3f,""" +
         f""""ivf_join_sec":$tJoin%.2f,"ivf_join_recall_at_10":$joinRecall%.3f,""" +
+        f""""pq_build_sec":$tPqBuild%.2f,"pq_probe_sec":$tPq%.2f,""" +
+        f""""pq_recall_at_10":$pqRecall%.3f,"pq_recall_margin30":$pqRecall30%.3f,""" +
         f""""planted_dup_recall":$dupRecall%.3f}""")
       queries.unpersist(); v.unpersist()
     }
