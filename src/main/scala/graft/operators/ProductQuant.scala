@@ -49,11 +49,14 @@ object ProductQuant {
     */
   def train(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
       sampleN: Int = 10000, iters: Int = 15): Codebooks = {
-    require(m >= 1 && k >= 2 && k <= 256, s"need 1 <= m, 2 <= k <= 256; got m=$m k=$k")
+    // k caps at 128: codes persist as SIGNED bytes, and a code >= 128
+    // would wrap negative — element_at then reads from the array END
+    // (silently wrong ADC) or index 0 (error). 16-64 is the usual PQ
+    // range; 256 would need unsigned decode at every lookup.
+    require(m >= 1 && k >= 2 && k <= 128, s"need 1 <= m, 2 <= k <= 128; got m=$m k=$k")
     GraftFunctions.register(df.sparkSession) // normalized() uses vec_dot
-    val sample = df
-      .select(F.col(idCol).as("id"),
-        normalized(F.col(vecCol)).as("v"))
+    val sample = withNormalized(df.select(F.col(idCol).as("id"), F.col(vecCol)), vecCol)
+      .select(F.col("id"), F.col("__vn").as("v"))
       .orderBy(F.xxhash64(F.col("id")), F.col("id"))
       .limit(sampleN)
       .collect()
@@ -91,27 +94,39 @@ object ProductQuant {
         val s = sums(best); var i = 0
         while (i < x.length) { s(i) += x(i); i += 1 }
       }
+      // deterministic empty-cluster re-seed with DISTINCT points: the
+      // i-th empty slot takes the i-th farthest-from-any-centroid
+      // sample — seeding every empty slot with the SAME farthest point
+      // would leave duplicate centroids that stay empty forever
+      // (assignment always prefers the lowest-indexed duplicate)
+      lazy val farthest = xs.sortBy(x => -cents.map(d2(x, _)).min)
+      var nextSeed = 0
       cents = Array.tabulate(k) { c =>
         if (counts(c) == 0) {
-          // deterministic re-seed: the point farthest from its centroid
-          xs.maxBy(x => cents.map(d2(x, _)).min)
+          val s = farthest(math.min(nextSeed, farthest.length - 1))
+          nextSeed += 1
+          s
         } else sums(c).map(_ / counts(c))
       }
     }
     cents
   }
 
-  /** L2-normalize via the codegen'd `vec_dot` self-product: the
-    * higher-order `F.aggregate` alternative is CodegenFallback AND gets
-    * re-evaluated for EVERY element when embedded inside a `transform`
-    * lambda — O(D²) interpreted work per row (measured: it dominated
-    * the encode pass). Callers must F.col-materialize the result before
-    * slicing so the division happens once.
+  /** Stage (vec double-cast → norm → normalized vec) as three
+    * PROJECTION steps on named columns. The single-expression
+    * alternative — `transform(v, x => x / sqrt(vec_dot(v, v)))` —
+    * embeds the norm inside the lambda, and higher-order functions are
+    * CodegenFallback with no subexpression elimination: the full
+    * self-product would re-run for EVERY element, O(D²) interpreted
+    * work per row (measured 36× on the encode pass). With `__n` an
+    * attribute reference, the lambda divides by a computed value.
+    * Returns the frame with `__vn` (unit vector) appended.
     */
-  private def normalized(vec: Column): Column = {
-    val nrm = F.sqrt(F.call_function("vec_dot", vec, vec))
-    F.transform(vec, x => x / nrm)
-  }
+  private def withNormalized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__v", asDouble(F.col(vecCol)))
+      .withColumn("__n", F.sqrt(F.call_function("vec_dot", F.col("__v"), F.col("__v"))))
+      .withColumn("__vn", F.transform(F.col("__v"), x => x / F.col("__n")))
+      .drop("__v", "__n")
 
   /** Encode every vector as m codes: per subspace, argmin over the k
     * literal centroids — the [[IvfIndex.assignCellsMulti]] kernel
@@ -123,9 +138,16 @@ object ProductQuant {
     // materialize the normalized vector, THEN each subspace slice, as
     // projection steps — the k candidate structs of a subspace then
     // reference one computed slice column instead of re-slicing (and
-    // re-normalizing) k times each
-    val staged = df
-      .select(F.col(idCol), normalized(asDouble(F.col(vecCol))).as("__vn"))
+    // re-normalizing) k times each. A wrong-dimension row fails LOUDLY
+    // here: a short slice would otherwise truncate the vec_dot and
+    // produce plausible-looking garbage codes.
+    val staged = withNormalized(df.select(F.col(idCol), F.col(vecCol)), vecCol)
+      .withColumn("__vn",
+        F.when(F.size(F.col("__vn")) === cb.dim, F.col("__vn"))
+          .otherwise(F.raise_error(F.concat(
+            F.lit(s"pq encode: vector dim != codebook dim ${cb.dim} for $idCol="),
+            F.col(idCol).cast("string")))
+            .cast(s"array<double>")))
       .select(F.col(idCol) +: (0 until cb.m).map(j =>
         F.slice(F.col("__vn"), j * cb.subDim + 1, cb.subDim).as(s"__s$j")): _*)
     val codeCols: Seq[Column] = (0 until cb.m).map { j =>
@@ -172,7 +194,14 @@ object ProductQuant {
     val adc = (0 until cb.m).map(j =>
       F.element_at(tables(j), F.col("pq_codes").getItem(j).cast("int") + 1))
       .reduce(_ + _)
+    // a codes row of the wrong arity would null its getItem, null the
+    // ADC sum, and silently sort out of candidacy — fail loudly instead
     val candidates = codes
+      .withColumn("pq_codes",
+        F.when(F.size(F.col("pq_codes")) === cb.m, F.col("pq_codes"))
+          .otherwise(F.raise_error(F.concat(
+            F.lit(s"pq topK: codes arity != m=${cb.m} for $idCol="),
+            F.col(idCol).cast("string"))).cast("array<tinyint>")))
       .select(F.col(idCol), adc.as("approx_cos"))
       .orderBy(F.col("approx_cos").desc, F.col(idCol))
       .limit(k * margin)

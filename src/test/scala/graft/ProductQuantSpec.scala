@@ -86,6 +86,30 @@ class ProductQuantSpec extends AnyFunSuite {
     codes.unpersist()
   }
 
+  test("guards: k beyond signed-byte range rejected; wrong-dim and wrong-arity rows fail loudly") {
+    import spark.implicits._
+    val df = clustered(10, 5, 64, 41L).toDF("vec_id", "embedding")
+    // codes persist as signed bytes — k=200 would wrap negative
+    val boom = intercept[IllegalArgumentException] {
+      ProductQuant.train(df, "vec_id", "embedding", m = 8, k = 200)
+    }
+    assert(boom.getMessage.contains("128"))
+    val cb = ProductQuant.train(df, "vec_id", "embedding", m = 8, k = 16)
+    // a 32-dim row in a 64-dim codebook must not silently truncate
+    val shortRow = Seq((999L, Seq.fill(32)(1.0))).toDF("vec_id", "embedding")
+    val encBoom = intercept[Exception] {
+      ProductQuant.encode(shortRow, "vec_id", "embedding", cb).collect()
+    }
+    assert(encBoom.getMessage.contains("dim"), encBoom.getMessage)
+    // a codes row with the wrong arity must not silently drop out of ADC
+    val badCodes = Seq((7L, Seq[Byte](1, 2, 3))).toDF("vec_id", "pq_codes")
+    val adcBoom = intercept[Exception] {
+      ProductQuant.topK(badCodes, df, "vec_id", "embedding",
+        Array.fill(64)(0.1), cb, 5).collect()
+    }
+    assert(adcBoom.getMessage.contains("arity"), adcBoom.getMessage)
+  }
+
   test("the ADC scan reads only the byte codes — the float vectors stay column-pruned out") {
     import spark.implicits._
     val work = TestFixtures.tmpDir("pq-prune")
