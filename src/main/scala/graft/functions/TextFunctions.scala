@@ -125,6 +125,45 @@ object TextFunctions {
   def scaledLong(x: Column, digits: Int): Column =
     F.floor(x * F.lit(math.pow(10, digits)) + F.lit(0.5)).cast("long")
 
+  /** Exact integer floor-division for non-negative longs: `(a - a%b)/b`.
+    * `a - a%b` is divisible by `b`, so the double quotient Spark produces
+    * for `/` on longs is the true integer whenever it is below 2^53 —
+    * no rounding step that an engine could take differently. DuckDB twin:
+    * the `//` operator. Null when `b` is 0 (Spark `%` semantics).
+    */
+  def exactDiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("long")
+
+  /** Fixed-point micro-quality in [0, 1_000_000] computed ENTIRELY in
+    * integer arithmetic — the comparison-payload twin of [[qualityScore]].
+    *
+    * Round 7 proved that even `floor(raw·1e6 + 0.5)` over the raw double
+    * is not engine-portable: the synthetic corpus produces raw scores
+    * sitting exactly on half-micro boundaries (0.7703125 = 770312.5 µ),
+    * where a one-ULP difference in how another engine's expression
+    * pipeline associates the three-term sum flips the floor. No function
+    * of a multi-op double is safe at a discontinuity the data actually
+    * hits; integers have no ULPs. Each [[qualityScore]] term is scaled to
+    * micro-units and floor-divided:
+    *
+    *   min(ntok/20, 1)·0.4  →  least(ntok · 20000, 400000)
+    *   (1 − punct/len)·0.3  →  300000 − (punct · 300000) div len
+    *   min(5·stop/ntok,1)·0.3 → least((stop · 1500000) div ntok, 300000)
+    *
+    * Within 2 µ of `scaledLong(qualityScore(text), 6)` (the two divisions
+    * floor instead of rounding at the end) and identical on every engine.
+    * DuckDB twin: same three terms with `//`.
+    */
+  def qualityMicro(text: Column): Column = {
+    val ntok  = tokenCount(text).cast("long")
+    val len   = F.length(text).cast("long")
+    val punct = F.length(F.regexp_replace(text, "[^.,!?;:]", "")).cast("long")
+    val stop  = markerHits(text, langMarkers.head._2).cast("long")
+    F.least(ntok * F.lit(20000L), F.lit(400000L)) +
+      (F.lit(300000L) - exactDiv(punct * F.lit(300000L), len)) +
+      F.least(exactDiv(stop * F.lit(1500000L), ntok), F.lit(300000L))
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set. Equal for bag-of-words-identical documents.
     */

@@ -471,7 +471,8 @@ object Curation {
 
   /** Quality-weighted deterministic sampling (importance resampling): the
     * keep probability interpolates linearly between `floorRate` and
-    * `ceilRate` with the document's [[TextFunctions.qualityScore]], and
+    * `ceilRate` (1e-4 resolution) with the document's integer
+    * [[TextFunctions.qualityMicro]], and
     * the decision is a pure function of (seed, id) — the quality-aware
     * sibling of [[downsampleByDomain]], upsampling high-quality documents
     * relative to low-quality ones while keeping ablation corpora
@@ -481,13 +482,19 @@ object Curation {
   def qualityWeightedSample(df: DataFrame, idCol: String, textCol: String,
       seed: String, floorRate: Double = 0.1, ceilRate: Double = 1.0): DataFrame = {
     require(floorRate >= 0 && ceilRate <= 1 && floorRate <= ceilRate)
-    val q = TextFunctions.qualityScore(F.col(textCol))
-    val p = F.lit(floorRate) + (F.lit(ceilRate) - F.lit(floorRate)) * q
+    // Rates resolve at 1e-4; the decision is ALL-LONG arithmetic against
+    // the integer micro-quality (h/1e4 < f/1e4 + (c-f)/1e4 · q_u/1e6,
+    // cleared of denominators), so no document can sit within a double
+    // ULP of the keep threshold — the comparison another engine re-derives
+    // is bit-identical, not merely close.
+    val fE4 = math.round(floorRate * 10000)
+    val cE4 = math.round(ceilRate * 10000)
+    val qU = TextFunctions.qualityMicro(F.col(textCol))
     val h = F.pmod(
       TextFunctions.portableHash64(
         F.concat(F.lit(seed + "-"), F.col(idCol).cast("string"))),
       F.lit(10000L))
-    df.filter(h.cast("double") < p * 10000.0)
+    df.filter(h * F.lit(1000000L) < F.lit(fE4 * 1000000L) + F.lit(cE4 - fE4) * qU)
   }
 
   /** Deterministic global shuffle for training order: every row gets a

@@ -10,16 +10,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Determinism rules for hash-parity with the oracle:
   *   - every query ends in an ORDER BY over a unique key combination;
-  *   - a double that is a pure expression over exact integers (ratios,
-  *     quality scores, jaccard) is engine-portable RAW — identical IEEE
-  *     expression trees produce bit-identical doubles in every engine.
-  *     Decisions (thresholds, ordering, sampling) run on the raw value;
-  *     the hashed payload carries its fixed-point image
-  *     `TextFunctions.scaledLong(x, d)` = `floor(x·10^d + 0.5)` BIGINT
-  *     (`CAST(floor(x * 10^d + 0.5) AS BIGINT)` in DuckDB). Decimal
-  *     `round(x, d)` is NOT portable: synthetic corpora land raw values
-  *     exactly on decimal half-way boundaries (x·10^d = N.5 exactly),
-  *     where engines' tie algorithms diverge (the round-6 qd28 red row);
+  *   - a SINGLE-OP double over exact integers (one division: ratios,
+  *     jaccard) is engine-portable RAW — one IEEE op over identical
+  *     inputs is bit-identical in every engine — and its hashed payload
+  *     is the fixed-point image `TextFunctions.scaledLong(x, d)` =
+  *     `floor(x·10^d + 0.5)` BIGINT (`CAST(floor(x * 10^d + 0.5) AS
+  *     BIGINT)` in DuckDB). Decimal `round(x, d)` is NOT portable:
+  *     synthetic corpora land raw values exactly on decimal half-way
+  *     boundaries (x·10^d = N.5 exactly), where engines' tie algorithms
+  *     diverge (the round-6 qd28 red row);
+  *   - a MULTI-OP double (the 3-term quality score) is not portable even
+  *     through `scaledLong`: engines associate/fold the pipeline
+  *     differently, and a one-ULP input difference at a half-way boundary
+  *     the data actually hits flips the floor (the round-7 qd05/qd28 red
+  *     rows — floor has no tie mode, but it has a discontinuity). Such
+  *     values must be recast as ALL-INTEGER fixed point on BOTH sides
+  *     (`TextFunctions.qualityMicro` / DuckDB `//`) — decisions,
+  *     ordering, and payload all in longs, no double anywhere;
   *   - doubles that pass through order-dependent summation or
   *     transcendental fns (sum/avg of doubles, ln, corr) keep `round(...)`
   *     in BOTH dialects — parity there relies on the value not sitting

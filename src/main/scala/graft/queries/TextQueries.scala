@@ -30,6 +30,26 @@ object TextQueries extends QueryPack {
   // DuckDB-side twin of jaccardPayload's fixed-point projection.
   private val jE4Sql = "CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS j_e4"
 
+  // DuckDB-side twin of TextFunctions.qualityMicro: the fixed-point
+  // quality in [0, 1e6] from PURE BIGINT arithmetic (// is DuckDB's
+  // integer floor division). No double appears anywhere, so the values
+  // are bit-identical to Spark's by construction — the only safe shape
+  // after round 7 showed floor(raw_double·1e6+0.5) diverging across
+  // engines on half-micro-boundary scores.
+  private val oracleQualityMicro =
+    """qm AS (
+         SELECT doc_id, lang, ntok,
+           least(ntok * 20000, 400000)
+             + (300000 - (n_punct * 300000) // n_chars)
+             + least((n_stop * 1500000) // ntok, 300000) AS q_u
+         FROM (SELECT doc_id, lang,
+             CAST(array_length(w) AS BIGINT) AS ntok,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS BIGINT) AS n_stop
+           FROM (SELECT doc_id, lang, text,
+             regexp_split_to_array(trim(text), '\s+') AS w FROM documents)))"""
+
   // DuckDB-side shingle relation (word trigrams, distinct per doc).
   private val oracleShingles =
     """sh AS (
@@ -78,15 +98,20 @@ object TextQueries extends QueryPack {
         .orderBy("lang", "pred_lang")
     }),
 
-    // Quality-score histogram (decile buckets). Compared payload is the
-    // exact micro-quality SUM (long) — engine-proof; the mean is sum/n.
+    // Quality-score histogram (decile buckets). Buckets, counts, AND the
+    // per-bucket quality sums all derive from the all-integer
+    // [[TextFunctions.qualityMicro]] — no double is ever floored, so no
+    // engine ULP difference can move a doc across a bucket edge or
+    // perturb a sum (the round-7 lesson: even floor(raw·1e6+0.5) over the
+    // raw double diverged between Spark and the driver's DuckDB on
+    // half-micro-boundary scores).
     "qd05_quality_score" -> ((s, d) => {
       docs(s, d)
-        .select(qualityScore(F.col("text")).as("qs"))
-        .withColumn("bucket", F.floor(F.col("qs") * 10).cast("int"))
+        .select(qualityMicro(F.col("text")).as("q_u"))
+        .withColumn("bucket", exactDiv(F.col("q_u"), F.lit(100000L)).cast("int"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).as("n"),
-          F.sum(scaledLong(F.col("qs"), 6)).as("sum_q_u"))
+          F.sum("q_u").as("sum_q_u"))
         .orderBy("bucket")
     }),
 
@@ -277,12 +302,12 @@ object TextQueries extends QueryPack {
 
     // Quality-weighted deterministic sampling: keep probability
     // 0.1 + 0.9·quality, decided by the engine-portable (seed, doc_id)
-    // hash — the oracle re-derives both the quality score and the hash
-    // decision bit-for-bit.
+    // hash against the INTEGER micro-quality — decision and payload are
+    // both pure long arithmetic the oracle re-derives bit-for-bit.
     "qd21_quality_sample" -> ((s, d) => {
       Curation.qualityWeightedSample(docs(s, d), "doc_id", "text", "s9", 0.1, 1.0)
         .select(F.col("doc_id"), F.col("lang"),
-          scaledLong(qualityScore(F.col("text")), 6).as("q_u"))
+          qualityMicro(F.col("text")).as("q_u"))
         .orderBy("doc_id")
     }),
 
@@ -311,10 +336,13 @@ object TextQueries extends QueryPack {
     // Exact per-language quality quota via the map-side-combining
     // TopKAggregate ("the 25 best docs per language" — a count, where
     // qd16/qd21 keep a rate). Oracle re-ranks with a row_number window.
+    // Ranks by the integer micro-quality (cast to the aggregate's double
+    // slot — exact for values ≤ 1e6), so rank AND payload are
+    // engine-deterministic.
     "qd26_domain_quota" -> ((s, d) => {
       Curation.domainQuota(docs(s, d), "doc_id", "lang",
-          qualityScore(F.col("text")), quota = 25)
-        .withColumn("quality_u", scaledLong(F.col("quality"), 6))
+          qualityMicro(F.col("text")).cast("double"), quota = 25)
+        .withColumn("quality_u", F.col("quality").cast("long"))
         .drop("quality")
         .orderBy("lang", "rank")
     }),
@@ -336,13 +364,14 @@ object TextQueries extends QueryPack {
     // doc_id). The oracle recomputes the same quality score and a global
     // window cumsum; the Spark side reconstructs that cumsum with the
     // range-partitioned two-level scan (no single-partition window).
-    // The greedy ordering runs on the micro-quality LONG (same order as
-    // the raw score up to 1e-6 ties, which doc_id then breaks identically
-    // in both engines) so ordering, cumsum, AND the hashed payload are all
-    // exact integers — no engine rounding mode can flip a row.
+    // The greedy ordering runs on the ALL-INTEGER micro-quality (no
+    // double ever enters — round 7 proved floor(raw·1e6+0.5) still
+    // inherits the raw double's engine ULPs at half-micro boundaries),
+    // so ordering, cumsum, AND the hashed payload are exact longs — no
+    // engine arithmetic difference can flip a row.
     "qd28_token_budget" -> ((s, d) => {
       Curation.selectByTokenBudget(docs(s, d), "doc_id",
-          scaledLong(qualityScore(F.col("text")), 6),
+          qualityMicro(F.col("text")),
           tokenCount(F.col("text")), budget = 8000L)
         .withColumnRenamed("quality", "quality_u")
         .orderBy("doc_id")
@@ -509,17 +538,11 @@ object TextQueries extends QueryPack {
            FROM documents)
          ORDER BY doc_id""",
     "qd26_domain_quota" ->
-      """SELECT lang, CAST(rn AS INTEGER) AS rank, doc_id,
-           CAST(floor(q * 1000000 + 0.5) AS BIGINT) AS quality_u FROM (
-           SELECT lang, doc_id, q,
-             row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn
-           FROM (
-             SELECT lang, doc_id,
-               least(array_length(w) / 20.0, 1.0) * 0.4 +
-               (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
-               least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3
-               AS q
-             FROM (SELECT lang, doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)))
+      s"""WITH $oracleQualityMicro
+         SELECT lang, CAST(rn AS INTEGER) AS rank, doc_id, q_u AS quality_u FROM (
+           SELECT lang, doc_id, q_u,
+             row_number() OVER (PARTITION BY lang ORDER BY q_u DESC, doc_id) AS rn
+           FROM qm)
          WHERE rn <= 25 ORDER BY lang, rank""",
     "qd25_chunk_documents" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
@@ -633,20 +656,12 @@ object TextQueries extends QueryPack {
          LEFT JOIN nr ON nr.doc_id = b.doc_id
          ORDER BY b.doc_id""",
     "qd28_token_budget" ->
-      """WITH q AS (
-           SELECT doc_id,
-             CAST(floor((
-               least(array_length(w) / 20.0, 1.0) * 0.4 +
-               (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
-               least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3
-             ) * 1000000 + 0.5) AS BIGINT) AS quality_u,
-             CAST(array_length(w) AS BIGINT) AS n_tok
-           FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)),
+      s"""WITH $oracleQualityMicro,
          c AS (
-           SELECT doc_id, quality_u, n_tok,
-             coalesce(sum(n_tok) OVER (ORDER BY quality_u DESC, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-           FROM q)
+           SELECT doc_id, q_u AS quality_u, ntok AS n_tok,
+             CAST(coalesce(sum(ntok) OVER (ORDER BY q_u DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           FROM qm)
          SELECT doc_id, quality_u, n_tok, cum_before
          FROM c WHERE cum_before < 8000 ORDER BY doc_id""",
     "qd32_leakage_split_lsh" ->
@@ -787,16 +802,12 @@ object TextQueries extends QueryPack {
          FROM toks JOIN cnt USING (tok), tot
          GROUP BY doc_id ORDER BY doc_id""",
     "qd21_quality_sample" ->
-      """WITH q AS (
-           SELECT doc_id, lang,
-             least(array_length(w) / 20.0, 1.0) * 0.4 +
-             (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
-             least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3
-             AS qs,
+      s"""WITH $oracleQualityMicro
+         SELECT doc_id, lang, q_u FROM (
+           SELECT doc_id, lang, q_u,
              CAST('0x' || substr(md5('s9-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS h
-           FROM (SELECT doc_id, lang, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
-         SELECT doc_id, lang, CAST(floor(qs * 1000000 + 0.5) AS BIGINT) AS q_u FROM q
-         WHERE CAST(h AS DOUBLE) < (0.1 + 0.9 * qs) * 10000.0
+           FROM qm)
+         WHERE h * 1000000 < 1000 * 1000000 + 9000 * q_u
          ORDER BY doc_id""",
     "qd19_bpe_tokens" ->
       """WITH t AS (SELECT lang, text || '. the-end v2.0!' AS text FROM documents),
@@ -854,15 +865,10 @@ object TextQueries extends QueryPack {
              FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)))
          GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
     "qd05_quality_score" ->
-      """SELECT CAST(floor(qs * 10) AS INTEGER) AS bucket, count(*) AS n,
-         sum(CAST(floor(qs * 1000000 + 0.5) AS BIGINT)) AS sum_q_u FROM (
-           SELECT
-             least(array_length(w) / 20.0, 1.0) * 0.4 +
-             (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 0.3 +
-             least(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS DOUBLE) / array_length(w) * 5.0, 1.0) * 0.3
-             AS qs
-           FROM (SELECT text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
-         GROUP BY bucket ORDER BY bucket""",
+      s"""WITH $oracleQualityMicro
+         SELECT CAST(q_u // 100000 AS INTEGER) AS bucket, count(*) AS n,
+           CAST(sum(q_u) AS BIGINT) AS sum_q_u
+         FROM qm GROUP BY bucket ORDER BY bucket""",
     "qd10_word_count" ->
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)

@@ -275,6 +275,55 @@ class CurationSpec extends AnyFunSuite {
     assert(sel == Set(10L, 2L, 1L))
   }
 
+  test("qualityMicro is all-integer, hand-verifiable, and tracks qualityScore within 2µ (qd05/qd28 regression)") {
+    import spark.implicits._
+    // Round 7 showed floor(raw_double·1e6 + 0.5) is NOT engine-portable:
+    // the corpus puts raw scores exactly on half-micro boundaries, where
+    // a one-ULP cross-engine difference in the raw double flips the
+    // floor. qualityMicro never touches a double — pin its exact values
+    // on hand-counted texts.
+    //   "the cat sat on the mat.": ntok=6, len=23, punct=1, stop=2
+    //     min(6·20000,4e5)=120000; 3e5 − (300000//23)=286957; min(5e5,3e5)=300000
+    val handPinned = Seq(
+      ("the cat sat on the mat.", 706957L),
+      // ntok=1, len=1, punct=0, stop=0: 20000 + 300000 + 0
+      ("x", 320000L),
+      // all-punct 3-char doc: 60000·1? ntok=1 ("...") → 20000; punct=3,len=3
+      // → 300000 − 300000 = 0; stop 0 → 20000
+      ("...", 20000L))
+    val got = handPinned.map(_._1).toDF("text")
+      .select(TextFunctions.qualityMicro(F.col("text")).as("u"))
+      .collect().map(_.getLong(0)).toList
+    assert(got == handPinned.map(_._2).toList)
+
+    // On the real corpus the integer score stays within 2 µ of the raw
+    // double's micro image (two floor-divisions replace exact rationals)
+    // and inside [0, 1e6] — same signal, engine-proof payload.
+    val docs = graft.runtime.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val drift = docs.select(
+        TextFunctions.qualityMicro(F.col("text")).as("u"),
+        (TextFunctions.qualityScore(F.col("text")) * 1e6).as("raw"))
+      .collect()
+    assert(drift.nonEmpty)
+    drift.foreach { r =>
+      val (u, raw) = (r.getLong(0), r.getDouble(1))
+      assert(u >= 0L && u <= 1000000L)
+      assert(math.abs(u - raw) <= 2.0, s"micro=$u raw=$raw drifted > 2µ")
+    }
+
+    // And the budget selection over qualityMicro is partition-invariant
+    // (the ordering key is a long — no double anywhere in the operator).
+    val sel1 = Curation.selectByTokenBudget(docs, "doc_id",
+        TextFunctions.qualityMicro(F.col("text")),
+        TextFunctions.tokenCount(F.col("text")), budget = 2000L, partitions = 1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val sel7 = Curation.selectByTokenBudget(docs, "doc_id",
+        TextFunctions.qualityMicro(F.col("text")),
+        TextFunctions.tokenCount(F.col("text")), budget = 2000L, partitions = 7)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(sel1 == sel7 && sel1.nonEmpty)
+  }
+
   test("leakageSafeSplit keeps every near-dup cluster in one split, deterministically") {
     import spark.implicits._
     val docsDf = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
