@@ -138,6 +138,30 @@ object Merge {
           s"source maps one merge key to multiple $partitionCol values — a " +
             "cross-partition move is outside mergeInPlace's contract; use merge + full rewrite")
       }
+      // Bootstrap: on a not-yet-existing table path the merge degenerates
+      // to "insert everything" — write the source as the initial
+      // partitioned content instead of failing later with an unrelated
+      // PATH_NOT_FOUND from mergePlan's target scan (mergeSnapshot has
+      // the same first-call path; the fact-table entry point needs one
+      // too). deleteWhen does NOT filter here: WHEN MATCHED AND cond
+      // THEN DELETE only fires on matched pairs, and against an empty
+      // target every source row is source-only — inserted regardless,
+      // exactly [[merge]]'s `matched && cond` semantics.
+      val targetPath = new org.apache.hadoop.fs.Path(path)
+      val exists = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(targetPath)
+      if (!exists) {
+        val touched = source.select(partitionCol).distinct()
+          .collect().map(_.get(0)).toSeq
+        if (touched.isEmpty) return touched
+        require(!touched.contains(null),
+          s"source carries a null $partitionCol — the null partition cannot be " +
+            "copy-on-write merged on later batches; clean the source first")
+        // same duplicate-key tripwire the joined path gets from merge()
+        guardUnique(source, keys)
+          .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+        return touched
+      }
       val (touched, merged) = mergePlan(spark, path, source, keys, partitionCol, deleteWhen)
       if (touched.isEmpty) return touched
       // a NULL partition value cannot be pruned (isin(null) matches

@@ -73,7 +73,11 @@ object Snapshots {
     if (!f.exists(base) || latest.isEmpty) return Seq.empty
     f.listStatus(base).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("version="))
-      .map(_.getPath.getName.stripPrefix("version=").toLong)
+      // tolerate stray non-numeric dirs (version=2.bak backups, tooling
+      // artifacts) — they are not versions, and one must not brick every
+      // read/write/vacuum at this path with a NumberFormatException
+      .flatMap(st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("version=").toLong).toOption)
       .filter(_ <= latest.get) // a crashed in-flight write is not a version
       .sorted
   }

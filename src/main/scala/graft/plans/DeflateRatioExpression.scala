@@ -61,8 +61,10 @@ object DeflateRatioExpression {
     d.reset()
     d.setInput(raw)
     d.finish()
-    // deflate can only expand bounded-ly; 64 spare bytes covers the
-    // stored-block overhead for any input that fits a task's row
+    // The buffer need not hold the whole output (stored-block overhead is
+    // ~5 bytes per 64 KB block, so inputs past ~800 KB can exceed the 64
+    // spare bytes): the loop below only COUNTS bytes and re-presents the
+    // same buffer across multiple deflate() passes.
     val out = new Array[Byte](raw.length + 64)
     var total = 0L
     while (!d.finished()) {

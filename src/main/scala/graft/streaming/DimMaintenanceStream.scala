@@ -81,10 +81,23 @@ object DimMaintenanceStream {
       // as the original attempt — identical recompute — and the write
       // target is never a source directory. (Corollary: while the
       // stream runs, vacuum must keep at least the last two versions.)
-      val dim = Snapshots.versions(spark, dimPath).filter(_ < batchId)
-          .lastOption match {
+      val committed = Snapshots.versions(spark, dimPath)
+      val dim = committed.filter(_ < batchId).lastOption match {
         case Some(v) => Snapshots.read(spark, dimPath, v)
         case None =>
+          // Bootstrap branch — ONLY valid on a genuinely empty dim. If
+          // committed versions >= batchId exist that this lineage has no
+          // base for, the path was pre-seeded (Snapshots.writeVersion) or
+          // the checkpoint was deleted so batchIds restarted at 0; merging
+          // against an empty dim would silently overwrite version=batchId
+          // and destroy pinned audit history while LATEST points higher.
+          // Fail loudly instead: resume the original checkpoint or point
+          // the stream at a fresh dim path.
+          require(committed.isEmpty,
+            s"dim at $dimPath already holds committed versions " +
+              s"[${committed.mkString(", ")}] with none below batch $batchId — " +
+              "this checkpoint lineage did not write them (pre-seeded path or " +
+              "reset checkpoint). Refusing to overwrite pinned history.")
           val tsType = batch.schema(tsCol).dataType
           val schema = StructType(
             batch.schema.fields.filter(f => f.name == key || attrs.contains(f.name)) ++

@@ -28,6 +28,15 @@ import org.apache.spark.sql.SparkSession
   * pinned at 8 after both streams stop. The FIRST entrant records the
   * session's value, the LAST exiter restores it — proven by
   * ConcurrentIngestSpec's two-streams race.
+  *
+  * CAVEAT (accepted): the depth counter saves only the first entrant's
+  * value, so two OVERLAPPING streams passing DIFFERENT `n` race on the
+  * transient setting — the inner exit restores nothing, and the
+  * remaining stream runs under the other's value until its own next
+  * trigger re-sets it. The final restore is still correct. Concurrent
+  * streams on one session should therefore pass the same value (or
+  * `None`); a per-entrant value stack cannot fix it anyway, because the
+  * session conf itself is one slot — the streams genuinely contend.
   */
 private[graft] object MicroBatchConf {
 

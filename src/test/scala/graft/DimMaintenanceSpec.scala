@@ -115,4 +115,35 @@ class DimMaintenanceSpec extends AnyFunSuite {
         F.col("valid_to") < F.col("valid_from")).count()
     assert(inverted == 0)
   }
+
+  test("a reset-checkpoint batch 0 refuses to overwrite a pre-seeded dim") {
+    import spark.implicits._
+    val dim = TestFixtures.tmpDir("dim-guard").resolve("dim").toString
+    // pre-seed the path outside any stream lineage (Snapshots.write →
+    // version 0 committed, LATEST = 0)
+    Snapshots.write(
+      Seq((1L, "a",
+          java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+          null.asInstanceOf[java.sql.Timestamp], true))
+        .toDF("k", "seg", "valid_from", "valid_to", "is_current"),
+      dim)
+    val pinned = Snapshots.read(spark, dim, 0L).collect()
+
+    // a fresh checkpoint's batch 0 has no base version < 0 — merging
+    // against an empty dim would overwrite committed version=0 and
+    // destroy pinned history. It must fail loudly instead.
+    val b0 = Seq((2L, "x", java.sql.Timestamp.valueOf("2024-01-02 10:00:00")))
+      .toDF("k", "seg", "ts")
+    val boom = intercept[IllegalArgumentException] {
+      DimMaintenanceStream.processBatch(spark, b0, 0L, dim, "k", "ts")
+    }
+    assert(boom.getMessage.contains("Refusing to overwrite"))
+    // version 0 is untouched
+    assert(Snapshots.read(spark, dim, 0L).collect().toSeq == pinned.toSeq)
+
+    // a batch that DOES have a base below it (batchId 1 over version 0)
+    // proceeds normally — the guard only trips on the bootstrap branch
+    DimMaintenanceStream.processBatch(spark, b0, 1L, dim, "k", "ts")
+    assert(Snapshots.versions(spark, dim) == Seq(0L, 1L))
+  }
 }

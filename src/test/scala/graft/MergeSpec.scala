@@ -157,6 +157,51 @@ class MergeSpec extends AnyFunSuite {
     assert(boom.getMessage.contains("cross-partition"))
   }
 
+  test("mergeInPlace bootstraps a not-yet-existing table from the source") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("merge-boot").resolve("t").toString
+    val source = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-02", 20.0))
+      .toDF("id", "day", "v")
+    // deleteWhen present: WHEN MATCHED never fires on an empty target,
+    // so every row still inserts (merge()'s matched && cond semantics)
+    val touched = Merge.mergeInPlace(spark, path, source, Seq("id"), "day",
+      deleteWhen = Some(F.col("s.v") > 15.0))
+    assert(touched.toSet == Set("2024-01-01", "2024-01-02"))
+    val rows = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("v")).toMap
+    assert(rows == Map(1L -> 10.0, 2L -> 20.0))
+    // and the second call takes the normal joined path against the
+    // bootstrapped content
+    val touched2 = Merge.mergeInPlace(spark, path,
+      Seq((1L, "2024-01-01", 11.0)).toDF("id", "day", "v"), Seq("id"), "day")
+    assert(touched2 == Seq("2024-01-01"))
+    val rows2 = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("v")).toMap
+    assert(rows2 == Map(1L -> 11.0, 2L -> 20.0))
+    // empty source on a missing path: no write, no dir
+    val p2 = TestFixtures.tmpDir("merge-boot").resolve("t2").toString
+    val none = Merge.mergeInPlace(spark, p2,
+      source.filter(F.lit(false)), Seq("id"), "day")
+    assert(none.isEmpty && !new java.io.File(p2).exists())
+  }
+
+  test("snapshots.versions tolerates stray non-numeric version= dirs") {
+    import spark.implicits._
+    import graft.layers.Snapshots
+    val path = TestFixtures.tmpDir("snap-stray").resolve("d").toString
+    Snapshots.write(Seq((1L, "a")).toDF("k", "v"), path)
+    Snapshots.write(Seq((1L, "b")).toDF("k", "v"), path)
+    // a manual backup / tooling artifact next to real versions
+    assert(new java.io.File(s"$path/version=1.bak").mkdirs())
+    assert(Snapshots.versions(spark, path) == Seq(0L, 1L))
+    assert(Snapshots.read(spark, path).collect().head.getString(1) == "b")
+    // vacuum still works with the stray dir present (and leaves it alone)
+    Snapshots.write(Seq((1L, "c")).toDF("k", "v"), path)
+    Snapshots.vacuum(spark, path, keepLast = 1)
+    assert(Snapshots.versions(spark, path) == Seq(2L))
+    assert(new java.io.File(s"$path/version=1.bak").exists())
+  }
+
   test("snapshots: time-travel reads, crash-invisible writes, vacuum keeps the tail") {
     import spark.implicits._
     import graft.layers.Snapshots
