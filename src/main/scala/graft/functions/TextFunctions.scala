@@ -164,6 +164,30 @@ object TextFunctions {
       F.least(exactDiv(stop * F.lit(1500000L), ntok), F.lit(300000L))
   }
 
+  /** Unicode NFC normalization — wraps the native codegen expression
+    * [[graft.plans.NfcNormalizeExpression]] (requires
+    * [[graft.plans.GraftFunctions.register]] on the session). DuckDB
+    * twin: `nfc_normalize(text)` — NFC is defined by the Unicode
+    * standard, so conformant engines produce identical bytes.
+    */
+  def nfcNormalize(text: Column): Column =
+    F.call_function("nfc_normalize", text)
+
+  /** Canonical text normalization for dedup keys / equality joins:
+    * NFC-compose → control chars to spaces → collapse space runs → trim
+    * → lowercase. Every step is engine-portable byte-for-byte (NFC is
+    * standard-defined; the regex classes are explicit ASCII ranges valid
+    * in both java.util.regex and RE2 — `\s` is NOT portable: Java's
+    * includes U+000B, RE2's doesn't). DuckDB twin:
+    * `lower(trim(regexp_replace(regexp_replace(nfc_normalize(t),
+    * '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')))`.
+    */
+  def normalizeText(text: Column): Column =
+    F.lower(F.trim(
+      F.regexp_replace(
+        F.regexp_replace(nfcNormalize(text), "[\\x00-\\x1f\\x7f]", " "),
+        " +", " ")))
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set. Equal for bag-of-words-identical documents.
     */

@@ -343,6 +343,50 @@ object Curation {
     df.filter(h < rate)
   }
 
+  /** Training-mix construction with per-domain EPOCH weights — the
+    * upsampling sibling of [[downsampleByDomain]] (that keeps a rate
+    * ≤ 1; this replicates). Published pretraining mixes oversample
+    * high-value sources (Wikipedia at 3.4 epochs in GPT-3's table,
+    * books > 1 epoch in LLaMA's) and undersample bulk web; the operator
+    * realizes such a table: a weight `w` emits `floor(w)` full copies of
+    * every row plus one more with probability `frac(w)`, decided by the
+    * engine-portable (seed, id) hash — E[copies] = w exactly, and the
+    * realized corpus is a pure function of (seed, weights), reproducible
+    * across runs, engines, cluster sizes, and partitionings. Weights
+    * resolve at 1e-4; `w = 0` drops the domain, unlisted domains take
+    * `defaultWeight`. Emits every input column plus `copy` (0-based
+    * replica index) — downstream shuffles ([[deterministicShuffle]] on
+    * (id, copy)) spread the replicas across training shards.
+    *
+    * Scale: narrow end to end — a CASE ladder, one hash, one
+    * `explode(sequence)`; no shuffle, no driver state. Output size is
+    * the mix's token budget (Σ w·|domain|), the thing the caller chose.
+    * Replicas of one row land in one task; the training-order shuffle
+    * that follows disperses them (documented contract, not a defect).
+    */
+  def mixByWeights(df: DataFrame, idCol: String, domainCol: String,
+      weights: Map[String, Double], defaultWeight: Double, seed: String): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100),
+      "epoch weights must be in [0, 100]")
+    def e4(w: Double): Long = math.round(w * 10000)
+    val wE4 = weights.foldRight(F.lit(e4(defaultWeight)): Column) {
+      case ((dom, w), els) => F.when(F.col(domainCol) === dom, F.lit(e4(w))).otherwise(els)
+    }
+    val h = F.pmod(
+      TextFunctions.portableHash64(
+        F.concat(F.lit(seed + "-"), F.col(idCol).cast("string"))),
+      F.lit(10000L))
+    val copies = TextFunctions.exactDiv(wE4, F.lit(10000L)) +
+      F.when(h < wE4 % 10000, F.lit(1L)).otherwise(F.lit(0L))
+    df.withColumn("__copies", copies)
+      .filter(F.col("__copies") > 0)
+      // sequence(0, -1) would be a DESCENDING range, not empty — the
+      // filter above guarantees copies >= 1 here
+      .withColumn("copy",
+        F.explode(F.sequence(F.lit(0), (F.col("__copies") - 1).cast("int"))))
+      .drop("__copies")
+  }
+
   /** Quality-ordered token-budget selection: walk the corpus in
     * (`quality` DESC, `idCol` ASC) order and keep documents until the
     * running token total reaches `budget` — "the best N-billion-token

@@ -95,6 +95,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     HaversineExpression.register(spark)
     DeflateRatioExpression.register(spark)
+    NfcNormalizeExpression.register(spark)
     DotProduct.register(spark)
     TopKAggregate.register(spark)
     FreqItemsAggregate.register(spark)

@@ -430,6 +430,64 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Per-class PII scrub, oracle-gated end to end: the corpus carries no
+    // real PII (qd14's denylist covers the oracle for that reason), so a
+    // deterministic synthetic block — email, two phone forms, an SSN-shaped
+    // id, an IPv4 — is appended per doc (qd19's injection pattern), then
+    // every class is counted on the original text and redacted in
+    // piiPatterns order. The md5 payload proves byte-identical replacement
+    // spans; the per-class counts prove match parity class by class
+    // (previously only spec-gated on planted fixtures).
+    "qd34_pii_classes" -> ((s, d) => {
+      val Seq(emailP, phoneP, ssnP, ipP) = Curation.piiPatterns
+      val inj = docs(s, d).withColumn("text", F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com, call (555) 867-5309 or 555-014-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(", ssn 123-45-6789, host 10."),
+        F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+        F.lit(".0.7 end")))
+      Curation.redact(inj, "text")
+        .select(F.col("doc_id"),
+          F.regexp_count(F.col("text"), F.lit(emailP)).cast("long").as("n_email"),
+          F.regexp_count(F.col("text"), F.lit(phoneP)).cast("long").as("n_phone"),
+          F.regexp_count(F.col("text"), F.lit(ssnP)).cast("long").as("n_ssn"),
+          F.regexp_count(F.col("text"), F.lit(ipP)).cast("long").as("n_ip"),
+          F.md5(F.col("redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Canonical text normalization (NFC → control strip → space collapse
+    // → trim → lower) through the native nfc_normalize codegen
+    // expression. The corpus is ASCII-light on combining marks, so an
+    // NFD suffix (e + U+0301, I + U+0308), mixed case, a tab, and double
+    // spaces are appended per doc — every normalization step must fire
+    // and the md5 proves byte parity with DuckDB's standard-defined
+    // nfc_normalize.
+    "qd35_normalize_text" -> ((s, d) => {
+      graft.plans.GraftFunctions.register(s)
+      val t = F.concat(F.col("text"), F.lit("  Cafe\u0301 NAI\u0308VE\ttest  "))
+      docs(s, d)
+        .select(F.col("doc_id"),
+          F.md5(normalizeText(t)).as("norm_md5"),
+          F.length(normalizeText(t)).cast("long").as("n_chars_norm"))
+        .orderBy("doc_id")
+    }),
+
+    // Training-mix construction: per-source epoch weights (3.4 epochs of
+    // src0, a quarter epoch of src1, src2 dropped, 1.5 of src3, one
+    // epoch elsewhere — a GPT-3/LLaMA-style mixing table). Replica set
+    // is a pure function of (seed, weights); the oracle re-derives every
+    // copy from the same hash.
+    "qd36_corpus_mix" -> ((s, d) => {
+      Curation.mixByWeights(docs(s, d).select("doc_id", "source"),
+          "doc_id", "source",
+          weights = Map("src0" -> 3.4, "src1" -> 0.25, "src2" -> 0.0, "src3" -> 1.5),
+          defaultWeight = 1.0, seed = "mx1")
+        .orderBy("doc_id", "copy")
+    }),
+
     // Subword (BPE-ish regex) vs whitespace token counting. The corpus is
     // pure lowercase words, where the two modes coincide — a punctuated
     // suffix is appended per doc so the subword split genuinely diverges
@@ -772,6 +830,47 @@ object TextQueries extends QueryPack {
          FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
          GROUP BY t.doc_id, len(t.w)
          ORDER BY t.doc_id""",
+    "qd34_pii_classes" ->
+      """WITH t AS (SELECT doc_id,
+           text || ' Contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com, call (555) 867-5309 or 555-014-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || ', ssn 123-45-6789, host 10.' || CAST(doc_id % 200 AS VARCHAR)
+             || '.0.7 end' AS txt
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(txt, '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(txt, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(txt, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+             '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '[REDACTED]', 'g'),
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[REDACTED]', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[REDACTED]', 'g')) AS redacted_md5
+         FROM t ORDER BY doc_id""",
+    "qd35_normalize_text" ->
+      """SELECT doc_id, md5(norm) AS norm_md5,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm
+         FROM (SELECT doc_id,
+           lower(trim(regexp_replace(regexp_replace(
+             nfc_normalize(text || '  Cafe' || chr(769) || ' NAI' || chr(776)
+               || 'VE' || chr(9) || 'test  '),
+             '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS norm
+           FROM documents)
+         ORDER BY doc_id""",
+    "qd36_corpus_mix" ->
+      """WITH m AS (
+           SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 34000 WHEN 'src1' THEN 2500
+               WHEN 'src2' THEN 0 WHEN 'src3' THEN 15000 ELSE 10000 END AS w_e4,
+             CAST('0x' || substr(md5('mx1-' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS h
+           FROM documents)
+         SELECT doc_id, source, CAST(c AS INTEGER) AS copy
+         FROM (SELECT doc_id, source,
+             unnest(range(0, w_e4 // 10000 + CASE WHEN h < w_e4 % 10000 THEN 1 ELSE 0 END)) AS c
+           FROM m)
+         ORDER BY doc_id, copy""",
     "qd24_tfidf_terms" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),

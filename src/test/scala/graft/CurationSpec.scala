@@ -420,6 +420,38 @@ class CurationSpec extends AnyFunSuite {
       "kept set is not quality-biased")
   }
 
+  test("mixByWeights realizes per-domain epoch weights deterministically") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, s"dom${i % 4}")).toDF("doc_id", "source")
+    val weights = Map("dom0" -> 3.0, "dom1" -> 0.5, "dom2" -> 0.0)
+    val out = Curation.mixByWeights(df, "doc_id", "source", weights,
+      defaultWeight = 1.0, seed = "mx")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("copy")))
+    val copies = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // integer weight: every dom0 doc gets exactly 3 copies, indexed 0..2
+    (4L to 1000L by 4).foreach { i =>
+      assert(copies(i) == Seq(0, 1, 2), s"doc $i: ${copies.get(i)}")
+    }
+    // zero weight drops the domain entirely
+    assert((2L to 1000L by 4).forall(i => !copies.contains(i)))
+    // default weight 1.0: exactly one copy
+    assert((3L to 1000L by 4).forall(i => copies.get(i).contains(Seq(0))))
+    // fractional weight 0.5: a (seed, id)-hash subset with one copy each;
+    // realized rate near 0.5 and every kept doc has copy 0 only
+    val dom1 = (1L to 1000L by 4).filter(copies.contains)
+    assert(dom1.forall(i => copies(i) == Seq(0)))
+    assert(dom1.size > 85 && dom1.size < 165, s"dom1 kept ${dom1.size}/250, expected ~125")
+    // deterministic: same seed → same realization; new seed → different
+    val again = Curation.mixByWeights(df, "doc_id", "source", weights,
+      defaultWeight = 1.0, seed = "mx")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("copy"))).sorted
+    assert(again.toSeq == out.sorted.toSeq)
+    val other = Curation.mixByWeights(df, "doc_id", "source", weights,
+      defaultWeight = 1.0, seed = "mx2")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("copy"))).sorted
+    assert(other.toSeq != out.sorted.toSeq)
+  }
+
   test("deterministicShuffle shards completely with contiguous positions, seed-dependent order") {
     val docs = graft.runtime.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id")
