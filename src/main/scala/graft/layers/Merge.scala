@@ -244,6 +244,68 @@ object Merge {
       key: String, changeTs: Column): Long =
     Snapshots.write(scd2(Snapshots.read(spark, path), updates, key, changeTs), path)
 
+  /** Change data feed between two table states — Delta CDF's
+    * `table_changes` analog as a content transform: every row of the diff
+    * carries `change_type` ∈ {insert, delete, update_preimage,
+    * update_postimage} (Delta's vocabulary), where
+    *
+    *   - a key only in `after` emits its row as `insert`;
+    *   - a key only in `before` emits its row as `delete`;
+    *   - a key in both whose non-key columns differ (null-safe `<=>`)
+    *     emits TWO rows — the before image and the after image;
+    *   - an unchanged key emits nothing.
+    *
+    * This is the downstream-sync primitive the lakehouse story needs
+    * beside time travel: "what changed between version 3 and 7" feeds
+    * incremental consumers (index maintenance, cache invalidation,
+    * audit) without re-reading either full state. Both frames must share
+    * the key columns and compared columns = `before`'s non-key columns
+    * (schema evolution diffs are a MERGE concern, not a CDF one).
+    *
+    * Scale: ONE shuffle of each side on the keys (same full-outer shape
+    * as [[merge]] — no broadcast path exists for full-outer); the
+    * update explode is narrow. Null keys never match (SQL join
+    * semantics): a null-keyed row on either side surfaces as its side's
+    * insert/delete, which is the honest reading of an unmatchable key.
+    * Oracle-gated as ql09 (DuckDB full-outer twin).
+    */
+  def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs at least one key column")
+    val cols = before.columns.toSeq
+    require(after.columns.toSeq == cols,
+      s"diff requires identical schemas; before=${cols.mkString(",")} " +
+        s"after=${after.columns.mkString(",")}")
+    val attrs = cols.filterNot(keys.contains)
+    val b = before.withColumn("__in_b", F.lit(1)).as("b")
+    val a = after.withColumn("__in_a", F.lit(1)).as("a")
+    val joined = b.join(a,
+      keys.map(k => F.col(s"b.$k") === F.col(s"a.$k")).reduce(_ && _),
+      "full_outer")
+    val inB = F.col("b.__in_b").isNotNull
+    val inA = F.col("a.__in_a").isNotNull
+    val changed = attrs
+      .map(c => !(F.col(s"b.$c") <=> F.col(s"a.$c")))
+      .reduceOption(_ || _).getOrElse(F.lit(false))
+    def img(side: String, tpe: String) =
+      F.struct(cols.map(c => F.col(s"$side.$c").as(c)) :+ F.lit(tpe).as("change_type"): _*)
+    val images = F.when(!inB, F.array(img("a", "insert")))
+      .when(!inA, F.array(img("b", "delete")))
+      .when(changed, F.array(img("b", "update_preimage"), img("a", "update_postimage")))
+      .otherwise(F.array())
+    joined.select(F.explode(images).as("__c"))
+      .select((cols :+ "change_type").map(c => F.col(s"__c.$c")): _*)
+  }
+
+  /** [[diff]] between two pinned [[Snapshots]] versions — time travel's
+    * reading side composed with the change feed: `VERSION AS OF v1` →
+    * `VERSION AS OF v2` changes without replaying the maintenance
+    * batches in between.
+    */
+  def diffSnapshots(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame =
+    diff(Snapshots.read(spark, path, fromVersion),
+      Snapshots.read(spark, path, toVersion), keys)
+
   /** SCD Type 2 dimension maintenance: `dim` carries
     * (key, attrs..., valid_from, valid_to, is_current) and `updates`
     * carries (key, tracked attrs...) observed at `changeTs`. Emits the

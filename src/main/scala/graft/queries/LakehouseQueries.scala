@@ -168,6 +168,24 @@ object LakehouseQueries extends QueryPack {
         .orderBy("c_custkey", "valid_from", "is_current")
     }),
 
+    // Change data feed between two table states (Delta CDF's
+    // table_changes analog): the two states are derived deterministically
+    // from orders — %5=0 keys deleted, %5=4 keys inserted, %3=0 survivors
+    // get a mutated o_custkey (update pre+post images), the rest are
+    // unchanged and emit nothing. All-integer/string payload.
+    "ql09_snapshot_diff" -> ((s, d) => {
+      val o = graft.runtime.Tables.load(s, d, "orders")
+      val before = o.filter(F.col("o_orderkey") % 5 =!= 4)
+        .select(F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus"))
+      val after = o.filter(F.col("o_orderkey") % 5 =!= 0)
+        .select(F.col("o_orderkey"),
+          F.when(F.col("o_orderkey") % 3 === 0, F.col("o_custkey") + 1000000L)
+            .otherwise(F.col("o_custkey")).as("o_custkey"),
+          F.col("o_orderstatus"))
+      graft.layers.Merge.diff(before, after, Seq("o_orderkey"))
+        .orderBy("o_orderkey", "change_type")
+    }),
+
     // latest_metrics shape: single-row global metrics + alert ladder.
     "ql04_latest_metrics" -> ((s, d) => {
       ev(s, d).agg(
@@ -291,6 +309,28 @@ object LakehouseQueries extends QueryPack {
            strftime(vt, '%Y-%m-%d') AS valid_to,
            CAST(cu AS INT) AS is_current
          FROM outp ORDER BY c_custkey, valid_from, is_current""",
+    "ql09_snapshot_diff" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS s
+           FROM orders WHERE o_orderkey % 5 <> 4),
+         a AS (SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS c,
+             o_orderstatus AS s
+           FROM orders WHERE o_orderkey % 5 <> 0),
+         j AS (SELECT b.k AS bk, b.c AS bc, b.s AS bs, a.k AS ak, a.c AS ac, a.s AS asx
+           FROM b FULL OUTER JOIN a ON b.k = a.k)
+         SELECT k AS o_orderkey, c AS o_custkey, s AS o_orderstatus, change_type FROM (
+           SELECT ak AS k, ac AS c, asx AS s, 'insert' AS change_type FROM j WHERE bk IS NULL
+           UNION ALL
+           SELECT bk, bc, bs, 'delete' FROM j WHERE ak IS NULL
+           UNION ALL
+           SELECT bk, bc, bs, 'update_preimage' FROM j
+           WHERE bk IS NOT NULL AND ak IS NOT NULL
+             AND (bc IS DISTINCT FROM ac OR bs IS DISTINCT FROM asx)
+           UNION ALL
+           SELECT ak, ac, asx, 'update_postimage' FROM j
+           WHERE bk IS NOT NULL AND ak IS NOT NULL
+             AND (bc IS DISTINCT FROM ac OR bs IS DISTINCT FROM asx))
+         ORDER BY o_orderkey, change_type""",
     "ql06_error_patterns" ->
       """SELECT CASE WHEN value < 50 THEN 1 WHEN value < 150 THEN 2
                     WHEN value < 300 THEN 3 ELSE 4 END AS value_bin,

@@ -185,6 +185,59 @@ class MergeSpec extends AnyFunSuite {
     assert(none.isEmpty && !new java.io.File(p2).exists())
   }
 
+  test("diff emits the four CDF change types; unchanged rows emit nothing") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Some("a"), 10.0), // unchanged
+      (2L, Some("b"), 20.0), // deleted
+      (3L, Some("c"), 30.0), // updated (value change)
+      (4L, None: Option[String], 40.0)) // updated (null -> value, null-safe)
+      .toDF("k", "seg", "v")
+    val after = Seq(
+      (1L, Some("a"), 10.0),
+      (3L, Some("c"), 31.0),
+      (4L, Some("d"), 40.0),
+      (9L, Some("n"), 90.0)) // inserted
+      .toDF("k", "seg", "v")
+    val out = Merge.diff(before, after, Seq("k")).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"),
+        Option(r.getAs[String]("seg")), r.getAs[Double]("v"))).toSet
+    assert(out == Set(
+      (2L, "delete", Some("b"), 20.0),
+      (3L, "update_preimage", Some("c"), 30.0),
+      (3L, "update_postimage", Some("c"), 31.0),
+      (4L, "update_preimage", None, 40.0),
+      (4L, "update_postimage", Some("d"), 40.0),
+      (9L, "insert", Some("n"), 90.0)))
+    // identical states diff to empty
+    assert(Merge.diff(before, before, Seq("k")).isEmpty)
+    // schema mismatch is rejected up front
+    val boom = intercept[IllegalArgumentException] {
+      Merge.diff(before, after.drop("v"), Seq("k"))
+    }
+    assert(boom.getMessage.contains("identical schemas"))
+  }
+
+  test("diffSnapshots reads the change feed between two pinned versions") {
+    import spark.implicits._
+    import graft.layers.Snapshots
+    val path = TestFixtures.tmpDir("snap-diff").resolve("d").toString
+    Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    Snapshots.write(Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), path)
+    val out = Merge.diffSnapshots(spark, path, 0L, 1L, Seq("k")).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"), r.getAs[String]("v")))
+      .toSet
+    assert(out == Set(
+      (1L, "update_preimage", "a"), (1L, "update_postimage", "a2"),
+      (2L, "delete", "b"), (3L, "insert", "c")))
+    // the reverse direction is the inverse feed
+    val rev = Merge.diffSnapshots(spark, path, 1L, 0L, Seq("k")).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"))).toSet
+    assert(rev == Set(
+      (1L, "update_preimage"), (1L, "update_postimage"),
+      (2L, "insert"), (3L, "delete")))
+  }
+
   test("snapshots.versions tolerates stray non-numeric version= dirs") {
     import spark.implicits._
     import graft.layers.Snapshots

@@ -367,6 +367,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB regime for fact ⋈ selectively-filtered dim when the dim
+    // is too big to broadcast: Spark's InjectRuntimeFilter builds a bloom
+    // filter over the dim's join keys and pushes a might_contain probe
+    // into the fact side, so most fact rows die before the shuffle. The
+    // feature is on by default; what gates it are SIZE thresholds the
+    // test-scale data sits below (application side must scan > 10 GB by
+    // default) — so the contract to pin is: with thresholds representing
+    // the big-data regime, the filter IS injected for this join shape,
+    // and the result is unchanged. On a real cluster the defaults fire
+    // on exactly the q08-family joins.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // dim unbroadcastable
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      def join() = graft.runtime.Tables.load(spark, sf, "orders")
+        .join(
+          graft.runtime.Tables.load(spark, sf, "customer")
+            .filter(F.col("c_mktsegment") === "BUILDING"),
+          F.col("o_custkey") === F.col("c_custkey"))
+        .select("o_orderkey", "c_name")
+      val df = join()
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$opt")
+      val withBloom = df.collect().map(_.toSeq).toSet
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val without = join().collect().map(_.toSeq).toSet
+      assert(withBloom == without && withBloom.nonEmpty,
+        "bloom-pruned join changed the result")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("GraftExtensions injects native functions at session build") {
     spark // materialize the shared session first
     SparkSession.clearActiveSession()
