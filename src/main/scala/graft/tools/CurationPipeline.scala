@@ -65,6 +65,11 @@ object CurationPipeline {
     * exists to prevent. The semantic evidence is deliberately NOT fed to
     * the dedup drop (whether paraphrases are duplicates is corpus
     * policy; that they must not straddle splits is not).
+    *
+    * `normalize = true` prepends canonical text normalization
+    * ([[TextFunctions.normalizeText]]: NFC + case/control/space folding)
+    * so NFC/NFD and case variants of the same rendered text unify before
+    * any dedup key is computed.
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       budget: Int = 512, nShards: Int = 8,
@@ -74,11 +79,24 @@ object CurationPipeline {
       minDeflateRatio: Double = 0.0,
       tokenBudget: Long = 0L,
       splits: Seq[(String, Int)] = Nil, splitSeed: String = "split-v1",
-      semanticPairs: Option[DataFrame] = None): StageCounts = {
-    if (minDeflateRatio > 0) graft.plans.GraftFunctions.register(spark)
+      semanticPairs: Option[DataFrame] = None,
+      normalize: Boolean = false): StageCounts = {
+    if (minDeflateRatio > 0 || normalize) graft.plans.GraftFunctions.register(spark)
     val all = Tables.load(spark, sfDir, "documents")
     val bench = all.filter(F.col("doc_id") % 20 === 0)
-    val corpus = all.filter(F.col("doc_id") % 20 =!= 0).cache()
+    // 0.5 (opt-in): canonical normalization FIRST — NFC composition +
+    // case/control/space folding ([[TextFunctions.normalizeText]]), so
+    // every downstream key (exact fingerprints, shingles, span hashes)
+    // sees ONE spelling of each rendered text. Without it, NFC and NFD
+    // encodings of the same document count as distinct (web scrapes mix
+    // both), and the dedup stages silently under-collapse. Narrow —
+    // folds into the scan projection, no extra pass.
+    val corpus = {
+      val c = all.filter(F.col("doc_id") % 20 =!= 0)
+      if (normalize)
+        c.withColumn("text", TextFunctions.normalizeText(F.col("text")))
+      else c
+    }.cache()
 
     // 1. exact dedup on the content fingerprint, min-id representative
     val fp = TextFunctions.contentFingerprint(F.col("text"))

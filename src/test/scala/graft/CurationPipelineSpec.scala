@@ -197,4 +197,38 @@ class CurationPipelineSpec extends AnyFunSuite {
     val moved = before.keys.count(d => before(d) != after(d))
     assert(moved <= before.size / 2, s"merge moved $moved docs — far beyond the two clusters")
   }
+
+  test("normalize=true unifies NFC/NFD and case twins before dedup keys are cut") {
+    import spark.implicits._
+    // fixture corpus: doc 1 and doc 21 are the SAME rendered text in NFC
+    // and NFD spellings (plus a case difference); doc 41 is unrelated.
+    // Byte-level keys see 1 and 21 as distinct; normalized keys collapse
+    // them to the min-id representative.
+    val nfc = "caf\u00e9 the corpus of the day is here and the text goes on and on"
+    val nfd = "CAFE\u0301 the corpus of the day is here and the text goes on and on"
+    val other = "a completely different document about the spark engine and the lake"
+    val work = TestFixtures.tmpDir("curated-nfc")
+    val sfDir = work.resolve("data")
+    java.nio.file.Files.createDirectories(sfDir)
+    Seq(
+      (1L, nfc, "en", "src0", nfc.length.toLong),
+      (21L, nfd, "en", "src0", nfd.length.toLong),
+      (41L, other, "en", "src0", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(sfDir.resolve("documents.parquet").toString)
+
+    val outRaw = work.resolve("raw").toString
+    val raw = CurationPipeline.run(spark, sfDir.toString, outRaw).stages.toMap
+    val outNorm = work.resolve("norm").toString
+    val norm = CurationPipeline.run(spark, sfDir.toString, outNorm,
+      normalize = true).stages.toMap
+    // byte-level dedup keeps both spellings; normalized dedup drops one
+    assert(raw("exact_dedup") == 3, raw.toString)
+    assert(norm("exact_dedup") == 2, norm.toString)
+    // and the survivor is the min-id representative with normalized text
+    val kept = spark.read.parquet(outNorm)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(1L) && !ids.contains(21L), ids.toString)
+  }
 }
