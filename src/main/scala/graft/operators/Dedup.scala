@@ -43,8 +43,13 @@ object Dedup {
       i => F.concat_ws(" ", F.slice(w, i + 1, F.lit(n))))
     df.select(F.col(idCol), TextFunctions.tokens(F.col(textCol)).as("__w"))
       .select(F.col(idCol),
+        // (id, shingle) is ALREADY distinct here: array_distinct dedups
+        // within the doc and ids are unique rows — a trailing
+        // .distinct() would re-prove that with a full exchange of the
+        // corpus-shingle relation (measured: one ~40 MB shuffle per
+        // consumer chain at sf0.1, the single largest exchange in the
+        // qd07/qd32 pipelines; pure waste at any scale)
         F.explode(F.array_distinct(F.when(F.size(w) >= n, grams).otherwise(F.array()))).as("shingle"))
-      .distinct()
   }
 
   /** Exact duplicate groups by an arbitrary key expression: groups with
@@ -72,8 +77,9 @@ object Dedup {
     * generated.
     */
   private def jaccardVerify(
-      cands: DataFrame, sh: DataFrame, counts: DataFrame, minJ: Double): DataFrame =
-    jaccardVerifyBipartite(cands, sh, sh, counts, counts, minJ)
+      cands: DataFrame, sh: DataFrame, counts: DataFrame, minJ: Double,
+      candidateBounded: Boolean = false): DataFrame =
+    jaccardVerifyBipartite(cands, sh, sh, counts, counts, minJ, candidateBounded)
 
   /** Bipartite form of the verification kernel: a-side and b-side shingle
     * / count relations are distinct (incremental-ingest probes pass the
@@ -81,19 +87,43 @@ object Dedup {
     * see [[NearDupIndex]]; the b-side join keys lead with the doc id, so
     * an id-bucketed historical table joins without being reshuffled).
     * Expects (id, shingle) / (id, n_sh) column order on each relation.
+    *
+    * `candidateBounded = true` prefilters each side's shingle AND count
+    * relation to the ids the candidate list actually references, via a
+    * broadcast LEFT SEMI — cutting the verification exchange from
+    * corpus-shingle-sized to candidate-shingle-sized (measured at sf0.1:
+    * qd07's shuffle write 125 → ~16 MB; the improvement compounds with
+    * scale because LSH candidates are collision-bounded while the corpus
+    * is not). ONLY enable when the candidate list is known bounded (LSH
+    * banding with a doc-freq-cooled bucket input, or a batch-sized
+    * probe): the id list is BROADCAST, and the caller should have cached
+    * `cands` — the prefilter consumes it twice more.
     */
   private[operators] def jaccardVerifyBipartite(
       cands: DataFrame, aShRel: DataFrame, bShRel: DataFrame,
-      aCounts: DataFrame, bCounts: DataFrame, minJ: Double): DataFrame = {
-    val aSh = aShRel.toDF("a_id", "shingle")
-    val bSh = bShRel.toDF("b_id", "shingle")
+      aCounts: DataFrame, bCounts: DataFrame, minJ: Double,
+      candidateBounded: Boolean = false): DataFrame = {
+    val aSh0 = aShRel.toDF("a_id", "shingle")
+    val bSh0 = bShRel.toDF("b_id", "shingle")
+    val aCnt0 = aCounts.toDF("a_id", "na")
+    val bCnt0 = bCounts.toDF("b_id", "nb")
+    val (aSh, bSh, aCnt, bCnt) =
+      if (!candidateBounded) (aSh0, bSh0, aCnt0, bCnt0)
+      else {
+        val aIds = F.broadcast(cands.select("a_id").distinct())
+        val bIds = F.broadcast(cands.select("b_id").distinct())
+        (aSh0.join(aIds, Seq("a_id"), "left_semi"),
+          bSh0.join(bIds, Seq("b_id"), "left_semi"),
+          aCnt0.join(aIds, Seq("a_id"), "left_semi"),
+          bCnt0.join(bIds, Seq("b_id"), "left_semi"))
+      }
     cands
       .join(aSh, "a_id")
       .join(bSh, Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id")
       .agg(F.count(F.lit(1)).as("shared"))
-      .join(aCounts.toDF("a_id", "na"), "a_id")
-      .join(bCounts.toDF("b_id", "nb"), "b_id")
+      .join(aCnt, "a_id")
+      .join(bCnt, "b_id")
       // raw division of exact integer counts: a single correctly-rounded
       // IEEE op, bit-identical in any engine — so the >= minJ decision is
       // portable. Decimal rounding here would make the threshold (and any
@@ -232,11 +262,18 @@ object Dedup {
       if (maxDocFreq == Int.MaxValue) sh
       else sh.join(hotShingles(sh, maxDocFreq), Seq("shingle"), "left_anti")
     val sigs = minhashSignatures(shSig, idCol, numHashes)
+    // cached: the candidate-bounded verify consumes the candidate list
+    // three times (a-ids, b-ids, the join) — uncached it would re-run
+    // the signature aggregation and banding per consumer
     val cands = lshCandidates(lshBuckets(sigs, idCol, bands, rowsPerBand), idCol)
+      .cache()
     val counts = sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
-    // verify candidates with exact Jaccard: join candidates back to the
-    // shingle relation (broadcast the candidate list when it is small).
-    (jaccardVerify(cands, sh, counts, minJ), () => { sh.unpersist(blocking = true); () })
+    // verify candidates with exact Jaccard, candidate-bounded: banding
+    // bounds the candidate list (maxDocFreq cools pathological buckets),
+    // so the broadcast-semi prefilter is safe and the verification
+    // exchange is candidate-shingle-sized, not corpus-shingle-sized
+    (jaccardVerify(cands, sh, counts, minJ, candidateBounded = true),
+      () => { sh.unpersist(blocking = true); cands.unpersist(blocking = true); () })
   }
 
   /** `bits`-wide SimHash over distinct tokens: bit b of the signature is
@@ -291,9 +328,14 @@ object Dedup {
     val cands = bBuckets.toDF("a_id", "band_idx", "band_hash")
       .join(hBuckets.toDF("b_id", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
       .select("a_id", "b_id").distinct()
+      .cache() // the candidate-bounded verify consumes it three times
     val bCounts = bSh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
     val hCounts = hSh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
-    jaccardVerifyBipartite(cands, bSh, hSh, bCounts, hCounts, minJ)
+    // candidate-bounded: the HISTORY side's shingle/count exchange drops
+    // from history-sized to candidate-sized — the side that grows without
+    // bound in a standing ingest pipeline
+    jaccardVerifyBipartite(cands, bSh, hSh, bCounts, hCounts, minJ,
+      candidateBounded = true)
   }
 
   /** Incremental-ingest dedup: classify every document of a new batch
