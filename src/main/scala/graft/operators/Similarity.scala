@@ -292,8 +292,10 @@ object Similarity {
 
     val nChunks = bits / chunkBits
     val mask = (1L << chunkBits) - 1
-    val sigs = df.select(F.col(idCol), F.col(vecCol), sig.as("__sig"),
-      norm(F.col(vecCol)).as("__norm"))
+    // signature relation carries ONLY (id, sig): the verify step below
+    // must not inherit the 24 vec_dot projections per row it would
+    // recompute per side
+    val sigs = df.select(F.col(idCol), sig.as("__sig"))
     val chunks = sigs.select(F.col(idCol),
       F.explode(F.array((0 until nChunks).map(j =>
         F.struct(F.lit(j).as("chunk_idx"),
@@ -302,12 +304,21 @@ object Similarity {
 
     val a = chunks.toDF("a_id", "chunk_idx", "chunk")
     val b = chunks.toDF("b_id", "chunk_idx", "chunk")
+    // cached: the candidate-bounded verify consumes the list three times
     val cands = a.join(b, Seq("chunk_idx", "chunk"))
       .filter(F.col("a_id") < F.col("b_id"))
       .select("a_id", "b_id").distinct()
+      .cache()
 
-    val lhs = sigs.select(F.col(idCol).as("a_id"), F.col(vecCol).as("a_vec"), F.col("__norm").as("a_norm"))
-    val rhs = sigs.select(F.col(idCol).as("b_id"), F.col(vecCol).as("b_vec"), F.col("__norm").as("b_norm"))
+    // candidate-bounded exact verify (same discipline as the MinHash
+    // kernel): only vectors referenced by some candidate pair join —
+    // the exchange is candidate-sized, not corpus-sized, and chunked
+    // banding bounds the candidate list
+    val base = df.select(F.col(idCol), F.col(vecCol), norm(F.col(vecCol)).as("__n"))
+    val lhs = base.toDF("a_id", "a_vec", "a_norm")
+      .join(F.broadcast(cands.select("a_id").distinct()), Seq("a_id"), "left_semi")
+    val rhs = base.toDF("b_id", "b_vec", "b_norm")
+      .join(F.broadcast(cands.select("b_id").distinct()), Seq("b_id"), "left_semi")
     cands.join(lhs, "a_id").join(rhs, "b_id")
       .withColumn("cos_sim",
         F.round(dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")), 4))
