@@ -116,6 +116,40 @@ class DimMaintenanceSpec extends AnyFunSuite {
     assert(inverted == 0)
   }
 
+  test("diffSnapshots between consecutive dim versions is exactly the applied SCD2 change") {
+    import spark.implicits._
+    import graft.layers.Merge
+    val dim = TestFixtures.tmpDir("dim-cdf").resolve("dim").toString
+    // batch 0: keys 1, 2 appear
+    DimMaintenanceStream.processBatch(spark,
+      Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, "x", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+        .toDF("k", "seg", "ts"),
+      0L, dim, "k", "ts")
+    // batch 1: key 1 changes, key 3 is new, key 2 untouched
+    DimMaintenanceStream.processBatch(spark,
+      Seq((1L, "b", java.sql.Timestamp.valueOf("2024-01-02 09:00:00")),
+        (3L, "z", java.sql.Timestamp.valueOf("2024-01-02 09:00:00")))
+        .toDF("k", "seg", "ts"),
+      1L, dim, "k", "ts")
+
+    // the change feed v0 -> v1, keyed by the SCD2 row identity
+    // (k, valid_from): the close-out is an update (valid_to/is_current
+    // flipped), the new current version and the new key are inserts,
+    // the untouched key emits nothing
+    val feed = Merge.diffSnapshots(spark, dim, 0L, 1L, Seq("k", "valid_from"))
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("seg"),
+        r.getAs[String]("change_type"),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(feed == Set(
+      (1L, "a", "update_preimage", true),   // current row before close-out
+      (1L, "a", "update_postimage", false), // closed out
+      (1L, "b", "insert", true),            // the new current version
+      (3L, "z", "insert", true)),           // brand-new key
+      feed.toString)
+  }
+
   test("a reset-checkpoint batch 0 refuses to overwrite a pre-seeded dim") {
     import spark.implicits._
     val dim = TestFixtures.tmpDir("dim-guard").resolve("dim").toString
