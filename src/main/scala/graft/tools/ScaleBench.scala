@@ -260,6 +260,42 @@ object ScaleBench {
       queries.unpersist(); v.unpersist()
     }
 
+    // --- 5. the COMPOSED corpus build at scale: CurationPipeline end to
+    // end (exact dedup → MinHash near-dup + CC → decontaminate → redact
+    // → span scrub → quality/lang/repetition gates → rebalance → splits
+    // → pack → sharded write). Kernels scaling individually does not
+    // prove the composition does — this leg measures the whole build.
+    // Replication suffixes every THIRD token (any trigram window then
+    // contains a rewritten token, so shingle sets stay disjoint across
+    // replicas and pair structure scales linearly) while two thirds of
+    // the tokens — including the language-marker stopwords the
+    // quality/langId gates key on — survive verbatim.
+    if (legs("pipeline")) for (k <- Seq(1, 4, 8)) {
+      val full = Tables.load(spark, sfDir, "documents")
+      val scaled = (0 until k).map { r =>
+        val text =
+          if (r == 0) F.col("text")
+          else F.array_join(
+            F.transform(F.split(F.col("text"), " "),
+              (t, i) => F.when(i % 3 === 2, F.concat(t, F.lit(s"_$r"))).otherwise(t)),
+            " ")
+        full.select(
+          (F.col("doc_id") + F.lit(r * 10000000L)).as("doc_id"),
+          text.as("text"), F.col("lang"), F.col("source"))
+      }.reduce(_.union(_)).withColumn("n_chars", F.length(F.col("text")))
+      val work = java.nio.file.Files.createTempDirectory("scale-pipeline")
+      scaled.write.mode("overwrite").parquet(s"$work/documents.parquet")
+      val (t, counts) = time(graft.tools.CurationPipeline.run(
+        spark, work.toString, s"$work/shards",
+        scrubSpanWidth = 8, scrubMinDf = 3,
+        splits = Seq(("train", 80), ("val", 10), ("test", 10))))
+      val m = counts.stages.toMap
+      emit(s"""{"leg":"pipeline","scale":$k,"n_docs":${m("corpus")},""" +
+        f""""pipeline_sec":$t%.2f,"docs_per_sec":${(m("corpus") / t).toLong},""" +
+        s""""near_deduped":${m("near_dedup")},"gated":${m("repetition")},""" +
+        s""""packed":${m("packed")}}""")
+    }
+
     val doc = s"""{"metric":"scale_crossover","unit":"sec","sf_dir":"$sfDir",""" +
       s""""load_start":$load0,"load_end":${graft.Bench.loadavg()},""" +
       s""""rows":[${rows.mkString(",\n ")}]}"""
