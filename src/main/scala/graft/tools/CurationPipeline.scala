@@ -114,12 +114,22 @@ object CurationPipeline {
     // every b_id) mishandles star/chain clusters — e.g. pairs (5,9) and
     // (2,9) would keep both 5 and 2 although they sit in one cluster;
     // the transitive closure keeps exactly one doc per cluster.
+    // cached: consumed by the component drop here AND by the split
+    // stage's pair list — uncached, the signature/banding/verify chain
+    // would run twice
     val nearPairs = Dedup
       .minhashNearDupPairs(deduped, "doc_id", "text", n = 3, minJ = 0.6)
+      .cache()
     val nearLosers = Dedup.connectedComponents(nearPairs, "a_id", "b_id")
       .filter(F.col("id") =!= F.col("comp"))
       .select(F.col("id").as("doc_id"))
+    // cached: every downstream stage AND every per-stage diagnostic
+    // count replans from here; uncached, each of the ~7 stage counts
+    // re-executed the dedup prefix (shingling, MinHash, components) —
+    // measured as the bulk of the composed build's wall time. At 100 TB
+    // this cache is the staging write between dedup and curation.
     val nearDeduped = deduped.join(nearLosers, Seq("doc_id"), "left_anti")
+      .cache()
 
     // 3. benchmark decontamination (4-gram overlap scrub)
     val clean = Curation.dropContaminated(nearDeduped, bench, "doc_id", "text", 4)
@@ -158,10 +168,14 @@ object CurationPipeline {
         (if (minDeflateRatio > 0)
           TextFunctions.deflateRatio(F.col("text")) >= minDeflateRatio
          else F.lit(true)))
+    // cached: the repetition join's gram tables are the second-heaviest
+    // kernel; balanced/budgeted counts and the pack input all replan
+    // through it
     val filtered = scored.join(
       Curation.repetitionStats(scored, "doc_id", "text")
         .filter(F.col("keep") === 1).select("doc_id"),
       Seq("doc_id"), "left_semi")
+      .cache()
 
     // 6. domain rebalancing (deterministic, reproducible across runs)
     val balanced = Curation.downsampleByDomain(filtered, "doc_id", "lang",
@@ -262,6 +276,9 @@ object CurationPipeline {
             if e.getCondition == "UNABLE_TO_INFER_SCHEMA" => 0L
       })))
     corpus.unpersist()
+    nearPairs.unpersist()
+    nearDeduped.unpersist()
+    filtered.unpersist()
     chunked.unpersist()
     counts
   }
