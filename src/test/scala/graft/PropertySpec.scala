@@ -230,4 +230,57 @@ class PropertySpec extends AnyFunSuite {
         }
       }
   }
+
+  test("exactDiv equals BigInt floor division on non-negative longs") {
+    import spark.implicits._
+    val pairs = samples(for {
+      a <- Gen.choose(0L, 1L << 52)
+      b <- Gen.choose(1L, 1L << 26)
+    } yield (a, b), 300)
+    val got = pairs.toDF("a", "b")
+      .select(graft.functions.TextFunctions.exactDiv(F.col("a"), F.col("b")))
+      .collect().map(_.getLong(0))
+    pairs.zip(got).foreach { case ((a, b), q) =>
+      assert(q == a / b, s"exactDiv($a, $b) = $q, expected ${a / b}")
+    }
+  }
+
+  test("qualityMicro: bounded, integer-exact, within 2 micro of the raw score") {
+    import spark.implicits._
+    val word = Gen.oneOf("the", "a", "of", "and", "cat", "runs", "fast",
+      "spark", "x1", "yz", "engine.", "data,", "!", "?!")
+    val text = for {
+      n <- Gen.choose(1, 60)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val texts = samples(text, 250)
+    val rows = texts.toDF("text").select(
+      graft.functions.TextFunctions.qualityMicro(F.col("text")).as("u"),
+      (graft.functions.TextFunctions.qualityScore(F.col("text")) * 1e6).as("raw"))
+      .collect()
+    rows.foreach { r =>
+      val (u, raw) = (r.getLong(0), r.getDouble(1))
+      assert(u >= 0L && u <= 1000000L, s"micro out of range: $u")
+      assert(math.abs(u - raw) <= 2.0, s"micro=$u raw=$raw")
+    }
+  }
+
+  test("mixByWeights realizes floor(w) or ceil(w) copies per row, mean near w") {
+    import spark.implicits._
+    samples(Gen.choose(0.0, 4.0), 6).foreach { w =>
+      val df = (1L to 400L).map(i => (i, "d")).toDF("doc_id", "source")
+      val out = graft.operators.Curation.mixByWeights(df, "doc_id", "source",
+          Map("d" -> w), defaultWeight = 1.0, seed = "pw")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).as("c"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("c")).toMap
+      val wE4 = math.round(w * 10000)
+      val (lo, hi) = (wE4 / 10000, wE4 / 10000 + (if (wE4 % 10000 == 0) 0 else 1))
+      (1L to 400L).foreach { i =>
+        val c = out.getOrElse(i, 0L)
+        assert(c == lo || c == hi, s"w=$w doc $i got $c copies")
+      }
+      val mean = out.values.sum.toDouble / 400.0
+      assert(math.abs(mean - wE4 / 10000.0) < 0.15, s"w=$w realized mean $mean")
+    }
+  }
 }
