@@ -276,8 +276,12 @@ object Merge {
       s"diff requires identical schemas; before=${cols.mkString(",")} " +
         s"after=${after.columns.mkString(",")}")
     val attrs = cols.filterNot(keys.contains)
-    val b = before.withColumn("__in_b", F.lit(1)).as("b")
-    val a = after.withColumn("__in_a", F.lit(1)).as("a")
+    // a duplicated key on either side would fan the full-outer join out
+    // and emit phantom change rows — CDF over a non-keyed table is
+    // ill-defined. Same lazy tripwire as merge(): fail at execution,
+    // no extra action.
+    val b = guardUnique(before, keys).withColumn("__in_b", F.lit(1)).as("b")
+    val a = guardUnique(after, keys).withColumn("__in_a", F.lit(1)).as("a")
     val joined = b.join(a,
       keys.map(k => F.col(s"b.$k") === F.col(s"a.$k")).reduce(_ && _),
       "full_outer")

@@ -211,6 +211,13 @@ class MergeSpec extends AnyFunSuite {
       (9L, "insert", Some("n"), 90.0)))
     // identical states diff to empty
     assert(Merge.diff(before, before, Seq("k")).isEmpty)
+    // a duplicated key on either side fails loudly (CDF over a
+    // non-keyed table is ill-defined; the join would fan out)
+    val dup = before.unionByName(before.limit(1))
+    val dupBoom = intercept[Exception] {
+      Merge.diff(dup, after, Seq("k")).collect()
+    }
+    assert(dupBoom.getMessage.contains("duplicate keys"), dupBoom.getMessage)
     // schema mismatch is rejected up front
     val boom = intercept[IllegalArgumentException] {
       Merge.diff(before, after.drop("v"), Seq("k"))
