@@ -156,7 +156,12 @@ object TextFunctions {
     */
   def qualityMicro(text: Column): Column = {
     val ntok  = tokenCount(text).cast("long")
-    val len   = F.length(text).cast("long")
+    // length floored at 1: an empty text would divide by zero, where
+    // Spark's `%` yields NULL but DuckDB's `//` raises a hard error —
+    // the one edge that would break the "identical on every engine"
+    // contract (ntok needs no guard: split("") yields [""], size 1).
+    // punct = 0 on empty text, so the term correctly reads 300000.
+    val len   = F.greatest(F.length(text).cast("long"), F.lit(1L))
     val punct = F.length(F.regexp_replace(text, "[^.,!?;:]", "")).cast("long")
     val stop  = markerHits(text, langMarkers.head._2).cast("long")
     F.least(ntok * F.lit(20000L), F.lit(400000L)) +

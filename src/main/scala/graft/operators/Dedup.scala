@@ -30,6 +30,15 @@ object Dedup {
   /** (id, shingle) pairs, distinct — the exploded shingle relation that
     * drives both exact-Jaccard and MinHash.
     *
+    * PRECONDITION: `idCol` is unique in `df` (one row per document) —
+    * the relation's distinctness comes from `array_distinct` within the
+    * row, NOT from a relation-level distinct (a full exchange of the
+    * corpus-shingle relation, measured as the largest shuffle in every
+    * MinHash pipeline before it was removed). A duplicated id would
+    * double its `n_sh` and every `shared` count and silently corrupt
+    * Jaccard values downstream; the id-uniqueness contract is the same
+    * one [[NearDupIndex.append]] enforces loudly at the persisted tier.
+    *
     * The token array is materialized in its own projection BEFORE the
     * per-shingle lambda runs: referencing `tokens(text)` inside the
     * transform would re-execute the regexp split once per shingle
@@ -239,9 +248,10 @@ object Dedup {
   def minhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String, n: Int, minJ: Double,
       numHashes: Int = 64, bands: Int = 32, rowsPerBand: Int = 2,
-      maxDocFreq: Int = Int.MaxValue): DataFrame =
+      maxDocFreq: Int = Int.MaxValue,
+      candidateBounded: Boolean = true): DataFrame =
     minhashNearDupPairsTracked(df, idCol, textCol, n, minJ,
-      numHashes, bands, rowsPerBand, maxDocFreq)._1
+      numHashes, bands, rowsPerBand, maxDocFreq, candidateBounded)._1
 
   /** [[minhashNearDupPairs]] plus a cleanup handle that unpersists the
     * internal shingle cache. One-shot batch callers can ignore it (the
@@ -253,7 +263,8 @@ object Dedup {
   private[graft] def minhashNearDupPairsTracked(
       df: DataFrame, idCol: String, textCol: String, n: Int, minJ: Double,
       numHashes: Int = 64, bands: Int = 32, rowsPerBand: Int = 2,
-      maxDocFreq: Int = Int.MaxValue): (DataFrame, () => Unit) = {
+      maxDocFreq: Int = Int.MaxValue,
+      candidateBounded: Boolean = true): (DataFrame, () => Unit) = {
     require(bands * rowsPerBand <= numHashes)
     val sh = shingleTable(df, idCol, textCol, n).cache()
     // maxDocFreq cools only the signature/banding input; verification
@@ -268,11 +279,15 @@ object Dedup {
     val cands = lshCandidates(lshBuckets(sigs, idCol, bands, rowsPerBand), idCol)
       .cache()
     val counts = sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
-    // verify candidates with exact Jaccard, candidate-bounded: banding
-    // bounds the candidate list (maxDocFreq cools pathological buckets),
-    // so the broadcast-semi prefilter is safe and the verification
-    // exchange is candidate-shingle-sized, not corpus-shingle-sized
-    (jaccardVerify(cands, sh, counts, minJ, candidateBounded = true),
+    // verify candidates with exact Jaccard. `candidateBounded` (default
+    // on) prefilters the verify exchange to candidate-shingle-sized via
+    // a BROADCAST of the distinct candidate ids — correct whenever the
+    // banding is selective, which is the designed operating point. On a
+    // pathologically self-similar corpus (boilerplate shingles without
+    // `maxDocFreq` cooling) the candidate list approaches the corpus and
+    // the broadcast can exceed driver memory: cool with maxDocFreq, or
+    // pass candidateBounded = false to keep the shuffle-only plan.
+    (jaccardVerify(cands, sh, counts, minJ, candidateBounded),
       () => { sh.unpersist(blocking = true); cands.unpersist(blocking = true); () })
   }
 
@@ -313,7 +328,12 @@ object Dedup {
     * Scale note: as written both sides' signatures are computed in-query;
     * in a standing 100 TB pipeline the historical relations are write-once
     * — exactly what [[NearDupIndex]] persists (bucketed catalog tables,
-    * probe shuffles only the batch). Emits
+    * probe shuffles only the batch). Each call also caches its two
+    * shingle relations WITHOUT a cleanup handle, so a long-lived caller
+    * invoking this per trigger accumulates executor storage — standing
+    * pipelines must use the [[NearDupIndex]] probe path
+    * ([[graft.streaming.CorpusIngestStream]] does); this entry point is
+    * for batch jobs and the oracle gate. Emits
     * (a_id = batch doc, b_id = historical doc, shared, jaccard).
     */
   def minhashNearDupAgainst(
@@ -325,10 +345,15 @@ object Dedup {
     val hSh = shingleTable(hist, idCol, textCol, n).cache()
     val bBuckets = lshBuckets(minhashSignatures(bSh, idCol, numHashes), idCol, bands, rowsPerBand)
     val hBuckets = lshBuckets(minhashSignatures(hSh, idCol, numHashes), idCol, bands, rowsPerBand)
+    // NOT cached: this entry point has no cleanup handle, and a cached
+    // candidate list would accumulate in executor storage across the
+    // per-batch calls a standing ingest makes (the leak the Tracked
+    // variant's scaladoc warns about). The candidate-bounded verify
+    // recomputes the bucket join for its two id lists — bounded work
+    // over the already-cached signature inputs.
     val cands = bBuckets.toDF("a_id", "band_idx", "band_hash")
       .join(hBuckets.toDF("b_id", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
       .select("a_id", "b_id").distinct()
-      .cache() // the candidate-bounded verify consumes it three times
     val bCounts = bSh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
     val hCounts = hSh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
     // candidate-bounded: the HISTORY side's shingle/count exchange drops

@@ -304,11 +304,14 @@ object Similarity {
 
     val a = chunks.toDF("a_id", "chunk_idx", "chunk")
     val b = chunks.toDF("b_id", "chunk_idx", "chunk")
-    // cached: the candidate-bounded verify consumes the list three times
+    // NOT cached: no cleanup handle exists on this entry point, and a
+    // cached list would accumulate across repeated calls (Spark's
+    // CacheManager never drops entries on its own). The verify consumes
+    // the list three times; the recomputed chunk self-join is bounded by
+    // the banding and far cheaper than a storage leak.
     val cands = a.join(b, Seq("chunk_idx", "chunk"))
       .filter(F.col("a_id") < F.col("b_id"))
       .select("a_id", "b_id").distinct()
-      .cache()
 
     // candidate-bounded exact verify (same discipline as the MinHash
     // kernel): only vectors referenced by some candidate pair join —

@@ -44,7 +44,7 @@ object TextQueries extends QueryPack {
              + least((n_stop * 1500000) // ntok, 300000) AS q_u
          FROM (SELECT doc_id, lang,
              CAST(array_length(w) AS BIGINT) AS ntok,
-             CAST(length(text) AS BIGINT) AS n_chars,
+             greatest(CAST(length(text) AS BIGINT), 1) AS n_chars,
              CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
              CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','in','to'))) AS BIGINT) AS n_stop
            FROM (SELECT doc_id, lang, text,

@@ -83,7 +83,15 @@ object CurationPipeline {
       normalize: Boolean = false): StageCounts = {
     if (minDeflateRatio > 0 || normalize) graft.plans.GraftFunctions.register(spark)
     val all = Tables.load(spark, sfDir, "documents")
-    val bench = all.filter(F.col("doc_id") % 20 === 0)
+    // the benchmark side must be normalized with the SAME fold as the
+    // corpus: decontamination matches shingle STRINGS, so a benchmark
+    // passage quoted in NFD or different case would otherwise slip past
+    // the scrub — the exact leak the stage exists to prevent
+    val bench = {
+      val b = all.filter(F.col("doc_id") % 20 === 0)
+      if (normalize) b.withColumn("text", TextFunctions.normalizeText(F.col("text")))
+      else b
+    }
     // 0.5 (opt-in): canonical normalization FIRST — NFC composition +
     // case/control/space folding ([[TextFunctions.normalizeText]]), so
     // every downstream key (exact fingerprints, shingles, span hashes)

@@ -43,8 +43,12 @@ import graft.runtime.{GraftSession, Tables}
   *      near-dups measure representative agreement.
   *   4. ann_topk — [[Similarity.knnJoin]] brute top-k vs [[IvfIndex]]
   *      probes (build amortizes over queries) with measured recall@10.
+  *   5. pipeline — the COMPOSED corpus build ([[CurationPipeline]])
+  *      end to end at 1×/4×/8× corpus: proves the composition scales,
+  *      not just the kernels.
   *
-  * Usage: runMain graft.tools.ScaleBench [sfDir] [outJson]
+  * Usage: runMain graft.tools.ScaleBench [sfDir] [outJson] [legs]
+  * (`legs` = comma-set of text,boiler,semantic,ann,pipeline; default all).
   * Writes the result table to `outJson` (default docs/BENCH_SCALE.json)
   * and prints each row as it lands.
   */
@@ -110,7 +114,7 @@ object ScaleBench {
     val outJson = args.lift(1).getOrElse("docs/BENCH_SCALE.json")
     // dev iteration: arg 3 selects legs, e.g. "ann" or "text,boiler"
     val legs = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("text", "boiler", "semantic", "ann"))
+      .getOrElse(Set("text", "boiler", "semantic", "ann", "pipeline"))
     val load0 = graft.Bench.loadavg()
     val spark = GraftSession.get("scale-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -207,13 +207,20 @@ class CurationPipelineSpec extends AnyFunSuite {
     val nfc = "caf\u00e9 the corpus of the day is here and the text goes on and on"
     val nfd = "CAFE\u0301 the corpus of the day is here and the text goes on and on"
     val other = "a completely different document about the spark engine and the lake"
+    // doc 20 is a BENCHMARK doc (doc_id % 20 == 0); doc 61 quotes its
+    // passage in uppercase \u2014 byte-level shingles do not match, so only
+    // the normalized run may catch the leak
+    val benchDoc = "the secret eval answer is alpha beta gamma delta epsilon"
+    val leaky = "intro words then THE SECRET EVAL ANSWER IS ALPHA BETA GAMMA DELTA EPSILON quoted"
     val work = TestFixtures.tmpDir("curated-nfc")
     val sfDir = work.resolve("data")
     java.nio.file.Files.createDirectories(sfDir)
     Seq(
       (1L, nfc, "en", "src0", nfc.length.toLong),
       (21L, nfd, "en", "src0", nfd.length.toLong),
-      (41L, other, "en", "src0", other.length.toLong))
+      (41L, other, "en", "src0", other.length.toLong),
+      (20L, benchDoc, "en", "src0", benchDoc.length.toLong),
+      (61L, leaky, "en", "src0", leaky.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite")
       .parquet(sfDir.resolve("documents.parquet").toString)
@@ -223,12 +230,21 @@ class CurationPipelineSpec extends AnyFunSuite {
     val outNorm = work.resolve("norm").toString
     val norm = CurationPipeline.run(spark, sfDir.toString, outNorm,
       normalize = true).stages.toMap
-    // byte-level dedup keeps both spellings; normalized dedup drops one
-    assert(raw("exact_dedup") == 3, raw.toString)
-    assert(norm("exact_dedup") == 2, norm.toString)
+    // byte-level EXACT dedup keeps both spellings (they differ in one
+    // token, so the near-dup stage still catches the pair later);
+    // normalized dedup collapses them at stage 1
+    assert(raw("exact_dedup") == 4, raw.toString)
+    assert(norm("exact_dedup") == 3, norm.toString)
+    assert(raw("near_dedup") == 3 && norm("near_dedup") == 3,
+      s"raw=$raw norm=$norm")
+    // decontamination must fold the BENCHMARK side too: the uppercase
+    // quote of the bench passage slips through the raw run (3 -> 3) but
+    // is caught when both sides normalize (3 -> 2)
+    assert(raw("decontaminated") == 3, raw.toString)
+    assert(norm("decontaminated") == 2, norm.toString)
     // and the survivor is the min-id representative with normalized text
     val kept = spark.read.parquet(outNorm)
     val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(ids.contains(1L) && !ids.contains(21L), ids.toString)
+    assert(ids.contains(1L) && !ids.contains(21L) && !ids.contains(61L), ids.toString)
   }
 }
