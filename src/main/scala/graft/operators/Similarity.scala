@@ -276,7 +276,8 @@ object Similarity {
     */
   def rpLshNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, minCos: Double,
-      dim: Int, bits: Int = 24, chunkBits: Int = 3, seed: Long = 42L): DataFrame = {
+      dim: Int, bits: Int = 24, chunkBits: Int = 3, seed: Long = 42L,
+      candidateBounded: Boolean = true): DataFrame = {
     require(bits % chunkBits == 0, "bits must divide into chunks")
     GraftFunctions.register(df.sparkSession)
     val rnd = new scala.util.Random(seed)
@@ -315,13 +316,22 @@ object Similarity {
 
     // candidate-bounded exact verify (same discipline as the MinHash
     // kernel): only vectors referenced by some candidate pair join —
-    // the exchange is candidate-sized, not corpus-sized, and chunked
-    // banding bounds the candidate list
+    // the exchange is candidate-sized, not corpus-sized, when chunked
+    // banding is SELECTIVE. The prefilter consumes `cands` twice more
+    // (the chunk self-join re-runs per consumer — no cache, no cleanup
+    // handle on this entry point), so on a deliberately DENSE dial
+    // (small chunkBits driving recall → 1, e.g. the qe09 oracle row,
+    // where candidates cover ~every id and the prefilter buys nothing)
+    // pass candidateBounded = false to keep the single-pass plan.
     val base = df.select(F.col(idCol), F.col(vecCol), norm(F.col(vecCol)).as("__n"))
-    val lhs = base.toDF("a_id", "a_vec", "a_norm")
-      .join(F.broadcast(cands.select("a_id").distinct()), Seq("a_id"), "left_semi")
-    val rhs = base.toDF("b_id", "b_vec", "b_norm")
-      .join(F.broadcast(cands.select("b_id").distinct()), Seq("b_id"), "left_semi")
+    val (lhs, rhs) =
+      if (!candidateBounded)
+        (base.toDF("a_id", "a_vec", "a_norm"), base.toDF("b_id", "b_vec", "b_norm"))
+      else (
+        base.toDF("a_id", "a_vec", "a_norm")
+          .join(F.broadcast(cands.select("a_id").distinct()), Seq("a_id"), "left_semi"),
+        base.toDF("b_id", "b_vec", "b_norm")
+          .join(F.broadcast(cands.select("b_id").distinct()), Seq("b_id"), "left_semi"))
     cands.join(lhs, "a_id").join(rhs, "b_id")
       .withColumn("cos_sim",
         F.round(dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")), 4))

@@ -103,8 +103,13 @@ object VectorQueries extends QueryPack {
     // derivation confirms recall = 1 on this corpus exactly.
     "qe09_semantic_dedup_lsh" -> ((s, d) => {
       val e = emb(s, d)
+      // chunkBits = 2 is the deliberately DENSE dial (recall -> 1 so the
+      // LSH tier equals the exact oracle); candidates cover ~every id,
+      // so the candidate-bounded prefilter would re-run the self-join
+      // for no exchange savings
       val pairs = Similarity.rpLshNearDupPairs(e, "vec_id", "embedding",
-          minCos = 0.8, dim = 64, bits = 24, chunkBits = 2)
+          minCos = 0.8, dim = 64, bits = 24, chunkBits = 2,
+          candidateBounded = false)
       Similarity.semanticDedup(e, "vec_id", "embedding", minCos = 0.8,
           candidatePairs = Some(pairs))
         .orderBy("vec_id")
