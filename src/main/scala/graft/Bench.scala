@@ -111,8 +111,18 @@ object Bench {
     // box, so a later sample would always read high and identify nothing
     val load: Double = Bench.loadavg()
 
+    // SPARK_GRAFT_ONLY=qd06,qd07 — iterate on a kernel subset without the
+    // ~6 min full pass. DEV ONLY: a filtered run writes a partial detail
+    // file, so never commit docs/BENCH_DETAIL.json from one (the "only"
+    // stamp in the artifact makes a partial run self-identifying).
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.isEmpty || only.contains(shortId(name)) }
+
     if (new java.io.File(warmDir).exists()) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
@@ -128,7 +138,7 @@ object Bench {
       }
     }
 
-    val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.map {
+    val results: Seq[(String, Seq[Double])] = selected.toSeq.map {
       case (name, fn) =>
         timeOnce(name, fn) // untimed warm rep at the target SF
         name -> (1 to TimedReps).map(_ => timeOnce(name, fn))
@@ -162,8 +172,11 @@ object Bench {
     val failedJson = failed.map(f => "\"" + shortId(f) + "\"")
       .mkString("[", ",", "]")
 
+    // a filtered dev run stamps itself so a partial detail file can never
+    // pass as a full-suite artifact
+    val onlyStamp = if (only.isEmpty) "" else s""""only":${only.size},"""
     val detail =
-      s"""{"metric":"detail","value":${fmt(total)},"unit":"sec","load":${fmt(load)},""" +
+      s"""{"metric":"detail",$onlyStamp"value":${fmt(total)},"unit":"sec","load":${fmt(load)},""" +
       s""""reps":$repsJson,"sf":"$sfDir"}"""
     val line =
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","load":${fmt(load)},""" +

@@ -363,11 +363,24 @@ object Curation {
     * the mix's token budget (Σ w·|domain|), the thing the caller chose.
     * Replicas of one row land in one task; the training-order shuffle
     * that follows disperses them (documented contract, not a defect).
+    *
+    * `maxEpochs` (default 10) is a fat-finger guard, not a capability
+    * limit: the explode fans EVERY row of a domain to ⌈w⌉ copies, so a
+    * `w = 100` typo for `w = 1.00` silently builds a 100× corpus — at
+    * 100 TB, a cluster-filling write. Published mixes top out around 3–5
+    * epochs (GPT-3's Wikipedia row is 3.4); a deliberate heavier mix
+    * passes an explicit larger `maxEpochs`, making the blowup a read-out
+    * decision at the call site instead of a data-sized surprise.
     */
   def mixByWeights(df: DataFrame, idCol: String, domainCol: String,
-      weights: Map[String, Double], defaultWeight: Double, seed: String): DataFrame = {
-    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100),
-      "epoch weights must be in [0, 100]")
+      weights: Map[String, Double], defaultWeight: Double, seed: String,
+      maxEpochs: Double = 10.0): DataFrame = {
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= maxEpochs),
+      s"epoch weights must be in [0, $maxEpochs] — a weight fans every row of its " +
+        s"domain to that many copies (output size = Σ w·|domain|); raise maxEpochs " +
+        s"explicitly if a ${weights.values.foldLeft(defaultWeight)(math.max)}-epoch " +
+        "mix is intended")
     def e4(w: Double): Long = math.round(w * 10000)
     val wE4 = weights.foldRight(F.lit(e4(defaultWeight)): Column) {
       case ((dom, w), els) => F.when(F.col(domainCol) === dom, F.lit(e4(w))).otherwise(els)

@@ -50,7 +50,15 @@ object Dedup {
     val grams = F.transform(
       F.sequence(F.lit(0), F.size(w) - n),
       i => F.concat_ws(" ", F.slice(w, i + 1, F.lit(n))))
-    df.select(F.col(idCol), TextFunctions.tokens(F.col(textCol)).as("__w"))
+    // adaptive spread (see [[Par]]): a single-row-group corpus file scans
+    // as ONE partition, which would run the regex tokenize — the dominant
+    // cost of every shingle pipeline — on one core and leave the cached
+    // relation single-partition for every consumer. Hashing on the unique
+    // id spreads uniformly AND lets the per-id signature/count groupBys
+    // above reuse the partitioning. No-op whenever the scan already
+    // yields session-parallelism splits (any at-scale table).
+    Par.spread(df.select(F.col(idCol), F.col(textCol)), F.col(idCol))
+      .select(F.col(idCol), TextFunctions.tokens(F.col(textCol)).as("__w"))
       .select(F.col(idCol),
         // (id, shingle) is ALREADY distinct here: array_distinct dedups
         // within the doc and ids are unique rows — a trailing
@@ -85,10 +93,29 @@ object Dedup {
     * emitted similarities are exact regardless of how candidates were
     * generated.
     */
+  /** One-corpus verification. With `candidateBounded` the shingle relation
+    * is prefiltered ONCE by the union of candidate ids (one broadcast
+    * build, not one per side — a candidate id list is the same population
+    * seen from either end of a within-corpus pair), and the per-doc counts
+    * are recomputed from the FILTERED relation: an id-semi filter keeps or
+    * drops a document atomically, so counts over surviving docs are
+    * identical to `counts` — but the aggregation shrinks from corpus-sized
+    * to candidate-sized (`counts` is then not consumed at all; it stays a
+    * parameter for the unbounded path, which must accept persisted count
+    * tables).
+    */
   private def jaccardVerify(
       cands: DataFrame, sh: DataFrame, counts: DataFrame, minJ: Double,
       candidateBounded: Boolean = false): DataFrame =
-    jaccardVerifyBipartite(cands, sh, sh, counts, counts, minJ, candidateBounded)
+    if (!candidateBounded) jaccardVerifyBipartite(cands, sh, sh, counts, counts, minJ)
+    else {
+      val ids = F.broadcast(
+        cands.select(F.col("a_id").as("__cid"))
+          .union(cands.select(F.col("b_id").as("__cid"))).distinct())
+      val shF = sh.toDF("__cid", "shingle").join(ids, Seq("__cid"), "left_semi")
+      val cntF = shF.groupBy("__cid").agg(F.count(F.lit(1)).as("n_sh"))
+      jaccardVerifyBipartite(cands, shF, shF, cntF, cntF, minJ)
+    }
 
   /** Bipartite form of the verification kernel: a-side and b-side shingle
     * / count relations are distinct (incremental-ingest probes pass the
@@ -97,35 +124,21 @@ object Dedup {
     * an id-bucketed historical table joins without being reshuffled).
     * Expects (id, shingle) / (id, n_sh) column order on each relation.
     *
-    * `candidateBounded = true` prefilters each side's shingle AND count
-    * relation to the ids the candidate list actually references, via a
-    * broadcast LEFT SEMI — cutting the verification exchange from
-    * corpus-shingle-sized to candidate-shingle-sized (measured at sf0.1:
-    * qd07's shuffle write 125 → ~16 MB; the improvement compounds with
-    * scale because LSH candidates are collision-bounded while the corpus
-    * is not). ONLY enable when the candidate list is known bounded (LSH
-    * banding with a doc-freq-cooled bucket input, or a batch-sized
-    * probe): the id list is BROADCAST, and the caller should have cached
-    * `cands` — the prefilter consumes it twice more.
+    * Candidate-bounding lives in the CALLERS, not here: the one-corpus
+    * face ([[jaccardVerify]]) filters its single shingle relation once by
+    * the union of candidate ids, and [[minhashNearDupAgainst]] filters
+    * only its unbounded (history) side — each pays exactly one broadcast
+    * build instead of the two-per-side shape this kernel carried in
+    * round 8, whose fixed job cost at small candidate counts was the
+    * round-8 bench's watch item.
     */
   private[operators] def jaccardVerifyBipartite(
       cands: DataFrame, aShRel: DataFrame, bShRel: DataFrame,
-      aCounts: DataFrame, bCounts: DataFrame, minJ: Double,
-      candidateBounded: Boolean = false): DataFrame = {
-    val aSh0 = aShRel.toDF("a_id", "shingle")
-    val bSh0 = bShRel.toDF("b_id", "shingle")
-    val aCnt0 = aCounts.toDF("a_id", "na")
-    val bCnt0 = bCounts.toDF("b_id", "nb")
-    val (aSh, bSh, aCnt, bCnt) =
-      if (!candidateBounded) (aSh0, bSh0, aCnt0, bCnt0)
-      else {
-        val aIds = F.broadcast(cands.select("a_id").distinct())
-        val bIds = F.broadcast(cands.select("b_id").distinct())
-        (aSh0.join(aIds, Seq("a_id"), "left_semi"),
-          bSh0.join(bIds, Seq("b_id"), "left_semi"),
-          aCnt0.join(aIds, Seq("a_id"), "left_semi"),
-          bCnt0.join(bIds, Seq("b_id"), "left_semi"))
-      }
+      aCounts: DataFrame, bCounts: DataFrame, minJ: Double): DataFrame = {
+    val aSh = aShRel.toDF("a_id", "shingle")
+    val bSh = bShRel.toDF("b_id", "shingle")
+    val aCnt = aCounts.toDF("a_id", "na")
+    val bCnt = bCounts.toDF("b_id", "nb")
     cands
       .join(aSh, "a_id")
       .join(bSh, Seq("b_id", "shingle"))
@@ -228,7 +241,17 @@ object Dedup {
 
   /** Candidate pairs from LSH buckets (a < b, distinct). The self-join is
     * per-bucket, so cost is sum(bucket²) — bounded by band tuning, not by
-    * corpus size.
+    * corpus size. The join executes its INPUT plan once per side — pair
+    * the call with a cached/checkpointed bucket input (as
+    * [[minhashNearDupPairsTracked]] does for the signature aggregation
+    * feeding it) or the signature stage runs twice.
+    *
+    * (A groupBy-collect_list + array-expansion shape was measured as the
+    * alternative in round 9: one pass over the input, but the high-
+    * cardinality bucket key pushes `collect_list`'s ObjectHashAggregate
+    * into its sort-based fallback, and it lost to the join at every
+    * tested scale. The join's per-side input cost is what the caller-side
+    * cache removes instead.)
     */
   def lshCandidates(buckets: DataFrame, idCol: String): DataFrame = {
     val a = buckets.toDF("a_id", "band_idx", "band_hash")
@@ -272,23 +295,49 @@ object Dedup {
     val shSig =
       if (maxDocFreq == Int.MaxValue) sh
       else sh.join(hotShingles(sh, maxDocFreq), Seq("shingle"), "left_anti")
-    val sigs = minhashSignatures(shSig, idCol, numHashes)
+    // cached: [[lshCandidates]]' bucket self-join executes its input plan
+    // once per SIDE, and the 64-aggregate signature HashAggregate is the
+    // most expensive stage of the whole pipeline — uncached it runs twice
+    // (measured as most of qd07's round-8 cost). Unpersisted by the
+    // cleanup handle with the shingle cache.
+    val sigs = minhashSignatures(shSig, idCol, numHashes).cache()
     // cached: the candidate-bounded verify consumes the candidate list
-    // three times (a-ids, b-ids, the join) — uncached it would re-run
-    // the signature aggregation and banding per consumer
+    // twice (the union id list, the join) — uncached it would re-run
+    // the banding and bucket join per consumer
     val cands = lshCandidates(lshBuckets(sigs, idCol, bands, rowsPerBand), idCol)
       .cache()
     val counts = sh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
     // verify candidates with exact Jaccard. `candidateBounded` (default
-    // on) prefilters the verify exchange to candidate-shingle-sized via
-    // a BROADCAST of the distinct candidate ids — correct whenever the
-    // banding is selective, which is the designed operating point. On a
-    // pathologically self-similar corpus (boilerplate shingles without
-    // `maxDocFreq` cooling) the candidate list approaches the corpus and
-    // the broadcast can exceed driver memory: cool with maxDocFreq, or
-    // pass candidateBounded = false to keep the shuffle-only plan.
-    (jaccardVerify(cands, sh, counts, minJ, candidateBounded),
-      () => { sh.unpersist(blocking = true); cands.unpersist(blocking = true); () })
+    // on) ALLOWS a prefilter of the verify exchange down to
+    // candidate-shingle-sized via a BROADCAST of the distinct candidate
+    // ids — and the decision to apply it is ADAPTIVE, measured from the
+    // caches this pipeline holds anyway: the prefilter's ~4 fixed extra
+    // stages only pay for themselves when the candidate id set is well
+    // below the corpus (the designed 100 TB operating point, where LSH
+    // candidates are collision-bounded and the corpus is not), so when
+    // the measured ratio says the verify relation is ALREADY
+    // candidate-sized — a small or self-similar corpus — the single-pass
+    // unbounded plan is kept instead (round 8 applied the prefilter
+    // unconditionally; its fixed cost at small candidate counts was that
+    // round's bench watch item). The two gate counts run over the sigs /
+    // cands caches — the first consumer would materialize both anyway.
+    // On a pathologically self-similar corpus WITHOUT maxDocFreq cooling
+    // the candidate id broadcast could exceed driver memory; the same
+    // gate ratio is exactly the regime detector, so the dense regime
+    // never broadcasts. Pass candidateBounded = false to skip the gate
+    // jobs entirely and pin the shuffle-only plan.
+    val applyBound = candidateBounded && {
+      val nDocs = sigs.count()
+      val nCandIds = cands
+        .select(F.explode(F.array(F.col("a_id"), F.col("b_id"))).as("id"))
+        .distinct().count()
+      nCandIds * 2 < nDocs
+    }
+    (jaccardVerify(cands, sh, counts, minJ, applyBound),
+      () => {
+        sh.unpersist(blocking = true); sigs.unpersist(blocking = true)
+        cands.unpersist(blocking = true); ()
+      })
   }
 
   /** `bits`-wide SimHash over distinct tokens: bit b of the signature is
@@ -301,7 +350,10 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
       tokenHash: Column => Column, bits: Int): DataFrame = {
     require(bits >= 4 && bits <= 64, "bits in [4, 64]")
-    val toks = df
+    // same adaptive spread as [[shingleTable]]: tokenize in parallel even
+    // off a single-row-group file, and let the per-id bit-sum groupBy
+    // reuse the id partitioning
+    val toks = Par.spread(df.select(F.col(idCol), F.col(textCol)), F.col(idCol))
       .select(F.col(idCol), F.explode(F.array_distinct(TextFunctions.tokens(F.col(textCol)))).as("tok"))
       .withColumn("h", tokenHash(F.col("tok")))
     val bitSums = (0 until bits).map(b =>
@@ -345,22 +397,30 @@ object Dedup {
     val hSh = shingleTable(hist, idCol, textCol, n).cache()
     val bBuckets = lshBuckets(minhashSignatures(bSh, idCol, numHashes), idCol, bands, rowsPerBand)
     val hBuckets = lshBuckets(minhashSignatures(hSh, idCol, numHashes), idCol, bands, rowsPerBand)
-    // NOT cached: this entry point has no cleanup handle, and a cached
-    // candidate list would accumulate in executor storage across the
-    // per-batch calls a standing ingest makes (the leak the Tracked
-    // variant's scaladoc warns about). The candidate-bounded verify
-    // recomputes the bucket join for its two id lists — bounded work
-    // over the already-cached signature inputs.
+    // NOT cached (no cleanup handle on this entry point — a CacheManager
+    // entry would accumulate across a standing ingest's per-batch calls)
+    // and NOT eagerly checkpointed (measured: serializing the two lazy
+    // consumptions behind an eager materialization cost more at
+    // micro-batch scale than the duplicated bucket join it saved — the
+    // duplicate stages run CONCURRENTLY inside one job on an idle
+    // cluster, while a checkpoint is a barrier). The history-bounding id
+    // list below re-derives the bucket join once more over the cached
+    // shingle inputs — bounded work.
     val cands = bBuckets.toDF("a_id", "band_idx", "band_hash")
       .join(hBuckets.toDF("b_id", "band_idx", "band_hash"), Seq("band_idx", "band_hash"))
       .select("a_id", "b_id").distinct()
     val bCounts = bSh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
-    val hCounts = hSh.groupBy(idCol).agg(F.count(F.lit(1)).as("n_sh"))
-    // candidate-bounded: the HISTORY side's shingle/count exchange drops
-    // from history-sized to candidate-sized — the side that grows without
-    // bound in a standing ingest pipeline
-    jaccardVerifyBipartite(cands, bSh, hSh, bCounts, hCounts, minJ,
-      candidateBounded = true)
+    // candidate-bounded on the HISTORY side only: the batch side is
+    // already batch-sized by construction, so prefiltering it would pay a
+    // broadcast build for nothing. The history shingle exchange drops from
+    // history-sized to candidate-sized — the side that grows without bound
+    // in a standing ingest pipeline — and the history counts are
+    // recomputed from the FILTERED relation (identical for surviving docs;
+    // the aggregation shrinks to candidate-sized with them).
+    val hIds = F.broadcast(cands.select(F.col("b_id")).distinct())
+    val hShF = hSh.toDF("b_id", "shingle").join(hIds, Seq("b_id"), "left_semi")
+    val hCntF = hShF.groupBy("b_id").agg(F.count(F.lit(1)).as("n_sh"))
+    jaccardVerifyBipartite(cands, bSh, hShF, bCounts, hCntF, minJ)
   }
 
   /** Incremental-ingest dedup: classify every document of a new batch

@@ -616,10 +616,20 @@ object IvfIndex {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     GraftFunctions.register(spark)
     val v = vectors(spark, root)
+    // multi-probe assignment is the leg's compute hot spot (C vec_dots +
+    // a C-struct sort PER VECTOR) and the self-join below consumes it
+    // once per side — localCheckpoint materializes the narrow (id, cell)
+    // relation once instead (measured at 16× vectors: the triple
+    // recompute kept the IVF pair tier BEHIND the exact quadratic kernel;
+    // the round-8 scale artifact's crossover wrinkle). Checkpoint blocks
+    // are ContextCleaner-reclaimed on GC — no CacheManager entry to leak
+    // from a per-trigger caller. nProbe=1 reads the PERSISTED cell
+    // column: nothing to recompute, keep it lazy.
     val asg =
       if (nProbe == 1) v.select(F.col("id"), F.col("cell").as("pcell"))
       else assignCellsMulti(v, "id", "vec", root, nProbe)
         .select(F.col("id"), F.explode(F.col("cells")).as("pcell"))
+        .localCheckpoint()
     val cands = asg.toDF("a_id", "pcell")
       .join(asg.toDF("b_id", "pcell"), "pcell")
       .filter(F.col("a_id") < F.col("b_id"))

@@ -64,8 +64,12 @@ object Similarity {
   def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(F.col(idCol).cast("long").as("neighbor_id"),
-      F.col(vecCol).as("c_vec"), norm(F.col(vecCol)).as("c_norm"))
+    // adaptive spread (see [[Par]]): the whole O(N·|Q|·d) dot-product scan
+    // is map-side against the broadcast query set — its parallelism IS the
+    // corpus partition count
+    val c = Par.spread(corpus.select(F.col(idCol), F.col(vecCol)), F.col(idCol))
+      .select(F.col(idCol).cast("long").as("neighbor_id"),
+        F.col(vecCol).as("c_vec"), norm(F.col(vecCol)).as("c_norm"))
     val q = queries.select(F.col(idCol).cast("long").as("query_id"),
       F.col(vecCol).as("q_vec"), norm(F.col(vecCol)).as("q_norm"))
     c.crossJoin(F.broadcast(q))
@@ -125,7 +129,12 @@ object Similarity {
       }
     val blockPairs = (for { i <- 0 until blockCount; j <- i until blockCount } yield (i, j))
       .toDF("ba", "bb")
-    val base = df.select(F.col(idCol).as("id"), F.col(vecCol).as("vec"),
+    // adaptive spread (see [[Par]]): the block-pair explosion below is a
+    // broadcast join, i.e. a NARROW stage — off a single-row-group file
+    // the whole N·B replication (and the shuffle write feeding the block
+    // join) would run in one task
+    val base = Par.spread(df.select(F.col(idCol), F.col(vecCol)), F.col(idCol))
+      .select(F.col(idCol).as("id"), F.col(vecCol).as("vec"),
         norm(F.col(vecCol)).as("nrm"),
         F.pmod(F.hash(F.col(idCol)), F.lit(blockCount)).as("blk"))
     val lhs = base.select(F.col("id").as("a_id"), F.col("vec").as("a_vec"),
@@ -196,7 +205,10 @@ object Similarity {
     */
   def quantizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    df.select(F.col(idCol),
+    // adaptive spread (see [[Par]]): per-element quantization is the map
+    // cost; off a single-row-group file it would run on one core
+    Par.spread(df.select(F.col(idCol), F.col(vecCol)), F.col(idCol))
+      .select(F.col(idCol),
         F.col(vecCol),
         (F.array_max(F.transform(F.col(vecCol), x => F.abs(x))) / 127.0).as("q_scale"),
         norm(F.col(vecCol)).as("q_norm"))
@@ -293,10 +305,14 @@ object Similarity {
 
     val nChunks = bits / chunkBits
     val mask = (1L << chunkBits) - 1
+    // adaptive spread (see [[Par]]): the `bits` vec_dot signature
+    // projections are the CPU cost of this kernel, and a single-row-group
+    // embedding file would compute them all on one core
+    val src = Par.spread(df.select(F.col(idCol), F.col(vecCol)), F.col(idCol))
     // signature relation carries ONLY (id, sig): the verify step below
     // must not inherit the 24 vec_dot projections per row it would
     // recompute per side
-    val sigs = df.select(F.col(idCol), sig.as("__sig"))
+    val sigs = src.select(F.col(idCol), sig.as("__sig"))
     val chunks = sigs.select(F.col(idCol),
       F.explode(F.array((0 until nChunks).map(j =>
         F.struct(F.lit(j).as("chunk_idx"),
@@ -305,33 +321,43 @@ object Similarity {
 
     val a = chunks.toDF("a_id", "chunk_idx", "chunk")
     val b = chunks.toDF("b_id", "chunk_idx", "chunk")
-    // NOT cached: no cleanup handle exists on this entry point, and a
-    // cached list would accumulate across repeated calls (Spark's
-    // CacheManager never drops entries on its own). The verify consumes
-    // the list three times; the recomputed chunk self-join is bounded by
-    // the banding and far cheaper than a storage leak.
-    val cands = a.join(b, Seq("chunk_idx", "chunk"))
+    // when candidate-bounded, the list is consumed twice (the union id
+    // list + the verify join) and each lazy pass would recompute the
+    // `bits` vec_dot signatures per join side — localCheckpoint instead
+    // of cache() because this entry point has no cleanup handle, and
+    // checkpoint blocks are ContextCleaner-reclaimed once the result is
+    // unreferenced (a CacheManager entry never is). On the unbounded
+    // dial the list is consumed once: keep the fully lazy single-pass
+    // plan.
+    val cands0 = a.join(b, Seq("chunk_idx", "chunk"))
       .filter(F.col("a_id") < F.col("b_id"))
       .select("a_id", "b_id").distinct()
+    val cands = if (candidateBounded) cands0.localCheckpoint() else cands0
 
     // candidate-bounded exact verify (same discipline as the MinHash
     // kernel): only vectors referenced by some candidate pair join —
     // the exchange is candidate-sized, not corpus-sized, when chunked
-    // banding is SELECTIVE. The prefilter consumes `cands` twice more
-    // (the chunk self-join re-runs per consumer — no cache, no cleanup
-    // handle on this entry point), so on a deliberately DENSE dial
-    // (small chunkBits driving recall → 1, e.g. the qe09 oracle row,
-    // where candidates cover ~every id and the prefilter buys nothing)
-    // pass candidateBounded = false to keep the single-pass plan.
-    val base = df.select(F.col(idCol), F.col(vecCol), norm(F.col(vecCol)).as("__n"))
+    // banding is SELECTIVE. ONE union-id broadcast filters the vector
+    // relation once for both sides (round 8's two per-side builds were
+    // the kernels' fixed-cost watch item). The prefilter consumes
+    // `cands` once more (the chunk self-join re-runs per consumer — no
+    // cache, no cleanup handle on this entry point), so on a
+    // deliberately DENSE dial (small chunkBits driving recall → 1, e.g.
+    // the qe09 oracle row, where candidates cover ~every id and the
+    // prefilter buys nothing) pass candidateBounded = false to keep the
+    // single-pass plan.
+    val base = src.select(F.col(idCol), F.col(vecCol), norm(F.col(vecCol)).as("__n"))
     val (lhs, rhs) =
       if (!candidateBounded)
         (base.toDF("a_id", "a_vec", "a_norm"), base.toDF("b_id", "b_vec", "b_norm"))
-      else (
-        base.toDF("a_id", "a_vec", "a_norm")
-          .join(F.broadcast(cands.select("a_id").distinct()), Seq("a_id"), "left_semi"),
-        base.toDF("b_id", "b_vec", "b_norm")
-          .join(F.broadcast(cands.select("b_id").distinct()), Seq("b_id"), "left_semi"))
+      else {
+        val ids = F.broadcast(
+          cands.select(F.col("a_id").as("__cid"))
+            .union(cands.select(F.col("b_id").as("__cid"))).distinct())
+        val fil = base.toDF("__cid", "__vec", "__nrm")
+          .join(ids, Seq("__cid"), "left_semi")
+        (fil.toDF("a_id", "a_vec", "a_norm"), fil.toDF("b_id", "b_vec", "b_norm"))
+      }
     cands.join(lhs, "a_id").join(rhs, "b_id")
       .withColumn("cos_sim",
         F.round(dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")), 4))

@@ -186,6 +186,48 @@ object LakehouseQueries extends QueryPack {
         .orderBy("o_orderkey", "change_type")
     }),
 
+    // Change-feed-DRIVEN incremental view maintenance, oracle-gated end to
+    // end (the consumer side of ql09's feed): three versions of an
+    // orders-derived base table — deletes, inserts, measure updates, and
+    // a GROUP-MIGRATING update (o_orderpriority rewritten, so the
+    // preimage must leave one group and the postimage enter another).
+    // The summary is bootstrapped at v0 and advanced ONLY by applying
+    // Merge.diff feeds (v0→v1, v1→v2), never rescanning a later version;
+    // the oracle aggregates the FINAL state directly — a hash match
+    // proves feed application ≡ rebuild. Integer measures keep the
+    // incremental sums bit-exact across engines (QueryPack taxonomy).
+    "ql10_incremental_view" -> ((s, d) => {
+      val o = graft.runtime.Tables.load(s, d, "orders")
+      val key = F.col("o_orderkey")
+      val base = F.floor(F.col("o_totalprice")).cast("long")
+      def version(n: Int): DataFrame = {
+        val keep = n match {
+          case 0 => key % 7 =!= 6
+          case 1 => key % 7 =!= 0
+          case _ => key % 7 =!= 3
+        }
+        val price = base +
+          (if (n >= 1) F.when(key % 11 === 0, F.lit(5000L)).otherwise(F.lit(0L))
+           else F.lit(0L)) +
+          (if (n >= 2) F.when(key % 13 === 0, F.lit(77L)).otherwise(F.lit(0L))
+           else F.lit(0L))
+        val prio =
+          if (n >= 2) F.when(key % 17 === 0, F.lit("MIGRATED"))
+            .otherwise(F.col("o_orderpriority"))
+          else F.col("o_orderpriority")
+        o.filter(keep).select(key, F.col("o_orderstatus"),
+          prio.as("o_orderpriority"), price.as("price"))
+      }
+      val (v0, v1, v2) = (version(0), version(1), version(2))
+      val grp = Seq("o_orderstatus", "o_orderpriority")
+      val view0 = graft.layers.IncrementalView.summarize(v0, grp, Seq("price"))
+      val view1 = graft.layers.IncrementalView.applyChanges(view0,
+        graft.layers.Merge.diff(v0, v1, Seq("o_orderkey")), grp, Seq("price"))
+      graft.layers.IncrementalView.applyChanges(view1,
+        graft.layers.Merge.diff(v1, v2, Seq("o_orderkey")), grp, Seq("price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // latest_metrics shape: single-row global metrics + alert ladder.
     "ql04_latest_metrics" -> ((s, d) => {
       ev(s, d).agg(
@@ -331,6 +373,19 @@ object LakehouseQueries extends QueryPack {
            WHERE bk IS NOT NULL AND ak IS NOT NULL
              AND (bc IS DISTINCT FROM ac OR bs IS DISTINCT FROM asx))
          ORDER BY o_orderkey, change_type""",
+    "ql10_incremental_view" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(price) AS BIGINT) AS price_sum
+         FROM (
+           SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'MIGRATED'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CAST(floor(o_totalprice) AS BIGINT)
+               + CASE WHEN o_orderkey % 11 = 0 THEN 5000 ELSE 0 END
+               + CASE WHEN o_orderkey % 13 = 0 THEN 77 ELSE 0 END AS price
+           FROM orders WHERE o_orderkey % 7 <> 3)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "ql06_error_patterns" ->
       """SELECT CASE WHEN value < 50 THEN 1 WHEN value < 150 THEN 2
                     WHEN value < 300 THEN 3 ELSE 4 END AS value_bin,

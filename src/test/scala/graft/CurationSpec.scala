@@ -452,6 +452,26 @@ class CurationSpec extends AnyFunSuite {
     assert(other.toSeq != out.sorted.toSeq)
   }
 
+  test("mixByWeights refuses a weight above maxEpochs loudly; explicit raise admits it") {
+    import spark.implicits._
+    val df = (1L to 8L).map(i => (i, "web")).toDF("doc_id", "source")
+    // the fat-finger case the guard exists for: w = 100 typo for 1.00
+    // would fan the corpus 100× — must fail at construction, not at write
+    val e = intercept[IllegalArgumentException] {
+      Curation.mixByWeights(df, "doc_id", "source", Map("web" -> 100.0),
+        defaultWeight = 1.0, seed = "mx")
+    }
+    assert(e.getMessage.contains("maxEpochs"))
+    intercept[IllegalArgumentException] {
+      Curation.mixByWeights(df, "doc_id", "source", Map.empty[String, Double],
+        defaultWeight = 11.0, seed = "mx")
+    }
+    // a deliberate heavy mix opts in by raising the cap explicitly
+    val heavy = Curation.mixByWeights(df, "doc_id", "source", Map("web" -> 12.0),
+      defaultWeight = 1.0, seed = "mx", maxEpochs = 12.0)
+    assert(heavy.count() == 8 * 12)
+  }
+
   test("deterministicShuffle shards completely with contiguous positions, seed-dependent order") {
     val docs = graft.runtime.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id")

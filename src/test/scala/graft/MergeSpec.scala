@@ -245,6 +245,59 @@ class MergeSpec extends AnyFunSuite {
       (2L, "insert"), (3L, "delete")))
   }
 
+  test("IncrementalView: feed-driven refresh ≡ full rebuild; replay and skipped versions no-op correctly") {
+    import spark.implicits._
+    import graft.layers.{IncrementalView, Snapshots}
+    val root = TestFixtures.tmpDir("inc-view")
+    val basePath = root.resolve("base").toString
+    val viewPath = root.resolve("view").toString
+    val grp = Seq("g"); val ms = Seq("m")
+
+    def summarySet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("n_rows"), r.getAs[Long]("m_sum")))
+      .toSet
+    def rebuilt() = summarySet(IncrementalView.summarize(
+      Snapshots.read(spark, basePath), grp, ms))
+
+    // v0 → bootstrap
+    Snapshots.write(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("k", "g", "m"), basePath)
+    assert(IncrementalView.refresh(spark, basePath, viewPath, Seq("k"), grp, ms)
+      .contains(0L))
+    assert(summarySet(Snapshots.read(spark, viewPath)) == rebuilt())
+
+    // replayed refresh with no new base version: no-op, content unchanged
+    assert(IncrementalView.refresh(spark, basePath, viewPath, Seq("k"), grp, ms).isEmpty)
+
+    // v1 (measure update + delete + insert) and v2 (GROUP MIGRATION:
+    // key 2 moves a→b, plus a full group "c" appearing) land BEFORE the
+    // next refresh — the view must advance 0→2 through ONE diff
+    Snapshots.write(Seq((1L, "a", 11L), (3L, "b", 30L), (4L, "b", 40L))
+      .toDF("k", "g", "m"), basePath)
+    Snapshots.write(Seq((1L, "a", 11L), (2L, "b", 25L), (4L, "b", 40L), (5L, "c", 50L))
+      .toDF("k", "g", "m"), basePath)
+    assert(IncrementalView.refresh(spark, basePath, viewPath, Seq("k"), grp, ms)
+      .contains(2L))
+    assert(summarySet(Snapshots.read(spark, viewPath)) == rebuilt())
+    assert(summarySet(Snapshots.read(spark, viewPath)) ==
+      Set(("a", 1L, 11L), ("b", 2L, 65L), ("c", 1L, 50L)))
+
+    // a group whose rows all disappear drops out, as a rebuild would show
+    Snapshots.write(Seq((1L, "a", 11L), (2L, "b", 25L), (4L, "b", 40L))
+      .toDF("k", "g", "m"), basePath)
+    assert(IncrementalView.refresh(spark, basePath, viewPath, Seq("k"), grp, ms)
+      .contains(3L))
+    assert(summarySet(Snapshots.read(spark, viewPath)) == rebuilt())
+    assert(!Snapshots.read(spark, viewPath).collect().exists(_.getString(0) == "c"))
+
+    // replay convergence: re-running refresh after everything is applied
+    // is a pure no-op — same latest version, same content
+    val before = summarySet(Snapshots.read(spark, viewPath))
+    assert(IncrementalView.refresh(spark, basePath, viewPath, Seq("k"), grp, ms).isEmpty)
+    assert(Snapshots.latestVersion(spark, viewPath).contains(3L))
+    assert(summarySet(Snapshots.read(spark, viewPath)) == before)
+  }
+
   test("snapshots.versions tolerates stray non-numeric version= dirs") {
     import spark.implicits._
     import graft.layers.Snapshots
