@@ -630,20 +630,29 @@ object IvfIndex {
       else assignCellsMulti(v, "id", "vec", root, nProbe)
         .select(F.col("id"), F.explode(F.col("cells")).as("pcell"))
         .localCheckpoint()
-    val cands = asg.toDF("a_id", "pcell")
-      .join(asg.toDF("b_id", "pcell"), "pcell")
+    // candidate generation and verification FUSED: the cosine is computed
+    // inside the cell-local join's output iterator and losers are
+    // filtered before anything is exchanged — the same shape as
+    // [[Similarity.cosinePairsBlocked]]. A candidates→distinct→re-join-
+    // vectors staging (the round-≤8 shape) materializes Σ n_c² pair rows
+    // through a distinct and then drags both 8·dim-byte vectors through
+    // two more joins — measured at 16× vectors that staging put the IVF
+    // tier BEHIND the exact quadratic kernel (56 s vs 30 s) while this
+    // fused join prunes the same compute without the exchanges. The
+    // trailing distinct deduplicates pairs co-probed in more than one
+    // cell and is SURVIVOR-sized.
+    val side = v.join(asg, "id")
+      .select(F.col("id"), F.col("pcell"), F.col("vec"), F.col("nrm"))
+    val lhs = side.toDF("a_id", "pcell", "a_vec", "a_norm")
+    val rhs = side.toDF("b_id", "pcell", "b_vec", "b_norm")
+    lhs.join(rhs, Seq("pcell"))
       .filter(F.col("a_id") < F.col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val lhs = v.select(F.col("id").as("a_id"), F.col("vec").as("a_vec"),
-      F.col("nrm").as("a_norm"))
-    val rhs = v.select(F.col("id").as("b_id"), F.col("vec").as("b_vec"),
-      F.col("nrm").as("b_norm"))
-    cands.join(lhs, "a_id").join(rhs, "b_id")
       .withColumn("cos_sim",
         F.round(F.call_function("vec_dot", F.col("a_vec"), F.col("b_vec")) /
           (F.col("a_norm") * F.col("b_norm")), 4))
       .filter(F.col("cos_sim") >= minCos)
       .select("a_id", "b_id", "cos_sim")
+      .distinct()
   }
 
   /** Rank centroids by cosine to the query and return the nProbe nearest

@@ -23,19 +23,93 @@ import graft.streaming.ScoringStream
   *
   * Latency: the 1-row plan is narrow operators on one local partition —
   * no shuffle, no per-row HTTP round-trip (the reference pays Spark →
-  * HTTP → FastAPI → Postgres per row). The first call pays planning +
-  * codegen (~1 s); steady-state calls are interactive (PredictorSpec
-  * measures and reports the median). Construct ONE Predictor per process
-  * and reuse it — the registry/model load happens once, at construction.
+  * HTTP → FastAPI → Postgres per row). Re-running Catalyst
+  * analysis/optimization per call costs ~140 ms on this plan (~100
+  * nodes), so [[predictEnvelope]] serves through a PREPARED plan — the
+  * prepared-statement pattern: the full parse→features→score pipeline is
+  * planned ONCE at construction over a placeholder row (in a child
+  * session that excludes `ConvertToLocalRelation`, which would otherwise
+  * constant-fold the placeholder THROUGH the plan and leave no leaf to
+  * swap), and each call substitutes the envelope into the
+  * `LocalTableScanExec` leaf and `executeCollect`s the already-compiled
+  * physical plan — per-call work is one generated-code pass over one
+  * row. Identical semantics: it is the SAME plan `scoreBatch` builds,
+  * merely planned once (PredictorSpec asserts stream parity and
+  * fast≡slow equality). Falls back to per-call planning if the plan
+  * shape is not the expected single-local-leaf narrow pipeline (e.g. a
+  * future model stage introducing an exchange). Construct ONE Predictor
+  * per process and reuse it — registry/model load AND planning happen
+  * once, at construction.
   */
 final class Predictor(spark: SparkSession, model: Option[(PipelineModel, String)]) {
+
+  import org.apache.spark.sql.execution.LocalTableScanExec
+
+  // child session: same context/catalog, private conf — the exclusion
+  // must not leak into the caller's session-wide optimizer
+  private val serving: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    // whole-stage codegen REGENERATES its fused source on every
+    // doExecute (the compile is cached, the source emission is not —
+    // measured ~40 ms/call on this ~100-expression plan); per-operator
+    // mode uses cached UnsafeProjections instead, and an interpreted-
+    // pipeline pass over ONE row is microseconds. Same expressions,
+    // same results — only the execution mode of this private session
+    // changes.
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    s
+  }
+
+  // the prepared physical plan + output-field indices, or None when the
+  // shape is not swappable (fallback path stays correct, just slower)
+  private val prepared = {
+    import serving.implicits._
+    try {
+      val df = ScoringStream.scoreBatch(
+        Debezium.parse(Seq("{}").toDF("json_string")), existing = None, model)
+      val plan = df.queryExecution.executedPlan
+      val leaves = plan.collect { case l: LocalTableScanExec => l }
+      if (leaves.size == 1) {
+        val s = df.schema
+        Some((plan, s.fieldIndex("trans_num"), s.fieldIndex("prediction_score"),
+          s.fieldIndex("is_fraud_predicted"), s.fieldIndex("risk_level"),
+          s.fieldIndex("model_version")))
+      } else None
+    } catch { case _: Throwable => None }
+  }
+
+  /** True when serving goes through the prepared plan (diagnostics). */
+  private[graft] def fastPathActive: Boolean = prepared.nonEmpty
 
   /** Score one Debezium envelope line (the CDC wire format). Returns
     * None for a tombstone (`{"after": null}` — nothing to score).
     */
-  def predictEnvelope(json: String): Option[Predictor.Prediction] = {
-    import spark.implicits._
-    predictParsed(Debezium.parse(Seq(json).toDF("json_string")))
+  def predictEnvelope(json: String): Option[Predictor.Prediction] = prepared match {
+    case Some((plan, iTrans, iScore, iPred, iRisk, iVer)) =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(json))
+      val swapped = plan.transformUp {
+        case l: LocalTableScanExec => l.copy(rows = Seq(row))
+      }
+      // driver-local single-partition execution skips the ~25–40 ms
+      // DAGScheduler round-trip; executeCollect is the correctness
+      // fallback if the plan stops being narrow
+      val collected =
+        try org.apache.spark.sql.graft.PlanServe.localCollect(swapped)
+        catch { case _: Throwable => swapped.executeCollect() }
+      collected.headOption.map { r =>
+        Predictor.Prediction(
+          if (r.isNullAt(iTrans)) null else r.getUTF8String(iTrans).toString,
+          r.getDouble(iScore),
+          r.getInt(iPred),
+          if (r.isNullAt(iRisk)) null else r.getUTF8String(iRisk).toString,
+          if (r.isNullAt(iVer)) null else r.getUTF8String(iVer).toString)
+      }
+    case None =>
+      import spark.implicits._
+      predictParsed(Debezium.parse(Seq(json).toDF("json_string")))
   }
 
   /** Score an already-parsed (Debezium-shaped) frame and return the first

@@ -151,8 +151,11 @@ object ScaleBench {
     }
 
     // --- 3. semantic dedup: exact blocked all-pairs vs IVF cell-local
-    //     pairs with C growing with the corpus
-    if (legs("semantic")) for (k <- Seq(1, 4, 16)) {
+    //     pairs with C growing with the corpus. 32× extends the leg past
+    //     the local[32] crossover: cells ∝ n keeps per-cell cost constant
+    //     (the tier is ~linear) while the exact kernel is quadratic by
+    //     contract — the separation the smaller scales only hint at.
+    if (legs("semantic")) for (k <- Seq(1, 4, 16, 32)) {
       val v = replicateVecs(emb, k, dim).cache()
       val n = v.count()
       val (tEx, repEx) = time(

@@ -29,6 +29,10 @@ class PredictorSpec extends AnyFunSuite {
   test("rule-path predictions equal the batch kernel, row for row") {
     import spark.implicits._
     val p = Predictor.ruleOnly(spark)
+    // the per-row comparisons below run through the PREPARED plan — pin
+    // that it is actually active, or a silent fallback to per-call
+    // planning would pass parity while losing the serving latency
+    assert(p.fastPathActive, "rule-only predictor should serve via the prepared plan")
     val envelopes = TestFixtures.smokeRows
     val viaBatch = batchKey(
       Debezium.parse(envelopes.toDF("json_string")), model = None)
@@ -55,6 +59,7 @@ class PredictorSpec extends AnyFunSuite {
     assert(promoted, s"planted model failed the promotion gate: $metrics")
 
     val p = Predictor.fromRegistry(spark, root, "fraud_detection_lr")
+    assert(p.fastPathActive, "ML predictor should serve via the prepared plan")
     val envelopes = TestFixtures.smokeRows
     val viaBatch = batchKey(Debezium.parse(envelopes.toDF("json_string")),
       model = Some((model, s"fraud_detection_lr/v$v")))
