@@ -186,8 +186,25 @@ object Bench {
     // Full names + all reps go ONLY to the detail file (committed when Bench
     // is run locally) — printing the ~4 KB detail line would itself crowd the
     // compact line out of the driver's tail window.
+    //
+    // Clobber guard (round 10): docs/BENCH_DETAIL.json is the COMMITTED
+    // quiet-run ledger, and round 9's end-of-round driver run (load 4.05)
+    // silently overwrote the committed quiet artifact (load 0.94) in the
+    // working tree — a blind commit would then have recorded a phantom 40%
+    // regression. A run that starts on a busy box (load ≥ 1.5 on this
+    // 32-core host ≈ another workload competing, see "Host-load evidence"
+    // above) now writes to BENCH_DETAIL.hot.json (gitignored) instead, so a
+    // hot run can never replace the quiet ledger. Filtered dev runs go to
+    // the side path too — the "only" stamp already marks them non-canonical.
+    val detailPath =
+      if (load >= 0 && load < 1.5 && only.isEmpty) "docs/BENCH_DETAIL.json"
+      else {
+        System.err.println(f"[bench] load $load%.2f >= 1.5 or filtered run — " +
+          "writing docs/BENCH_DETAIL.hot.json; the committed quiet ledger is untouched")
+        "docs/BENCH_DETAIL.hot.json"
+      }
     try {
-      val w = new java.io.PrintWriter("docs/BENCH_DETAIL.json")
+      val w = new java.io.PrintWriter(detailPath)
       try w.println(detail) finally w.close()
     } catch { case t: Throwable =>
       System.err.println(s"[bench] detail file not written: ${t.getMessage}")

@@ -63,10 +63,20 @@ final class Predictor(spark: SparkSession, model: Option[(PipelineModel, String)
   }
 
   // the prepared physical plan + output-field indices, or None when the
-  // shape is not swappable (fallback path stays correct, just slower)
+  // shape is not swappable (fallback path stays correct, just slower).
+  // A construction failure is ~13× per-call latency (10.9 ms → ~140 ms),
+  // so it must never be silent: both the unexpected-shape and the thrown
+  // cases log loudly once, here, and fastPathActive exposes the state to
+  // the serving artifact (StreamBench stamps `predict_fast_path`).
+  // `spark.graft.serving.disableFastPath=true` forces the slow path —
+  // the test hook PredictorSpec uses to pin the warning + flag.
   private val prepared = {
     import serving.implicits._
-    try {
+    if (spark.conf.getOption(Predictor.DisableFastPathKey).contains("true")) {
+      System.err.println(s"[predictor] WARNING fast path disabled by " +
+        s"${Predictor.DisableFastPathKey} — serving via per-call planning (~13x slower)")
+      None
+    } else try {
       val df = ScoringStream.scoreBatch(
         Debezium.parse(Seq("{}").toDF("json_string")), existing = None, model)
       val plan = df.queryExecution.executedPlan
@@ -76,12 +86,30 @@ final class Predictor(spark: SparkSession, model: Option[(PipelineModel, String)
         Some((plan, s.fieldIndex("trans_num"), s.fieldIndex("prediction_score"),
           s.fieldIndex("is_fraud_predicted"), s.fieldIndex("risk_level"),
           s.fieldIndex("model_version")))
-      } else None
-    } catch { case _: Throwable => None }
+      } else {
+        System.err.println(s"[predictor] WARNING prepared-plan construction found " +
+          s"${leaves.size} local leaves (expected 1) — serving via per-call " +
+          "planning (~13x slower). A model stage likely introduced an exchange.")
+        None
+      }
+    } catch { case t: Throwable =>
+      System.err.println(s"[predictor] WARNING prepared-plan construction failed " +
+        s"(${t.getClass.getSimpleName}: ${t.getMessage}) — serving via per-call " +
+        "planning (~13x slower)")
+      None
+    }
   }
 
-  /** True when serving goes through the prepared plan (diagnostics). */
+  /** True when serving goes through the prepared plan (diagnostics;
+    * stamped into `docs/BENCH_STREAM.json` as `predict_fast_path`).
+    */
   private[graft] def fastPathActive: Boolean = prepared.nonEmpty
+
+  // per-call localCollect fallbacks since construction; the first one
+  // logs the transition (a repeated per-call warning would flood a
+  // serving loop at thousands of calls/s)
+  private val localCollectFallbacks = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def slowCollects: Long = localCollectFallbacks.get
 
   /** Score one Debezium envelope line (the CDC wire format). Returns
     * None for a tombstone (`{"after": null}` — nothing to score).
@@ -98,7 +126,14 @@ final class Predictor(spark: SparkSession, model: Option[(PipelineModel, String)
       // fallback if the plan stops being narrow
       val collected =
         try org.apache.spark.sql.graft.PlanServe.localCollect(swapped)
-        catch { case _: Throwable => swapped.executeCollect() }
+        catch { case t: Throwable =>
+          if (localCollectFallbacks.getAndIncrement() == 0L)
+            System.err.println(s"[predictor] WARNING driver-local collect fell " +
+              s"back to executeCollect (${t.getClass.getSimpleName}: " +
+              s"${t.getMessage}) — plan no longer narrow? Further fallbacks " +
+              "counted silently (slowCollects).")
+          swapped.executeCollect()
+        }
       collected.headOption.map { r =>
         Predictor.Prediction(
           if (r.isNullAt(iTrans)) null else r.getUTF8String(iTrans).toString,
@@ -128,6 +163,11 @@ final class Predictor(spark: SparkSession, model: Option[(PipelineModel, String)
 }
 
 object Predictor {
+
+  /** Session-conf key forcing the per-call-planning slow path — the test
+    * hook for pinning the fallback warning and `fastPathActive=false`.
+    */
+  private[graft] val DisableFastPathKey = "spark.graft.serving.disableFastPath"
 
   /** One served prediction — the `fraud_predictions` row minus the
     * write-time timestamp.

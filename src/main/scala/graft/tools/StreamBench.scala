@@ -285,9 +285,14 @@ object StreamBench {
         (System.nanoTime() - t0) / 1e6
       }.sorted
       def ms(v: Double): Double = math.round(v * 10) / 10.0
+      // predict_fast_path proves the prepared-plan path produced these
+      // latencies — a silent construction fallback would otherwise let a
+      // ~140 ms regime masquerade as the pinned 10.9 ms one (VERDICT r9 #5)
       parts += s""""predict_calls":${lats.size},""" +
         s""""predict_p50_ms":${ms(lats(lats.size / 2))},""" +
         s""""predict_p95_ms":${ms(lats(lats.size * 95 / 100 - 1))},""" +
+        s""""predict_fast_path":${pred.fastPathActive},""" +
+        s""""predict_slow_collects":${pred.slowCollects},""" +
         s""""baseline_predict_ms":"<100 (reference /predict/raw)""""
     }
 

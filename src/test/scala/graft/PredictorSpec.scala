@@ -85,4 +85,32 @@ class PredictorSpec extends AnyFunSuite {
     info(f"single-row ML scoring: median $median%.0f ms, min ${times.head}%.0f ms over 10 calls")
     assert(median < 2000, f"single-row scoring too slow: $median%.0f ms")
   }
+
+  test("a forced fast-path fallback warns loudly, flags itself, and still scores correctly") {
+    import spark.implicits._
+    // VERDICT r9 #5: a construction failure used to serve ~13x slower with
+    // no signal. The conf hook forces that regime; the pin is (a) the
+    // stderr warning fires, (b) fastPathActive=false is visible to the
+    // artifact, (c) the slow path is still semantically identical.
+    val realErr = System.err
+    val captured = new java.io.ByteArrayOutputStream()
+    spark.conf.set("spark.graft.serving.disableFastPath", "true")
+    val p =
+      try {
+        System.setErr(new java.io.PrintStream(captured, true))
+        try Predictor.ruleOnly(spark) finally System.setErr(realErr)
+      } finally spark.conf.unset("spark.graft.serving.disableFastPath")
+    assert(!p.fastPathActive, "conf hook should force the slow path")
+    assert(captured.toString.contains("[predictor] WARNING"),
+      s"fallback must log loudly; captured: '${captured.toString.take(200)}'")
+    val envelopes = TestFixtures.smokeRows
+    val viaBatch = batchKey(Debezium.parse(envelopes.toDF("json_string")), model = None)
+    envelopes.foreach { env =>
+      val single = p.predictEnvelope(env)
+      assert(single.isDefined && single.get == viaBatch(single.get.transNum),
+        "slow-path prediction diverged from the batch kernel")
+    }
+    // fresh construction without the hook recovers the fast path
+    assert(Predictor.ruleOnly(spark).fastPathActive)
+  }
 }
