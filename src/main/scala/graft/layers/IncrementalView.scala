@@ -1,7 +1,10 @@
 package graft.layers
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.{functions => F}
+
+import graft.plans.{BoundedExtremes, BoundedExtremesAggregate}
 
 /** Incremental maintenance of a grouped summary from a [[Merge.diff]]
   * change feed — the consumer side of the CDF story: a downstream
@@ -16,10 +19,14 @@ import org.apache.spark.sql.{functions => F}
   * rows count +1, delete/update_preimage rows count −1 — an update whose
   * pre/post images sit in DIFFERENT groups moves mass between them
   * automatically (the preimage subtracts from the old group, the
-  * postimage adds to the new one). Non-summable aggregates (min/max,
-  * distinct counts) are deliberately out of scope: a delete under min
-  * needs the base table again, which is exactly the rescan this operator
-  * exists to avoid — use a rebuild (or a sketch store) for those.
+  * postimage adds to the new one). MIN/MAX — not a group under addition
+  * (a delete under min classically forces a rescan) — are maintained
+  * through a bounded per-group synopsis ([[graft.plans.BoundedExtremes]]:
+  * k smallest + k largest retained values with discard thresholds), so a
+  * delete under min is answered from the synopsis in the common case and
+  * only a group whose retained tail fully drains rescans — and then only
+  * THAT group, via a semi-join-pruned scan. Distinct counts remain out of
+  * scope (rebuild or a sketch store).
   *
   * Exactness note: with integer measures the incremental state is
   * bit-identical to a full rebuild at every version (ql10 proves it
@@ -74,6 +81,118 @@ object IncrementalView {
       .filter(F.col("n_rows") > 0)
   }
 
+  private def extCols(col: String): Seq[String] =
+    Seq(s"${col}_lo", s"${col}_lo_tau", s"${col}_hi", s"${col}_hi_tau")
+
+  /** Bootstrap (or group-targeted rescan of) the min/max synopsis for
+    * `col` — one `bounded_extremes` aggregation: map-side partial, <= 2k
+    * values per group cross the shuffle, never a collected group.
+    */
+  def bootstrapExtremes(state: DataFrame, groupCols: Seq[String],
+      col: String, k: Int): DataFrame = {
+    require(state.schema(col).dataType == LongType,
+      s"extremes maintenance requires a BIGINT measure, got ${state.schema(col).dataType}")
+    BoundedExtremesAggregate.register(state.sparkSession)
+    val names = extCols(col)
+    state.groupBy(groupCols.map(F.col): _*)
+      .agg(F.call_function("bounded_extremes", F.col(col), F.lit(k)).as("__ext"))
+      .select(groupCols.map(F.col) ++
+        Seq("lo", "lo_tau", "hi", "hi_tau").zip(names).map {
+          case (f, n) => F.col(s"__ext.$f").as(n)
+        }: _*)
+  }
+
+  /** Advance the synopsis by one change feed. `newSummary` is the
+    * ALREADY-advanced summable summary (its `n_rows` decides which groups
+    * survive and which exhausted groups still need an extreme). `base` is
+    * the CURRENT base state, touched ONLY when a group exhausts — passed
+    * by name so the common case provably never evaluates it (the spec
+    * hands in a thunk that throws).
+    *
+    * Returns (new synopsis, number of groups that rescanned). Cost: one
+    * change-set-sized delta aggregation, a view-sized join against
+    * `newSummary`, and — rescue path only — a semi-join-pruned base scan
+    * sized by the exhausted groups' rows.
+    *
+    * Per-group delta lists are change-set-sized (`collect_list` over the
+    * feed, not the base); a feed that rewrites an entire huge group should
+    * take the rebuild path instead — same guidance as any IVM system.
+    */
+  def applyChangesExtremes(aux: DataFrame, changes: DataFrame,
+      newSummary: DataFrame, base: => DataFrame, groupCols: Seq[String],
+      col: String, k: Int): (DataFrame, Long) = {
+    val names = extCols(col)
+    val sign = F.when(
+      F.col("change_type").isin("insert", "update_postimage"), F.lit(1))
+      .otherwise(F.lit(-1))
+    val deltas = changes
+      .filter(F.col(col).isNotNull) // SQL MIN/MAX ignore nulls
+      .select(groupCols.map(F.col) :+ sign.as("s") :+ F.col(col).cast("long").as("v"): _*)
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.collect_list(F.struct(F.col("s"), F.col("v"))).as("__deltas"))
+    val joined = aux.join(deltas, groupCols, "full_outer")
+
+    val groupFields = groupCols.map(n => joined.schema(joined.schema.fieldIndex(n)))
+    val outSchema = StructType(groupFields ++ BoundedExtremes.structType.fields.zip(names)
+      .map { case (f, n) => f.copy(name = n) })
+    val gIdx = groupCols.map(joined.schema.fieldIndex)
+    val Seq(iLo, iLoTau, iHi, iHiTau) = names.map(joined.schema.fieldIndex)
+    val iDeltas = joined.schema.fieldIndex("__deltas")
+
+    val applied = joined.map { r =>
+      val st0 =
+        if (r.isNullAt(iLo)) BoundedExtremes.empty // group new this feed
+        else BoundedExtremes.State(
+          BoundedExtremes.Side(r.getSeq[Long](iLo).toVector,
+            if (r.isNullAt(iLoTau)) None else Some(r.getLong(iLoTau))),
+          BoundedExtremes.Side(r.getSeq[Long](iHi).toVector,
+            if (r.isNullAt(iHiTau)) None else Some(r.getLong(iHiTau))))
+      val ds = if (r.isNullAt(iDeltas)) Seq.empty[Row] else r.getSeq[Row](iDeltas)
+      // deletes first: every deleted value existed in the OLD state, so it
+      // resolves against the pre-insert synopsis; a same-value update
+      // (delete+insert of one (group, v)) lands correctly in either order
+      val afterDel = ds.filter(_.getInt(0) < 0)
+        .foldLeft(st0)((s, d) => BoundedExtremes.delete(s, d.getLong(1)))
+      val st = ds.filter(_.getInt(0) > 0)
+        .foldLeft(afterDel)((s, d) => BoundedExtremes.insert(s, d.getLong(1), k))
+      Row.fromSeq(gIdx.map(r.get) ++ Seq(
+        st.lo.vals, st.lo.tau.orNull, st.hi.vals, st.hi.tau.orNull))
+    }(Encoders.row(outSchema))
+
+    // groups that vanished (n_rows hit 0) drop with the inner join, same
+    // as the summary's own filter; survivors carry their count forward
+    val alive = applied.join(
+      newSummary.select(groupCols.map(F.col): _*), groupCols, "inner")
+    val isExhausted =
+      (F.size(F.col(names(0))) === 0 && F.col(names(1)).isNotNull) ||
+        (F.size(F.col(names(2))) === 0 && F.col(names(3)).isNotNull)
+    val exhaustedKeys = alive.filter(isExhausted).select(groupCols.map(F.col): _*)
+    val nExhausted = exhaustedKeys.count()
+    val fresh =
+      if (nExhausted == 0) alive
+      else alive.filter(!isExhausted).unionByName(
+        bootstrapExtremes(
+          base.join(exhaustedKeys, groupCols, "left_semi"), groupCols, col, k))
+    (fresh.select(outSchema.fieldNames.map(F.col).toSeq: _*), nExhausted)
+  }
+
+  /** The product shape: summary + `<col>_min`/`<col>_max` answered from
+    * the synopsis heads (exact while the synopsis is live — see
+    * [[graft.plans.BoundedExtremes]] invariants). A group whose values
+    * were all NULL has an empty untouched synopsis → NULL min/max, the
+    * SQL answer.
+    */
+  def withExtremes(summary: DataFrame, aux: DataFrame, groupCols: Seq[String],
+      col: String): DataFrame = {
+    val names = extCols(col)
+    // F.get is null-on-out-of-bounds even under ANSI (the all-null group's
+    // synopsis is legitimately empty); element_at would throw there
+    val mm = aux.select(groupCols.map(F.col) :+
+      F.get(F.col(names(0)), F.lit(0)).as(s"${col}_min") :+
+      F.get(F.col(names(2)), F.size(F.col(names(2))) - 1).as(s"${col}_max"): _*)
+    summary.join(mm, groupCols, "left")
+  }
+
   /** Standing refresh of a summary view over a [[Snapshots]]-versioned
     * base table: the view is itself Snapshots-versioned at `viewPath`,
     * and its version numbers ARE the base versions they reflect — the
@@ -93,24 +212,58 @@ object IncrementalView {
     * needs to diff FROM; a vacuumed-away from-version fails loudly in
     * `Snapshots.read`, and the caller's recovery is a bootstrap rebuild.
     *
+    * With `minMaxCol` set, the view additionally carries exact
+    * `<col>_min`/`<col>_max`, maintained through the bounded synopsis
+    * stored as a sibling snapshot table at `<viewPath>__aux` under the
+    * SAME version numbers. The aux version is committed before the view
+    * version, and the no-op check keys on the VIEW's pointer — so a crash
+    * between the two writes replays as one idempotent re-apply (the aux
+    * target directory is overwritten, never double-applied).
+    *
     * Returns the committed view version, or None for the no-op case.
     */
   def refresh(spark: SparkSession, basePath: String, viewPath: String,
       keys: Seq[String], groupCols: Seq[String],
-      measureCols: Seq[String]): Option[Long] = {
+      measureCols: Seq[String], minMaxCol: Option[String] = None,
+      minMaxK: Int = 32): Option[Long] = {
     val target = Snapshots.latestVersion(spark, basePath).getOrElse(
       throw new IllegalArgumentException(s"no committed base snapshot at $basePath"))
     val current = Snapshots.latestVersion(spark, viewPath)
     if (current.exists(_ >= target)) return None
-    val next = current match {
-      case None =>
+    val auxPath = viewPath + "__aux"
+    // released only after the final view write below — the summable apply
+    // inside `next` still reads it at that point
+    var feedCache: Option[DataFrame] = None
+    val next = (current, minMaxCol) match {
+      case (None, None) =>
         summarize(Snapshots.read(spark, basePath, target), groupCols, measureCols)
-      case Some(v) =>
+      case (None, Some(m)) =>
+        val state = Snapshots.read(spark, basePath, target)
+        Snapshots.writeVersion(
+          bootstrapExtremes(state, groupCols, m, minMaxK), auxPath, target)
+        withExtremes(summarize(state, groupCols, measureCols),
+          Snapshots.read(spark, auxPath, target), groupCols, m)
+      case (Some(v), None) =>
         applyChanges(
           Snapshots.read(spark, viewPath, v),
           Merge.diffSnapshots(spark, basePath, v, target, keys),
           groupCols, measureCols)
+      case (Some(v), Some(m)) =>
+        // the feed drives BOTH the summable apply and the synopsis apply —
+        // cache it so the diff's shuffle runs once
+        val changes = Merge.diffSnapshots(spark, basePath, v, target, keys).cache()
+        feedCache = Some(changes)
+        val oldSummary = Snapshots.read(spark, viewPath, v)
+          .drop(s"${m}_min", s"${m}_max")
+        val newSummary = applyChanges(oldSummary, changes, groupCols, measureCols)
+        val (newAux, _) = applyChangesExtremes(
+          Snapshots.read(spark, auxPath, v), changes, newSummary,
+          Snapshots.read(spark, basePath, target), groupCols, m, minMaxK)
+        Snapshots.writeVersion(newAux, auxPath, target)
+        withExtremes(newSummary, Snapshots.read(spark, auxPath, target),
+          groupCols, m)
     }
-    Some(Snapshots.writeVersion(next, viewPath, target))
+    try Some(Snapshots.writeVersion(next, viewPath, target))
+    finally feedCache.foreach(_.unpersist())
   }
 }

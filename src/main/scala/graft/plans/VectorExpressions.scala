@@ -99,5 +99,6 @@ object GraftFunctions {
     DotProduct.register(spark)
     TopKAggregate.register(spark)
     FreqItemsAggregate.register(spark)
+    BoundedExtremesAggregate.register(spark)
   }
 }

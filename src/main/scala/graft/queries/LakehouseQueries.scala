@@ -228,6 +228,52 @@ object LakehouseQueries extends QueryPack {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // Incremental MIN/MAX maintenance through the bounded synopsis
+    // (IncrementalView.applyChangesExtremes): same three base versions as
+    // ql10 — deletes, inserts, measure updates, group migrations — but the
+    // view now carries price_min/price_max kept current by feed
+    // application over a k=2 synopsis. k=2 is deliberately tight so some
+    // groups EXHAUST under the %7 deletes and take the group-targeted
+    // rescan path while most answer from the synopsis; either way the
+    // hash must equal DuckDB's min/max over the final state, which is
+    // exactly the "delete under min without a full rescan" contract.
+    "ql11_incremental_minmax" -> ((s, d) => {
+      val o = graft.runtime.Tables.load(s, d, "orders")
+      val key = F.col("o_orderkey")
+      val base = F.floor(F.col("o_totalprice")).cast("long")
+      def version(n: Int): DataFrame = {
+        val keep = n match {
+          case 0 => key % 7 =!= 6
+          case 1 => key % 7 =!= 0
+          case _ => key % 7 =!= 3
+        }
+        val price = base +
+          (if (n >= 1) F.when(key % 11 === 0, F.lit(5000L)).otherwise(F.lit(0L))
+           else F.lit(0L)) +
+          (if (n >= 2) F.when(key % 13 === 0, F.lit(77L)).otherwise(F.lit(0L))
+           else F.lit(0L))
+        val prio =
+          if (n >= 2) F.when(key % 17 === 0, F.lit("MIGRATED"))
+            .otherwise(F.col("o_orderpriority"))
+          else F.col("o_orderpriority")
+        o.filter(keep).select(key, F.col("o_orderstatus"),
+          prio.as("o_orderpriority"), price.as("price"))
+      }
+      val (v0, v1, v2) = (version(0), version(1), version(2))
+      val grp = Seq("o_orderstatus", "o_orderpriority")
+      val iv = graft.layers.IncrementalView
+      val sum0 = iv.summarize(v0, grp, Seq("price"))
+      val aux0 = iv.bootstrapExtremes(v0, grp, "price", 2)
+      val d01 = graft.layers.Merge.diff(v0, v1, Seq("o_orderkey"))
+      val sum1 = iv.applyChanges(sum0, d01, grp, Seq("price"))
+      val (aux1, _) = iv.applyChangesExtremes(aux0, d01, sum1, v1, grp, "price", 2)
+      val d12 = graft.layers.Merge.diff(v1, v2, Seq("o_orderkey"))
+      val sum2 = iv.applyChanges(sum1, d12, grp, Seq("price"))
+      val (aux2, _) = iv.applyChangesExtremes(aux1, d12, sum2, v2, grp, "price", 2)
+      iv.withExtremes(sum2, aux2, grp, "price")
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // latest_metrics shape: single-row global metrics + alert ladder.
     "ql04_latest_metrics" -> ((s, d) => {
       ev(s, d).agg(
@@ -377,6 +423,21 @@ object LakehouseQueries extends QueryPack {
       """SELECT o_orderstatus, o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(price) AS BIGINT) AS price_sum
+         FROM (
+           SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'MIGRATED'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CAST(floor(o_totalprice) AS BIGINT)
+               + CASE WHEN o_orderkey % 11 = 0 THEN 5000 ELSE 0 END
+               + CASE WHEN o_orderkey % 13 = 0 THEN 77 ELSE 0 END AS price
+           FROM orders WHERE o_orderkey % 7 <> 3)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ql11_incremental_minmax" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(price) AS BIGINT) AS price_sum,
+           CAST(min(price) AS BIGINT) AS price_min,
+           CAST(max(price) AS BIGINT) AS price_max
          FROM (
            SELECT o_orderstatus,
              CASE WHEN o_orderkey % 17 = 0 THEN 'MIGRATED'
