@@ -84,6 +84,24 @@ object IncrementalView {
   private def extCols(col: String): Seq[String] =
     Seq(s"${col}_lo", s"${col}_lo_tau", s"${col}_hi", s"${col}_hi_tau")
 
+  /** Null-safe equi-join condition against RENAMED right-side keys: a NULL
+    * group key is a real group under SQL GROUP BY (summarize/applyChanges
+    * handle it through groupBy), so every synopsis-side join must pair it
+    * with `<=>` — plain `=` would silently drop the NULL-keyed group from
+    * maintenance and later wedge on its delete (round-10 advice).
+    */
+  private def nsCond(leftCols: Seq[String], rightCols: Seq[String]) =
+    leftCols.zip(rightCols)
+      .map { case (l, r) => F.col(l) <=> F.col(r) }
+      .reduce(_ && _)
+
+  /** Rename `cols` with `prefix` so a same-named join is unambiguous. */
+  private def renamed(df: DataFrame, cols: Seq[String],
+      prefix: String): (DataFrame, Seq[String]) = {
+    val rn = cols.map(c => s"$prefix$c")
+    (cols.zip(rn).foldLeft(df) { case (d, (a, b)) => d.withColumnRenamed(a, b) }, rn)
+  }
+
   /** Bootstrap (or group-targeted rescan of) the min/max synopsis for
     * `col` — one `bounded_extremes` aggregation: map-side partial, <= 2k
     * values per group cross the shuffle, never a collected group.
@@ -125,12 +143,19 @@ object IncrementalView {
     val sign = F.when(
       F.col("change_type").isin("insert", "update_postimage"), F.lit(1))
       .otherwise(F.lit(-1))
-    val deltas = changes
-      .filter(F.col(col).isNotNull) // SQL MIN/MAX ignore nulls
-      .select(groupCols.map(F.col) :+ sign.as("s") :+ F.col(col).cast("long").as("v"): _*)
-      .groupBy(groupCols.map(F.col): _*)
-      .agg(F.collect_list(F.struct(F.col("s"), F.col("v"))).as("__deltas"))
-    val joined = aux.join(deltas, groupCols, "full_outer")
+    val (deltas, dKeys) = renamed(
+      changes
+        .filter(F.col(col).isNotNull) // SQL MIN/MAX ignore nulls
+        .select(groupCols.map(F.col) :+ sign.as("s") :+ F.col(col).cast("long").as("v"): _*)
+        .groupBy(groupCols.map(F.col): _*)
+        .agg(F.collect_list(F.struct(F.col("s"), F.col("v"))).as("__deltas")),
+      groupCols, "__d_")
+    // null-safe full outer: both sides matched null-safely, so per key
+    // column the coalesce recovers the group value (incl. a genuine NULL)
+    val joined = aux.join(deltas, nsCond(groupCols, dKeys), "full_outer")
+      .select(groupCols.zip(dKeys).map {
+        case (a, b) => F.coalesce(F.col(a), F.col(b)).as(a)
+      } ++ (names :+ "__deltas").map(F.col): _*)
 
     val groupFields = groupCols.map(n => joined.schema(joined.schema.fieldIndex(n)))
     val outSchema = StructType(groupFields ++ BoundedExtremes.structType.fields.zip(names)
@@ -159,10 +184,21 @@ object IncrementalView {
         st.lo.vals, st.lo.tau.orNull, st.hi.vals, st.hi.tau.orNull))
     }(Encoders.row(outSchema))
 
-    // groups that vanished (n_rows hit 0) drop with the inner join, same
+    // groups that vanished (n_rows hit 0) drop with the semi join, same
     // as the summary's own filter; survivors carry their count forward
-    val alive = applied.join(
-      newSummary.select(groupCols.map(F.col): _*), groupCols, "inner")
+    val (sumKeys, sKeys) = renamed(
+      newSummary.select(groupCols.map(F.col): _*), groupCols, "__s_")
+    val aliveLazy = applied.join(sumKeys, nsCond(groupCols, sKeys), "left_semi")
+    // Materialize the applied synopsis ONCE before branching: the
+    // exhausted-group decision below is an action, and the result re-enters
+    // joins downstream (the next feed application's full outer, the final
+    // withExtremes). The raw map-over-join plan both recomputed the whole
+    // apply per consumer and — when the rescan union fed another join —
+    // tripped Spark's "can't zip RDDs with unequal numbers of partitions"
+    // at shuffle-partition counts other than the bench's (round-10 crash).
+    // The relation is view-sized, so an eager localCheckpoint is cheap and
+    // truncates the lineage for good.
+    val alive = aliveLazy.localCheckpoint()
     val isExhausted =
       (F.size(F.col(names(0))) === 0 && F.col(names(1)).isNotNull) ||
         (F.size(F.col(names(2))) === 0 && F.col(names(3)).isNotNull)
@@ -170,9 +206,13 @@ object IncrementalView {
     val nExhausted = exhaustedKeys.count()
     val fresh =
       if (nExhausted == 0) alive
-      else alive.filter(!isExhausted).unionByName(
-        bootstrapExtremes(
-          base.join(exhaustedKeys, groupCols, "left_semi"), groupCols, col, k))
+      else {
+        val (ex, eKeys) = renamed(exhaustedKeys, groupCols, "__e_")
+        alive.filter(!isExhausted).unionByName(
+          bootstrapExtremes(
+            base.join(ex, nsCond(groupCols, eKeys), "left_semi"), groupCols, col, k))
+          .localCheckpoint()
+      }
     (fresh.select(outSchema.fieldNames.map(F.col).toSeq: _*), nExhausted)
   }
 
@@ -187,11 +227,24 @@ object IncrementalView {
     val names = extCols(col)
     // F.get is null-on-out-of-bounds even under ANSI (the all-null group's
     // synopsis is legitimately empty); element_at would throw there
-    val mm = aux.select(groupCols.map(F.col) :+
-      F.get(F.col(names(0)), F.lit(0)).as(s"${col}_min") :+
-      F.get(F.col(names(2)), F.size(F.col(names(2))) - 1).as(s"${col}_max"): _*)
-    summary.join(mm, groupCols, "left")
+    val (mm, mKeys) = renamed(
+      aux.select(groupCols.map(F.col) :+
+        F.get(F.col(names(0)), F.lit(0)).as(s"${col}_min") :+
+        F.get(F.col(names(2)), F.size(F.col(names(2))) - 1).as(s"${col}_max"): _*),
+      groupCols, "__m_")
+    summary.join(mm, nsCond(groupCols, mKeys), "left")
+      .select((summary.columns.toSeq :+ s"${col}_min" :+ s"${col}_max").map(F.col): _*)
   }
+
+  /** The [[graft.plans.BoundedExtremes]] delete `require` surfacing through
+    * a Spark job: a change feed inconsistent with the synopsis (a delete of
+    * a value neither retained nor beyond tau). [[refresh]] treats it as a
+    * poison pill and falls back to a bootstrap rebuild — see there.
+    */
+  private[graft] def isSynopsisInconsistency(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(t => Option(t.getMessage)
+        .exists(_.contains("change feed inconsistent with the synopsis")))
 
   /** Standing refresh of a summary view over a [[Snapshots]]-versioned
     * base table: the view is itself Snapshots-versioned at `viewPath`,
@@ -256,9 +309,34 @@ object IncrementalView {
         val oldSummary = Snapshots.read(spark, viewPath, v)
           .drop(s"${m}_min", s"${m}_max")
         val newSummary = applyChanges(oldSummary, changes, groupCols, measureCols)
-        val (newAux, _) = applyChangesExtremes(
-          Snapshots.read(spark, auxPath, v), changes, newSummary,
-          Snapshots.read(spark, basePath, target), groupCols, m, minMaxK)
+        // a view previously maintained WITHOUT minMaxCol has no aux at v:
+        // bootstrap the synopsis from the base AS OF v, then apply the feed
+        // as usual — one extra versioned scan, loudly logged, instead of an
+        // opaque Snapshots.read failure naming no recovery path.
+        val oldAux =
+          if (Snapshots.versions(spark, auxPath).contains(v))
+            Snapshots.read(spark, auxPath, v)
+          else {
+            println(s"[incremental-view] no synopsis at $auxPath version=$v " +
+              s"(view predates minMaxCol?) — bootstrapping extremes from the base as of $v")
+            bootstrapExtremes(Snapshots.read(spark, basePath, v), groupCols, m, minMaxK)
+          }
+        // Poison-pill policy: a feed inconsistent with the synopsis throws
+        // from BoundedExtremes.delete — in a standing stream that would
+        // wedge the refresh on every replay of the same feed. Fail the
+        // INCREMENTAL path loudly and fall back to a bootstrap rebuild of
+        // the synopsis at the target version: correctness re-derived from
+        // the base, never a silently wrong extreme, and the stream advances.
+        val newAux =
+          try applyChangesExtremes(oldAux, changes, newSummary,
+            Snapshots.read(spark, basePath, target), groupCols, m, minMaxK)._1
+          catch {
+            case e: Throwable if isSynopsisInconsistency(e) =>
+              System.err.println("[incremental-view] synopsis/feed inconsistency — " +
+                s"falling back to bootstrap rebuild of $auxPath at version=$target: ${e.getMessage}")
+              bootstrapExtremes(
+                Snapshots.read(spark, basePath, target), groupCols, m, minMaxK)
+          }
         Snapshots.writeVersion(newAux, auxPath, target)
         withExtremes(newSummary, Snapshots.read(spark, auxPath, target),
           groupCols, m)

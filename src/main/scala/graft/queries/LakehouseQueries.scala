@@ -264,10 +264,14 @@ object LakehouseQueries extends QueryPack {
       val iv = graft.layers.IncrementalView
       val sum0 = iv.summarize(v0, grp, Seq("price"))
       val aux0 = iv.bootstrapExtremes(v0, grp, "price", 2)
-      val d01 = graft.layers.Merge.diff(v0, v1, Seq("o_orderkey"))
+      // each diff feeds BOTH the summable apply and the synopsis apply, and
+      // the sum chain is consumed again downstream — materialize the feeds
+      // once (change-set-sized) instead of re-running the full-outer diff
+      // per consumer, mirroring IncrementalView.refresh's feed cache
+      val d01 = graft.layers.Merge.diff(v0, v1, Seq("o_orderkey")).localCheckpoint()
       val sum1 = iv.applyChanges(sum0, d01, grp, Seq("price"))
       val (aux1, _) = iv.applyChangesExtremes(aux0, d01, sum1, v1, grp, "price", 2)
-      val d12 = graft.layers.Merge.diff(v1, v2, Seq("o_orderkey"))
+      val d12 = graft.layers.Merge.diff(v1, v2, Seq("o_orderkey")).localCheckpoint()
       val sum2 = iv.applyChanges(sum1, d12, grp, Seq("price"))
       val (aux2, _) = iv.applyChangesExtremes(aux1, d12, sum2, v2, grp, "price", 2)
       iv.withExtremes(sum2, aux2, grp, "price")
