@@ -199,7 +199,14 @@ object Bench {
     val detailPath =
       if (load >= 0 && load < 1.5 && only.isEmpty) "docs/BENCH_DETAIL.json"
       else {
-        System.err.println(f"[bench] load $load%.2f >= 1.5 or filtered run — " +
+        // three distinct reasons, named precisely: a filtered dev run, an
+        // unreadable /proc/loadavg (non-Linux: quietness unprovable, so the
+        // committed ledger is never updated there), or a genuinely hot box
+        val why =
+          if (only.nonEmpty) "filtered (SPARK_GRAFT_ONLY) run"
+          else if (load < 0) "load unavailable (/proc/loadavg unreadable — non-Linux host?)"
+          else f"load $load%.2f >= 1.5"
+        System.err.println(s"[bench] $why — " +
           "writing docs/BENCH_DETAIL.hot.json; the committed quiet ledger is untouched")
         "docs/BENCH_DETAIL.hot.json"
       }

@@ -5,7 +5,25 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{functions => F}
 
-import graft.layers.{Merge, Snapshots}
+import graft.layers.{IncrementalView, Merge, Snapshots}
+
+/** A downstream grouped-summary view kept current by
+  * [[graft.layers.IncrementalView.refresh]] from the maintenance cadence:
+  * after each committed dim version the refresh diffs the base from the
+  * view's version to the new latest and applies deltas — change-set-sized
+  * work, never a rescan (plus optional exact MIN/MAX through the bounded
+  * synopsis). `keys` is the base table's ROW identity for the diff — for
+  * an SCD2 dim that is (businessKey, valid_from): a close-out is then an
+  * update (valid_to/is_current flip, measures unchanged) and each new
+  * attribute version is an insert.
+  */
+final case class MaintainedView(
+    viewPath: String,
+    keys: Seq[String],
+    groupCols: Seq[String],
+    measureCols: Seq[String],
+    minMaxCol: Option[String] = None,
+    minMaxK: Int = 32)
 
 /** Streaming CDC dimension maintenance — the engine's three table-
   * maintenance pieces composed into one standing leg:
@@ -50,12 +68,32 @@ import graft.layers.{Merge, Snapshots}
   */
 object DimMaintenanceStream {
 
-  /** One micro-batch: compact → scd2 → version-stamped snapshot.
-    * Exposed for specs to drive crash/replay scenarios directly.
-    * `batch` must carry `key`, `tsCol`, and the tracked attrs (every
-    * other column).
+  /** One micro-batch: compact → scd2 → version-stamped snapshot →
+    * (optionally) downstream-view refresh. Exposed for specs to drive
+    * crash/replay scenarios directly. `batch` must carry `key`, `tsCol`,
+    * and the tracked attrs (every other column).
     */
   private[graft] def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      dimPath: String,
+      key: String,
+      tsCol: String,
+      view: Option[MaintainedView] = None): Unit = {
+    commitDim(spark, batch, batchId, dimPath, key, tsCol)
+    // AFTER the dim commit, and also on the stale-only/no-op paths: the
+    // refresh is keyed on the VIEW's own pointer, so it no-ops when
+    // current, catches the view up if a prior crash landed between the
+    // dim commit and the refresh, and a replayed batch cannot
+    // double-apply a feed — the same exactly-once discipline as the dim.
+    view.foreach { mv =>
+      IncrementalView.refresh(spark, dimPath, mv.viewPath, mv.keys,
+        mv.groupCols, mv.measureCols, mv.minMaxCol, mv.minMaxK)
+    }
+  }
+
+  private def commitDim(
       spark: SparkSession,
       batch: DataFrame,
       batchId: Long,
@@ -149,7 +187,8 @@ object DimMaintenanceStream {
       key: String,
       tsCol: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+      maxFilesPerTrigger: Int = 10,
+      view: Option[MaintainedView] = None): StreamingQuery = {
     val changes = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -160,7 +199,7 @@ object DimMaintenanceStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          processBatch(spark, batch, batchId, dimPath, key, tsCol)
+          processBatch(spark, batch, batchId, dimPath, key, tsCol, view)
       }
       .start()
   }
