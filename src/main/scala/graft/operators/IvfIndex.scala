@@ -553,14 +553,190 @@ object IvfIndex {
     * of MULTI-PROBE gates: a near-dup pair straddling a Voronoi face is
     * invisible cell-locally, but joining a vector against its top-2
     * cells' contents catches any pair whose probe lists overlap.
+    *
+    * `coarseProbes > 0` switches to the TWO-LEVEL kernel: the C centroids
+    * are pre-clustered (driver-side, C is metadata) into G ≈ √C coarse
+    * groups; each row ranks the G group centers, explores only the
+    * `coarseProbes` nearest groups, and runs the fine argmin within them —
+    * per-row cost ~(G + coarseProbes·C/G)·d instead of C·d, the n·√C
+    * assignment term at corpus scale. The selection is conditional in
+    * generated code (a CASE chain), so unexplored groups' distances are
+    * never computed. Approximate by the standard IVF argument: a vector on
+    * a coarse Voronoi face may assign to its second-best cell — probe
+    * correctness never depends on assignment optimality, only cell balance
+    * and candidate recall do (SimilaritySpec pins agreement and the
+    * coarseProbes=G ⇒ exact equivalence).
     */
   def assignCellsMulti(df: DataFrame, idCol: String, vecCol: String, root: String,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, coarseProbes: Int = 0): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    val sorted = F.array_sort(F.array(centroidCandidates(df.sparkSession, root): _*))
+    val sorted =
+      if (coarseProbes <= 0)
+        F.array_sort(F.array(centroidCandidates(df.sparkSession, root): _*))
+      else twoLevelSortedCandidates(df.sparkSession, root, coarseProbes, nProbe)
     df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
       .withColumn("cells",
         F.transform(F.slice(sorted, 1, nProbe), c => c.getField("cell")))
+  }
+
+  /** Driver-side Lloyd's k-means over the C centroid points — C is index
+    * METADATA, so this is microseconds; no MLlib job. Returns (centers,
+    * assignment). Empty clusters re-seed to the point farthest from its
+    * center so every group is nonempty.
+    */
+  private[operators] def localKMeans(points: Array[Array[Double]], g: Int,
+      iters: Int = 15, seed: Long = 7L): (Array[Array[Double]], Array[Int]) = {
+    val n = points.length
+    val dim = points.head.length
+    val k = math.min(g, n)
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val centers = rnd.shuffle(points.indices.toVector).take(k)
+      .map(points(_).clone).toArray
+    val assign = new Array[Int](n)
+    var it = 0
+    var moved = true
+    while (it < iters && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = d2(points(i), centers(c)); if (d < bd) { bd = d; best = c }; c += 1
+        }
+        if (assign(i) != best || it == 0) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); counts(a) += 1
+        var d = 0; while (d < dim) { sums(a)(d) += points(i)(d); d += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var d = 0; while (d < dim) { centers(c)(d) = sums(c)(d) / counts(c); d += 1 }
+        } else {
+          // re-seed an empty cluster to the point farthest from its center
+          var far = 0; var fd = -1.0; var j = 0
+          while (j < n) {
+            val d = d2(points(j), centers(assign(j))); if (d > fd) { fd = d; far = j }; j += 1
+          }
+          centers(c) = points(far).clone; assign(far) = c
+        }
+        c += 1
+      }
+      it += 1
+    }
+    (centers, assign)
+  }
+
+  /** The two-level kernel's sorted fine-candidate array (see
+    * [[assignCellsMulti]]): rank G coarse group centers, explore the top
+    * `coarseProbes` groups (auto-raised so the explored groups always hold
+    * at least `nProbe` cells), fine-rank only their member cells.
+    */
+  private def twoLevelSortedCandidates(spark: SparkSession, root: String,
+      coarseProbes: Int, nProbe: Int): org.apache.spark.sql.Column = {
+    GraftFunctions.register(spark)
+    val cents = loadCentroids(spark, root)
+    val g = math.max(1, math.round(math.sqrt(cents.size.toDouble)).toInt)
+    val (centers, member) = localKMeans(cents.map(_._2).toArray, g)
+    val groups: Seq[(Int, Seq[(Int, Array[Double])])] =
+      cents.zipWithIndex.groupBy { case (_, i) => member(i) }
+        .map { case (gi, xs) => gi -> xs.map(_._1) }.toSeq.sortBy(_._1)
+    // enough groups that ANY choice of that many covers >= nProbe cells
+    val sizesAsc = groups.map(_._2.size).sorted
+    var (cov, pMin) = (0, 0)
+    while (cov < nProbe && pMin < sizesAsc.size) { cov += sizesAsc(pMin); pMin += 1 }
+    val p = math.min(groups.size, math.max(coarseProbes, pMin))
+    val coarse = groups.map { case (gi, _) =>
+      val ctr = centers(gi)
+      val cArr = F.array(ctr.map(F.lit(_)).toIndexedSeq: _*)
+      val cc = ctr.map(x => x * x).sum
+      F.struct(
+        (F.lit(cc) - F.lit(2.0) * F.call_function("vec_dot", F.col("vec"), cArr)).as("d"),
+        F.lit(gi).as("g"))
+    }
+    val selGroups = F.transform(
+      F.slice(F.array_sort(F.array(coarse: _*)), 1, p), s => s.getField("g"))
+    val groupArrays = groups.map { case (gi, members) =>
+      gi -> F.array(members.map { case (cell, c) => cellCandidate(cell, c) }: _*)
+    }
+    // CASE chain: generated code evaluates ONLY the matched group's member
+    // distances — that conditionality is the whole n·√C win
+    def fineFor(gc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      groupArrays.tail.foldLeft(
+        F.when(gc === groupArrays.head._1, groupArrays.head._2)) {
+        case (acc, (gi, arr)) => acc.when(gc === gi, arr)
+      }
+    F.array_sort(F.flatten(F.transform(selGroups, fineFor(_))))
+  }
+
+  /** Calibration result of [[calibrateProbes]]: the smallest probe count
+    * whose measured recall@k met the target (or C, where the probe is
+    * total and equals brute force by construction), the recall measured
+    * there, and the full (nProbe, recall, seconds) sweep curve.
+    */
+  final case class ProbeCalibration(
+      nProbe: Int, recall: Double, targetMet: Boolean,
+      curve: Seq[(Int, Double, Double)])
+
+  /** The serving-recall contract: sweep nProbe (doubling, 1..C) over a
+    * deterministic query sample, measure recall@k of [[knnJoin]] against
+    * the exact brute-force answer on the SAME corpus, and return the
+    * smallest nProbe meeting `targetRecall`. nProbe=C probes every cell
+    * and equals brute force (oracle qe10 pins that equality), so the
+    * sweep always terminates with recall 1.0 — a target no probe budget
+    * short of C can meet is reported as nProbe=C, targetMet=true, rather
+    * than silently serving below-target recall. Cost: one brute kNN over
+    * the sample plus one probed kNN per sweep point — run it at (re)build
+    * time, store the chosen nProbe next to the index root.
+    */
+  def calibrateProbes(spark: SparkSession, root: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, targetRecall: Double,
+      sampleQueries: Int = 64): ProbeCalibration = {
+    GraftFunctions.register(spark)
+    val c = loadCentroids(spark, root).size
+    // deterministic sample: hash-ordered head — no seed drift across runs
+    val qs = queries.select(F.col(idCol), F.col(vecCol))
+      .orderBy(F.xxhash64(F.col(idCol)), F.col(idCol))
+      .limit(sampleQueries).localCheckpoint()
+    val corpus = vectors(spark, root)
+      .select(F.col("id").as(idCol), F.col("vec").as(vecCol))
+    val brute = Similarity.knnJoin(corpus, qs, idCol, vecCol, k)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    def recallAt(nProbe: Int): Double = {
+      val top = knnJoin(spark, root, qs, idCol, vecCol, k, nProbe)
+        .collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+      if (brute.isEmpty) 1.0
+      else brute.map { case (q, exact) =>
+        if (exact.isEmpty) 1.0
+        else (top.getOrElse(q, Set.empty) intersect exact).size.toDouble / exact.size
+      }.sum / brute.size
+    }
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    var probe = 1
+    var done = false
+    var chosen = (c, 1.0)
+    while (!done) {
+      val t0 = System.nanoTime()
+      val r = recallAt(probe)
+      curve += ((probe, r, (System.nanoTime() - t0) / 1e9))
+      if (r >= targetRecall || probe >= c) {
+        chosen = (probe, r); done = true
+      } else probe = math.min(probe * 2, c)
+    }
+    ProbeCalibration(chosen._1, chosen._2, chosen._2 >= targetRecall, curve.toSeq)
   }
 
   /** One (distance, cell) struct Column per centroid — ||v−c||² with the
@@ -571,16 +747,21 @@ object IvfIndex {
   private def centroidCandidates(spark: SparkSession,
       root: String): Seq[org.apache.spark.sql.Column] = {
     GraftFunctions.register(spark)
-    val cents: Seq[(Int, Array[Double])] =
-      spark.read.parquet(s"$root/centroids.parquet").collect().toSeq
-        .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Double]]("centroid").toArray))
-    cents.map { case (cell, c) =>
-      val cArr = F.array(c.map(F.lit(_)).toIndexedSeq: _*)
-      val cc = c.map(x => x * x).sum
-      F.struct(
-        (F.lit(cc) - F.lit(2.0) * F.call_function("vec_dot", F.col("vec"), cArr)).as("d"),
-        F.lit(cell).as("cell"))
-    }
+    loadCentroids(spark, root).map { case (cell, c) => cellCandidate(cell, c) }
+  }
+
+  /** The centroid table localized: C metadata rows. */
+  private def loadCentroids(spark: SparkSession, root: String): Seq[(Int, Array[Double])] =
+    spark.read.parquet(s"$root/centroids.parquet").collect().toSeq
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Double]]("centroid").toArray))
+
+  /** One (distance, cell) struct for a single centroid literal. */
+  private def cellCandidate(cell: Int, c: Array[Double]): org.apache.spark.sql.Column = {
+    val cArr = F.array(c.map(F.lit(_)).toIndexedSeq: _*)
+    val cc = c.map(x => x * x).sum
+    F.struct(
+      (F.lit(cc) - F.lit(2.0) * F.call_function("vec_dot", F.col("vec"), cArr)).as("d"),
+      F.lit(cell).as("cell"))
   }
 
   /** The indexed vectors (id, vec, nrm, cell), optionally without one
@@ -610,9 +791,14 @@ object IvfIndex {
     * Scale: both join legs shuffle on the C-valued cell key; C is the
     * index's centroid count, sized at build time so cells stay balanced
     * (KMeans) and numerous — the skew story is the index's own.
+    * `coarseProbes > 0` runs the multi-probe assignment through the
+    * two-level kernel ([[assignCellsMulti]]): with C ∝ n the flat
+    * assignment term is n·C·d and becomes the leg's hot spot at 32×+
+    * scale; two-level cuts it to ~n·√C·d. Candidate recall is what the
+    * coarse granularity buys (verification stays exact either way).
     */
   def cellLocalPairs(spark: SparkSession, root: String, minCos: Double,
-      nProbe: Int = 1): DataFrame = {
+      nProbe: Int = 1, coarseProbes: Int = 0): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     GraftFunctions.register(spark)
     val v = vectors(spark, root)
@@ -627,7 +813,7 @@ object IvfIndex {
     // column: nothing to recompute, keep it lazy.
     val asg =
       if (nProbe == 1) v.select(F.col("id"), F.col("cell").as("pcell"))
-      else assignCellsMulti(v, "id", "vec", root, nProbe)
+      else assignCellsMulti(v, "id", "vec", root, nProbe, coarseProbes)
         .select(F.col("id"), F.explode(F.col("cells")).as("pcell"))
         .localCheckpoint()
     // candidate generation and verification FUSED: the cosine is computed

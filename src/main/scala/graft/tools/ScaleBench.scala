@@ -155,12 +155,19 @@ object ScaleBench {
     //     the local[32] crossover: cells ∝ n keeps per-cell cost constant
     //     (the tier is ~linear) while the exact kernel is quadratic by
     //     contract — the separation the smaller scales only hint at.
-    if (legs("semantic")) for (k <- Seq(1, 4, 16, 32)) {
+    if (legs("semantic")) for (k <- Seq(1, 4, 16, 32, 64)) {
       val v = replicateVecs(emb, k, dim).cache()
       val n = v.count()
-      val (tEx, repEx) = time(
-        Similarity.semanticDedup(v, "vec_id", "embedding", 0.9)
-          .filter(F.col("is_rep") === 1).count())
+      // the exact kernel is quadratic BY CONTRACT — past 32× it only
+      // re-proves that at minutes of wall-clock; the 64× row instead
+      // compares the two IVF assignment kernels against each other
+      // (verification is exact in both, so representative equality still
+      // certifies the tier end-to-end)
+      val (tEx, repEx) =
+        if (k <= 32) time(
+          Similarity.semanticDedup(v, "vec_id", "embedding", 0.9)
+            .filter(F.col("is_rep") === 1).count())
+        else (-1.0, -1L)
       val root = s"/tmp/graft-scalebench-sem-$k-${System.nanoTime()}"
       val (tBuild, _) = time(
         IvfIndex.build(v, "vec_id", "embedding", root, numCentroids = 8 * k))
@@ -168,9 +175,18 @@ object ScaleBench {
         Similarity.semanticDedup(v, "vec_id", "embedding", 0.9,
           candidatePairs = Some(IvfIndex.cellLocalPairs(spark, root, 0.9, nProbe = 2)))
           .filter(F.col("is_rep") === 1).count())
+      // the two-level (coarse √C → fine) assignment kernel: cuts the
+      // n·C·d assignment term to ~n·√C·d, the flat tier's hot spot once
+      // C grows with the corpus
+      val (tIvf2, repIvf2) = time(
+        Similarity.semanticDedup(v, "vec_id", "embedding", 0.9,
+          candidatePairs = Some(IvfIndex.cellLocalPairs(spark, root, 0.9, nProbe = 2,
+            coarseProbes = 2)))
+          .filter(F.col("is_rep") === 1).count())
       emit(s"""{"leg":"semantic_dedup","scale":$k,"n_vecs":$n,"n_cells":${8 * k},""" +
         f""""exact_sec":$tEx%.2f,"ivf_build_sec":$tBuild%.2f,"ivf_pairs_sec":$tIvf%.2f,""" +
-        s""""exact_reps":$repEx,"ivf_reps":$repIvf}""")
+        f""""ivf2_pairs_sec":$tIvf2%.2f,""" +
+        s""""exact_reps":$repEx,"ivf_reps":$repIvf,"ivf2_reps":$repIvf2}""")
       v.unpersist()
     }
 
@@ -264,6 +280,17 @@ object ScaleBench {
         f""""pq_build_sec":$tPqBuild%.2f,"pq_probe_sec":$tPq%.2f,""" +
         f""""pq_recall_at_10":$pqRecall%.3f,"pq_recall_margin30":$pqRecall30%.3f,""" +
         f""""planted_dup_recall":$dupRecall%.3f}""")
+      // the serving-recall CONTRACT: sweep nProbe until recall@10 >= 0.9
+      // on this corpus, emit the full recall-vs-probe-vs-latency curve —
+      // the dial an operator reads to size a serving config instead of
+      // guessing (the fixed-seed spec pin lives in SimilaritySpec)
+      val cal = IvfIndex.calibrateProbes(spark, root, queries,
+        "vec_id", "embedding", k = 10, targetRecall = 0.9, sampleQueries = nq)
+      val curveJson = cal.curve.map { case (p, r, s) =>
+        f"""{"n_probe":$p,"recall":$r%.3f,"sec":$s%.2f}""" }.mkString("[", ",", "]")
+      emit(s"""{"leg":"ann_recall_contract","scale":$k,"n_vecs":$n,"n_cells":$cells,""" +
+        f""""target":0.9,"chosen_probe":${cal.nProbe},"chosen_recall":${cal.recall}%.3f,""" +
+        s""""target_met":${cal.targetMet},"curve":$curveJson}""")
       queries.unpersist(); v.unpersist()
     }
 

@@ -529,4 +529,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full.length == emb.count())
     assert(rows.map(_.getAs[Int]("cell")).toSet == full.map(_.getAs[Int]("cell")).toSet)
   }
+
+  test("two-level assignment: coarseProbes=G is exactly the flat kernel; tight budget agrees; dedup reps identical") {
+    val root = TestFixtures.tmpDir("ivf-twolevel").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 16)
+    def asg(coarse: Int) = IvfIndex.assignCellsMulti(emb, "vec_id", "embedding", root,
+        nProbe = 2, coarseProbes = coarse)
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Int](r.fieldIndex("cells"))).toMap
+    val flat = asg(0)
+    // exploring every coarse group IS the flat kernel — bit-identical
+    assert(asg(16) == flat, "coarseProbes covering all groups must equal the flat argmin")
+    // a tight coarse budget misassigns only coarse-Voronoi-face vectors.
+    // These near-random test embeddings are the WORST case (no cluster
+    // structure, constant near-ties across coarse groups), so the pin is
+    // mean probe-list overlap, not exact list equality
+    val two = asg(2)
+    val overlap = flat.map { case (id, cells) =>
+      (two(id).toSet intersect cells.toSet).size.toDouble / cells.size
+    }.sum / flat.size
+    val exactLists = flat.count { case (id, cells) => two(id) == cells }.toDouble / flat.size
+    info(f"two-level at coarseProbes=2: mean probe overlap $overlap%.3f, identical lists $exactLists%.3f")
+    assert(overlap >= 0.7, f"two-level probe lists diverged too far from exact: $overlap%.3f")
+    assert(two.values.forall(_.size == 2), "every vector still gets nProbe cells")
+    // what actually matters downstream: semantic dedup over two-level
+    // candidates verifies exactly, so representatives match the flat tier
+    val repsFlat = Similarity.semanticDedup(emb, "vec_id", "embedding", 0.9,
+      candidatePairs = Some(IvfIndex.cellLocalPairs(spark, root, 0.9, nProbe = 2)))
+      .filter(F.col("is_rep") === 1).collect().map(_.getAs[Long]("vec_id")).toSet
+    val repsTwo = Similarity.semanticDedup(emb, "vec_id", "embedding", 0.9,
+      candidatePairs = Some(IvfIndex.cellLocalPairs(spark, root, 0.9, nProbe = 2,
+        coarseProbes = 2)))
+      .filter(F.col("is_rep") === 1).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(repsTwo == repsFlat, "two-level candidate tier changed the dedup representatives")
+  }
+
+  test("calibrateProbes picks the smallest nProbe meeting the recall target; probe=C is exact") {
+    val root = TestFixtures.tmpDir("ivf-calib").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 16)
+    val cal = IvfIndex.calibrateProbes(spark, root, emb, "vec_id", "embedding",
+      k = 10, targetRecall = 0.9, sampleQueries = 24)
+    info(s"calibration curve (nProbe, recall, sec): ${cal.curve.map(c => (c._1, c._2))}")
+    assert(cal.targetMet, s"sweep must terminate met (probe=C is exact): $cal")
+    assert(cal.recall >= 0.9)
+    // the sweep is a doubling ladder ending at the chosen probe
+    assert(cal.curve.last._1 == cal.nProbe)
+    assert(cal.curve.map(_._1) == cal.curve.map(_._1).sorted.distinct, "strictly increasing sweep")
+    // every sweep point below the chosen one measured UNDER target
+    // (otherwise a smaller budget would have been chosen)
+    assert(cal.curve.init.forall(_._2 < 0.9), s"non-minimal probe choice: ${cal.curve}")
+    // recalibrating is deterministic: same sample, same curve shape
+    val again = IvfIndex.calibrateProbes(spark, root, emb, "vec_id", "embedding",
+      k = 10, targetRecall = 0.9, sampleQueries = 24)
+    assert(again.nProbe == cal.nProbe && again.recall == cal.recall)
+    // an unreachable target degrades to the exact configuration, loudly
+    // marked rather than silently below-target
+    val exact = IvfIndex.calibrateProbes(spark, root, emb, "vec_id", "embedding",
+      k = 10, targetRecall = 1.0, sampleQueries = 8)
+    assert(exact.nProbe == 16 && exact.recall == 1.0 && exact.targetMet,
+      s"probe=C must equal brute force: $exact")
+  }
 }
