@@ -269,10 +269,14 @@ object LakehouseQueries extends QueryPack {
       // once (change-set-sized) instead of re-running the full-outer diff
       // per consumer, mirroring IncrementalView.refresh's feed cache
       val d01 = graft.layers.Merge.diff(v0, v1, Seq("o_orderkey")).localCheckpoint()
-      val sum1 = iv.applyChanges(sum0, d01, grp, Seq("price"))
+      // the advanced summaries are view-sized (18 rows) but their lineage
+      // reaches back through the diffs to the base scans — each is
+      // consumed by the synopsis apply AND the next application, so
+      // materialize them too (refresh reads them from snapshots instead)
+      val sum1 = iv.applyChanges(sum0, d01, grp, Seq("price")).localCheckpoint()
       val (aux1, _) = iv.applyChangesExtremes(aux0, d01, sum1, v1, grp, "price", 2)
       val d12 = graft.layers.Merge.diff(v1, v2, Seq("o_orderkey")).localCheckpoint()
-      val sum2 = iv.applyChanges(sum1, d12, grp, Seq("price"))
+      val sum2 = iv.applyChanges(sum1, d12, grp, Seq("price")).localCheckpoint()
       val (aux2, _) = iv.applyChangesExtremes(aux1, d12, sum2, v2, grp, "price", 2)
       iv.withExtremes(sum2, aux2, grp, "price")
         .orderBy("o_orderstatus", "o_orderpriority")
