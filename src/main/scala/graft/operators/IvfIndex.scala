@@ -449,7 +449,8 @@ object IvfIndex {
     // dirs only (never CURRENT or the gen-* children living beside them)
     if (cur != handle &&
         fs.exists(new org.apache.hadoop.fs.Path(s"$handle/vectors"))) {
-      Seq("vectors", "digests", "cellcounts", "centroids.parquet", "compacting")
+      Seq("vectors", "digests", "cellcounts", "centroids.parquet", "compacting",
+          "serving.parquet")
         .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(s"$handle/$d"), true))
       retired += handle
     }
@@ -698,7 +699,8 @@ object IvfIndex {
     * short of C can meet is reported as nProbe=C, targetMet=true, rather
     * than silently serving below-target recall. Cost: one brute kNN over
     * the sample plus one probed kNN per sweep point — run it at (re)build
-    * time, store the chosen nProbe next to the index root.
+    * time and persist the outcome with [[calibrateAndStore]], which every
+    * serving entry point then resolves by default ([[UseStoredProbes]]).
     */
   def calibrateProbes(spark: SparkSession, root: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, targetRecall: Double,
@@ -738,6 +740,47 @@ object IvfIndex {
     }
     ProbeCalibration(chosen._1, chosen._2, chosen._2 >= targetRecall, curve.toSeq)
   }
+
+  /** Sentinel for "resolve nProbe from the index's stored serving config"
+    * — the default of every serving entry point. An index that was never
+    * calibrated falls back to [[DefaultProbes]], the historical default.
+    */
+  val UseStoredProbes: Int = 0
+  val DefaultProbes: Int = 4
+
+  /** [[calibrateProbes]] + persist the outcome as the index's SERVING
+    * CONFIG at `<root>/serving.parquet` (one metadata row: chosen probes,
+    * k, target, measured recall) — run at (re)build time; every serving
+    * entry point called with [[UseStoredProbes]] then serves at the
+    * calibrated budget. A [[rebuild]] writes a fresh root with NO config:
+    * cell geometry changed, so the maintenance cadence recalibrates
+    * before flipping the pointer (stale dials must not survive a
+    * geometry change silently).
+    */
+  def calibrateAndStore(spark: SparkSession, root: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, targetRecall: Double,
+      sampleQueries: Int = 64): ProbeCalibration = {
+    val cal = calibrateProbes(spark, root, queries, idCol, vecCol, k,
+      targetRecall, sampleQueries)
+    import spark.implicits._
+    Seq((cal.nProbe, k, targetRecall, cal.recall))
+      .toDF("n_probe", "k", "target_recall", "measured_recall")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/serving.parquet")
+    cal
+  }
+
+  /** The stored serving config's probe count, if the index was calibrated. */
+  def servingProbes(spark: SparkSession, root: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/serving.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(s"$root/serving.parquet")
+      .head().getAs[Int]("n_probe"))
+  }
+
+  private def resolveProbes(spark: SparkSession, root: String, nProbe: Int): Int =
+    if (nProbe >= 1) nProbe
+    else servingProbes(spark, root).getOrElse(DefaultProbes)
 
   /** One (distance, cell) struct Column per centroid — ||v−c||² with the
     * row-constant v·v dropped. The centroid table is metadata (C rows),
@@ -868,10 +911,10 @@ object IvfIndex {
       root: String,
       query: Array[Double],
       k: Int,
-      nProbe: Int = 4,
+      nProbe: Int = UseStoredProbes,
       excludeId: Option[Long] = None): DataFrame = {
     GraftFunctions.register(spark)
-    val cells = probeCells(spark, root, query, nProbe)
+    val cells = probeCells(spark, root, query, resolveProbes(spark, root, nProbe))
     val qArr = F.array(query.map(F.lit(_)).toSeq: _*)
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val scan = spark.read.parquet(s"$root/vectors")
@@ -898,11 +941,11 @@ object IvfIndex {
       root: String,
       query: Array[Double],
       k: Int,
-      nProbe: Int = 4,
+      nProbe: Int = UseStoredProbes,
       margin: Int = 3,
       excludeId: Option[Long] = None): DataFrame = {
     GraftFunctions.register(spark)
-    val cells = probeCells(spark, root, query, nProbe)
+    val cells = probeCells(spark, root, query, resolveProbes(spark, root, nProbe))
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val qScale = query.map(math.abs).max / 127.0
     val qCodes = query.map(x => math.round(x / qScale).toDouble)
@@ -932,7 +975,8 @@ object IvfIndex {
     * not a query-path scan), then [[topKByVector]] excluding the query
     * itself.
     */
-  def topK(spark: SparkSession, root: String, queryId: Long, k: Int, nProbe: Int = 4): DataFrame = {
+  def topK(spark: SparkSession, root: String, queryId: Long, k: Int,
+      nProbe: Int = UseStoredProbes): DataFrame = {
     val q = spark.read.parquet(s"$root/vectors")
       .filter(F.col("id") === queryId).select("vec")
       .head().getAs[Seq[Double]]("vec").toArray
@@ -962,9 +1006,11 @@ object IvfIndex {
     * neighbor_id) — identical tie policy, identical 4-decimal rounding.
     */
   def knnJoin(spark: SparkSession, root: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      nProbe: Int = UseStoredProbes): DataFrame = {
     GraftFunctions.register(spark)
-    val q = assignCellsMulti(queries, idCol, vecCol, root, nProbe)
+    val q = assignCellsMulti(queries, idCol, vecCol, root,
+      resolveProbes(spark, root, nProbe))
       .withColumn("q_norm", F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))))
       .select(F.col("id").cast("long").as("query_id"), F.col("vec").as("q_vec"),
         F.col("q_norm"), F.explode(F.col("cells")).as("cell"))

@@ -588,4 +588,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact.nProbe == 16 && exact.recall == 1.0 && exact.targetMet,
       s"probe=C must equal brute force: $exact")
   }
+
+  test("stored serving config: calibrateAndStore persists the dial; serving defaults resolve it") {
+    val root = TestFixtures.tmpDir("ivf-serving").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 16)
+    // before calibration: the sentinel default falls back to the
+    // historical 4-probe dial
+    assert(IvfIndex.servingProbes(spark, root).isEmpty)
+    val q = emb.filter(F.col("vec_id") === 7L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val preDefault = IvfIndex.topKByVector(spark, root, q, 5).collect().toSeq
+    val preExplicit = IvfIndex.topKByVector(spark, root, q, 5, nProbe = 4).collect().toSeq
+    assert(preDefault == preExplicit, "uncalibrated default must be the 4-probe dial")
+    // calibrate and store; the default dial becomes the contract dial
+    val cal = IvfIndex.calibrateAndStore(spark, root, emb, "vec_id", "embedding",
+      k = 10, targetRecall = 0.9, sampleQueries = 24)
+    assert(IvfIndex.servingProbes(spark, root).contains(cal.nProbe))
+    val post = IvfIndex.topKByVector(spark, root, q, 5).collect().toSeq
+    val postExplicit = IvfIndex.topKByVector(spark, root, q, 5, nProbe = cal.nProbe)
+      .collect().toSeq
+    assert(post == postExplicit, "serving default must resolve the stored config")
+    assert(cal.nProbe > 4, s"on this corpus the contract dial exceeds the old default: $cal")
+    // the stored dial must actually change SOME served answer (recall at
+    // 4 probes is well under target here, so across a handful of queries
+    // at least one top-5 must differ)
+    val differs = Seq(0L, 7L, 17L, 42L, 101L).exists { qid =>
+      val qv = emb.filter(F.col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      IvfIndex.topKByVector(spark, root, qv, 5).collect().toSeq !=
+        IvfIndex.topKByVector(spark, root, qv, 5, nProbe = 4).collect().toSeq
+    }
+    assert(differs, "the stored dial changed no served answer across five probes")
+    // the batch api resolves the same config
+    val joined = IvfIndex.knnJoin(spark, root, emb.filter(F.col("vec_id") === 7L),
+      "vec_id", "embedding", k = 5).collect().toSeq
+    val joinedExplicit = IvfIndex.knnJoin(spark, root, emb.filter(F.col("vec_id") === 7L),
+      "vec_id", "embedding", k = 5, nProbe = cal.nProbe).collect().toSeq
+    assert(joined.map(_.toSeq) == joinedExplicit.map(_.toSeq))
+  }
 }
