@@ -236,6 +236,37 @@ object IncrementalView {
       .select((summary.columns.toSeq :+ s"${col}_min" :+ s"${col}_max").map(F.col): _*)
   }
 
+  /** Exact DISTINCT-count maintenance — summable one level down, closing
+    * the "distinct counts are out of scope" gap the sum/count machinery
+    * left: maintain the (groupCols :+ col) row-count summary with the
+    * SAME [[summarize]]/[[applyChanges]] feed application (each distinct
+    * value is a sub-group whose n_rows tracks its multiplicity; the
+    * filter(n_rows > 0) drops a value exactly when its LAST instance is
+    * deleted), and the per-group distinct count is then the aux's
+    * group-local row count — exact under inserts, deletes, and group
+    * migrations, no sketch, no rescan. SQL semantics: NULL values do not
+    * count (`count(distinct col)` ignores them); a group with only NULL
+    * values reads 0.
+    *
+    * Scale: the aux is bounded by the number of LIVE (group, value)
+    * combinations — the same cardinality a `count(distinct)` rebuild
+    * shuffles — while each refresh still costs only a change-set-sized
+    * delta aggregation plus an aux-sized merge. A genuinely unbounded
+    * value domain wants the HLL sketch tier instead (qa16), which trades
+    * exactness for O(1) state but cannot subtract deletes.
+    */
+  def withDistinctCount(summary: DataFrame, valueAux: DataFrame,
+      groupCols: Seq[String], col: String): DataFrame = {
+    val (dc, dKeys) = renamed(
+      valueAux.filter(F.col(col).isNotNull)
+        .groupBy(groupCols.map(F.col): _*)
+        .agg(F.count(F.lit(1)).as(s"${col}_distinct")),
+      groupCols, "__dc_")
+    summary.join(dc, nsCond(groupCols, dKeys), "left")
+      .select(summary.columns.map(F.col) :+
+        F.coalesce(F.col(s"${col}_distinct"), F.lit(0L)).as(s"${col}_distinct"): _*)
+  }
+
   /** The [[graft.plans.BoundedExtremes]] delete `require` surfacing through
     * a Spark job: a change feed inconsistent with the synopsis (a delete of
     * a value neither retained nor beyond tau). [[refresh]] treats it as a

@@ -282,6 +282,55 @@ object LakehouseQueries extends QueryPack {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // Incremental DISTINCT-count maintenance: same three versions and
+    // feeds as ql10/ql11, but the view now carries an exact
+    // count(distinct price_bucket) kept current by maintaining the
+    // (group, value) row-count summary one level down — a value drops out
+    // of the distinct count exactly when its LAST instance is deleted,
+    // which the summable n_rows>0 filter decides with no rescan. The
+    // bucket is deliberately coarse (floor(price/1000)) so deletes land
+    // on multi-instance values (count unchanged) AND last-instance values
+    // (count drops), and the +5000 measure update moves rows BETWEEN
+    // buckets; hash must equal DuckDB's count(distinct) over the final
+    // state. All-BIGINT payloads (QueryPack taxonomy).
+    "ql12_incremental_distinct" -> ((s, d) => {
+      val o = graft.runtime.Tables.load(s, d, "orders")
+      val key = F.col("o_orderkey")
+      val base = F.floor(F.col("o_totalprice")).cast("long")
+      def version(n: Int): DataFrame = {
+        val keep = n match {
+          case 0 => key % 7 =!= 6
+          case 1 => key % 7 =!= 0
+          case _ => key % 7 =!= 3
+        }
+        val price = base +
+          (if (n >= 1) F.when(key % 11 === 0, F.lit(5000L)).otherwise(F.lit(0L))
+           else F.lit(0L)) +
+          (if (n >= 2) F.when(key % 13 === 0, F.lit(77L)).otherwise(F.lit(0L))
+           else F.lit(0L))
+        val prio =
+          if (n >= 2) F.when(key % 17 === 0, F.lit("MIGRATED"))
+            .otherwise(F.col("o_orderpriority"))
+          else F.col("o_orderpriority")
+        o.filter(keep).select(key, F.col("o_orderstatus"),
+          prio.as("o_orderpriority"), price.as("price"),
+          F.floor(price / 1000).cast("long").as("price_bucket"))
+      }
+      val (v0, v1, v2) = (version(0), version(1), version(2))
+      val grp = Seq("o_orderstatus", "o_orderpriority")
+      val iv = graft.layers.IncrementalView
+      val sum0 = iv.summarize(v0, grp, Seq("price"))
+      val aux0 = iv.summarize(v0, grp :+ "price_bucket", Nil)
+      val d01 = graft.layers.Merge.diff(v0, v1, Seq("o_orderkey")).localCheckpoint()
+      val sum1 = iv.applyChanges(sum0, d01, grp, Seq("price")).localCheckpoint()
+      val aux1 = iv.applyChanges(aux0, d01, grp :+ "price_bucket", Nil).localCheckpoint()
+      val d12 = graft.layers.Merge.diff(v1, v2, Seq("o_orderkey")).localCheckpoint()
+      val sum2 = iv.applyChanges(sum1, d12, grp, Seq("price"))
+      val aux2 = iv.applyChanges(aux1, d12, grp :+ "price_bucket", Nil)
+      iv.withDistinctCount(sum2, aux2, grp, "price_bucket")
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // latest_metrics shape: single-row global metrics + alert ladder.
     "ql04_latest_metrics" -> ((s, d) => {
       ev(s, d).agg(
@@ -454,6 +503,24 @@ object LakehouseQueries extends QueryPack {
                + CASE WHEN o_orderkey % 11 = 0 THEN 5000 ELSE 0 END
                + CASE WHEN o_orderkey % 13 = 0 THEN 77 ELSE 0 END AS price
            FROM orders WHERE o_orderkey % 7 <> 3)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ql12_incremental_distinct" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(price) AS BIGINT) AS price_sum,
+           CAST(count(DISTINCT price_bucket) AS BIGINT) AS price_bucket_distinct
+         FROM (
+           SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'MIGRATED'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             price,
+             CAST(floor(price / 1000) AS BIGINT) AS price_bucket
+           FROM (
+             SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               CAST(floor(o_totalprice) AS BIGINT)
+                 + CASE WHEN o_orderkey % 11 = 0 THEN 5000 ELSE 0 END
+                 + CASE WHEN o_orderkey % 13 = 0 THEN 77 ELSE 0 END AS price
+             FROM orders WHERE o_orderkey % 7 <> 3))
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "ql06_error_patterns" ->
       """SELECT CASE WHEN value < 50 THEN 1 WHEN value < 150 THEN 2

@@ -122,6 +122,35 @@ class IncrementalViewExtremesSpec extends AnyFunSuite {
     assert(IV.isSynopsisInconsistency(e), s"expected loud inconsistency, got: ${e.getMessage}")
   }
 
+  test("distinct-count maintenance: last-instance deletes drop the count, NULLs never count") {
+    // values: group a holds bucket 1 twice and bucket 2 once; z all-NULL
+    val s0 = df(Seq(
+      (1L, Some("a"), Some(1L)), (2L, Some("a"), Some(1L)), (3L, Some("a"), Some(2L)),
+      (4L, None, Some(5L)), (5L, Some("z"), None)))
+    // delete one instance of bucket 1 (count holds), the ONLY instance of
+    // bucket 2 (count drops), insert a new value into the NULL group
+    val s1 = df(Seq(
+      (1L, Some("a"), Some(1L)),
+      (4L, None, Some(5L)), (6L, None, Some(6L)), (5L, Some("z"), None)))
+    def distinctView(state: org.apache.spark.sql.DataFrame) =
+      IV.withDistinctCount(IV.summarize(state, grp, Seq("m")),
+        IV.summarize(state, grp :+ "m", Nil), grp, "m")
+    val feed = Merge.diff(s0, s1, Seq("id")).localCheckpoint()
+    val sum1 = IV.applyChanges(IV.summarize(s0, grp, Seq("m")), feed, grp, Seq("m"))
+    val aux1 = IV.applyChanges(IV.summarize(s0, grp :+ "m", Nil), feed, grp :+ "m", Nil)
+    val got = IV.withDistinctCount(sum1, aux1, grp, "m").collect()
+      .map(r => (Option(r.getAs[String]("g")), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("m_distinct"))).toSet
+    val rebuilt = distinctView(s1).collect()
+      .map(r => (Option(r.getAs[String]("g")), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("m_distinct"))).toSet
+    assert(got == rebuilt, s"incremental distinct != rebuild: $got vs $rebuilt")
+    assert(got == Set(
+      (Some("a"), 1L, 1L),  // bucket 2's last instance left; bucket 1 survives
+      (None, 2L, 2L),       // NULL-keyed group counts its two real values
+      (Some("z"), 1L, 0L))) // all-NULL values: count(distinct) = 0
+  }
+
   test("refresh(minMaxCol): versioned maintenance ≡ rebuild; crash-replay; no-op on replay") {
     val dir = TestFixtures.tmpDir("ivm-minmax").toString
     val (base, view) = (s"$dir/base", s"$dir/view")
