@@ -298,79 +298,106 @@ object IncrementalView {
     *
     * With `minMaxCol` set, the view additionally carries exact
     * `<col>_min`/`<col>_max`, maintained through the bounded synopsis
-    * stored as a sibling snapshot table at `<viewPath>__aux` under the
-    * SAME version numbers. The aux version is committed before the view
+    * stored as a sibling snapshot table at `<viewPath>__aux`; with
+    * `distinctCol` set it carries an exact `<col>_distinct`, maintained
+    * through the (group, value) row-count summary at `<viewPath>__vals`
+    * ([[withDistinctCount]]). Both auxiliaries version under the SAME
+    * numbers as the view, every aux version is committed before the view
     * version, and the no-op check keys on the VIEW's pointer — so a crash
-    * between the two writes replays as one idempotent re-apply (the aux
-    * target directory is overwritten, never double-applied).
+    * between any of the writes replays as one idempotent re-apply (aux
+    * target directories are overwritten, never double-applied).
     *
     * Returns the committed view version, or None for the no-op case.
     */
   def refresh(spark: SparkSession, basePath: String, viewPath: String,
       keys: Seq[String], groupCols: Seq[String],
       measureCols: Seq[String], minMaxCol: Option[String] = None,
-      minMaxK: Int = 32): Option[Long] = {
+      minMaxK: Int = 32, distinctCol: Option[String] = None): Option[Long] = {
     val target = Snapshots.latestVersion(spark, basePath).getOrElse(
       throw new IllegalArgumentException(s"no committed base snapshot at $basePath"))
     val current = Snapshots.latestVersion(spark, viewPath)
     if (current.exists(_ >= target)) return None
     val auxPath = viewPath + "__aux"
+    val valsPath = viewPath + "__vals"
     // released only after the final view write below — the summable apply
     // inside `next` still reads it at that point
     var feedCache: Option[DataFrame] = None
-    val next = (current, minMaxCol) match {
-      case (None, None) =>
-        summarize(Snapshots.read(spark, basePath, target), groupCols, measureCols)
-      case (None, Some(m)) =>
+    val next = current match {
+      case None =>
         val state = Snapshots.read(spark, basePath, target)
-        Snapshots.writeVersion(
-          bootstrapExtremes(state, groupCols, m, minMaxK), auxPath, target)
-        withExtremes(summarize(state, groupCols, measureCols),
-          Snapshots.read(spark, auxPath, target), groupCols, m)
-      case (Some(v), None) =>
-        applyChanges(
-          Snapshots.read(spark, viewPath, v),
-          Merge.diffSnapshots(spark, basePath, v, target, keys),
-          groupCols, measureCols)
-      case (Some(v), Some(m)) =>
-        // the feed drives BOTH the summable apply and the synopsis apply —
-        // cache it so the diff's shuffle runs once
+        minMaxCol.foreach { m =>
+          Snapshots.writeVersion(
+            bootstrapExtremes(state, groupCols, m, minMaxK), auxPath, target)
+        }
+        distinctCol.foreach { c =>
+          Snapshots.writeVersion(
+            summarize(state, groupCols :+ c, Nil), valsPath, target)
+        }
+        val s0 = summarize(state, groupCols, measureCols)
+        val s1 = minMaxCol.fold(s0)(m =>
+          withExtremes(s0, Snapshots.read(spark, auxPath, target), groupCols, m))
+        distinctCol.fold(s1)(c =>
+          withDistinctCount(s1, Snapshots.read(spark, valsPath, target), groupCols, c))
+      case Some(v) =>
+        // the feed drives the summable apply AND every aux apply — cache
+        // it so the diff's shuffle runs once
         val changes = Merge.diffSnapshots(spark, basePath, v, target, keys).cache()
         feedCache = Some(changes)
-        val oldSummary = Snapshots.read(spark, viewPath, v)
-          .drop(s"${m}_min", s"${m}_max")
+        val derived = minMaxCol.toSeq.flatMap(m => Seq(s"${m}_min", s"${m}_max")) ++
+          distinctCol.map(c => s"${c}_distinct")
+        val oldSummary = Snapshots.read(spark, viewPath, v).drop(derived: _*)
         val newSummary = applyChanges(oldSummary, changes, groupCols, measureCols)
-        // a view previously maintained WITHOUT minMaxCol has no aux at v:
-        // bootstrap the synopsis from the base AS OF v, then apply the feed
-        // as usual — one extra versioned scan, loudly logged, instead of an
-        // opaque Snapshots.read failure naming no recovery path.
-        val oldAux =
-          if (Snapshots.versions(spark, auxPath).contains(v))
-            Snapshots.read(spark, auxPath, v)
-          else {
-            println(s"[incremental-view] no synopsis at $auxPath version=$v " +
-              s"(view predates minMaxCol?) — bootstrapping extremes from the base as of $v")
-            bootstrapExtremes(Snapshots.read(spark, basePath, v), groupCols, m, minMaxK)
-          }
-        // Poison-pill policy: a feed inconsistent with the synopsis throws
-        // from BoundedExtremes.delete — in a standing stream that would
-        // wedge the refresh on every replay of the same feed. Fail the
-        // INCREMENTAL path loudly and fall back to a bootstrap rebuild of
-        // the synopsis at the target version: correctness re-derived from
-        // the base, never a silently wrong extreme, and the stream advances.
-        val newAux =
-          try applyChangesExtremes(oldAux, changes, newSummary,
-            Snapshots.read(spark, basePath, target), groupCols, m, minMaxK)._1
-          catch {
-            case e: Throwable if isSynopsisInconsistency(e) =>
-              System.err.println("[incremental-view] synopsis/feed inconsistency — " +
-                s"falling back to bootstrap rebuild of $auxPath at version=$target: ${e.getMessage}")
-              bootstrapExtremes(
-                Snapshots.read(spark, basePath, target), groupCols, m, minMaxK)
-          }
-        Snapshots.writeVersion(newAux, auxPath, target)
-        withExtremes(newSummary, Snapshots.read(spark, auxPath, target),
-          groupCols, m)
+        minMaxCol.foreach { m =>
+          // a view previously maintained WITHOUT minMaxCol has no aux at
+          // v: bootstrap the synopsis from the base AS OF v, then apply
+          // the feed as usual — one extra versioned scan, loudly logged,
+          // instead of an opaque Snapshots.read failure naming no
+          // recovery path.
+          val oldAux =
+            if (Snapshots.versions(spark, auxPath).contains(v))
+              Snapshots.read(spark, auxPath, v)
+            else {
+              println(s"[incremental-view] no synopsis at $auxPath version=$v " +
+                s"(view predates minMaxCol?) — bootstrapping extremes from the base as of $v")
+              bootstrapExtremes(Snapshots.read(spark, basePath, v), groupCols, m, minMaxK)
+            }
+          // Poison-pill policy: a feed inconsistent with the synopsis
+          // throws from BoundedExtremes.delete — in a standing stream that
+          // would wedge the refresh on every replay of the same feed. Fail
+          // the INCREMENTAL path loudly and fall back to a bootstrap
+          // rebuild of the synopsis at the target version: correctness
+          // re-derived from the base, never a silently wrong extreme, and
+          // the stream advances.
+          val newAux =
+            try applyChangesExtremes(oldAux, changes, newSummary,
+              Snapshots.read(spark, basePath, target), groupCols, m, minMaxK)._1
+            catch {
+              case e: Throwable if isSynopsisInconsistency(e) =>
+                System.err.println("[incremental-view] synopsis/feed inconsistency — " +
+                  s"falling back to bootstrap rebuild of $auxPath at version=$target: ${e.getMessage}")
+                bootstrapExtremes(
+                  Snapshots.read(spark, basePath, target), groupCols, m, minMaxK)
+            }
+          Snapshots.writeVersion(newAux, auxPath, target)
+        }
+        distinctCol.foreach { c =>
+          // same backfill story as the synopsis: a view upgraded to
+          // distinctCol bootstraps its value summary from the base AS OF v
+          val oldVals =
+            if (Snapshots.versions(spark, valsPath).contains(v))
+              Snapshots.read(spark, valsPath, v)
+            else {
+              println(s"[incremental-view] no value summary at $valsPath version=$v " +
+                s"(view predates distinctCol?) — bootstrapping from the base as of $v")
+              summarize(Snapshots.read(spark, basePath, v), groupCols :+ c, Nil)
+            }
+          Snapshots.writeVersion(
+            applyChanges(oldVals, changes, groupCols :+ c, Nil), valsPath, target)
+        }
+        val s1 = minMaxCol.fold(newSummary)(m =>
+          withExtremes(newSummary, Snapshots.read(spark, auxPath, target), groupCols, m))
+        distinctCol.fold(s1)(c =>
+          withDistinctCount(s1, Snapshots.read(spark, valsPath, target), groupCols, c))
     }
     try Some(Snapshots.writeVersion(next, viewPath, target))
     finally feedCache.foreach(_.unpersist())

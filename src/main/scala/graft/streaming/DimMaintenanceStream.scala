@@ -23,7 +23,8 @@ final case class MaintainedView(
     groupCols: Seq[String],
     measureCols: Seq[String],
     minMaxCol: Option[String] = None,
-    minMaxK: Int = 32)
+    minMaxK: Int = 32,
+    distinctCol: Option[String] = None)
 
 /** Streaming CDC dimension maintenance — the engine's three table-
   * maintenance pieces composed into one standing leg:
@@ -89,7 +90,7 @@ object DimMaintenanceStream {
     // double-apply a feed — the same exactly-once discipline as the dim.
     view.foreach { mv =>
       IncrementalView.refresh(spark, dimPath, mv.viewPath, mv.keys,
-        mv.groupCols, mv.measureCols, mv.minMaxCol, mv.minMaxK)
+        mv.groupCols, mv.measureCols, mv.minMaxCol, mv.minMaxK, mv.distinctCol)
     }
   }
 

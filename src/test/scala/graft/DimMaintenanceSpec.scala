@@ -160,15 +160,19 @@ class DimMaintenanceSpec extends AnyFunSuite {
     // SCD2 row identity is (k, valid_from): close-outs become updates
     // (measures unchanged), new attribute versions become inserts
     val mv = MaintainedView(viewPath, Seq("k", "valid_from"),
-      Seq("seg"), Seq("amt"), minMaxCol = Some("amt"), minMaxK = 2)
+      Seq("seg"), Seq("amt"), minMaxCol = Some("amt"), minMaxK = 2,
+      distinctCol = Some("amt"))
     def rebuild(v: Long) = {
       val st = Snapshots.read(spark, dim, v)
-      IV.withExtremes(IV.summarize(st, Seq("seg"), Seq("amt")),
-        IV.bootstrapExtremes(st, Seq("seg"), "amt", 2), Seq("seg"), "amt")
+      IV.withDistinctCount(
+        IV.withExtremes(IV.summarize(st, Seq("seg"), Seq("amt")),
+          IV.bootstrapExtremes(st, Seq("seg"), "amt", 2), Seq("seg"), "amt"),
+        IV.summarize(st, Seq("seg", "amt"), Nil), Seq("seg"), "amt")
     }
     def asSet(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
       (r.getAs[String]("seg"), r.getAs[Long]("n_rows"), r.getAs[Long]("amt_sum"),
-        r.getAs[Long]("amt_min"), r.getAs[Long]("amt_max"))
+        r.getAs[Long]("amt_min"), r.getAs[Long]("amt_max"),
+        r.getAs[Long]("amt_distinct"))
     }.toSet
     def batch(rows: (Long, String, Long, String)*) = rows.toSeq
       .map { case (k, seg, amt, ts) => (k, seg, amt, java.sql.Timestamp.valueOf(ts)) }

@@ -184,6 +184,36 @@ class IncrementalViewExtremesSpec extends AnyFunSuite {
     assert(asSet(Snapshots.read(spark, view, 1L)) == asSet(rebuild(df(v1))))
   }
 
+  test("refresh with minMaxCol AND distinctCol: both auxiliaries maintained; mid-life upgrade backfills") {
+    val dir = TestFixtures.tmpDir("ivm-both").toString
+    val (base, view) = (s"$dir/base", s"$dir/view")
+    def rebuildBoth(state: DataFrame) =
+      IV.withDistinctCount(rebuild(state), IV.summarize(state, grp :+ "m", Nil), grp, "m")
+    def asSetD(d: DataFrame) = d.collect().map { r =>
+      (Option(r.getAs[String]("g")), r.getAs[Long]("n_rows"),
+        Option(r.get(r.fieldIndex("m_min"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("m_max"))).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("m_distinct"))
+    }.toSet
+    Snapshots.writeVersion(df(v0), base, 0L)
+    // v0 maintained with min/max only — no value summary exists yet
+    assert(IV.refresh(spark, base, view, Seq("id"), grp, Seq("m"), Some("m"), 2).contains(0L))
+    Snapshots.writeVersion(df(v1), base, 1L)
+    // mid-life upgrade: distinctCol added — the __vals aux backfills from
+    // the base AS OF the view's version, then the feed applies
+    assert(IV.refresh(spark, base, view, Seq("id"), grp, Seq("m"), Some("m"), 2,
+      distinctCol = Some("m")).contains(1L))
+    assert(asSetD(Snapshots.read(spark, view, 1L)) == asSetD(rebuildBoth(df(v1))))
+    // replay no-ops; a further version advances both auxiliaries
+    assert(IV.refresh(spark, base, view, Seq("id"), grp, Seq("m"), Some("m"), 2,
+      distinctCol = Some("m")).isEmpty)
+    val v2 = v1.filterNot(_._1 == 9L) // delete the NULL group's m=6 row
+    Snapshots.writeVersion(df(v2), base, 2L)
+    assert(IV.refresh(spark, base, view, Seq("id"), grp, Seq("m"), Some("m"), 2,
+      distinctCol = Some("m")).contains(2L))
+    assert(asSetD(Snapshots.read(spark, view, 2L)) == asSetD(rebuildBoth(df(v2))))
+  }
+
   test("poison pill: a corrupted synopsis triggers the bootstrap-rebuild fallback, not a wedge") {
     val dir = TestFixtures.tmpDir("ivm-poison").toString
     val (base, view) = (s"$dir/base", s"$dir/view")
