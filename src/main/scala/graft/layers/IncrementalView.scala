@@ -25,8 +25,8 @@ import graft.plans.{BoundedExtremes, BoundedExtremesAggregate}
   * k smallest + k largest retained values with discard thresholds), so a
   * delete under min is answered from the synopsis in the common case and
   * only a group whose retained tail fully drains rescans — and then only
-  * THAT group, via a semi-join-pruned scan. Distinct counts remain out of
-  * scope (rebuild or a sketch store).
+  * THAT group, via a semi-join-pruned scan. Exact DISTINCT counts are
+  * summable one level down ([[withDistinctCount]]).
   *
   * Exactness note: with integer measures the incremental state is
   * bit-identical to a full rebuild at every version (ql10 proves it

@@ -184,6 +184,41 @@ class IncrementalViewExtremesSpec extends AnyFunSuite {
     assert(asSet(Snapshots.read(spark, view, 1L)) == asSet(rebuild(df(v1))))
   }
 
+  test("randomized versions: sums + min/max + distinct all equal a rebuild at every step") {
+    // seeded random bases: small group/value domains force heavy
+    // duplicate values, NULL keys/measures, full-group deletions, and
+    // k=2 exhaustions — the edge combinations fixtures don't enumerate
+    for (seed <- Seq(11L, 23L, 47L)) {
+      val rnd = new scala.util.Random(seed)
+      def randState(): Seq[(Long, Option[String], Option[Long])] =
+        (0L until 40L).flatMap { id =>
+          if (rnd.nextDouble() < 0.25) None // row absent in this version
+          else Some((id,
+            if (rnd.nextDouble() < 0.15) None else Some(("abc" (rnd.nextInt(3))).toString),
+            if (rnd.nextDouble() < 0.15) None else Some(rnd.nextInt(6).toLong)))
+        }
+      val versions = Seq.fill(3)(randState())
+      var sum = IV.summarize(df(versions.head), grp, Seq("m"))
+      var aux = IV.bootstrapExtremes(df(versions.head), grp, "m", 2)
+      var vals = IV.summarize(df(versions.head), grp :+ "m", Nil)
+      versions.sliding(2).foreach { case Seq(a, b) =>
+        val feed = Merge.diff(df(a), df(b), Seq("id")).localCheckpoint()
+        val newSum = IV.applyChanges(sum, feed, grp, Seq("m")).localCheckpoint()
+        aux = IV.applyChangesExtremes(aux, feed, newSum, df(b), grp, "m", 2)._1
+        vals = IV.applyChanges(vals, feed, grp :+ "m", Nil).localCheckpoint()
+        sum = newSum
+        val got = asSet(IV.withExtremes(sum, aux, grp, "m"))
+        assert(got == asSet(rebuild(df(b))), s"seed $seed: extremes diverged from rebuild")
+        val gotD = IV.withDistinctCount(sum, vals, grp, "m").collect()
+          .map(r => (Option(r.getAs[String]("g")), r.getAs[Long]("m_distinct"))).toSet
+        val rebuiltD = IV.withDistinctCount(IV.summarize(df(b), grp, Seq("m")),
+          IV.summarize(df(b), grp :+ "m", Nil), grp, "m").collect()
+          .map(r => (Option(r.getAs[String]("g")), r.getAs[Long]("m_distinct"))).toSet
+        assert(gotD == rebuiltD, s"seed $seed: distinct diverged from rebuild")
+      }
+    }
+  }
+
   test("refresh with minMaxCol AND distinctCol: both auxiliaries maintained; mid-life upgrade backfills") {
     val dir = TestFixtures.tmpDir("ivm-both").toString
     val (base, view) = (s"$dir/base", s"$dir/view")
