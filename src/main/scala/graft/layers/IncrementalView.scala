@@ -95,6 +95,22 @@ object IncrementalView {
       .map { case (l, r) => F.col(l) <=> F.col(r) }
       .reduce(_ && _)
 
+  /** Eager view-sized materialization for the synopsis apply: a RELIABLE
+    * checkpoint when the session has a checkpoint dir (survives executor
+    * loss — the truncated lineage re-reads from the checkpoint store), a
+    * `localCheckpoint` otherwise. localCheckpoint stores partitions on
+    * EXECUTORS: on a real cluster an executor loss makes the lineage
+    * unrecoverable and fails the job — acceptable for the standing
+    * [[refresh]] path (a retry rewrites from the persisted aux tables),
+    * NOT for long in-memory [[applyChangesExtremes]] compositions. Set
+    * `spark.sparkContext.setCheckpointDir(...)` for those; the relation
+    * is view-sized, so the reliable write is cheap.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   /** Rename `cols` with `prefix` so a same-named join is unambiguous. */
   private def renamed(df: DataFrame, cols: Seq[String],
       prefix: String): (DataFrame, Seq[String]) = {
@@ -198,7 +214,7 @@ object IncrementalView {
     // at shuffle-partition counts other than the bench's (round-10 crash).
     // The relation is view-sized, so an eager localCheckpoint is cheap and
     // truncates the lineage for good.
-    val alive = aliveLazy.localCheckpoint()
+    val alive = materialize(aliveLazy)
     val isExhausted =
       (F.size(F.col(names(0))) === 0 && F.col(names(1)).isNotNull) ||
         (F.size(F.col(names(2))) === 0 && F.col(names(3)).isNotNull)
@@ -208,10 +224,9 @@ object IncrementalView {
       if (nExhausted == 0) alive
       else {
         val (ex, eKeys) = renamed(exhaustedKeys, groupCols, "__e_")
-        alive.filter(!isExhausted).unionByName(
+        materialize(alive.filter(!isExhausted).unionByName(
           bootstrapExtremes(
-            base.join(ex, nsCond(groupCols, eKeys), "left_semi"), groupCols, col, k))
-          .localCheckpoint()
+            base.join(ex, nsCond(groupCols, eKeys), "left_semi"), groupCols, col, k)))
       }
     (fresh.select(outSchema.fieldNames.map(F.col).toSeq: _*), nExhausted)
   }
@@ -343,63 +358,241 @@ object IncrementalView {
         // it so the diff's shuffle runs once
         val changes = Merge.diffSnapshots(spark, basePath, v, target, keys).cache()
         feedCache = Some(changes)
+        advance(spark, basePath, viewPath, v, target, changes,
+          groupCols, measureCols, minMaxCol, minMaxK, distinctCol)
+    }
+    try Some(Snapshots.writeVersion(next, viewPath, target))
+    finally feedCache.foreach(_.unpersist())
+  }
+
+  /** [[refresh]]'s WRITER-FEED path: advance the view with a change set
+    * the base's maintainer already has in hand
+    * ([[Merge.scd2WithFeed]]'s second result, or any [[Merge.diff]]-shaped
+    * frame covering exactly `feedFrom → feedTo`), skipping the
+    * [[Merge.diffSnapshots]] re-derivation — the suite's measured top
+    * cost when the view is maintained from a stream
+    * ([[graft.streaming.DimMaintenanceStream]] threads its batch's feed
+    * here). Exactly-once by the same pointer discipline as [[refresh]].
+    *
+    * The feed applies ONLY when it lines up: the view must sit exactly at
+    * `feedFrom` and the base's latest at `feedTo`. Any mismatch — a view
+    * lagging several versions after a crash, a not-yet-bootstrapped view,
+    * a base that advanced concurrently — falls back to [[refresh]]'s
+    * diff path, which handles every gap correctly. Returns the committed
+    * view version (None when already current).
+    */
+  def refreshFromFeed(spark: SparkSession, basePath: String, viewPath: String,
+      keys: Seq[String], groupCols: Seq[String], measureCols: Seq[String],
+      feed: DataFrame, feedFrom: Long, feedTo: Long,
+      minMaxCol: Option[String] = None, minMaxK: Int = 32,
+      distinctCol: Option[String] = None): Option[Long] = {
+    val target = Snapshots.latestVersion(spark, basePath).getOrElse(
+      throw new IllegalArgumentException(s"no committed base snapshot at $basePath"))
+    val current = Snapshots.latestVersion(spark, viewPath)
+    if (current.exists(_ >= target)) return None
+    if (!current.contains(feedFrom) || target != feedTo)
+      return refresh(spark, basePath, viewPath, keys, groupCols, measureCols,
+        minMaxCol, minMaxK, distinctCol)
+    val changes = feed.cache()
+    try {
+      val next = advance(spark, basePath, viewPath, feedFrom, target, changes,
+        groupCols, measureCols, minMaxCol, minMaxK, distinctCol)
+      Some(Snapshots.writeVersion(next, viewPath, target))
+    } finally changes.unpersist()
+  }
+
+  /** The stored view summary at version `v`, WITHOUT the derived
+    * auxiliary columns — plus the downgrade tripwire: a view previously
+    * maintained WITH an auxiliary but now refreshed without it would
+    * leave stale `<col>_min`/`_max`/`_distinct` columns in the summary
+    * and fail later with an opaque unionByName AnalysisException. Known
+    * summary columns are the group keys, n_rows, the measure sums, and
+    * the CURRENT config's derived columns — any other stored column is a
+    * dropped auxiliary: fail naming it.
+    */
+  private def storedSummary(spark: SparkSession, viewPath: String, v: Long,
+      groupCols: Seq[String], measureCols: Seq[String],
+      derived: Seq[String]): DataFrame = {
+    val stored = Snapshots.read(spark, viewPath, v)
+    val expected = (groupCols :+ "n_rows") ++
+      measureCols.map(m => s"${m}_sum") ++ derived
+    val stale = stored.columns.filterNot(expected.contains)
+    require(stale.isEmpty,
+      s"view at $viewPath version=$v carries columns ${stale.mkString(", ")} not " +
+        "produced by this refresh config — dropping a minMaxCol/distinctCol " +
+        "auxiliary mid-life is unsupported; keep the option or rebuild the view")
+    stored.drop(derived: _*)
+  }
+
+  /** The shared one-feed advance of [[refresh]]/[[refreshFromFeed]]: apply
+    * `changes` (covering base versions `v → target`) to the view state at
+    * `v`, committing each auxiliary under `target` before returning the
+    * new view content. `changes` should be cached by the caller — it
+    * drives the summable apply AND every aux apply.
+    */
+  private def advance(spark: SparkSession, basePath: String, viewPath: String,
+      v: Long, target: Long, changes: DataFrame,
+      groupCols: Seq[String], measureCols: Seq[String],
+      minMaxCol: Option[String], minMaxK: Int,
+      distinctCol: Option[String]): DataFrame = {
+    val auxPath = viewPath + "__aux"
+    val valsPath = viewPath + "__vals"
+    val derived = minMaxCol.toSeq.flatMap(m => Seq(s"${m}_min", s"${m}_max")) ++
+      distinctCol.map(c => s"${c}_distinct")
+    val oldSummary = storedSummary(spark, viewPath, v, groupCols, measureCols, derived)
+    val newSummary = applyChanges(oldSummary, changes, groupCols, measureCols)
+    minMaxCol.foreach { m =>
+      // a view previously maintained WITHOUT minMaxCol has no aux at
+      // v: bootstrap the synopsis from the base AS OF v, then apply
+      // the feed as usual — one extra versioned scan, loudly logged,
+      // instead of an opaque Snapshots.read failure naming no
+      // recovery path.
+      val oldAux =
+        if (Snapshots.versions(spark, auxPath).contains(v))
+          Snapshots.read(spark, auxPath, v)
+        else {
+          println(s"[incremental-view] no synopsis at $auxPath version=$v " +
+            s"(view predates minMaxCol?) — bootstrapping extremes from the base as of $v")
+          bootstrapExtremes(Snapshots.read(spark, basePath, v), groupCols, m, minMaxK)
+        }
+      // Poison-pill policy: a feed inconsistent with the synopsis
+      // throws from BoundedExtremes.delete — in a standing stream that
+      // would wedge the refresh on every replay of the same feed. Fail
+      // the INCREMENTAL path loudly and fall back to a bootstrap
+      // rebuild of the synopsis at the target version: correctness
+      // re-derived from the base, never a silently wrong extreme, and
+      // the stream advances.
+      val newAux =
+        try applyChangesExtremes(oldAux, changes, newSummary,
+          Snapshots.read(spark, basePath, target), groupCols, m, minMaxK)._1
+        catch {
+          case e: Throwable if isSynopsisInconsistency(e) =>
+            System.err.println("[incremental-view] synopsis/feed inconsistency — " +
+              s"falling back to bootstrap rebuild of $auxPath at version=$target: ${e.getMessage}")
+            bootstrapExtremes(
+              Snapshots.read(spark, basePath, target), groupCols, m, minMaxK)
+        }
+      Snapshots.writeVersion(newAux, auxPath, target)
+    }
+    distinctCol.foreach { c =>
+      // same backfill story as the synopsis: a view upgraded to
+      // distinctCol bootstraps its value summary from the base AS OF v
+      val oldVals =
+        if (Snapshots.versions(spark, valsPath).contains(v))
+          Snapshots.read(spark, valsPath, v)
+        else {
+          println(s"[incremental-view] no value summary at $valsPath version=$v " +
+            s"(view predates distinctCol?) — bootstrapping from the base as of $v")
+          summarize(Snapshots.read(spark, basePath, v), groupCols :+ c, Nil)
+        }
+      Snapshots.writeVersion(
+        applyChanges(oldVals, changes, groupCols :+ c, Nil), valsPath, target)
+    }
+    val s1 = minMaxCol.fold(newSummary)(m =>
+      withExtremes(newSummary, Snapshots.read(spark, auxPath, target), groupCols, m))
+    distinctCol.fold(s1)(c =>
+      withDistinctCount(s1, Snapshots.read(spark, valsPath, target), groupCols, c))
+  }
+
+  /** FACT-SCALE insert-only maintenance: a partitioned-append table (the
+    * engine's own bronze/silver) has no [[Snapshots]] versions to diff —
+    * but appends ARE inserts, so rows newer than the view's high-water
+    * mark form a complete change feed by themselves ([[graft.layers.Hwm]]'s
+    * contract: `tsCol` only ever grows, the reference's
+    * `silver_job.py:127-137` anti-reprocessing invariant). This adapter
+    * reads `fact` with `tsCol > hwm` (a PUSHED filter — with a date/hour
+    * partition layout it prunes whole partitions, so per-refresh I/O is
+    * the new slice, never the 100 TB history), applies it as an
+    * insert-only feed, and commits view + auxiliaries + the new HWM under
+    * one version.
+    *
+    * Insert-only simplifications, by construction not by luck: the
+    * min/max synopsis can never exhaust (only deletes drain it), so the
+    * group-targeted rescan path is provably dead — the `base` thunk
+    * throws if ever forced; and the summable apply can't drop groups.
+    *
+    * Versioning: the view versions under `version` when given (the
+    * caller-owned-epoch discipline — a foreachBatch cadence passes its
+    * batchId so a replay overwrites, not double-applies), else
+    * `latest + 1`. The HWM rides in a 1-row sidecar snapshot at
+    * `<viewPath>__hwm`, versioned with the view and read at the greatest
+    * committed version BELOW the target — so a replay recomputes from the
+    * SAME boundary as the original attempt. A crash between the sidecar
+    * writes and the view write replays idempotently (every write
+    * overwrites its own version directory; the no-op check keys on the
+    * VIEW's pointer).
+    *
+    * Late data: a row arriving with `tsCol` at or below the committed HWM
+    * is invisible to every later refresh — Hwm's standard blind spot.
+    * Feed it through the snapshot/diff path (or rebuild) if the source
+    * can deliver late; streaming ingests that stamp arrival time satisfy
+    * the contract trivially. Returns the committed view version (None
+    * when nothing is newer than the HWM).
+    */
+  def refreshFromAppends(spark: SparkSession, fact: DataFrame, viewPath: String,
+      tsCol: String, groupCols: Seq[String], measureCols: Seq[String],
+      minMaxCol: Option[String] = None, minMaxK: Int = 32,
+      distinctCol: Option[String] = None,
+      version: Option[Long] = None): Option[Long] = {
+    val auxPath = viewPath + "__aux"
+    val valsPath = viewPath + "__vals"
+    val hwmPath = viewPath + "__hwm"
+    val committed = Snapshots.versions(spark, viewPath)
+    val target = version.getOrElse(committed.lastOption.map(_ + 1).getOrElse(0L))
+    if (committed.exists(_ >= target)) return None
+    val prev = committed.filter(_ < target).lastOption
+    val hwmPrev = prev.map(v =>
+      Snapshots.read(spark, hwmPath, v).head().get(0))
+    val newRows = hwmPrev.fold(fact)(h => fact.filter(F.col(tsCol) > F.lit(h)))
+    // one pruned aggregate decides both "anything new?" and the new HWM
+    val stats = newRows.agg(
+      F.count(F.lit(1)).as("n"), F.max(F.col(tsCol)).as("hwm")).head()
+    if (stats.getLong(0) == 0L) return None
+    val feed = newRows.withColumn("change_type", F.lit("insert"))
+    val next = prev match {
+      case None =>
+        minMaxCol.foreach { m =>
+          Snapshots.writeVersion(
+            bootstrapExtremes(newRows, groupCols, m, minMaxK), auxPath, target)
+        }
+        distinctCol.foreach { c =>
+          Snapshots.writeVersion(
+            summarize(newRows, groupCols :+ c, Nil), valsPath, target)
+        }
+        val s0 = summarize(newRows, groupCols, measureCols)
+        val s1 = minMaxCol.fold(s0)(m =>
+          withExtremes(s0, Snapshots.read(spark, auxPath, target), groupCols, m))
+        distinctCol.fold(s1)(c =>
+          withDistinctCount(s1, Snapshots.read(spark, valsPath, target), groupCols, c))
+      case Some(v) =>
         val derived = minMaxCol.toSeq.flatMap(m => Seq(s"${m}_min", s"${m}_max")) ++
           distinctCol.map(c => s"${c}_distinct")
-        val oldSummary = Snapshots.read(spark, viewPath, v).drop(derived: _*)
-        val newSummary = applyChanges(oldSummary, changes, groupCols, measureCols)
+        val oldSummary = storedSummary(spark, viewPath, v, groupCols, measureCols, derived)
+        val newSummary = applyChanges(oldSummary, feed, groupCols, measureCols)
         minMaxCol.foreach { m =>
-          // a view previously maintained WITHOUT minMaxCol has no aux at
-          // v: bootstrap the synopsis from the base AS OF v, then apply
-          // the feed as usual — one extra versioned scan, loudly logged,
-          // instead of an opaque Snapshots.read failure naming no
-          // recovery path.
-          val oldAux =
-            if (Snapshots.versions(spark, auxPath).contains(v))
-              Snapshots.read(spark, auxPath, v)
-            else {
-              println(s"[incremental-view] no synopsis at $auxPath version=$v " +
-                s"(view predates minMaxCol?) — bootstrapping extremes from the base as of $v")
-              bootstrapExtremes(Snapshots.read(spark, basePath, v), groupCols, m, minMaxK)
-            }
-          // Poison-pill policy: a feed inconsistent with the synopsis
-          // throws from BoundedExtremes.delete — in a standing stream that
-          // would wedge the refresh on every replay of the same feed. Fail
-          // the INCREMENTAL path loudly and fall back to a bootstrap
-          // rebuild of the synopsis at the target version: correctness
-          // re-derived from the base, never a silently wrong extreme, and
-          // the stream advances.
-          val newAux =
-            try applyChangesExtremes(oldAux, changes, newSummary,
-              Snapshots.read(spark, basePath, target), groupCols, m, minMaxK)._1
-            catch {
-              case e: Throwable if isSynopsisInconsistency(e) =>
-                System.err.println("[incremental-view] synopsis/feed inconsistency — " +
-                  s"falling back to bootstrap rebuild of $auxPath at version=$target: ${e.getMessage}")
-                bootstrapExtremes(
-                  Snapshots.read(spark, basePath, target), groupCols, m, minMaxK)
-            }
+          val (newAux, rescans) = applyChangesExtremes(
+            Snapshots.read(spark, auxPath, v), feed, newSummary,
+            sys.error("insert-only feed exhausted a synopsis — impossible by construction"),
+            groupCols, m, minMaxK)
+          assert(rescans == 0L)
           Snapshots.writeVersion(newAux, auxPath, target)
         }
         distinctCol.foreach { c =>
-          // same backfill story as the synopsis: a view upgraded to
-          // distinctCol bootstraps its value summary from the base AS OF v
-          val oldVals =
-            if (Snapshots.versions(spark, valsPath).contains(v))
-              Snapshots.read(spark, valsPath, v)
-            else {
-              println(s"[incremental-view] no value summary at $valsPath version=$v " +
-                s"(view predates distinctCol?) — bootstrapping from the base as of $v")
-              summarize(Snapshots.read(spark, basePath, v), groupCols :+ c, Nil)
-            }
           Snapshots.writeVersion(
-            applyChanges(oldVals, changes, groupCols :+ c, Nil), valsPath, target)
+            applyChanges(Snapshots.read(spark, valsPath, v), feed, groupCols :+ c, Nil),
+            valsPath, target)
         }
         val s1 = minMaxCol.fold(newSummary)(m =>
           withExtremes(newSummary, Snapshots.read(spark, auxPath, target), groupCols, m))
         distinctCol.fold(s1)(c =>
           withDistinctCount(s1, Snapshots.read(spark, valsPath, target), groupCols, c))
     }
-    try Some(Snapshots.writeVersion(next, viewPath, target))
-    finally feedCache.foreach(_.unpersist())
+    // HWM sidecar BEFORE the view commit: the view pointer is the no-op
+    // key, so a crash here replays as one idempotent re-apply
+    val hwmDf = spark.createDataFrame(
+      java.util.Collections.singletonList(Row(stats.get(1))),
+      StructType(Seq(fact.schema(fact.schema.fieldIndex(tsCol)).copy(name = "hwm"))))
+    Snapshots.writeVersion(hwmDf, hwmPath, target)
+    Some(Snapshots.writeVersion(next, viewPath, target))
   }
 }

@@ -333,7 +333,38 @@ object Merge {
     * construction.
     */
   def scd2(dim: DataFrame, updates0: DataFrame, key: String,
-      changeTs: Column, guardDuplicateKeys: Boolean = true): DataFrame = {
+      changeTs: Column, guardDuplicateKeys: Boolean = true): DataFrame =
+    scd2WithFeed(dim, updates0, key, changeTs, guardDuplicateKeys)._1
+
+  /** [[scd2]] plus the WRITER-SIDE change feed: the batch's exact effect
+    * on the dim, in [[diff]]'s vocabulary over the dim's row identity
+    * (key, valid_from) — computed from the same join that decides the
+    * actions, so a maintenance cadence can hand its downstream views the
+    * change set it already knows instead of re-deriving it with a
+    * full-outer diff of two whole table versions (the Delta CDF role:
+    * the feed comes from the commit, not from a post-hoc state diff).
+    *
+    *   - a close-out emits the old current row as `update_preimage` and
+    *     the closed row (valid_to = changeTs, is_current = false) as
+    *     `update_postimage`;
+    *   - each new attribute version (changed key or brand-new key) emits
+    *     its current row as `insert`;
+    *   - no-op updates and untouched/history rows emit nothing, and scd2
+    *     never deletes, so the feed carries no `delete` rows.
+    *
+    * Equivalence contract: the feed equals
+    * `diff(dim, scd2(dim, ...), Seq(key, "valid_from"))` whenever
+    * `changeTs` differs from every surviving row's valid_from — the
+    * normal case when event time advances between batches. A close-out
+    * at changeTs EQUAL to the closed row's valid_from mints a duplicate
+    * (key, valid_from) identity, where diff itself throws (guardUnique)
+    * while this feed stays correct for DELTA consumers
+    * ([[graft.layers.IncrementalView.applyChanges]] applies signed
+    * changes, not identities). Cost: the scd2 join the writer runs
+    * anyway — no second shuffle.
+    */
+  def scd2WithFeed(dim: DataFrame, updates0: DataFrame, key: String,
+      changeTs: Column, guardDuplicateKeys: Boolean = true): (DataFrame, DataFrame) = {
     val updates =
       if (guardDuplicateKeys) guardUnique(updates0, Seq(key)) else updates0
     val tracked = updates.columns.filterNot(_ == key)
@@ -373,8 +404,25 @@ object Merge {
           F.col("d.valid_to").as("valid_to"),
           F.col("d.is_current").as("is_current")): _*)
     val order = dim.columns.toIndexedSeq
-    Seq(history, closeOut, newVersion, untouched)
+    val content = Seq(history, closeOut, newVersion, untouched)
       .map(_.select(order.map(F.col): _*))
       .reduce(_ unionByName _)
+    // the preimage of a close-out is the OLD current row verbatim
+    // (valid_to null, is_current true) — selected from the same join
+    val preimage = ju.filter(!isNewKey && updPresent && changed)
+      .select(Seq(F.col(key)) ++
+        attrCols.map(c => F.col(s"d.$c").as(c)) ++
+        Seq(F.col("d.valid_from").as("valid_from"),
+          F.col("d.valid_to").as("valid_to"),
+          F.col("d.is_current").as("is_current")): _*)
+    val feed = Seq(
+        preimage -> "update_preimage",
+        closeOut -> "update_postimage",
+        newVersion -> "insert")
+      .map { case (df, t) =>
+        df.select(order.map(F.col): _*).withColumn("change_type", F.lit(t))
+      }
+      .reduce(_ unionByName _)
+    (content, feed)
   }
 }

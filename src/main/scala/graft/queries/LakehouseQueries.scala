@@ -198,27 +198,9 @@ object LakehouseQueries extends QueryPack {
     // incremental sums bit-exact across engines (QueryPack taxonomy).
     "ql10_incremental_view" -> ((s, d) => {
       val o = graft.runtime.Tables.load(s, d, "orders")
-      val key = F.col("o_orderkey")
-      val base = F.floor(F.col("o_totalprice")).cast("long")
-      def version(n: Int): DataFrame = {
-        val keep = n match {
-          case 0 => key % 7 =!= 6
-          case 1 => key % 7 =!= 0
-          case _ => key % 7 =!= 3
-        }
-        val price = base +
-          (if (n >= 1) F.when(key % 11 === 0, F.lit(5000L)).otherwise(F.lit(0L))
-           else F.lit(0L)) +
-          (if (n >= 2) F.when(key % 13 === 0, F.lit(77L)).otherwise(F.lit(0L))
-           else F.lit(0L))
-        val prio =
-          if (n >= 2) F.when(key % 17 === 0, F.lit("MIGRATED"))
-            .otherwise(F.col("o_orderpriority"))
-          else F.col("o_orderpriority")
-        o.filter(keep).select(key, F.col("o_orderstatus"),
-          prio.as("o_orderpriority"), price.as("price"))
-      }
-      val (v0, v1, v2) = (version(0), version(1), version(2))
+      val v0 = IvmFixture.version(o, 0, withBucket = false)
+      val v1 = IvmFixture.version(o, 1, withBucket = false)
+      val v2 = IvmFixture.version(o, 2, withBucket = false)
       val grp = Seq("o_orderstatus", "o_orderpriority")
       val view0 = graft.layers.IncrementalView.summarize(v0, grp, Seq("price"))
       val view1 = graft.layers.IncrementalView.applyChanges(view0,
@@ -237,45 +219,31 @@ object LakehouseQueries extends QueryPack {
     // rescan path while most answer from the synopsis; either way the
     // hash must equal DuckDB's min/max over the final state, which is
     // exactly the "delete under min without a full rescan" contract.
+    // The feeds are WRITER-SIDE (IvmFixture.feeds — pushed-filter scans,
+    // no full-outer state diff; row-for-row ≡ Merge.diff by
+    // IncrementalFeedSpec), the change-set provenance a real maintenance
+    // cadence has via Merge.scd2WithFeed; the diff-path composition
+    // stays end-to-end proven by ql10.
     "ql11_incremental_minmax" -> ((s, d) => {
       val o = graft.runtime.Tables.load(s, d, "orders")
-      val key = F.col("o_orderkey")
-      val base = F.floor(F.col("o_totalprice")).cast("long")
-      def version(n: Int): DataFrame = {
-        val keep = n match {
-          case 0 => key % 7 =!= 6
-          case 1 => key % 7 =!= 0
-          case _ => key % 7 =!= 3
-        }
-        val price = base +
-          (if (n >= 1) F.when(key % 11 === 0, F.lit(5000L)).otherwise(F.lit(0L))
-           else F.lit(0L)) +
-          (if (n >= 2) F.when(key % 13 === 0, F.lit(77L)).otherwise(F.lit(0L))
-           else F.lit(0L))
-        val prio =
-          if (n >= 2) F.when(key % 17 === 0, F.lit("MIGRATED"))
-            .otherwise(F.col("o_orderpriority"))
-          else F.col("o_orderpriority")
-        o.filter(keep).select(key, F.col("o_orderstatus"),
-          prio.as("o_orderpriority"), price.as("price"))
-      }
-      val (v0, v1, v2) = (version(0), version(1), version(2))
+      val v1 = IvmFixture.version(o, 1, withBucket = false)
+      val v2 = IvmFixture.version(o, 2, withBucket = false)
       val grp = Seq("o_orderstatus", "o_orderpriority")
       val iv = graft.layers.IncrementalView
-      val sum0 = iv.summarize(v0, grp, Seq("price"))
-      val aux0 = iv.bootstrapExtremes(v0, grp, "price", 2)
-      // each diff feeds BOTH the summable apply and the synopsis apply, and
-      // the sum chain is consumed again downstream — materialize the feeds
-      // once (change-set-sized) instead of re-running the full-outer diff
-      // per consumer, mirroring IncrementalView.refresh's feed cache
-      val d01 = graft.layers.Merge.diff(v0, v1, Seq("o_orderkey")).localCheckpoint()
+      val sum0 = iv.summarize(IvmFixture.version(o, 0, withBucket = false), grp, Seq("price"))
+      val aux0 = iv.bootstrapExtremes(IvmFixture.version(o, 0, withBucket = false), grp, "price", 2)
+      // each feed drives BOTH the summable apply and the synopsis apply,
+      // and the sum chain is consumed again downstream — materialize the
+      // feeds once (change-set-sized), mirroring refresh's feed cache
+      val (f01, f12) = IvmFixture.feeds(o, withBucket = false)
+      val d01 = f01.localCheckpoint()
       // the advanced summaries are view-sized (18 rows) but their lineage
-      // reaches back through the diffs to the base scans — each is
+      // reaches back through the feeds to the base scans — each is
       // consumed by the synopsis apply AND the next application, so
       // materialize them too (refresh reads them from snapshots instead)
       val sum1 = iv.applyChanges(sum0, d01, grp, Seq("price")).localCheckpoint()
       val (aux1, _) = iv.applyChangesExtremes(aux0, d01, sum1, v1, grp, "price", 2)
-      val d12 = graft.layers.Merge.diff(v1, v2, Seq("o_orderkey")).localCheckpoint()
+      val d12 = f12.localCheckpoint()
       val sum2 = iv.applyChanges(sum1, d12, grp, Seq("price")).localCheckpoint()
       val (aux2, _) = iv.applyChangesExtremes(aux1, d12, sum2, v2, grp, "price", 2)
       iv.withExtremes(sum2, aux2, grp, "price")
@@ -295,40 +263,50 @@ object LakehouseQueries extends QueryPack {
     // state. All-BIGINT payloads (QueryPack taxonomy).
     "ql12_incremental_distinct" -> ((s, d) => {
       val o = graft.runtime.Tables.load(s, d, "orders")
-      val key = F.col("o_orderkey")
-      val base = F.floor(F.col("o_totalprice")).cast("long")
-      def version(n: Int): DataFrame = {
-        val keep = n match {
-          case 0 => key % 7 =!= 6
-          case 1 => key % 7 =!= 0
-          case _ => key % 7 =!= 3
-        }
-        val price = base +
-          (if (n >= 1) F.when(key % 11 === 0, F.lit(5000L)).otherwise(F.lit(0L))
-           else F.lit(0L)) +
-          (if (n >= 2) F.when(key % 13 === 0, F.lit(77L)).otherwise(F.lit(0L))
-           else F.lit(0L))
-        val prio =
-          if (n >= 2) F.when(key % 17 === 0, F.lit("MIGRATED"))
-            .otherwise(F.col("o_orderpriority"))
-          else F.col("o_orderpriority")
-        o.filter(keep).select(key, F.col("o_orderstatus"),
-          prio.as("o_orderpriority"), price.as("price"),
-          F.floor(price / 1000).cast("long").as("price_bucket"))
-      }
-      val (v0, v1, v2) = (version(0), version(1), version(2))
+      val v0 = IvmFixture.version(o, 0, withBucket = true)
       val grp = Seq("o_orderstatus", "o_orderpriority")
       val iv = graft.layers.IncrementalView
       val sum0 = iv.summarize(v0, grp, Seq("price"))
       val aux0 = iv.summarize(v0, grp :+ "price_bucket", Nil)
-      val d01 = graft.layers.Merge.diff(v0, v1, Seq("o_orderkey")).localCheckpoint()
+      // writer-side feeds, same provenance story as ql11
+      val (f01, f12) = IvmFixture.feeds(o, withBucket = true)
+      val d01 = f01.localCheckpoint()
       val sum1 = iv.applyChanges(sum0, d01, grp, Seq("price")).localCheckpoint()
       val aux1 = iv.applyChanges(aux0, d01, grp :+ "price_bucket", Nil).localCheckpoint()
-      val d12 = graft.layers.Merge.diff(v1, v2, Seq("o_orderkey")).localCheckpoint()
+      val d12 = f12.localCheckpoint()
       val sum2 = iv.applyChanges(sum1, d12, grp, Seq("price"))
       val aux2 = iv.applyChanges(aux1, d12, grp :+ "price_bucket", Nil)
       iv.withDistinctCount(sum2, aux2, grp, "price_bucket")
         .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // FACT-SCALE insert-only view maintenance
+    // (IncrementalView.refreshFromAppends): the events fact table arrives
+    // as three partitioned APPENDS (split by event time — the Hwm
+    // contract), and the per-event-type summary view — counts, integer
+    // value sums, exact min/max through the synopsis, exact distinct
+    // users — is advanced purely from rows above the committed
+    // high-water mark: the adapter never snapshots or diffs the fact,
+    // each refresh scans only the new slice (pushed ts filter). The
+    // oracle aggregates the final state directly; a hash match proves
+    // three HWM-fed refreshes ≡ a rebuild. floor(value) is a single IEEE
+    // op over the raw double — safe across engines (QueryPack taxonomy);
+    // caller-owned versions 0/1/2 mirror the foreachBatch epoch
+    // discipline a standing stream would use.
+    "ql13_incremental_appends" -> ((s, d) => {
+      val iv = graft.layers.IncrementalView
+      val fact = ev(s, d).select(F.col("event_type"), F.col("user_id"),
+        F.floor(F.col("value")).cast("long").as("v"), F.col("ts"))
+      val viewPath = java.nio.file.Files
+        .createTempDirectory("graft-ql13-").toString + "/view"
+      def cut(lit: String) = fact.filter(F.col("ts") < F.to_timestamp(F.lit(lit)))
+      Seq(cut("2024-01-11"), cut("2024-01-21"), fact)
+        .zipWithIndex.foreach { case (state, n) =>
+          iv.refreshFromAppends(s, state, viewPath, "ts",
+            Seq("event_type"), Seq("v"), minMaxCol = Some("v"),
+            distinctCol = Some("user_id"), version = Some(n.toLong))
+        }
+      graft.layers.Snapshots.read(s, viewPath).orderBy("event_type")
     }),
 
     // latest_metrics shape: single-row global metrics + alert ladder.
@@ -522,6 +500,17 @@ object LakehouseQueries extends QueryPack {
                  + CASE WHEN o_orderkey % 13 = 0 THEN 77 ELSE 0 END AS price
              FROM orders WHERE o_orderkey % 7 <> 3))
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ql13_incremental_appends" ->
+      """SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(v) AS BIGINT) AS v_sum,
+           CAST(min(v) AS BIGINT) AS v_min,
+           CAST(max(v) AS BIGINT) AS v_max,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS user_id_distinct
+         FROM (SELECT event_type, user_id,
+                 CAST(floor(value) AS BIGINT) AS v
+               FROM events)
+         GROUP BY 1 ORDER BY 1""",
     "ql06_error_patterns" ->
       """SELECT CASE WHEN value < 50 THEN 1 WHEN value < 150 THEN 2
                     WHEN value < 300 THEN 3 ELSE 4 END AS value_bin,

@@ -82,25 +82,47 @@ object DimMaintenanceStream {
       key: String,
       tsCol: String,
       view: Option[MaintainedView] = None): Unit = {
-    commitDim(spark, batch, batchId, dimPath, key, tsCol)
+    val feed = commitDim(spark, batch, batchId, dimPath, key, tsCol)
     // AFTER the dim commit, and also on the stale-only/no-op paths: the
     // refresh is keyed on the VIEW's own pointer, so it no-ops when
     // current, catches the view up if a prior crash landed between the
     // dim commit and the refresh, and a replayed batch cannot
     // double-apply a feed — the same exactly-once discipline as the dim.
+    // The committing path hands the view the WRITER-SIDE feed the scd2
+    // merge already computed (refreshFromFeed) — change-set-sized work
+    // instead of a full-outer re-diff of two dim versions; the no-op /
+    // stale-only / bootstrap paths take the diff-path refresh, which
+    // also catches a view left lagging by a crash between the dim commit
+    // and the refresh (the feed would not line up there, and
+    // refreshFromFeed falls back to the same diff path by itself).
     view.foreach { mv =>
-      IncrementalView.refresh(spark, dimPath, mv.viewPath, mv.keys,
-        mv.groupCols, mv.measureCols, mv.minMaxCol, mv.minMaxK, mv.distinctCol)
+      feed match {
+        case Some((changes, from, to)) =>
+          IncrementalView.refreshFromFeed(spark, dimPath, mv.viewPath, mv.keys,
+            mv.groupCols, mv.measureCols, changes, from, to,
+            mv.minMaxCol, mv.minMaxK, mv.distinctCol)
+        case None =>
+          IncrementalView.refresh(spark, dimPath, mv.viewPath, mv.keys,
+            mv.groupCols, mv.measureCols, mv.minMaxCol, mv.minMaxK, mv.distinctCol)
+      }
     }
   }
 
+  /** Commits the batch into the dim; returns the writer-side change feed
+    * `(changes, fromVersion, toVersion)` when a new version was committed
+    * ON TOP of an existing one — None on the no-op, stale-only, and
+    * bootstrap paths (a bootstrap's "feed" is the whole first version;
+    * the view bootstraps from the base just as cheaply). The feed frame
+    * is lazy and reads the PRE-COMMIT dim version, which the two-version
+    * vacuum floor keeps on disk while the stream runs.
+    */
   private def commitDim(
       spark: SparkSession,
       batch: DataFrame,
       batchId: Long,
       dimPath: String,
       key: String,
-      tsCol: String): Unit = {
+      tsCol: String): Option[(DataFrame, Long, Long)] = {
     val attrs = batch.columns.filterNot(c => c == key || c == tsCol).toSeq
     require(attrs.nonEmpty, s"batch needs at least one tracked attr beside $key/$tsCol")
     // 1. latest state per key: ordered-struct max — (ts, attrs...) is a
@@ -111,7 +133,7 @@ object DimMaintenanceStream {
       .select(F.col(key) +: (tsCol +: attrs).map(c => F.col(s"__m.$c").as(c)): _*)
       .cache()
     try {
-      if (compacted.isEmpty) return
+      if (compacted.isEmpty) return None
       // 2. current dim = the greatest committed version STRICTLY BELOW
       // this batch — never "latest": a replayed batch's latest IS its
       // own target version, and the lazy read would have its files
@@ -121,7 +143,8 @@ object DimMaintenanceStream {
       // target is never a source directory. (Corollary: while the
       // stream runs, vacuum must keep at least the last two versions.)
       val committed = Snapshots.versions(spark, dimPath)
-      val dim = committed.filter(_ < batchId).lastOption match {
+      val prevVersion = committed.filter(_ < batchId).lastOption
+      val dim = prevVersion match {
         case Some(v) => Snapshots.read(spark, dimPath, v)
         case None =>
           // Bootstrap branch — ONLY valid on a genuinely empty dim. If
@@ -164,13 +187,14 @@ object DimMaintenanceStream {
         .drop("__vf")
         .cache()
       try {
-        if (fresh.isEmpty) return // nothing but stale re-deliveries
+        if (fresh.isEmpty) return None // nothing but stale re-deliveries
         val changeTs = fresh.agg(F.max(F.col(tsCol))).head().get(0)
-        val next = Merge.scd2(dim, fresh.drop(tsCol), key, F.lit(changeTs),
+        val (next, changes) = Merge.scd2WithFeed(dim, fresh.drop(tsCol), key,
+          F.lit(changeTs),
           guardDuplicateKeys = false) // compaction made keys unique
         // 3. exactly-once commit: batch's own version, pointer only advances
         Snapshots.writeVersion(next, dimPath, batchId)
-        ()
+        prevVersion.map(v => (changes, v, batchId))
       } finally fresh.unpersist()
     } finally compacted.unpersist()
   }

@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.layers.{IncrementalView => IV, Merge, Snapshots}
+import graft.queries.IvmFixture
+import graft.streaming.{DimMaintenanceStream, MaintainedView}
+
+/** Writer-side change feeds (round-12): the change set a maintenance
+  * cadence already has in hand replaces the post-hoc full-outer state
+  * diff —
+  *
+  *   - [[graft.queries.IvmFixture.feeds]] (ql11/ql12's writer feeds)
+  *     row-for-row ≡ [[Merge.diff]] of the same versions;
+  *   - [[Merge.scd2WithFeed]]'s feed ≡ diff(dim, scd2(dim,…)) over the
+  *     SCD2 row identity;
+  *   - [[IV.refreshFromFeed]] ≡ the diff-path [[IV.refresh]] at every
+  *     version, and falls back to it (without evaluating the feed) when
+  *     the feed doesn't line up;
+  *   - [[IV.refreshFromAppends]]: the fact-scale insert-only adapter
+  *     (ql13) ≡ rebuild at every version, exactly-once under replay and
+  *     crash-replay.
+  */
+class IncrementalFeedSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.runtime.GraftSession
+    .builder("graft-test", "8").getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rowSet(d: DataFrame): Set[Seq[Any]] =
+    d.collect().map(_.toSeq.map(Option(_).map(_.toString).orNull)).toSet
+
+  test("ql11/ql12 writer feeds are row-for-row the Merge.diff change sets") {
+    val o = graft.runtime.Tables.load(spark, sf, "orders")
+    for (withBucket <- Seq(false, true)) {
+      val v0 = IvmFixture.version(o, 0, withBucket)
+      val v1 = IvmFixture.version(o, 1, withBucket)
+      val v2 = IvmFixture.version(o, 2, withBucket)
+      val (f01, f12) = IvmFixture.feeds(o, withBucket)
+      assert(rowSet(f01) == rowSet(Merge.diff(v0, v1, Seq("o_orderkey"))),
+        s"writer feed v0→v1 (withBucket=$withBucket) diverged from the diff")
+      assert(rowSet(f12) == rowSet(Merge.diff(v1, v2, Seq("o_orderkey"))),
+        s"writer feed v1→v2 (withBucket=$withBucket) diverged from the diff")
+      assert(f01.count() > 0 && f12.count() > 0)
+    }
+  }
+
+  test("scd2WithFeed's feed equals diff(dim, scd2 result) over (key, valid_from)") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val dim = Seq(
+      (1L, "a", 10L, ts0, null.asInstanceOf[java.sql.Timestamp], true),
+      (2L, "x", 20L, ts0, null.asInstanceOf[java.sql.Timestamp], true),
+      // pre-existing history row: must pass through untouched, emit nothing
+      (2L, "w", 5L, java.sql.Timestamp.valueOf("2023-12-01 00:00:00"),
+        ts0, false))
+      .toDF("k", "seg", "amt", "valid_from", "valid_to", "is_current")
+    // key 1 changes, key 2 re-delivered unchanged (no-op), key 3 is new
+    val updates = Seq((1L, "b", 11L), (2L, "x", 20L), (3L, "z", 7L))
+      .toDF("k", "seg", "amt")
+    val changeTs = F.lit(java.sql.Timestamp.valueOf("2024-01-02 09:00:00"))
+    val (content, feed) = Merge.scd2WithFeed(dim, updates, "k", changeTs)
+    assert(rowSet(feed) ==
+      rowSet(Merge.diff(dim, content, Seq("k", "valid_from"))))
+    // shape sanity: one update pair (the close-out) + two inserts (the
+    // new version of key 1 and brand-new key 3); the no-op and the
+    // history row emit nothing
+    val byType = feed.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map(
+      "update_preimage" -> 1L, "update_postimage" -> 1L, "insert" -> 2L))
+  }
+
+  test("feed-path refresh ≡ diff-path refresh at every version (stream-threaded)") {
+    import spark.implicits._
+    val work = TestFixtures.tmpDir("feed-vs-diff")
+    val dim = work.resolve("dim").toString
+    val viewFeed = work.resolve("view-feed").toString
+    val viewDiff = work.resolve("view-diff").toString
+    val mv = MaintainedView(viewFeed, Seq("k", "valid_from"),
+      Seq("seg"), Seq("amt"), minMaxCol = Some("amt"), minMaxK = 2,
+      distinctCol = Some("amt"))
+    def refreshDiff(): Unit =
+      IV.refresh(spark, dim, viewDiff, mv.keys, mv.groupCols, mv.measureCols,
+        mv.minMaxCol, mv.minMaxK, mv.distinctCol)
+    def batch(rows: (Long, String, Long, String)*) = rows.toSeq
+      .map { case (k, seg, amt, ts) => (k, seg, amt, java.sql.Timestamp.valueOf(ts)) }
+      .toDF("k", "seg", "amt", "ts")
+    val batches = Seq(
+      batch((1L, "a", 10L, "2024-01-01 10:00:00"), (2L, "a", 20L, "2024-01-01 10:00:00"),
+        (3L, "b", 5L, "2024-01-01 10:00:00")),
+      batch((1L, "a", 1L, "2024-01-02 09:00:00"), (4L, "b", 50L, "2024-01-02 09:00:00")),
+      batch((2L, "b", 20L, "2024-01-03 08:00:00"), (3L, "a", 99L, "2024-01-03 08:00:00")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DimMaintenanceStream.processBatch(spark, b, i.toLong, dim, "k", "ts", Some(mv))
+      refreshDiff()
+      assert(Snapshots.latestVersion(spark, viewFeed).contains(i.toLong))
+      assert(
+        rowSet(Snapshots.read(spark, viewFeed, i.toLong)) ==
+          rowSet(Snapshots.read(spark, viewDiff, i.toLong)),
+        s"feed-path view diverged from diff-path view at version $i")
+    }
+  }
+
+  test("refreshFromFeed falls back to the diff path when the feed doesn't line up") {
+    import spark.implicits._
+    val work = TestFixtures.tmpDir("feed-fallback")
+    val base = work.resolve("base").toString
+    val viewPath = work.resolve("view").toString
+    def state(n: Int) = (0 until 4 + n)
+      .map(i => (i.toLong, if (i % 2 == 0) "e" else "o", i.toLong + n))
+      .toDF("id", "g", "m")
+    (0 to 2).foreach(n => Snapshots.writeVersion(state(n), base, n.toLong))
+    // view bootstraps at version 0... then the base advances to 2 while a
+    // stale feed claims to cover 1→2: the view (at 0) must take the diff
+    // path and NEVER evaluate the poisoned feed
+    IV.refresh(spark, base, viewPath, Seq("id"), Seq("g"), Seq("m"))
+    assert(Snapshots.latestVersion(spark, viewPath).contains(2L))
+    Snapshots.writeVersion(state(3), base, 3L)
+    val poisoned = spark.range(1).select(
+      F.lit("e").as("g"), F.lit(0L).as("m"),
+      F.raise_error(F.lit("stale feed must not be evaluated")).cast("string")
+        .as("change_type"))
+    // view at 2, base at 3, but the feed claims 1→2: misaligned both ways
+    val committed = IV.refreshFromFeed(spark, base, viewPath, Seq("id"),
+      Seq("g"), Seq("m"), poisoned, feedFrom = 1L, feedTo = 2L)
+    assert(committed.contains(3L))
+    assert(rowSet(Snapshots.read(spark, viewPath, 3L)) ==
+      rowSet(IV.summarize(state(3), Seq("g"), Seq("m"))))
+    // aligned feed applies without touching the base versions: advance the
+    // base and hand the exact diff as the writer feed
+    Snapshots.writeVersion(state(4), base, 4L)
+    val feed = Merge.diff(state(3), state(4), Seq("id"))
+    assert(IV.refreshFromFeed(spark, base, viewPath, Seq("id"), Seq("g"),
+      Seq("m"), feed, feedFrom = 3L, feedTo = 4L).contains(4L))
+    assert(rowSet(Snapshots.read(spark, viewPath, 4L)) ==
+      rowSet(IV.summarize(state(4), Seq("g"), Seq("m"))))
+    // replay of the same feed: no-op (pointer already at 4)
+    assert(IV.refreshFromFeed(spark, base, viewPath, Seq("id"), Seq("g"),
+      Seq("m"), poisoned, feedFrom = 3L, feedTo = 4L).isEmpty)
+  }
+
+  private def factRows(n: Int): Seq[(Long, String, Long, Long, java.sql.Timestamp)] =
+    (0 until n).map { i =>
+      (i.toLong, if (i % 3 == 0) "err" else "ok", (i % 5).toLong, (i * 7 % 23).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${1 + i % 9}%02d 0${i % 10}:00:00"))
+    }
+
+  test("refreshFromAppends ≡ rebuild at every version; replay no-ops; nothing-new no-ops") {
+    import spark.implicits._
+    val viewPath = TestFixtures.tmpDir("appends").resolve("view").toString
+    val all = factRows(40).toDF("id", "g", "u", "m", "ts")
+    def cut(day: Int) = all.filter(F.dayofmonth(F.col("ts")) <= day)
+    def rebuild(state: DataFrame) = IV.withDistinctCount(
+      IV.withExtremes(IV.summarize(state, Seq("g"), Seq("m")),
+        IV.bootstrapExtremes(state, Seq("g"), "m", 2), Seq("g"), "m"),
+      IV.summarize(state, Seq("g", "u"), Nil), Seq("g"), "u")
+    val states = Seq(cut(3), cut(6), all)
+    states.zipWithIndex.foreach { case (st, n) =>
+      val v = IV.refreshFromAppends(spark, st, viewPath, "ts", Seq("g"), Seq("m"),
+        minMaxCol = Some("m"), minMaxK = 2, distinctCol = Some("u"),
+        version = Some(n.toLong))
+      assert(v.contains(n.toLong))
+      assert(rowSet(Snapshots.read(spark, viewPath, n.toLong)) == rowSet(rebuild(st)),
+        s"append-fed view != rebuild at version $n")
+    }
+    // replayed epoch: the view pointer is past it — no-op, content intact
+    assert(IV.refreshFromAppends(spark, cut(6), viewPath, "ts", Seq("g"), Seq("m"),
+      minMaxCol = Some("m"), minMaxK = 2, distinctCol = Some("u"),
+      version = Some(1L)).isEmpty)
+    // nothing above the HWM: no version minted
+    assert(IV.refreshFromAppends(spark, all, viewPath, "ts", Seq("g"), Seq("m"),
+      minMaxCol = Some("m"), minMaxK = 2, distinctCol = Some("u")).isEmpty)
+    assert(Snapshots.versions(spark, viewPath) == Seq(0L, 1L, 2L))
+  }
+
+  test("refreshFromAppends crash between sidecar and view commit replays idempotently") {
+    import spark.implicits._
+    val viewPath = TestFixtures.tmpDir("appends-crash").resolve("view").toString
+    val all = factRows(30).toDF("id", "g", "u", "m", "ts")
+    def cut(day: Int) = all.filter(F.dayofmonth(F.col("ts")) <= day)
+    IV.refreshFromAppends(spark, cut(4), viewPath, "ts", Seq("g"), Seq("m"),
+      minMaxCol = Some("m"), distinctCol = Some("u"), version = Some(0L))
+    // simulate the crash window: the aux/hwm sidecars of version 1 land
+    // but the view write doesn't — by writing them through a doomed run
+    // against a COPY of the view path is overkill; instead write the hwm
+    // sidecar for version 1 directly (the worst-case torn state: HWM
+    // advanced, view not)
+    val tornHwm = cut(4).agg(F.max("ts").as("hwm"))
+    Snapshots.writeVersion(tornHwm, viewPath + "__hwm", 1L)
+    // the replay of epoch 1 reads its boundary from version 0 (strictly
+    // below the target), recomputes the same slice, and overwrites the
+    // torn sidecar — the final state equals a clean run's
+    val v = IV.refreshFromAppends(spark, all, viewPath, "ts", Seq("g"), Seq("m"),
+      minMaxCol = Some("m"), distinctCol = Some("u"), version = Some(1L))
+    assert(v.contains(1L))
+    val rebuilt = IV.withDistinctCount(
+      IV.withExtremes(IV.summarize(all, Seq("g"), Seq("m")),
+        IV.bootstrapExtremes(all, Seq("g"), "m", 32), Seq("g"), "m"),
+      IV.summarize(all, Seq("g", "u"), Nil), Seq("g"), "u")
+    assert(rowSet(Snapshots.read(spark, viewPath, 1L)) == rowSet(rebuilt))
+  }
+
+  test("dropping a maintained auxiliary mid-life fails loudly, naming the columns") {
+    import spark.implicits._
+    val work = TestFixtures.tmpDir("aux-downgrade")
+    val base = work.resolve("base").toString
+    val viewPath = work.resolve("view").toString
+    def state(n: Int) = (0 until 6 + n)
+      .map(i => (i.toLong, "g" + (i % 2), i.toLong)).toDF("id", "g", "m")
+    Snapshots.writeVersion(state(0), base, 0L)
+    IV.refresh(spark, base, viewPath, Seq("id"), Seq("g"), Seq("m"),
+      minMaxCol = Some("m"), distinctCol = Some("m"))
+    Snapshots.writeVersion(state(1), base, 1L)
+    val e = intercept[IllegalArgumentException] {
+      IV.refresh(spark, base, viewPath, Seq("id"), Seq("g"), Seq("m"))
+    }
+    assert(e.getMessage.contains("m_min") && e.getMessage.contains("m_distinct"),
+      e.getMessage)
+    // the supported direction (mid-life UPGRADE) still works after the
+    // rejected attempt: nothing was committed by the failed refresh
+    assert(Snapshots.latestVersion(spark, viewPath).contains(0L))
+    IV.refresh(spark, base, viewPath, Seq("id"), Seq("g"), Seq("m"),
+      minMaxCol = Some("m"), distinctCol = Some("m"))
+    assert(Snapshots.latestVersion(spark, viewPath).contains(1L))
+  }
+
+  test("synopsis materialization takes the RELIABLE checkpoint when a dir is set") {
+    import spark.implicits._
+    val ckpt = TestFixtures.tmpDir("reliable-ckpt").toString
+    val before = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val s0 = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "b", 9L))
+        .toDF("id", "g", "m")
+      val s1 = Seq((3L, "a", 3L), (4L, "b", 9L), (5L, "b", 1L)).toDF("id", "g", "m")
+      val d01 = Merge.diff(s0, s1, Seq("id")).localCheckpoint()
+      val sum1 = IV.applyChanges(IV.summarize(s0, Seq("g"), Seq("m")), d01, Seq("g"), Seq("m"))
+      // k=1 so group a's lo synopsis drains (1 and 2 deleted) → the
+      // rescan path runs THROUGH the reliable checkpoint
+      val aux0 = IV.bootstrapExtremes(s0, Seq("g"), "m", 1)
+      val (aux1, rescans) = IV.applyChangesExtremes(aux0, d01, sum1, s1, Seq("g"), "m", 1)
+      val got = rowSet(IV.withExtremes(sum1, aux1, Seq("g"), "m"))
+      val want = rowSet(IV.withExtremes(IV.summarize(s1, Seq("g"), Seq("m")),
+        IV.bootstrapExtremes(s1, Seq("g"), "m", 1), Seq("g"), "m"))
+      assert(got == want)
+      assert(rescans >= 1)
+      // the checkpoint store was actually used (RDD checkpoint files exist)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "reliable checkpoint dir is empty — localCheckpoint was used instead")
+    } finally {
+      // restore the previous dir (setCheckpointDir(null) clears it —
+      // SparkContext wraps the argument in Option)
+      spark.sparkContext.setCheckpointDir(before.orNull)
+    }
+  }
+}
