@@ -452,6 +452,7 @@ object IvfIndex {
       Seq("vectors", "digests", "cellcounts", "centroids.parquet", "compacting",
           "serving.parquet")
         .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(s"$handle/$d"), true))
+      invalidateServing(handle) // the cached dial died with the file
       retired += handle
     }
     // compare FULLY-QUALIFIED paths: listStatus returns scheme-qualified
@@ -462,7 +463,9 @@ object IvfIndex {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
       .map(_.getPath)
       .filter(p => fs.makeQualified(p) != curQ)
-      .foreach { p => fs.delete(p, true); retired += p.toString }
+      .foreach { p =>
+        fs.delete(p, true); invalidateServing(p.toString); retired += p.toString
+      }
     retired.toSeq
   }
 
@@ -587,6 +590,9 @@ object IvfIndex {
     */
   private[operators] def localKMeans(points: Array[Array[Double]], g: Int,
       iters: Int = 15, seed: Long = 7L): (Array[Array[Double]], Array[Int]) = {
+    require(points.nonEmpty,
+      "two-level assignment needs a non-empty centroid table — the index has no cells " +
+        "(empty centroids.parquet); build/rebuild it before assigning with coarseProbes > 0")
     val n = points.length
     val dim = points.head.length
     val k = math.min(g, n)
@@ -766,21 +772,61 @@ object IvfIndex {
     Seq((cal.nProbe, k, targetRecall, cal.recall))
       .toDF("n_probe", "k", "target_recall", "measured_recall")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/serving.parquet")
+    servingCache.put(root, Some(ServingConfig(cal.nProbe, k, targetRecall)))
     cal
   }
 
+  /** The persisted serving contract of a calibrated index: the probe dial
+    * plus the (k, target) it was calibrated FOR — what a maintenance
+    * cadence needs to re-run the same calibration against a rebuilt
+    * generation ([[graft.streaming.EmbeddingIngestStream]]'s drift
+    * response).
+    */
+  final case class ServingConfig(nProbe: Int, k: Int, targetRecall: Double)
+
+  /** Per-root cache of the resolved serving config: without it every
+    * serving call (topKByVector / topKByVectorQuantized / topK / knnJoin
+    * with [[UseStoredProbes]]) pays a filesystem existence check plus a
+    * parquet read of serving.parquet — driver latency on the
+    * single-row-predict path. Invalidation: [[calibrateAndStore]] puts
+    * the new dial; a rebuild serves from a NEW root (fresh key), so
+    * generation flips self-invalidate. A config written by ANOTHER
+    * process under the same root is not seen until
+    * [[invalidateServing]] — single-maintainer discipline, same as the
+    * index folds.
+    */
+  private val servingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[ServingConfig]]()
+
+  /** Drop the cached serving config for `root` (cross-process writers). */
+  def invalidateServing(root: String): Unit = servingCache.remove(root)
+
+  /** The stored serving config, if the index was calibrated (cached per
+    * root — see [[servingCache]]).
+    */
+  def servingConfig(spark: SparkSession, root: String): Option[ServingConfig] =
+    servingCache.computeIfAbsent(root, _ => {
+      val p = new org.apache.hadoop.fs.Path(s"$root/serving.parquet")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val r = spark.read.parquet(s"$root/serving.parquet").head()
+        Some(ServingConfig(r.getAs[Int]("n_probe"), r.getAs[Int]("k"),
+          r.getAs[Double]("target_recall")))
+      }
+    })
+
   /** The stored serving config's probe count, if the index was calibrated. */
-  def servingProbes(spark: SparkSession, root: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/serving.parquet")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(s"$root/serving.parquet")
-      .head().getAs[Int]("n_probe"))
-  }
+  def servingProbes(spark: SparkSession, root: String): Option[Int] =
+    servingConfig(spark, root).map(_.nProbe)
 
   private def resolveProbes(spark: SparkSession, root: String, nProbe: Int): Int =
     if (nProbe >= 1) nProbe
     else servingProbes(spark, root).getOrElse(DefaultProbes)
+
+  /** Centroid count of the index — metadata-sized (C rows). */
+  def numCells(spark: SparkSession, root: String): Int =
+    spark.read.parquet(s"$root/centroids.parquet").count().toInt
 
   /** One (distance, cell) struct Column per centroid — ||v−c||² with the
     * row-constant v·v dropped. The centroid table is metadata (C rows),

@@ -78,6 +78,28 @@ object EmbeddingIngestStream {
     */
   val SaltFanout: Int = 32
 
+  /** Above this cell count the gate's assignment kernel auto-switches to
+    * the two-level n·√C path ([[graft.operators.IvfIndex.assignCellsMulti]]
+    * with coarseProbes > 0): BENCH_SCALE puts the crossover near
+    * C = 128–256, below which the flat kernel's C literal dots are
+    * cheaper than the group indirection.
+    */
+  val TwoLevelCellThreshold: Int = 128
+
+  /** The auto dial for the gate's coarse probe count: 0 (flat, exact
+    * argmin) up to [[TwoLevelCellThreshold]] cells; above it probe
+    * ~√C/4 of the ~√C coarse groups (floor 2 — the same multi-probe
+    * softening argument as `nProbeGate`), putting per-row cost at
+    * ~(√C + (√C/4)·√C)·d ≈ C/4·d-bounded but √C-shaped in practice,
+    * versus the flat kernel's C·d. Gate recall is what the coarse
+    * granularity buys — candidate probes only PRUNE comparisons; the
+    * cosine verification stays exact (StreamingSpec pins gate parity at
+    * coarseProbes = G and the auto path end to end).
+    */
+  def autoCoarse(numCells: Int): Int =
+    if (numCells <= TwoLevelCellThreshold) 0
+    else math.max(2, math.round(math.sqrt(numCells.toDouble) / 4.0).toInt)
+
   /** Ready-made `curate` hook (and the default): drops rows whose
     * embedding is null, contains a null/NaN element, or has norm below
     * `minNorm`. Pure and deterministic, as the replay contract requires.
@@ -111,7 +133,8 @@ object EmbeddingIngestStream {
       rebuildEvery: Int = 0,
       rebuildMaxShare: Double = 0.5,
       rebuildMinTotal: Long = 1000L,
-      shufflePartitions: Option[Int] = Some(8)): Unit =
+      shufflePartitions: Option[Int] = Some(8),
+      coarseProbesGate: Int = -1): Unit =
    MicroBatchConf.withShufflePartitions(spark, shufflePartitions) {
     GraftFunctions.register(spark)
     // `indexRoot` is a HANDLE: resolved to its live generation every
@@ -139,6 +162,22 @@ object EmbeddingIngestStream {
         val gen = s"$indexRoot/gen-$batchId"
         if (root0 != gen && IvfIndex.rebuildIfSkewed(spark, root0, gen,
             rebuildMaxShare, rebuildMinTotal, excludeEpoch = Some(batchId))) {
+          // carry the serving contract across the geometry change BEFORE
+          // the flip: a rebuild writes no serving config (the old dial is
+          // meaningless over new cells), so without this step a calibrated
+          // index would silently degrade to DefaultProbes after an
+          // unattended drift rebuild. Recalibrate against the new
+          // generation at the SAME (k, target) — sample queries are the
+          // new generation's own vectors (calibrateProbes hash-orders and
+          // heads them, the stored-dial convention). Crash windows
+          // converge: pre-flip crashes replay the (idempotent) rebuild +
+          // recalibration; post-flip the generation guard no-ops.
+          IvfIndex.servingConfig(spark, root0).foreach { sc =>
+            IvfIndex.calibrateAndStore(spark, gen,
+              IvfIndex.vectors(spark, gen)
+                .select(F.col("id").as("vec_id"), F.col("vec").as("embedding")),
+              "vec_id", "embedding", sc.k, sc.targetRecall)
+          }
           IvfIndex.flipCurrent(spark, indexRoot, gen)
           gen
         } else root0
@@ -149,8 +188,17 @@ object EmbeddingIngestStream {
     // content still reaches the guard and fails loudly (upstream
     // corruption, not something to pick-one past). Batch-sized shuffle;
     // array columns group by value, so this is safe on the embedding col.
+    // assignment kernel dial: explicit when the caller set one (0 pins
+    // the flat kernel, >0 pins two-level), else auto by cell count — a
+    // standing stream whose index grows past TwoLevelCellThreshold cells
+    // stops paying C dots per vector per trigger without a restart (the
+    // count read is metadata-sized, resolved per trigger like the root)
+    val coarse =
+      if (coarseProbesGate >= 0) coarseProbesGate
+      else autoCoarse(IvfIndex.numCells(spark, liveRoot))
     val assigned = IvfIndex.assignCellsMulti(
-        curate(batch.dropDuplicates()), "vec_id", "embedding", liveRoot, nProbeGate)
+        curate(batch.dropDuplicates()), "vec_id", "embedding", liveRoot,
+        nProbeGate, coarse)
       .withColumn("cell", F.col("cells").getItem(0))
       .withColumn("nrm", F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))))
       .cache()
@@ -252,7 +300,8 @@ object EmbeddingIngestStream {
       rebuildMaxShare: Double = 0.5,
       rebuildMinTotal: Long = 1000L,
       maxFilesPerTrigger: Int = 10,
-      shufflePartitions: Option[Int] = Some(8)): StreamingQuery = {
+      shufflePartitions: Option[Int] = Some(8),
+      coarseProbesGate: Int = -1): StreamingQuery = {
     val vecs = spark.readStream
       .schema(vecSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -266,7 +315,8 @@ object EmbeddingIngestStream {
           processBatch(spark, batch, batchId, acceptedPath, indexRoot, maxCos,
             nProbeGate, curate, broadcastMaxRows, compactEvery,
             rebuildEvery = rebuildEvery, rebuildMaxShare = rebuildMaxShare,
-            rebuildMinTotal = rebuildMinTotal, shufflePartitions = shufflePartitions)
+            rebuildMinTotal = rebuildMinTotal, shufflePartitions = shufflePartitions,
+            coarseProbesGate = coarseProbesGate)
       }
       .start()
   }

@@ -183,10 +183,17 @@ object ScaleBench {
           candidatePairs = Some(IvfIndex.cellLocalPairs(spark, root, 0.9, nProbe = 2,
             coarseProbes = 2)))
           .filter(F.col("is_rep") === 1).count())
+      // skipped exact legs emit null, not a -1 sentinel: a ledger consumer
+      // comparing exact_reps to ivf_reps for the equality certification
+      // must be able to tell "not run" from a real value
+      val exactFields =
+        if (tEx < 0) """"exact_sec":null,"exact_reps":null"""
+        else f""""exact_sec":$tEx%.2f,"exact_reps":$repEx"""
       emit(s"""{"leg":"semantic_dedup","scale":$k,"n_vecs":$n,"n_cells":${8 * k},""" +
-        f""""exact_sec":$tEx%.2f,"ivf_build_sec":$tBuild%.2f,"ivf_pairs_sec":$tIvf%.2f,""" +
+        s"""$exactFields,""" +
+        f""""ivf_build_sec":$tBuild%.2f,"ivf_pairs_sec":$tIvf%.2f,""" +
         f""""ivf2_pairs_sec":$tIvf2%.2f,""" +
-        s""""exact_reps":$repEx,"ivf_reps":$repIvf,"ivf2_reps":$repIvf2}""")
+        s""""ivf_reps":$repIvf,"ivf2_reps":$repIvf2}""")
       v.unpersist()
     }
 

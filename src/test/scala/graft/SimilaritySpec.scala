@@ -625,5 +625,41 @@ class SimilaritySpec extends AnyFunSuite {
     val joinedExplicit = IvfIndex.knnJoin(spark, root, emb.filter(F.col("vec_id") === 7L),
       "vec_id", "embedding", k = 5, nProbe = cal.nProbe).collect().toSeq
     assert(joined.map(_.toSeq) == joinedExplicit.map(_.toSeq))
+    // EVERY serving entry point resolves the stored dial — the quantized
+    // tier and the by-id lookup too, not just the float paths
+    val quant = IvfIndex.topKByVectorQuantized(spark, root, q, 5).collect().toSeq
+    val quantExplicit = IvfIndex.topKByVectorQuantized(spark, root, q, 5,
+      nProbe = cal.nProbe).collect().toSeq
+    assert(quant == quantExplicit, "quantized serving must resolve the stored config")
+    assert(quant != IvfIndex.topKByVectorQuantized(spark, root, q, 5, nProbe = 1)
+      .collect().toSeq, "quantized dial must actually change the 1-probe answer")
+    val byId = IvfIndex.topK(spark, root, queryId = 7L, k = 5).collect().toSeq
+    val byIdExplicit = IvfIndex.topK(spark, root, queryId = 7L, k = 5,
+      nProbe = cal.nProbe).collect().toSeq
+    assert(byId == byIdExplicit, "by-id serving must resolve the stored config")
+  }
+
+  test("serving config is cached per root and invalidated by recalibration and retirement") {
+    val root = TestFixtures.tmpDir("ivf-serving-cache").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 8)
+    assert(IvfIndex.servingConfig(spark, root).isEmpty)
+    IvfIndex.calibrateAndStore(spark, root, emb, "vec_id", "embedding",
+      k = 10, targetRecall = 0.9, sampleQueries = 16)
+    // calibrateAndStore must update the cache IN PLACE (the pre-read
+    // above negative-cached this root)
+    val sc = IvfIndex.servingConfig(spark, root)
+    assert(sc.exists(c => c.k == 10 && c.targetRecall == 0.9 && c.nProbe >= 1))
+    // a cached read does not re-open the file: delete it behind the
+    // cache's back and the dial must still resolve (single-maintainer
+    // discipline — cross-process writers call invalidateServing)
+    val f = new java.io.File(s"$root/serving.parquet")
+    def deleteAll(x: java.io.File): Unit = {
+      Option(x.listFiles).foreach(_.foreach(deleteAll)); x.delete(); ()
+    }
+    deleteAll(f)
+    assert(IvfIndex.servingConfig(spark, root) == sc, "cache must serve without the file")
+    IvfIndex.invalidateServing(root)
+    assert(IvfIndex.servingConfig(spark, root).isEmpty,
+      "invalidation must force a re-read that now sees no config")
   }
 }

@@ -661,6 +661,14 @@ class StreamingSpec extends AnyFunSuite {
     // SHIFTED mode, so one build-time cell soaks up all new vectors
     IvfIndex.build((0 until 100).map(i => (i.toLong, near(0.0))).toDF("vec_id", "embedding"),
       "vec_id", "embedding", handle, numCentroids = 4)
+    // calibrate the base index: the drift rebuild below must CARRY this
+    // contract to the new generation, not silently degrade to
+    // DefaultProbes (round-11 finding)
+    IvfIndex.calibrateAndStore(spark, handle,
+      (0 until 100).map(i => (i.toLong, near(0.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 5, targetRecall = 0.9, sampleQueries = 16)
+    val baseDial = IvfIndex.servingConfig(spark, handle)
+    assert(baseDial.exists(_.k == 5))
 
     def drive(batchId: Long, batch: Seq[(Long, Seq[Double])], maxShare: Double): Unit =
       EmbeddingIngestStream.processBatch(spark, batch.toDF("vec_id", "embedding"),
@@ -690,6 +698,15 @@ class StreamingSpec extends AnyFunSuite {
     val (shareAfter, total) = IvfIndex.cellStats(spark, gen)
     assert(shareAfter < shareBefore,
       s"rebuild did not rebalance: $shareBefore -> $shareAfter")
+    // the unattended rebuild recalibrated BEFORE the flip: the new
+    // generation serves at a stored dial for the same (k, target)
+    // contract, never the uncalibrated DefaultProbes fallback
+    val genDial = IvfIndex.servingConfig(spark, gen)
+    assert(genDial.exists(c => c.k == 5 && c.targetRecall == 0.9),
+      s"post-rebuild generation lost the serving contract: $genDial")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$gen/serving.parquet")),
+      "the recalibrated dial must be PERSISTED next to the new generation")
     // nothing lost: the generation holds the seed corpus plus every
     // ACCEPTED vector (the gate may legitimately drop a random pair that
     // crosses maxCos — count the landed set, not the sent set; batch 4
@@ -719,6 +736,71 @@ class StreamingSpec extends AnyFunSuite {
     drive(7L, Seq((9100L, near(15.0))), bar) // odd id: off the rebuild cadence
     assert(spark.read.parquet(s"$gen/vectors").filter($"id" === 9100L).count() == 1,
       "ingest must continue against the live generation after retirement")
+  }
+
+  test("two-level gate assignment: explicit coarseProbes=G gate ≡ flat gate; auto dial engages above the threshold") {
+    import spark.implicits._
+    import graft.operators.IvfIndex
+    import graft.streaming.EmbeddingIngestStream
+    // the auto dial's shape: flat at or below the crossover, ~√C/4
+    // coarse probes (floor 2) above it
+    assert(EmbeddingIngestStream.autoCoarse(4) == 0)
+    assert(EmbeddingIngestStream.autoCoarse(128) == 0)
+    assert(EmbeddingIngestStream.autoCoarse(129) == 3)
+    assert(EmbeddingIngestStream.autoCoarse(144) == 3)
+    assert(EmbeddingIngestStream.autoCoarse(1024) == 8)
+
+    val rnd = new scala.util.Random(83L)
+    def vec() = Array.fill(8)(rnd.nextGaussian()).toSeq
+    val corpus = (0 until 240).map(i => (i.toLong, vec()))
+    // one near-dup pair split across the batch (ids 9000/9001 identical)
+    // plus novelty; identical vectors get IDENTICAL probe lists under
+    // ANY kernel, so the intra-batch catch is kernel-independent
+    val dupVec = vec()
+    val batch = Seq((9000L, dupVec), (9001L, dupVec)) ++
+      (9002L to 9011L).map(i => (i, vec()))
+
+    // gate parity: two identical indexes (same corpus, same seed), one
+    // driven flat (coarseProbesGate = 0), one through the two-level
+    // kernel covering ALL groups (coarseProbes = G ⇒ bit-identical
+    // candidates, SimilaritySpec's kernel contract) — the gates must
+    // accept the SAME set
+    val work = TestFixtures.tmpDir("gate-two-level")
+    def runGate(tag: String, coarse: Int): Set[Long] = {
+      val root = work.resolve(s"ivf-$tag").toString
+      val acc = work.resolve(s"acc-$tag").toString
+      IvfIndex.build(corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        root, numCentroids = 9)
+      EmbeddingIngestStream.processBatch(spark, batch.toDF("vec_id", "embedding"),
+        1L, acc, root, maxCos = 0.92, nProbeGate = 2, coarseProbesGate = coarse)
+      spark.read.parquet(acc).select("vec_id").as[Long].collect().toSet
+    }
+    val flat = runGate("flat", 0)
+    val g = math.round(math.sqrt(9.0)).toInt
+    val twoLevel = runGate("two", g)
+    assert(twoLevel == flat,
+      s"two-level gate at coarseProbes=G changed the accepted set: $twoLevel vs $flat")
+    assert(flat.contains(9000L) && !flat.contains(9001L),
+      "intra-batch duplicate: keep the smaller id, drop the larger")
+
+    // the auto path end to end: a C=144 index crosses the threshold, the
+    // default dial switches to two-level (autoCoarse=3) and the gate
+    // still lands novelty and catches the kernel-independent intra dup
+    val bigCorpus = (0 until 600).map(i => (i.toLong, vec()))
+    val rootBig = work.resolve("ivf-auto").toString
+    val accBig = work.resolve("acc-auto").toString
+    IvfIndex.build(bigCorpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      rootBig, numCentroids = 144)
+    assert(IvfIndex.numCells(spark, rootBig) == 144)
+    EmbeddingIngestStream.processBatch(spark, batch.toDF("vec_id", "embedding"),
+      1L, accBig, rootBig, maxCos = 0.92, nProbeGate = 2) // default: auto
+    val acceptedBig = spark.read.parquet(accBig).select("vec_id").as[Long].collect().toSet
+    assert(acceptedBig.contains(9000L) && !acceptedBig.contains(9001L),
+      "auto two-level gate must still catch the intra-batch duplicate")
+    assert((9002L to 9011L).count(acceptedBig.contains) >= 8,
+      s"auto two-level gate dropped too much novelty: $acceptedBig")
+    assert(spark.read.parquet(s"$rootBig/vectors")
+      .filter($"id" === 9000L).count() == 1, "survivors must fold into the index")
   }
 
   test("concurrent corpus + embedding streams on one session: no partition truncation") {
