@@ -231,6 +231,51 @@ object IncrementalView {
     (fresh.select(outSchema.fieldNames.map(F.col).toSeq: _*), nExhausted)
   }
 
+  /** [[applyChangesExtremes]] specialized to an INSERT-ONLY feed — the
+    * append-table case, where three of the general path's costs are
+    * provably dead and skipped: no group can exhaust (only deletes drain
+    * a synopsis) so there is no exhaustion count, no rescan branch, and
+    * no eager materialization (the result flows to exactly one consumer,
+    * so the action-then-branch plan shape that forced the checkpoint
+    * never arises); and no group can vanish (inserts only add mass) so
+    * the alive semi-join is skipped too. One change-set-sized delta
+    * aggregation + one view-sized full-outer join, lazily.
+    */
+  def applyInsertsExtremes(aux: DataFrame, inserts: DataFrame,
+      groupCols: Seq[String], col: String, k: Int): DataFrame = {
+    val names = extCols(col)
+    val (deltas, dKeys) = renamed(
+      inserts
+        .filter(F.col(col).isNotNull)
+        .select(groupCols.map(F.col) :+ F.col(col).cast("long").as("v"): _*)
+        .groupBy(groupCols.map(F.col): _*)
+        .agg(F.collect_list(F.col("v")).as("__vs")),
+      groupCols, "__d_")
+    val joined = aux.join(deltas, nsCond(groupCols, dKeys), "full_outer")
+      .select(groupCols.zip(dKeys).map {
+        case (a, b) => F.coalesce(F.col(a), F.col(b)).as(a)
+      } ++ (names :+ "__vs").map(F.col): _*)
+    val groupFields = groupCols.map(n => joined.schema(joined.schema.fieldIndex(n)))
+    val outSchema = StructType(groupFields ++ BoundedExtremes.structType.fields.zip(names)
+      .map { case (f, n) => f.copy(name = n) })
+    val gIdx = groupCols.map(joined.schema.fieldIndex)
+    val Seq(iLo, iLoTau, iHi, iHiTau) = names.map(joined.schema.fieldIndex)
+    val iVs = joined.schema.fieldIndex("__vs")
+    joined.map { r =>
+      val st0 =
+        if (r.isNullAt(iLo)) BoundedExtremes.empty
+        else BoundedExtremes.State(
+          BoundedExtremes.Side(r.getSeq[Long](iLo).toVector,
+            if (r.isNullAt(iLoTau)) None else Some(r.getLong(iLoTau))),
+          BoundedExtremes.Side(r.getSeq[Long](iHi).toVector,
+            if (r.isNullAt(iHiTau)) None else Some(r.getLong(iHiTau))))
+      val vs = if (r.isNullAt(iVs)) Seq.empty[Long] else r.getSeq[Long](iVs)
+      val st = vs.foldLeft(st0)((s, v) => BoundedExtremes.insert(s, v, k))
+      Row.fromSeq(gIdx.map(r.get) ++ Seq(
+        st.lo.vals, st.lo.tau.orNull, st.hi.vals, st.hi.tau.orNull))
+    }(Encoders.row(outSchema))
+  }
+
   /** The product shape: summary + `<col>_min`/`<col>_max` answered from
     * the synopsis heads (exact while the synopsis is live — see
     * [[graft.plans.BoundedExtremes]] invariants). A group whose values
@@ -548,8 +593,59 @@ object IncrementalView {
     val stats = newRows.agg(
       F.count(F.lit(1)).as("n"), F.max(F.col(tsCol)).as("hwm")).head()
     if (stats.getLong(0) == 0L) return None
-    val feed = newRows.withColumn("change_type", F.lit("insert"))
-    val next = prev match {
+    val next = advanceInsertOnly(spark, viewPath, prev, target, newRows,
+      groupCols, measureCols, minMaxCol, minMaxK, distinctCol)
+    // HWM sidecar BEFORE the view commit: the view pointer is the no-op
+    // key, so a crash here replays as one idempotent re-apply
+    val hwmDf = spark.createDataFrame(
+      java.util.Collections.singletonList(Row(stats.get(1))),
+      StructType(Seq(fact.schema(fact.schema.fieldIndex(tsCol)).copy(name = "hwm"))))
+    Snapshots.writeVersion(hwmDf, hwmPath, target)
+    Some(Snapshots.writeVersion(next, viewPath, target))
+  }
+
+  /** The STREAMING twin of [[refreshFromAppends]]: advance the view with a
+    * micro-batch that IS the new slice — a file-stream `foreachBatch`
+    * already delivers exactly the unseen rows (checkpoint file tracking),
+    * so no HWM filter runs and, unlike the HWM adapter, a LATE row (event
+    * time at or below anything already applied) still lands: file tracking
+    * has no timestamp blind spot, the same argument
+    * [[graft.streaming.GoldStream]] makes against the reference's manual
+    * HWM rescan. Exactly-once by the caller-owned epoch: the view (and
+    * each auxiliary) versions under `version` = the stream's batchId, a
+    * replayed batch overwrites its own directories and the no-op check
+    * keys on the view pointer, exactly [[graft.streaming.DimMaintenanceStream]]'s
+    * discipline on the fact side. Returns the committed view version
+    * (None when the batch was already applied or is empty).
+    */
+  def refreshFromBatch(spark: SparkSession, batch: DataFrame, viewPath: String,
+      groupCols: Seq[String], measureCols: Seq[String],
+      minMaxCol: Option[String] = None, minMaxK: Int = 32,
+      distinctCol: Option[String] = None, version: Long = 0L): Option[Long] = {
+    val committed = Snapshots.versions(spark, viewPath)
+    if (committed.exists(_ >= version)) return None
+    if (batch.isEmpty) return None
+    val prev = committed.filter(_ < version).lastOption
+    val next = advanceInsertOnly(spark, viewPath, prev, version, batch,
+      groupCols, measureCols, minMaxCol, minMaxK, distinctCol)
+    Some(Snapshots.writeVersion(next, viewPath, version))
+  }
+
+  /** Shared insert-only advance of [[refreshFromAppends]]/[[refreshFromBatch]]:
+    * bootstrap (prev None) or apply `newRows` as an insert feed to the
+    * view state at `prev`, committing each auxiliary under `target`
+    * before returning the new view content. Insert-only by construction:
+    * the synopsis can't exhaust (the rescan thunk throws if ever forced)
+    * and the summable apply can't drop groups.
+    */
+  private def advanceInsertOnly(spark: SparkSession, viewPath: String,
+      prev: Option[Long], target: Long, newRows: DataFrame,
+      groupCols: Seq[String], measureCols: Seq[String],
+      minMaxCol: Option[String], minMaxK: Int,
+      distinctCol: Option[String]): DataFrame = {
+    val auxPath = viewPath + "__aux"
+    val valsPath = viewPath + "__vals"
+    prev match {
       case None =>
         minMaxCol.foreach { m =>
           Snapshots.writeVersion(
@@ -565,17 +661,16 @@ object IncrementalView {
         distinctCol.fold(s1)(c =>
           withDistinctCount(s1, Snapshots.read(spark, valsPath, target), groupCols, c))
       case Some(v) =>
+        val feed = newRows.withColumn("change_type", F.lit("insert"))
         val derived = minMaxCol.toSeq.flatMap(m => Seq(s"${m}_min", s"${m}_max")) ++
           distinctCol.map(c => s"${c}_distinct")
         val oldSummary = storedSummary(spark, viewPath, v, groupCols, measureCols, derived)
         val newSummary = applyChanges(oldSummary, feed, groupCols, measureCols)
         minMaxCol.foreach { m =>
-          val (newAux, rescans) = applyChangesExtremes(
-            Snapshots.read(spark, auxPath, v), feed, newSummary,
-            sys.error("insert-only feed exhausted a synopsis — impossible by construction"),
-            groupCols, m, minMaxK)
-          assert(rescans == 0L)
-          Snapshots.writeVersion(newAux, auxPath, target)
+          Snapshots.writeVersion(
+            applyInsertsExtremes(Snapshots.read(spark, auxPath, v), newRows,
+              groupCols, m, minMaxK),
+            auxPath, target)
         }
         distinctCol.foreach { c =>
           Snapshots.writeVersion(
@@ -587,12 +682,5 @@ object IncrementalView {
         distinctCol.fold(s1)(c =>
           withDistinctCount(s1, Snapshots.read(spark, valsPath, target), groupCols, c))
     }
-    // HWM sidecar BEFORE the view commit: the view pointer is the no-op
-    // key, so a crash here replays as one idempotent re-apply
-    val hwmDf = spark.createDataFrame(
-      java.util.Collections.singletonList(Row(stats.get(1))),
-      StructType(Seq(fact.schema(fact.schema.fieldIndex(tsCol)).copy(name = "hwm"))))
-    Snapshots.writeVersion(hwmDf, hwmPath, target)
-    Some(Snapshots.writeVersion(next, viewPath, target))
   }
 }

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.layers.IncrementalView
+
+/** Standing maintenance of a grouped summary view over a FACT-SCALE
+  * append table — [[DimMaintenanceStream]]'s discipline applied to the
+  * fact side of the star schema: a file stream follows the fact
+  * directory (the engine's own bronze/silver appends), and each
+  * micro-batch advances the view through
+  * [[graft.layers.IncrementalView.refreshFromBatch]] — a change-set-sized
+  * insert-feed apply plus a view-sized merge, never a rescan of the
+  * accumulated fact (the reference's gold cadence rescans silver every 5
+  * minutes, `gold_job.py:51-63`; its HWM variant additionally drops
+  * late rows, `silver_job.py:127-137`).
+  *
+  * Why not [[graft.layers.IncrementalView.refreshFromAppends]] here: the
+  * file-stream source already delivers exactly the unseen files
+  * (checkpoint file tracking), so the micro-batch IS the new slice — a
+  * second HWM filter would only re-introduce the timestamp blind spot
+  * the file tracking exists to avoid. The HWM adapter is the BATCH
+  * entry point (a scheduled job over a growing table, ql13); this is the
+  * streaming one.
+  *
+  * Delivery semantics: effectively exactly-once under replay — the view
+  * and each auxiliary version under the batch's own id (idempotent
+  * overwrite), the LATEST pointer only advances, and the no-op check
+  * keys on the view pointer, so a crash anywhere between the auxiliary
+  * and view commits converges on replay. Every view version stays
+  * pinnable (`VERSION AS OF`) until vacuumed, versioned in lockstep with
+  * the batches that produced it.
+  *
+  * Scale: per-trigger cost is one batch-sized aggregation + a view-sized
+  * merge per auxiliary — independent of the fact's accumulated size, the
+  * property a 100 TB fact table needs from its summary maintenance.
+  */
+object FactViewStream {
+
+  /** One micro-batch: advance the view at `viewPath` by `batch` under
+    * epoch `batchId`. Exposed for crash/replay specs.
+    */
+  private[graft] def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      view: MaintainedView): Unit = {
+    IncrementalView.refreshFromBatch(spark, batch, view.viewPath,
+      view.groupCols, view.measureCols, view.minMaxCol, view.minMaxK,
+      view.distinctCol, version = batchId)
+    ()
+  }
+
+  /** Follow a fact-append parquet directory into a versioned summary view.
+    * `view.keys` is unused here (insert feeds carry no row identity to
+    * diff on); group/measure/auxiliary config reads as in
+    * [[DimMaintenanceStream]].
+    */
+  def start(
+      spark: SparkSession,
+      factDir: String,
+      checkpointDir: String,
+      factSchema: StructType,
+      view: MaintainedView,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    spark.readStream
+      .schema(factSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(factDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, view)
+      }
+      .start()
+  }
+}

@@ -177,6 +177,37 @@ class IncrementalFeedSpec extends AnyFunSuite {
     assert(Snapshots.versions(spark, viewPath) == Seq(0L, 1L, 2L))
   }
 
+  test("applyInsertsExtremes ≡ the general extremes apply on an insert feed") {
+    import spark.implicits._
+    val s0 = Seq((1L, Some("a"), Some(5L)), (2L, Some("a"), Some(9L)),
+      (3L, Some("b"), Some(1L)), (4L, None, Some(7L)))
+      .toDF("id", "g", "m")
+    // inserts: new group, NULL-keyed group growth, a NULL measure, and a
+    // value below an existing lo tau (k=1 means taus are set)
+    val ins = Seq((5L, Some("a"), Some(2L)), (6L, Some("c"), Some(4L)),
+      (7L, None, Some(3L)), (8L, Some("b"), Option.empty[Long]))
+      .toDF("id", "g", "m")
+    val aux0 = IV.bootstrapExtremes(s0, Seq("g"), "m", 1)
+    val lean = IV.applyInsertsExtremes(aux0, ins, Seq("g"), "m", 1)
+    val feed = ins.withColumn("change_type", F.lit("insert"))
+    val sum1 = IV.applyChanges(IV.summarize(s0, Seq("g"), Seq("m")), feed,
+      Seq("g"), Seq("m"))
+    def boom: org.apache.spark.sql.DataFrame =
+      throw new IllegalStateException("insert-only apply touched the base")
+    val (general, rescans) = IV.applyChangesExtremes(aux0, feed, sum1, boom,
+      Seq("g"), "m", 1)
+    assert(rescans == 0L)
+    assert(rowSet(lean) == rowSet(general),
+      "lean insert-only synopsis apply diverged from the general apply")
+    // the product (min/max) equals a rebuild — tau bookkeeping may differ
+    // between an incremental apply and a fresh bootstrap, the HEADS never
+    val got = rowSet(IV.withExtremes(sum1, lean, Seq("g"), "m"))
+    val union = s0.unionByName(ins)
+    val want = rowSet(IV.withExtremes(IV.summarize(union, Seq("g"), Seq("m")),
+      IV.bootstrapExtremes(union, Seq("g"), "m", 1), Seq("g"), "m"))
+    assert(got == want, "insert apply's min/max must equal a rebuild")
+  }
+
   test("refreshFromAppends crash between sidecar and view commit replays idempotently") {
     import spark.implicits._
     val viewPath = TestFixtures.tmpDir("appends-crash").resolve("view").toString
