@@ -47,10 +47,16 @@ object FactViewStream {
       batch: DataFrame,
       batchId: Long,
       view: MaintainedView): Unit = {
-    IncrementalView.refreshFromBatch(spark, batch, view.viewPath,
-      view.groupCols, view.measureCols, view.minMaxCol, view.minMaxK,
-      view.distinctCol, version = batchId)
-    ()
+    // the batch feeds up to three applies (summary, synopsis, value
+    // counts) — cache for the trigger, release before it ends (the
+    // bounded-cache discipline DimMaintenanceStream uses)
+    val b = batch.cache()
+    try {
+      IncrementalView.refreshFromBatch(spark, b, view.viewPath,
+        view.groupCols, view.measureCols, view.minMaxCol, view.minMaxK,
+        view.distinctCol, version = batchId)
+      ()
+    } finally b.unpersist()
   }
 
   /** Follow a fact-append parquet directory into a versioned summary view.

@@ -208,6 +208,39 @@ class IncrementalFeedSpec extends AnyFunSuite {
     assert(got == want, "insert apply's min/max must equal a rebuild")
   }
 
+  test("randomized insert-only chains: lean applies equal a rebuild at every step") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, Option[String], Option[Long])]) = rows.toDF("id", "g", "m")
+    def rebuild(state: DataFrame) =
+      IV.withExtremes(IV.summarize(state, Seq("g"), Seq("m")),
+        IV.bootstrapExtremes(state, Seq("g"), "m", 2), Seq("g"), "m")
+    for (seed <- Seq(7L, 31L)) {
+      val rnd = new scala.util.Random(seed)
+      var nextId = 0L
+      def randBatch(n: Int): Seq[(Long, Option[String], Option[Long])] =
+        (0 until n).map { _ =>
+          nextId += 1
+          (nextId,
+            if (rnd.nextDouble() < 0.15) None else Some(("abcd"(rnd.nextInt(4))).toString),
+            if (rnd.nextDouble() < 0.15) None else Some(rnd.nextInt(8).toLong))
+        }
+      val batches = Seq(randBatch(30), randBatch(20), randBatch(25))
+      var cum = df(batches.head)
+      var sum = IV.summarize(cum, Seq("g"), Seq("m"))
+      var aux = IV.bootstrapExtremes(cum, Seq("g"), "m", 2)
+      batches.tail.foreach { b =>
+        val ins = df(b)
+        sum = IV.applyChanges(sum,
+          ins.withColumn("change_type", F.lit("insert")), Seq("g"), Seq("m"))
+          .localCheckpoint()
+        aux = IV.applyInsertsExtremes(aux, ins, Seq("g"), "m", 2).localCheckpoint()
+        cum = cum.unionByName(ins)
+        assert(rowSet(IV.withExtremes(sum, aux, Seq("g"), "m")) == rowSet(rebuild(cum)),
+          s"seed $seed: insert-only chain diverged from rebuild")
+      }
+    }
+  }
+
   test("refreshFromAppends crash between sidecar and view commit replays idempotently") {
     import spark.implicits._
     val viewPath = TestFixtures.tmpDir("appends-crash").resolve("view").toString
