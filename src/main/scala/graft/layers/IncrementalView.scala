@@ -666,13 +666,25 @@ object IncrementalView {
           distinctCol.map(c => s"${c}_distinct")
         val oldSummary = storedSummary(spark, viewPath, v, groupCols, measureCols, derived)
         val newSummary = applyChanges(oldSummary, feed, groupCols, measureCols)
+        // unlike refresh's diff path, a mid-life auxiliary UPGRADE cannot
+        // backfill here: there is no versioned base to reconstruct the
+        // historical state from (appends were consumed as they arrived).
+        // Fail naming the recovery instead of an opaque missing-version
+        // error from Snapshots.read.
+        def requireAux(p: String, opt: String): Unit =
+          require(Snapshots.versions(spark, p).contains(v),
+            s"view at $viewPath version=$v has no $opt auxiliary at $p — the " +
+              "append path cannot reconstruct historical state to backfill one; " +
+              "rebuild the view from the full fact (fresh viewPath) to add it")
         minMaxCol.foreach { m =>
+          requireAux(auxPath, s"minMaxCol=$m")
           Snapshots.writeVersion(
             applyInsertsExtremes(Snapshots.read(spark, auxPath, v), newRows,
               groupCols, m, minMaxK),
             auxPath, target)
         }
         distinctCol.foreach { c =>
+          requireAux(valsPath, s"distinctCol=$c")
           Snapshots.writeVersion(
             applyChanges(Snapshots.read(spark, valsPath, v), feed, groupCols :+ c, Nil),
             valsPath, target)

@@ -88,6 +88,12 @@ object IvfIndex {
       .withColumn("q_codes",
         F.transform(F.col("vec"), x => F.round(x / F.col("q_scale")).cast("byte")))
       .withColumn("epoch", F.lit(BuildEpoch))
+      // cluster by cell before the partitioned write: without it every
+      // input task writes one file into every cell dir it touches —
+      // tasks × C files per build (measured as the large-C ingest wall).
+      // With it each cell lands whole in one task → one file per cell
+      // (maxRecordsPerFile still splits a genuinely huge cell).
+      .repartition(F.col("cell"))
       .write.mode("overwrite").partitionBy("epoch", "cell").parquet(s"$root/vectors")
 
     val spark = df.sparkSession
@@ -206,6 +212,11 @@ object IvfIndex {
         F.transform(F.col("vec"), x => F.round(x / F.col("q_scale")).cast("byte")))
       .select("id", "vec", "nrm", "q_scale", "q_codes", "cell")
       .withColumn("epoch", F.lit(epoch))
+      // cell-cluster the fold (see [[build]]): a batch arriving in p tasks
+      // would otherwise write up to p × C files per trigger — at C in the
+      // hundreds that file churn IS the trigger's wall-clock, and the
+      // accumulated small files are what [[compact]] later pays to fold
+      .repartition(F.col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic") // replay-safe: replaces only this epoch's dirs
       .partitionBy("epoch", "cell")
@@ -270,6 +281,9 @@ object IvfIndex {
       .filter(F.col("epoch") <= upToEpoch) // partition-pruned: cold epochs only
       .select("id", "vec", "nrm", "q_scale", "q_codes", "cell")
       .dropDuplicates("id")
+      // the dedup shuffle keys on id, so its output mixes cells — cluster
+      // by cell before the partitioned staging write (see [[build]])
+      .repartition(F.col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staging)
 
     val consolidated = spark.read.parquet(staging)

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators.IvfIndex
+import graft.runtime.GraftSession
+
+/** Profiles the cell-assignment kernels across centroid counts — what a
+  * streaming trigger actually pays per batch: plan construction + codegen
+  * of the C-literal expression AND the per-row arithmetic. Separates the
+  * two by timing a first (cold plan) and second (warm plan) run of the
+  * same kernel on the same batch, at full width and on one partition.
+  *
+  * Round-12 findings on this box (20k × 64-dim, local[32]):
+  * warm ≈ cold at every C (plan/codegen is NOT the cost — the per-row
+  * struct-candidate evaluation is), and the kernels are
+  * parallelism-bound: C=512 flat reads 18.0 s on ONE partition vs 2.5 s
+  * at 32 — so a trigger whose batch arrives as one file split pays the
+  * single-core wall regardless of kernel, and spreading the batch
+  * dominates any kernel choice. Two-level wins ~1.5× per core at C=512
+  * (11.98 vs 18.04 s single-partition), masked at full width by
+  * per-struct allocation overhead. The OTHER large-C trigger cost found
+  * here was the fold's uncluster-ed partitioned write (tasks × C files);
+  * see the `repartition(cell)` in [[graft.operators.IvfIndex.build]] /
+  * appendAssigned / compact.
+  *
+  * Usage: runMain graft.tools.ProfileAssign [nVecs] [dims] [cells,...]
+  */
+object ProfileAssign {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toInt).getOrElse(20000)
+    val dims = args.lift(1).map(_.toInt).getOrElse(64)
+    val cells = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(16, 128, 512))
+    val spark = GraftSession.get("profile-assign")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val corpus = (0 until math.max(n, 2000)).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextGaussian()).toSeq))
+      .toDF("vec_id", "embedding").cache()
+    corpus.count()
+    // limit() collapses to one partition — spread the batch like a real
+    // caller would, or the kernel profile measures one core
+    val batch = corpus.limit(n).repartition(32).cache(); batch.count()
+    val batch1 = corpus.limit(n).coalesce(1).cache(); batch1.count()
+    def t(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    cells.foreach { c =>
+      val root = java.nio.file.Files.createTempDirectory(s"pa-$c-").toString
+      IvfIndex.build(corpus, "vec_id", "embedding", root, numCentroids = c)
+      def run(df: org.apache.spark.sql.DataFrame, coarse: Int): Unit =
+        IvfIndex.assignCellsMulti(df, "vec_id", "embedding", root, 2, coarse)
+          .select(F.sum(F.col("cells").getItem(0))).head()
+      val flatCold = t(run(batch, 0)); val flatWarm = t(run(batch, 0))
+      val g = math.max(2, math.round(math.sqrt(c.toDouble) / 4.0).toInt)
+      val twoCold = t(run(batch, g)); val twoWarm = t(run(batch, g))
+      val flat1 = t(run(batch1, 0)); val two1 = t(run(batch1, g))
+      println(f"[assign] C=$c%4d 32p: flat cold=$flatCold%6.2fs warm=$flatWarm%6.2fs " +
+        f"two(p=$g) cold=$twoCold%6.2fs warm=$twoWarm%6.2fs | 1p: flat=$flat1%6.2fs two=$two1%6.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -218,6 +218,42 @@ object StreamBench {
         s""""embed_vecs_per_sec":${(nVecs / embSec).toLong},""" +
         s""""embed_1probe_kept":$embKept1,"embed_1probe_sec":$embSec1,""" +
         s""""embed_1probe_vecs_per_sec":${(nVecs / embSec1).toLong}"""
+
+      // same leg against a LARGE-C index (C=512 > TwoLevelCellThreshold):
+      // the standing default auto-assigns through the two-level kernel;
+      // the flat override (coarseProbesGate=0) on an identical fresh index
+      // quantifies what the per-trigger n·C assignment would cost a stream
+      // whose index grew past a few hundred cells (round-11 verdict #3)
+      val bigC = 512
+      def bigIndex(tag: String): String = {
+        val r = work.resolve(s"sb-ivf-$tag").toString
+        graft.operators.IvfIndex.build(
+          seedVecs.toDF("vec_id", "embedding"), "vec_id", "embedding", r,
+          numCentroids = bigC)
+        r
+      }
+      val rootAuto = bigIndex("bigc-auto")
+      val embSecBig = timed("embed-bigc-two-level") {
+        val q = EmbeddingIngestStream.start(spark, embIn.toString,
+          work.resolve("emb-out-bigc").toString,
+          work.resolve("ckpt-e-bigc").toString, rootAuto)
+        q.processAllAvailable(); q.stop()
+      }
+      val keptBig = spark.read.parquet(work.resolve("emb-out-bigc").toString).count()
+      val rootFlat = bigIndex("bigc-flat")
+      val embSecBigF = timed("embed-bigc-flat") {
+        val q = EmbeddingIngestStream.start(spark, embIn.toString,
+          work.resolve("emb-out-bigcf").toString,
+          work.resolve("ckpt-e-bigcf").toString, rootFlat,
+          coarseProbesGate = 0)
+        q.processAllAvailable(); q.stop()
+      }
+      val keptBigF = spark.read.parquet(work.resolve("emb-out-bigcf").toString).count()
+      parts += s""""embed_bigc_cells":$bigC,"embed_bigc_kept":$keptBig,""" +
+        s""""embed_bigc_sec":$embSecBig,""" +
+        s""""embed_bigc_vecs_per_sec":${(nVecs / embSecBig).toLong},""" +
+        s""""embed_bigc_flat_kept":$keptBigF,"embed_bigc_flat_sec":$embSecBigF,""" +
+        s""""embed_bigc_flat_vecs_per_sec":${(nVecs / embSecBigF).toLong}"""
     }
 
     if (legs("dim")) {

@@ -268,6 +268,24 @@ class IncrementalFeedSpec extends AnyFunSuite {
     assert(rowSet(Snapshots.read(spark, viewPath, 1L)) == rowSet(rebuilt))
   }
 
+  test("append-path mid-life auxiliary UPGRADE fails naming the rebuild recovery") {
+    import spark.implicits._
+    val viewPath = TestFixtures.tmpDir("appends-upgrade").resolve("view").toString
+    val all = factRows(20).toDF("id", "g", "u", "m", "ts")
+    def cut(day: Int) = all.filter(F.dayofmonth(F.col("ts")) <= day)
+    // bootstrap WITHOUT auxiliaries, then ask for minMaxCol on the next
+    // refresh: the diff path would backfill from the base AS OF v, but an
+    // append view has no versioned base — it must fail actionably
+    IV.refreshFromAppends(spark, cut(4), viewPath, "ts", Seq("g"), Seq("m"),
+      version = Some(0L))
+    val e = intercept[IllegalArgumentException] {
+      IV.refreshFromAppends(spark, all, viewPath, "ts", Seq("g"), Seq("m"),
+        minMaxCol = Some("m"), version = Some(1L))
+    }
+    assert(e.getMessage.contains("cannot reconstruct historical state"), e.getMessage)
+    assert(Snapshots.latestVersion(spark, viewPath).contains(0L), "nothing committed")
+  }
+
   test("dropping a maintained auxiliary mid-life fails loudly, naming the columns") {
     import spark.implicits._
     val work = TestFixtures.tmpDir("aux-downgrade")
