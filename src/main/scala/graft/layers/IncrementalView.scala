@@ -104,7 +104,11 @@ object IncrementalView {
     * [[refresh]] path (a retry rewrites from the persisted aux tables),
     * NOT for long in-memory [[applyChangesExtremes]] compositions. Set
     * `spark.sparkContext.setCheckpointDir(...)` for those; the relation
-    * is view-sized, so the reliable write is cheap.
+    * is view-sized, so the reliable write is cheap. Cleanup: reliable
+    * checkpoint files are reclaimed by the ContextCleaner only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * ([[graft.runtime.GraftSession]] sets it) — a foreign session
+    * without it will grow the checkpoint dir across standing refreshes.
     */
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
@@ -589,19 +593,41 @@ object IncrementalView {
     val hwmPrev = prev.map(v =>
       Snapshots.read(spark, hwmPath, v).head().get(0))
     val newRows = hwmPrev.fold(fact)(h => fact.filter(F.col(tsCol) > F.lit(h)))
-    // one pruned aggregate decides both "anything new?" and the new HWM
+    // one pruned aggregate decides "anything new?", the new HWM, and the
+    // null-ts tripwire in a single pass
     val stats = newRows.agg(
-      F.count(F.lit(1)).as("n"), F.max(F.col(tsCol)).as("hwm")).head()
+      F.count(F.lit(1)).as("n"), F.max(F.col(tsCol)).as("hwm"),
+      F.count(F.when(F.col(tsCol).isNull, F.lit(1))).as("n_null")).head()
     if (stats.getLong(0) == 0L) return None
-    val next = advanceInsertOnly(spark, viewPath, prev, target, newRows,
-      groupCols, measureCols, minMaxCol, minMaxK, distinctCol)
-    // HWM sidecar BEFORE the view commit: the view pointer is the no-op
-    // key, so a crash here replays as one idempotent re-apply
-    val hwmDf = spark.createDataFrame(
-      java.util.Collections.singletonList(Row(stats.get(1))),
-      StructType(Seq(fact.schema(fact.schema.fieldIndex(tsCol)).copy(name = "hwm"))))
-    Snapshots.writeVersion(hwmDf, hwmPath, target)
-    Some(Snapshots.writeVersion(next, viewPath, target))
+    // a null tsCol breaks the HWM contract TWICE over: it is invisible to
+    // every `ts > hwm` filter (silently never applied after bootstrap),
+    // and an all-null bootstrap would commit hwm = null, turning every
+    // later refresh into `ts > NULL` — zero rows forever, a silent
+    // permanent stall. Fail loudly instead; null event times belong on
+    // the snapshot/diff path or cleaned upstream.
+    require(stats.getLong(2) == 0L,
+      s"$tsCol carries ${stats.getLong(2)} NULL values in the new slice — the " +
+        "HWM contract needs a total order on the append column; clean the " +
+        "source or maintain this view through the snapshot/diff path")
+    // pin the applied slice to the HWM being committed: a live source
+    // re-resolved per action (the normal case — a growing table) may gain
+    // rows between the stats pass and the apply actions; without the
+    // upper bound those rows would be applied NOW (inconsistently across
+    // the auxiliaries) and again next refresh (ts > this hwm). The cache
+    // also keeps the up-to-four consumers (summary, synopsis, value
+    // counts, bootstrap) from rescanning the slice per action.
+    val slice = newRows.filter(F.col(tsCol) <= F.lit(stats.get(1))).cache()
+    try {
+      val next = advanceInsertOnly(spark, viewPath, prev, target, slice,
+        groupCols, measureCols, minMaxCol, minMaxK, distinctCol)
+      // HWM sidecar BEFORE the view commit: the view pointer is the no-op
+      // key, so a crash here replays as one idempotent re-apply
+      val hwmDf = spark.createDataFrame(
+        java.util.Collections.singletonList(Row(stats.get(1))),
+        StructType(Seq(fact.schema(fact.schema.fieldIndex(tsCol)).copy(name = "hwm"))))
+      Snapshots.writeVersion(hwmDf, hwmPath, target)
+      Some(Snapshots.writeVersion(next, viewPath, target))
+    } finally slice.unpersist()
   }
 
   /** The STREAMING twin of [[refreshFromAppends]]: advance the view with a

@@ -384,11 +384,16 @@ object Merge {
     val changed = tracked.map(c => !(F.col(s"d.$c") <=> F.col(s"u.$c")))
       .reduce(_ || _)
     val attrCols = dim.columns.filterNot(c => c == key || scdCols.contains(c))
-    val closeOut = ju.filter(!isNewKey && updPresent && changed)
-      .select(Seq(F.col(key)) ++
+    // d-side row under `cond`, with the validity columns overridable —
+    // shared by the close-out (flipped), the untouched rows, and the
+    // feed's preimage (both verbatim)
+    def dRow(cond: Column, validTo: Column, isCurrent: Column): DataFrame =
+      ju.filter(cond).select(Seq(F.col(key)) ++
         attrCols.map(c => F.col(s"d.$c").as(c)) ++
         Seq(F.col("d.valid_from").as("valid_from"),
-          changeTs.as("valid_to"), F.lit(false).as("is_current")): _*)
+          validTo.as("valid_to"), isCurrent.as("is_current")): _*)
+    val closing = !isNewKey && updPresent && changed
+    val closeOut = dRow(closing, changeTs, F.lit(false))
     val newVersion = ju.filter(updPresent && (isNewKey || changed))
       .select(Seq(F.col(key)) ++
         attrCols.map(c =>
@@ -397,24 +402,15 @@ object Merge {
         Seq(changeTs.as("valid_from"),
           F.lit(null).cast(dim.schema("valid_to").dataType).as("valid_to"),
           F.lit(true).as("is_current")): _*)
-    val untouched = ju.filter(!isNewKey && (!updPresent || !changed))
-      .select(Seq(F.col(key)) ++
-        attrCols.map(c => F.col(s"d.$c").as(c)) ++
-        Seq(F.col("d.valid_from").as("valid_from"),
-          F.col("d.valid_to").as("valid_to"),
-          F.col("d.is_current").as("is_current")): _*)
+    val untouched = dRow(!isNewKey && (!updPresent || !changed),
+      F.col("d.valid_to"), F.col("d.is_current"))
     val order = dim.columns.toIndexedSeq
     val content = Seq(history, closeOut, newVersion, untouched)
       .map(_.select(order.map(F.col): _*))
       .reduce(_ unionByName _)
     // the preimage of a close-out is the OLD current row verbatim
     // (valid_to null, is_current true) — selected from the same join
-    val preimage = ju.filter(!isNewKey && updPresent && changed)
-      .select(Seq(F.col(key)) ++
-        attrCols.map(c => F.col(s"d.$c").as(c)) ++
-        Seq(F.col("d.valid_from").as("valid_from"),
-          F.col("d.valid_to").as("valid_to"),
-          F.col("d.is_current").as("is_current")): _*)
+    val preimage = dRow(closing, F.col("d.valid_to"), F.col("d.is_current"))
     val feed = Seq(
         preimage -> "update_preimage",
         closeOut -> "update_postimage",

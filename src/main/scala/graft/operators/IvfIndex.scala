@@ -478,7 +478,15 @@ object IvfIndex {
       .map(_.getPath)
       .filter(p => fs.makeQualified(p) != curQ)
       .foreach { p =>
-        fs.delete(p, true); invalidateServing(p.toString); retired += p.toString
+        fs.delete(p, true)
+        // invalidate under BOTH spellings: listStatus yields the
+        // scheme-qualified path, while ingest callers key the cache by
+        // the raw handle-relative string (s"$handle/gen-N") — missing
+        // the raw entry would leave a stale dial that a batchId-reset
+        // rebuild of the same gen name could then serve
+        invalidateServing(p.toString)
+        invalidateServing(s"$handle/${p.getName}")
+        retired += p.toString
       }
     retired.toSeq
   }
@@ -786,7 +794,7 @@ object IvfIndex {
     Seq((cal.nProbe, k, targetRecall, cal.recall))
       .toDF("n_probe", "k", "target_recall", "measured_recall")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/serving.parquet")
-    servingCache.put(root, Some(ServingConfig(cal.nProbe, k, targetRecall)))
+    servingCache.put(servingKey(root), Some(ServingConfig(cal.nProbe, k, targetRecall)))
     cal
   }
 
@@ -812,14 +820,25 @@ object IvfIndex {
   private val servingCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[ServingConfig]]()
 
+  /** Cache key: Path-normalized root (kills trailing-slash and `//`
+    * variants). NOT scheme-qualified — `/x` and `file:/x` remain distinct
+    * keys, which is why [[retireOldGenerations]] invalidates both the
+    * qualified listing path AND the raw handle-relative spelling callers
+    * actually use.
+    */
+  private def servingKey(root: String): String =
+    new org.apache.hadoop.fs.Path(root).toString
+
   /** Drop the cached serving config for `root` (cross-process writers). */
-  def invalidateServing(root: String): Unit = servingCache.remove(root)
+  def invalidateServing(root: String): Unit = {
+    servingCache.remove(servingKey(root)); ()
+  }
 
   /** The stored serving config, if the index was calibrated (cached per
     * root — see [[servingCache]]).
     */
   def servingConfig(spark: SparkSession, root: String): Option[ServingConfig] =
-    servingCache.computeIfAbsent(root, _ => {
+    servingCache.computeIfAbsent(servingKey(root), _ => {
       val p = new org.apache.hadoop.fs.Path(s"$root/serving.parquet")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(p)) None

@@ -297,8 +297,7 @@ object LakehouseQueries extends QueryPack {
       val iv = graft.layers.IncrementalView
       val fact = ev(s, d).select(F.col("event_type"), F.col("user_id"),
         F.floor(F.col("value")).cast("long").as("v"), F.col("ts"))
-      val viewPath = java.nio.file.Files
-        .createTempDirectory("graft-ql13-").toString + "/view"
+      val viewPath = Scratch.dir("graft-ql13-") + "/view"
       def cut(lit: String) = fact.filter(F.col("ts") < F.to_timestamp(F.lit(lit)))
       Seq(cut("2024-01-11"), cut("2024-01-21"), fact)
         .zipWithIndex.foreach { case (state, n) =>

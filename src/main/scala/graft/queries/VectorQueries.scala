@@ -138,8 +138,7 @@ object VectorQueries extends QueryPack {
     "qe10_ivf_knn_join" -> ((s, d) => {
       import graft.operators.IvfIndex
       val e = emb(s, d)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-qe10-").toString
+      val root = Scratch.dir("graft-qe10-")
       IvfIndex.build(e, "vec_id", "embedding", root, numCentroids = 8)
       IvfIndex.knnJoin(s, root, e.filter(F.col("vec_id") % 100 === 50),
           "vec_id", "embedding", k = 5, nProbe = 8)

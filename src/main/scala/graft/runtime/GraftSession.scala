@@ -42,6 +42,12 @@ object GraftSession {
       // avoid skew on low-cardinality subsets, which our bucket keys
       // (hashes, ids) don't have.
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // reliable RDD checkpoints (IncrementalView.materialize takes them
+      // whenever a checkpoint dir is set) are NOT cleaned by default —
+      // a standing refresh stream would grow the checkpoint dir without
+      // bound. With this on, the ContextCleaner deletes a checkpointed
+      // RDD's files once it is GC'd, same lifecycle localCheckpoint gets.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 
   /** Builder whose catalog survives the session AND the JVM: Hive catalog

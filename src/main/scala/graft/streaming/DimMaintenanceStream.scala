@@ -113,8 +113,9 @@ object DimMaintenanceStream {
     * ON TOP of an existing one — None on the no-op, stale-only, and
     * bootstrap paths (a bootstrap's "feed" is the whole first version;
     * the view bootstraps from the base just as cheaply). The feed frame
-    * is lazy and reads the PRE-COMMIT dim version, which the two-version
-    * vacuum floor keeps on disk while the stream runs.
+    * is eagerly materialized (localCheckpoint, change-set-sized) before
+    * the batch caches release, so downstream consumers never re-run the
+    * scd2 derivation.
     */
   private def commitDim(
       spark: SparkSession,
@@ -194,7 +195,12 @@ object DimMaintenanceStream {
           guardDuplicateKeys = false) // compaction made keys unique
         // 3. exactly-once commit: batch's own version, pointer only advances
         Snapshots.writeVersion(next, dimPath, batchId)
-        prevVersion.map(v => (changes, v, batchId))
+        // materialize the feed NOW, while compacted/fresh are still
+        // cached: returned lazy, its lineage (compaction agg, stale
+        // filter, scd2 join) would re-execute per view-refresh consumer
+        // after the finally-unpersists below — the exact re-derivation
+        // the writer-side feed exists to avoid. Change-set-sized.
+        prevVersion.map(v => (changes.localCheckpoint(), v, batchId))
       } finally fresh.unpersist()
     } finally compacted.unpersist()
   }
