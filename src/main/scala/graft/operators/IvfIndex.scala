@@ -568,9 +568,16 @@ object IvfIndex {
     * cell-local joins against the index (the ingest stream's dedup gate).
     */
   def assignCells(df: DataFrame, idCol: String, vecCol: String, root: String): DataFrame =
-    df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
-      .withColumn("cell",
-        F.least(centroidCandidates(df.sparkSession, root): _*).getField("cell"))
+    if (loadCentroids(df.sparkSession, root).size > LiteralKernelMaxCells)
+      // large-C route (see [[LiteralKernelMaxCells]]): the single-nearest
+      // case is the nProbe=1 join kernel — F.least over C literal structs
+      // has the same plan-size wall as the multi-probe sort
+      assignCellsMultiJoin(df, idCol, vecCol, root, 1)
+        .withColumn("cell", F.col("cells").getItem(0)).drop("cells")
+    else
+      df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
+        .withColumn("cell",
+          F.least(centroidCandidates(df.sparkSession, root): _*).getField("cell"))
 
   /** [[assignCells]] generalized to the `nProbe` NEAREST cells: adds a
     * `cells` array (nearest first; `cells[0]` is [[assignCells]]'s
@@ -596,6 +603,9 @@ object IvfIndex {
   def assignCellsMulti(df: DataFrame, idCol: String, vecCol: String, root: String,
       nProbe: Int, coarseProbes: Int = 0): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    if (coarseProbes <= 0 &&
+        loadCentroids(df.sparkSession, root).size > LiteralKernelMaxCells)
+      return assignCellsMultiJoin(df, idCol, vecCol, root, nProbe)
     val sorted =
       if (coarseProbes <= 0)
         F.array_sort(F.array(centroidCandidates(df.sparkSession, root): _*))
@@ -603,6 +613,55 @@ object IvfIndex {
     df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
       .withColumn("cells",
         F.transform(F.slice(sorted, 1, nProbe), c => c.getField("cell")))
+  }
+
+  /** Above this cell count the EXACT (coarseProbes = 0) assignment routes
+    * through the broadcast-join kernel: a C-literal expression embeds
+    * C·d doubles in the PLAN, so analysis, per-plan construction, and the
+    * per-row C-struct sort all grow with C — and at the 100 TB shape
+    * C ∝ corpus (tens of thousands of cells), where a literal plan is
+    * not constructible at all. Measured (ProfileAssign, 20k × 64-dim):
+    * the join kernel matches the literal kernel at C=16, wins ~8× at
+    * C=128, ~30× at C=512, and runs ~1 s at C=2048 where the two-level
+    * LITERAL kernel takes 128 s (its CASE chain still embeds every
+    * centroid). The threshold keeps the shuffle-free narrow kernel only
+    * where it is actually competitive; the explicit two-level literal
+    * kernel (coarseProbes > 0) is left to the caller's judgment.
+    */
+  val LiteralKernelMaxCells: Int = 64
+
+  /** [[assignCellsMulti]]'s large-C route — same EXACT answer, O(1) plan:
+    * the batch joins the broadcast centroid TABLE (C rows of metadata),
+    * the squared distance (cc − 2·v·c, the same row-constant-dropped form
+    * and the same left-to-right `vec_dot` summation as the literal
+    * kernel, so values are bit-identical) ranks through the map-side
+    * [[graft.plans.TopKAggregate]] — each row's C candidates reduce to
+    * nProbe BEFORE the exchange, so the shuffle carries n·nProbe cells,
+    * never n·C candidates. Tie policy matches the literal kernel:
+    * distance ascending, then cell ascending (negated distance under the
+    * aggregate's field0-DESC/field1-ASC rank).
+    */
+  private[graft] def assignCellsMultiJoin(df: DataFrame, idCol: String, vecCol: String,
+      root: String, nProbe: Int): DataFrame = {
+    val spark = df.sparkSession
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$root/centroids.parquet")
+      .select(F.col("cell").cast("long").as("__cell"),
+        asDouble(F.col("centroid")).as("__c"))
+      .withColumn("__cc",
+        F.call_function("vec_dot", F.col("__c"), F.col("__c")))
+    df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
+      .join(F.broadcast(cents))
+      .select(F.col("id"), F.col("vec"),
+        F.struct(
+          (F.lit(2.0) * F.call_function("vec_dot", F.col("vec"), F.col("__c"))
+            - F.col("__cc")).as("negd"),
+          F.col("__cell").as("cell")).as("cand"))
+      .groupBy("id")
+      .agg(F.first(F.col("vec")).as("vec"),
+        F.call_function("topk_rows", F.col("cand"), F.lit(nProbe)).as("__top"))
+      .select(F.col("id"), F.col("vec"),
+        F.transform(F.col("__top"), s => s.getField("cell").cast("int")).as("cells"))
   }
 
   /** Driver-side Lloyd's k-means over the C centroid points — C is index

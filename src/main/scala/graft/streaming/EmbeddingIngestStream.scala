@@ -16,8 +16,10 @@ import graft.plans.GraftFunctions
   *      null / NaN / near-zero-norm embeddings are rejected BEFORE
   *      assignment — a zero-norm vector would make every cosine against
   *      it NaN, so once landed it poisons the gate forever);
-  *   2. assigned to its `nProbeGate` nearest cells (shuffle-free literal-
-  *      centroid kernel, [[graft.operators.IvfIndex.assignCellsMulti]]);
+  *   2. assigned to its `nProbeGate` nearest cells (EXACT assignment,
+  *      kernel routed by cell count inside
+  *      [[graft.operators.IvfIndex.assignCellsMulti]] — see the
+  *      gate-kernel note in the object body);
   *   3. deduplicated intra-batch and against the indexed history by
   *      cosine >= maxCos, via CELL-LOCAL joins — a batch vector is only
   *      ever compared to vectors of its probed cells, so the per-trigger
@@ -78,27 +80,15 @@ object EmbeddingIngestStream {
     */
   val SaltFanout: Int = 32
 
-  /** Above this cell count the gate's assignment kernel auto-switches to
-    * the two-level n·√C path ([[graft.operators.IvfIndex.assignCellsMulti]]
-    * with coarseProbes > 0): BENCH_SCALE puts the crossover near
-    * C = 128–256, below which the flat kernel's C literal dots are
-    * cheaper than the group indirection.
-    */
-  val TwoLevelCellThreshold: Int = 128
-
-  /** The auto dial for the gate's coarse probe count: 0 (flat, exact
-    * argmin) up to [[TwoLevelCellThreshold]] cells; above it probe
-    * ~√C/4 of the ~√C coarse groups (floor 2 — the same multi-probe
-    * softening argument as `nProbeGate`), putting per-row cost at
-    * ~(√C + (√C/4)·√C)·d ≈ C/4·d-bounded but √C-shaped in practice,
-    * versus the flat kernel's C·d. Gate recall is what the coarse
-    * granularity buys — candidate probes only PRUNE comparisons; the
-    * cosine verification stays exact (StreamingSpec pins gate parity at
-    * coarseProbes = G and the auto path end to end).
-    */
-  def autoCoarse(numCells: Int): Int =
-    if (numCells <= TwoLevelCellThreshold) 0
-    else math.max(2, math.round(math.sqrt(numCells.toDouble) / 4.0).toInt)
+  // Gate kernel selection: with `coarseProbesGate = 0` (the default) the
+  // assignment stays EXACT and IvfIndex.assignCellsMulti routes it by
+  // cell count — the shuffle-free literal kernel up to
+  // LiteralKernelMaxCells, the O(1)-plan broadcast-join kernel above
+  // (measured 8-30x faster from C=128 up, and the only constructible
+  // plan at corpus-scale C). A positive coarseProbesGate opts into the
+  // approximate two-level LITERAL kernel instead; round-12 profiling
+  // found no regime where that wins per trigger, so it is an explicit
+  // dial only.
 
   /** Ready-made `curate` hook (and the default): drops rows whose
     * embedding is null, contains a null/NaN element, or has norm below
@@ -134,7 +124,7 @@ object EmbeddingIngestStream {
       rebuildMaxShare: Double = 0.5,
       rebuildMinTotal: Long = 1000L,
       shufflePartitions: Option[Int] = Some(8),
-      coarseProbesGate: Int = -1): Unit =
+      coarseProbesGate: Int = 0): Unit =
    MicroBatchConf.withShufflePartitions(spark, shufflePartitions) {
     GraftFunctions.register(spark)
     // `indexRoot` is a HANDLE: resolved to its live generation every
@@ -188,17 +178,14 @@ object EmbeddingIngestStream {
     // content still reaches the guard and fails loudly (upstream
     // corruption, not something to pick-one past). Batch-sized shuffle;
     // array columns group by value, so this is safe on the embedding col.
-    // assignment kernel dial: explicit when the caller set one (0 pins
-    // the flat kernel, >0 pins two-level), else auto by cell count — a
-    // standing stream whose index grows past TwoLevelCellThreshold cells
-    // stops paying C dots per vector per trigger without a restart (the
-    // count read is metadata-sized, resolved per trigger like the root)
-    val coarse =
-      if (coarseProbesGate >= 0) coarseProbesGate
-      else autoCoarse(IvfIndex.numCells(spark, liveRoot))
+    // kernel dial: 0 (default) = exact assignment, auto-routed by cell
+    // count inside assignCellsMulti (literal kernel at small C, the
+    // broadcast-join kernel once the index grows — resolved per trigger
+    // like the generation root, no restart); > 0 = the explicit
+    // approximate two-level literal kernel
     val assigned = IvfIndex.assignCellsMulti(
         curate(batch.dropDuplicates()), "vec_id", "embedding", liveRoot,
-        nProbeGate, coarse)
+        nProbeGate, math.max(0, coarseProbesGate))
       .withColumn("cell", F.col("cells").getItem(0))
       .withColumn("nrm", F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))))
       .cache()
@@ -301,7 +288,7 @@ object EmbeddingIngestStream {
       rebuildMinTotal: Long = 1000L,
       maxFilesPerTrigger: Int = 10,
       shufflePartitions: Option[Int] = Some(8),
-      coarseProbesGate: Int = -1): StreamingQuery = {
+      coarseProbesGate: Int = 0): StreamingQuery = {
     val vecs = spark.readStream
       .schema(vecSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

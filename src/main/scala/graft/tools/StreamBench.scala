@@ -219,11 +219,12 @@ object StreamBench {
         s""""embed_1probe_kept":$embKept1,"embed_1probe_sec":$embSec1,""" +
         s""""embed_1probe_vecs_per_sec":${(nVecs / embSec1).toLong}"""
 
-      // same leg against a LARGE-C index (C=512 > TwoLevelCellThreshold):
-      // the standing default auto-assigns through the two-level kernel;
-      // the flat override (coarseProbesGate=0) on an identical fresh index
-      // quantifies what the per-trigger n·C assignment would cost a stream
-      // whose index grew past a few hundred cells (round-11 verdict #3)
+      // same leg against a LARGE-C index (C=512 > LiteralKernelMaxCells):
+      // the standing default assigns EXACTLY through the broadcast-join
+      // kernel route; the explicit two-level LITERAL kernel
+      // (coarseProbesGate > 0) on an identical fresh index is the
+      // contrast — what a stream whose index grew past a few hundred
+      // cells would pay without the round-12 kernel routing
       val bigC = 512
       def bigIndex(tag: String): String = {
         val r = work.resolve(s"sb-ivf-$tag").toString
@@ -232,28 +233,28 @@ object StreamBench {
           numCentroids = bigC)
         r
       }
-      val rootAuto = bigIndex("bigc-auto")
-      val embSecBig = timed("embed-bigc-two-level") {
+      val rootAuto = bigIndex("bigc-join")
+      val embSecBig = timed("embed-bigc-join-route") {
         val q = EmbeddingIngestStream.start(spark, embIn.toString,
           work.resolve("emb-out-bigc").toString,
           work.resolve("ckpt-e-bigc").toString, rootAuto)
         q.processAllAvailable(); q.stop()
       }
       val keptBig = spark.read.parquet(work.resolve("emb-out-bigc").toString).count()
-      val rootFlat = bigIndex("bigc-flat")
-      val embSecBigF = timed("embed-bigc-flat") {
+      val rootTwo = bigIndex("bigc-twolevel")
+      val embSecBigT = timed("embed-bigc-two-level-literal") {
         val q = EmbeddingIngestStream.start(spark, embIn.toString,
-          work.resolve("emb-out-bigcf").toString,
-          work.resolve("ckpt-e-bigcf").toString, rootFlat,
-          coarseProbesGate = 0)
+          work.resolve("emb-out-bigct").toString,
+          work.resolve("ckpt-e-bigct").toString, rootTwo,
+          coarseProbesGate = 6)
         q.processAllAvailable(); q.stop()
       }
-      val keptBigF = spark.read.parquet(work.resolve("emb-out-bigcf").toString).count()
+      val keptBigT = spark.read.parquet(work.resolve("emb-out-bigct").toString).count()
       parts += s""""embed_bigc_cells":$bigC,"embed_bigc_kept":$keptBig,""" +
         s""""embed_bigc_sec":$embSecBig,""" +
         s""""embed_bigc_vecs_per_sec":${(nVecs / embSecBig).toLong},""" +
-        s""""embed_bigc_flat_kept":$keptBigF,"embed_bigc_flat_sec":$embSecBigF,""" +
-        s""""embed_bigc_flat_vecs_per_sec":${(nVecs / embSecBigF).toLong}"""
+        s""""embed_bigc_twolevel_kept":$keptBigT,"embed_bigc_twolevel_sec":$embSecBigT,""" +
+        s""""embed_bigc_twolevel_vecs_per_sec":${(nVecs / embSecBigT).toLong}"""
     }
 
     if (legs("dim")) {

@@ -563,6 +563,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(repsTwo == repsFlat, "two-level candidate tier changed the dedup representatives")
   }
 
+  test("broadcast-join assignment kernel is bit-identical to the literal kernel, ties included") {
+    val root = TestFixtures.tmpDir("ivf-join-kernel").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 16)
+    def asMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Seq[Int]]("cells")).toMap
+    for (nProbe <- Seq(1, 2, 5)) {
+      val literal = asMap(IvfIndex.assignCellsMulti(emb, "vec_id", "embedding", root, nProbe))
+      val joined = asMap(IvfIndex.assignCellsMultiJoin(emb, "vec_id", "embedding", root, nProbe))
+      assert(joined == literal,
+        s"join kernel diverged from the literal kernel at nProbe=$nProbe")
+    }
+    // the router: C=16 stays on the literal kernel (parity proven above);
+    // any index past the threshold serves the SAME answers through the
+    // join kernel, which the StreamingSpec large-C gate run drives end to
+    // end and the per-nProbe parity above pins bit-for-bit
+    assert(IvfIndex.LiteralKernelMaxCells == 64,
+      "threshold moved — re-run ProfileAssign and revisit the parity coverage")
+  }
+
   test("calibrateProbes picks the smallest nProbe meeting the recall target; probe=C is exact") {
     val root = TestFixtures.tmpDir("ivf-calib").toString
     IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 16)

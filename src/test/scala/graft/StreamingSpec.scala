@@ -738,18 +738,10 @@ class StreamingSpec extends AnyFunSuite {
       "ingest must continue against the live generation after retirement")
   }
 
-  test("two-level gate assignment: explicit coarseProbes=G gate ≡ flat gate; auto dial engages above the threshold") {
+  test("gate assignment kernels: two-level gate ≡ flat gate at coarseProbes=G; large-C route exact end to end") {
     import spark.implicits._
     import graft.operators.IvfIndex
     import graft.streaming.EmbeddingIngestStream
-    // the auto dial's shape: flat at or below the crossover, ~√C/4
-    // coarse probes (floor 2) above it
-    assert(EmbeddingIngestStream.autoCoarse(4) == 0)
-    assert(EmbeddingIngestStream.autoCoarse(128) == 0)
-    assert(EmbeddingIngestStream.autoCoarse(129) == 3)
-    assert(EmbeddingIngestStream.autoCoarse(144) == 3)
-    assert(EmbeddingIngestStream.autoCoarse(1024) == 8)
-
     val rnd = new scala.util.Random(83L)
     def vec() = Array.fill(8)(rnd.nextGaussian()).toSeq
     val corpus = (0 until 240).map(i => (i.toLong, vec()))
@@ -783,22 +775,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(flat.contains(9000L) && !flat.contains(9001L),
       "intra-batch duplicate: keep the smaller id, drop the larger")
 
-    // the auto path end to end: a C=144 index crosses the threshold, the
-    // default dial switches to two-level (autoCoarse=3) and the gate
-    // still lands novelty and catches the kernel-independent intra dup
+    // the large-C route end to end: C=144 crosses LiteralKernelMaxCells,
+    // so the DEFAULT gate assigns through the broadcast-join kernel —
+    // still EXACT, so the intra dup (identical probe lists under any
+    // exact kernel) is caught and novelty lands
     val bigCorpus = (0 until 600).map(i => (i.toLong, vec()))
     val rootBig = work.resolve("ivf-auto").toString
     val accBig = work.resolve("acc-auto").toString
     IvfIndex.build(bigCorpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
       rootBig, numCentroids = 144)
     assert(IvfIndex.numCells(spark, rootBig) == 144)
+    assert(IvfIndex.LiteralKernelMaxCells < 144, "threshold moved — revisit this spec")
     EmbeddingIngestStream.processBatch(spark, batch.toDF("vec_id", "embedding"),
-      1L, accBig, rootBig, maxCos = 0.92, nProbeGate = 2) // default: auto
+      1L, accBig, rootBig, maxCos = 0.92, nProbeGate = 2) // default: routed
     val acceptedBig = spark.read.parquet(accBig).select("vec_id").as[Long].collect().toSet
     assert(acceptedBig.contains(9000L) && !acceptedBig.contains(9001L),
-      "auto two-level gate must still catch the intra-batch duplicate")
+      "join-kernel gate must still catch the intra-batch duplicate")
     assert((9002L to 9011L).count(acceptedBig.contains) >= 8,
-      s"auto two-level gate dropped too much novelty: $acceptedBig")
+      s"join-kernel gate dropped too much novelty: $acceptedBig")
     assert(spark.read.parquet(s"$rootBig/vectors")
       .filter($"id" === 9000L).count() == 1, "survivors must fold into the index")
   }
