@@ -122,11 +122,12 @@ object IvfIndex {
 
   /** Incremental ingest: assign NEW vectors to the EXISTING centroids and
     * append them to their cell partitions — the ANN analog of
-    * [[NearDupIndex.append]]. Assignment is a pure narrow expression: the
-    * centroid table is metadata (C rows), so each centroid becomes a
-    * LITERAL array and the cell is argmin over C codegen'd `vec_dot`
-    * calls (min over (cell, dist) structs) — no join, no shuffle, the
-    * write is the only wide-ish step and it's partition-local.
+    * [[NearDupIndex.append]]. Assignment is EXACT and kernel-routed by
+    * cell count ([[LiteralKernelMaxCells]]): up to the threshold, a pure
+    * narrow expression (each centroid a LITERAL array, argmin over C
+    * codegen'd `vec_dot` calls — no join, no shuffle); above it, the
+    * O(1)-plan broadcast-join kernel. Either way the write is the only
+    * wide-ish step and it's cell-clustered.
     *
     * Centroids are NOT refit: sustained appends drift the cell balance,
     * so periodically [[rebuild]] from the full corpus to rebalance —
@@ -581,8 +582,9 @@ object IvfIndex {
 
   /** [[assignCells]] generalized to the `nProbe` NEAREST cells: adds a
     * `cells` array (nearest first; `cells[0]` is [[assignCells]]'s
-    * answer). Same narrow shuffle-free kernel — the only extra cost is a
-    * C-struct sort per row instead of a C-way min. This is the batch side
+    * answer). Same literal kernel below [[LiteralKernelMaxCells]] (the
+    * only extra cost a C-struct sort per row instead of a C-way min) and
+    * the same broadcast-join route above it. This is the batch side
     * of MULTI-PROBE gates: a near-dup pair straddling a Voronoi face is
     * invisible cell-locally, but joining a vector against its top-2
     * cells' contents catches any pair whose probe lists overlap.
@@ -1124,7 +1126,7 @@ object IvfIndex {
   /** Batch ANN join against the index — the bulk-retrieval twin of
     * [[Similarity.knnJoin]] (which scans every (query, vector) pair).
     * One job for the whole query set: each query is assigned its
-    * top-`nProbe` cells by the shuffle-free literal-centroid kernel
+    * top-`nProbe` cells by the cell-count-routed exact kernel
     * ([[assignCellsMulti]]), the index scan is pruned to the UNION of
     * probed cells (a literal IN over a collected ≤ C-int cell set — the
     * same partition-pruning pattern as the embedding ingest gate), and

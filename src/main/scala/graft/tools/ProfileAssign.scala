@@ -11,18 +11,17 @@ import graft.runtime.GraftSession
   * two by timing a first (cold plan) and second (warm plan) run of the
   * same kernel on the same batch, at full width and on one partition.
   *
-  * Round-12 findings on this box (20k × 64-dim, local[32]):
-  * warm ≈ cold at every C (plan/codegen is NOT the cost — the per-row
-  * struct-candidate evaluation is), and the kernels are
-  * parallelism-bound: C=512 flat reads 18.0 s on ONE partition vs 2.5 s
-  * at 32 — so a trigger whose batch arrives as one file split pays the
-  * single-core wall regardless of kernel, and spreading the batch
-  * dominates any kernel choice. Two-level wins ~1.5× per core at C=512
-  * (11.98 vs 18.04 s single-partition), masked at full width by
-  * per-struct allocation overhead. The OTHER large-C trigger cost found
-  * here was the fold's uncluster-ed partitioned write (tasks × C files);
-  * see the `repartition(cell)` in [[graft.operators.IvfIndex.build]] /
-  * appendAssigned / compact.
+  * Round-12 findings on this box (20k × 64-dim, local[32]): warm ≈
+  * cold at every C (plan/codegen is NOT the cost — the per-row
+  * struct-candidate evaluation is); the LITERAL kernels are
+  * parallelism-bound AND allocation-bound, while the broadcast-JOIN
+  * kernel ([[graft.operators.IvfIndex.assignCellsMultiJoin]]) matches
+  * them at C=16 and wins ~8× at C=128, ~30× at C=512, ~1 s at C=2048
+  * where the two-level literal kernel needs 128 s — hence the
+  * LiteralKernelMaxCells=64 routing. The other large-C trigger cost
+  * found here was the fold's unclustered partitioned write (tasks × C
+  * files); see the `repartition(cell)` in
+  * [[graft.operators.IvfIndex.build]] / appendAssigned / compact.
   *
   * Usage: runMain graft.tools.ProfileAssign [nVecs] [dims] [cells,...]
   */
