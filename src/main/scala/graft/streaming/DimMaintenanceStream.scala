@@ -95,7 +95,7 @@ object DimMaintenanceStream {
     // also catches a view left lagging by a crash between the dim commit
     // and the refresh (the feed would not line up there, and
     // refreshFromFeed falls back to the same diff path by itself).
-    view.foreach { mv =>
+    try view.foreach { mv =>
       feed match {
         case Some((changes, from, to)) =>
           IncrementalView.refreshFromFeed(spark, dimPath, mv.viewPath, mv.keys,
@@ -105,8 +105,23 @@ object DimMaintenanceStream {
           IncrementalView.refresh(spark, dimPath, mv.viewPath, mv.keys,
             mv.groupCols, mv.measureCols, mv.minMaxCol, mv.minMaxK, mv.distinctCol)
       }
-    }
+    } finally
+      // the feed is an eager localCheckpoint — release its blocks NOW
+      // (ADVICE r12): waiting for GC + ContextCleaner lets a standing
+      // stream accumulate one checkpointed frame of executor memory/disk
+      // per trigger in the meantime. Dataset.unpersist would NOT do it:
+      // a checkpointed frame is not a CacheManager entry — the blocks
+      // hang off the LogicalRDD's RDD, so that is what gets unpersisted.
+      feed.foreach { case (changes, _, _) => releaseCheckpoint(changes) }
   }
+
+  /** Unpersist the block-backed RDDs under a localCheckpoint'd frame. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   /** Commits the batch into the dim; returns the writer-side change feed
     * `(changes, fromVersion, toVersion)` when a new version was committed

@@ -83,7 +83,7 @@ object EmbeddingIngestStream {
   // Gate kernel selection: with `coarseProbesGate = 0` (the default) the
   // assignment stays EXACT and IvfIndex.assignCellsMulti routes it by
   // cell count — the shuffle-free literal kernel up to
-  // LiteralKernelMaxCells, the O(1)-plan broadcast-join kernel above
+  // LiteralKernelMaxCells, the O(1)-plan shuffle-free MATRIX kernel above
   // (measured 8-30x faster from C=128 up, and the only constructible
   // plan at corpus-scale C). A positive coarseProbesGate opts into the
   // approximate two-level LITERAL kernel instead; round-12 profiling
@@ -180,7 +180,7 @@ object EmbeddingIngestStream {
     // array columns group by value, so this is safe on the embedding col.
     // kernel dial: 0 (default) = exact assignment, auto-routed by cell
     // count inside assignCellsMulti (literal kernel at small C, the
-    // broadcast-join kernel once the index grows — resolved per trigger
+    // matrix kernel once the index grows — resolved per trigger
     // like the generation root, no restart); > 0 = the explicit
     // approximate two-level literal kernel
     val assigned = IvfIndex.assignCellsMulti(

@@ -55,16 +55,22 @@ object ProfileAssign {
       def runJoin(df: org.apache.spark.sql.DataFrame): Unit =
         IvfIndex.assignCellsMultiJoin(df, "vec_id", "embedding", root, 2)
           .select(F.sum(F.col("cells").getItem(0))).head()
+      def runExpr(df: org.apache.spark.sql.DataFrame): Unit =
+        IvfIndex.assignCellsMultiExpr(df, "vec_id", "embedding",
+          IvfIndex.loadCentroids(spark, root), 2)
+          .select(F.sum(F.col("cells").getItem(0))).head()
       val flatCold = t(run(batch, 0)); val flatWarm = t(run(batch, 0))
       val g = math.max(2, math.round(math.sqrt(c.toDouble) / 4.0).toInt)
       val twoCold = t(run(batch, g)); val twoWarm = t(run(batch, g))
       val joinCold = t(runJoin(batch)); val joinWarm = t(runJoin(batch))
+      val exprCold = t(runExpr(batch)); val exprWarm = t(runExpr(batch))
       val flat1 = t(run(batch1, 0)); val two1 = t(run(batch1, g))
-      val join1 = t(runJoin(batch1))
-      println(f"[assign] C=$c%4d 32p: flat cold=$flatCold%6.2fs warm=$flatWarm%6.2fs " +
+      val join1 = t(runJoin(batch1)); val expr1 = t(runExpr(batch1))
+      println(f"[assign] C=$c%4d d=$dims%4d 32p: flat cold=$flatCold%6.2fs warm=$flatWarm%6.2fs " +
         f"two(p=$g) cold=$twoCold%6.2fs warm=$twoWarm%6.2fs " +
-        f"join cold=$joinCold%6.2fs warm=$joinWarm%6.2fs | " +
-        f"1p: flat=$flat1%6.2fs two=$two1%6.2fs join=$join1%6.2fs")
+        f"join cold=$joinCold%6.2fs warm=$joinWarm%6.2fs " +
+        f"expr cold=$exprCold%6.2fs warm=$exprWarm%6.2fs | " +
+        f"1p: flat=$flat1%6.2fs two=$two1%6.2fs join=$join1%6.2fs expr=$expr1%6.2fs")
     }
     spark.stop()
   }

@@ -123,7 +123,14 @@ object StreamBench {
     import spark.implicits._
     def docText(r: Random) = Seq.fill(60)(s"w${r.nextInt(20000)}").mkString(" ")
     if (legs("corpus")) {
-      val nDocs = args.lift(1).map(_.toInt).getOrElse(5000)
+      // default 20k: the leg's ~5.5 s fixed commit overhead (four
+      // idempotent writes + sub-second jobs per trigger) amortizes with
+      // batch size, so docs/s is only comparable at a FIXED batch size —
+      // round 12 committed a 5k-doc run against round 11's 20k-doc run
+      // and the 650-vs-1,832 docs/s delta read as a regression when the
+      // marginal per-doc cost was identical (~0.27 ms). Keep every
+      // committed artifact at the same batch shape.
+      val nDocs = args.lift(1).map(_.toInt).getOrElse(20000)
       val seedDocs = (0 until 500).map(i => (i.toLong, docText(rnd)))
       // untimed warmup — one small trigger through a scratch index warms
       // the codegen/JIT paths the timed leg then reuses (the same

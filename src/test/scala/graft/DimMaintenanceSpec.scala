@@ -198,6 +198,7 @@ class DimMaintenanceSpec extends AnyFunSuite {
 
     // batch 2: a group migration + a new key; then a full replay of it —
     // the view must advance once and not double-apply
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val b2 = batch((2L, "b", 20L, "2024-01-03 08:00:00"), (4L, "a", 100L, "2024-01-03 08:00:00"))
     DimMaintenanceStream.processBatch(spark, b2, 2L, dim, "k", "ts", Some(mv))
     DimMaintenanceStream.processBatch(spark, b2, 2L, dim, "k", "ts", Some(mv))
@@ -207,6 +208,17 @@ class DimMaintenanceSpec extends AnyFunSuite {
     (0L to 2L).foreach { v =>
       assert(asSet(Snapshots.read(spark, viewPath, v)) == asSet(rebuild(v)), s"version $v drifted")
     }
+
+    // the writer-side feed is an eager localCheckpoint per trigger; the
+    // trigger must RELEASE its blocks before returning (ADVICE r12) — a
+    // standing stream otherwise accumulates one checkpointed frame per
+    // batch until GC + ContextCleaner get around to it. Compare against
+    // the pre-batch persisted set: other suites' session-level caches
+    // are not this trigger's leak.
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !persistedBefore.contains(id) }
+    assert(leaked.isEmpty,
+      s"feed checkpoint blocks left persisted after the trigger: ${leaked.keys.mkString(", ")}")
   }
 
   test("a reset-checkpoint batch 0 refuses to overwrite a pre-seeded dim") {

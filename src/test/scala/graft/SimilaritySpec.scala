@@ -563,23 +563,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert(repsTwo == repsFlat, "two-level candidate tier changed the dedup representatives")
   }
 
-  test("broadcast-join assignment kernel is bit-identical to the literal kernel, ties included") {
+  test("join and matrix assignment kernels are bit-identical to the literal kernel, ties included") {
     val root = TestFixtures.tmpDir("ivf-join-kernel").toString
     IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 16)
+    val cents = IvfIndex.loadCentroids(spark, root)
     def asMap(d: org.apache.spark.sql.DataFrame) = d.collect()
-      .map(r => r.getAs[Long]("id") -> r.getAs[Seq[Int]]("cells")).toMap
+      .map(r => r.getAs[Long]("id") ->
+        r.getAs[scala.collection.Seq[Int]]("cells").toList).toMap
     for (nProbe <- Seq(1, 2, 5)) {
       val literal = asMap(IvfIndex.assignCellsMulti(emb, "vec_id", "embedding", root, nProbe))
       val joined = asMap(IvfIndex.assignCellsMultiJoin(emb, "vec_id", "embedding", root, nProbe))
+      val matrix = asMap(IvfIndex.assignCellsMultiExpr(emb, "vec_id", "embedding", cents, nProbe))
       assert(joined == literal,
         s"join kernel diverged from the literal kernel at nProbe=$nProbe")
+      assert(matrix == literal,
+        s"matrix kernel diverged from the literal kernel at nProbe=$nProbe")
     }
     // the router: C=16 stays on the literal kernel (parity proven above);
     // any index past the threshold serves the SAME answers through the
-    // join kernel, which the StreamingSpec large-C gate run drives end to
-    // end and the per-nProbe parity above pins bit-for-bit
+    // matrix kernel, which the StreamingSpec large-C gate run drives end
+    // to end and the per-nProbe parity above pins bit-for-bit (the join
+    // kernel stays as the independent cross-check route)
     assert(IvfIndex.LiteralKernelMaxCells == 64,
       "threshold moved — re-run ProfileAssign and revisit the parity coverage")
+    // nProbe past C must degrade to C cells on every kernel, not throw
+    val all = asMap(IvfIndex.assignCellsMulti(emb, "vec_id", "embedding", root, 99))
+    val allM = asMap(IvfIndex.assignCellsMultiExpr(emb, "vec_id", "embedding", cents, 99))
+    assert(all.values.forall(_.size == 16) && allM == all)
+  }
+
+  test("routed large-C assignment stays per-row: duplicate ids reach the loud append guard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val root = TestFixtures.tmpDir("ivf-dup-route").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root,
+      numCentroids = IvfIndex.LiteralKernelMaxCells + 8)
+    // same id, DIFFERENT vectors: the round-12 join kernel's groupBy(id)
+    // collapsed this pair to one arbitrary (vec, cell) row and slid it
+    // past appendAssigned's batch-internal count guard (ADVICE r12); the
+    // per-row matrix kernel must surface both rows so the guard throws
+    val dup = Seq(
+      (77000L, Array.fill(64)(rnd.nextGaussian()).toSeq),
+      (77000L, Array.fill(64)(rnd.nextGaussian()).toSeq)).toDF("vec_id", "embedding")
+    val assigned = IvfIndex.assignCells(dup, "vec_id", "embedding", root)
+    assert(assigned.count() == 2, "routed kernel must not collapse duplicate-id rows")
+    val boom = intercept[IllegalArgumentException] {
+      IvfIndex.append(dup, "vec_id", "embedding", root, epoch = 1L)
+    }
+    assert(boom.getMessage.contains("internally duplicated"))
   }
 
   test("calibrateProbes picks the smallest nProbe meeting the recall target; probe=C is exact") {
