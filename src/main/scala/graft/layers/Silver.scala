@@ -62,7 +62,19 @@ object Silver {
     FraudFeatures.withFeatures(filled(typed(incr)))
   }
 
-  /** Append to the silver layer partitioned by y/m/d (`silver_job.py:222-227`). */
-  def write(df: DataFrame, path: String): Unit =
-    df.write.mode("append").partitionBy("year", "month", "day").parquet(path)
+  /** Append to the silver layer partitioned by y/m/d (`silver_job.py:222-227`),
+    * with atomic batch visibility: the reference's writes all go through
+    * Delta's `_delta_log`, so a reader never sees a torn multi-file
+    * append — [[AtomicAppend]] is this engine's counterpart (batch dir +
+    * commit marker). Pass the orchestrator's run/batch id for replay
+    * idempotence; read the layer back with [[read]].
+    */
+  def write(df: DataFrame, path: String, batchId: Option[Long] = None): Unit = {
+    AtomicAppend.append(df, path, Seq("year", "month", "day"), batchId)
+    ()
+  }
+
+  /** Committed silver batches only — never a torn append ([[AtomicAppend.read]]). */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    AtomicAppend.read(spark, path)
 }

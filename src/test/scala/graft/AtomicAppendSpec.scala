@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.layers.AtomicAppend
+
+class AtomicAppendSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.runtime.GraftSession
+    .builder("graft-test", "8").getOrCreate()
+
+  test("a torn multi-file append is invisible until its marker commits") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("atomic-append").toString
+    val b0 = (0 until 1000).map(i => (i.toLong, i % 7)).toDF("id", "g")
+    assert(AtomicAppend.append(b0, path, batchId = Some(0L)).contains(0L))
+    assert(AtomicAppend.read(spark, path).count() == 1000)
+
+    // simulate the crash window: batch 1's files land (multi-file — 8
+    // tasks) but the marker never commits. A bare mode("append") reader
+    // would see whatever prefix of the 8 files existed at list time;
+    // the committed-marker reader must see NONE of it.
+    val torn = (0 until 1000).map(i => (10000L + i, i % 7)).toDF("id", "g").repartition(8)
+    torn.write.mode("overwrite").parquet(s"$path/_batch=1")
+    assert(AtomicAppend.read(spark, path).count() == 1000, "torn batch leaked to a reader")
+    assert(AtomicAppend.committedIds(spark, path) == Seq(0L))
+
+    // the writer's retry overwrites its own directory and commits —
+    // now, and only now, the batch is visible, all 1000 rows at once
+    assert(AtomicAppend.append(torn, path, batchId = Some(1L)).contains(1L))
+    assert(AtomicAppend.read(spark, path).count() == 2000)
+    // a replay of a committed batch is a no-op, not a duplicate
+    assert(AtomicAppend.append(torn, path, batchId = Some(1L)).isEmpty)
+    assert(AtomicAppend.read(spark, path).count() == 2000)
+  }
+
+  test("a reader concurrent with multi-file appends only ever sees whole batches") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("atomic-concurrent").toString
+    val rows = 2000
+    def batch(n: Int) = (0 until rows).map(i => (n * 100000L + i, n)).toDF("id", "b")
+      .repartition(8) // 8 files per batch — a wide torn window
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val writer = Future {
+      (0 until 5).foreach(n => AtomicAppend.append(batch(n), path, batchId = Some(n.toLong)))
+    }(scala.concurrent.ExecutionContext.global)
+    try {
+      // poll as fast as the reader can while the writer lands 5 × 8 files:
+      // every observation must be a multiple of one batch — a torn batch
+      // would read as a non-multiple
+      var polls = 0
+      while (!writer.isCompleted) {
+        val n = AtomicAppend.readIfExists(spark, path).map(_.count()).getOrElse(0L)
+        assert(n % rows == 0, s"reader saw a torn batch: $n rows")
+        polls += 1
+      }
+      assert(polls > 0, "writer finished before a single poll — widen the batches")
+    } finally Await.result(writer, Duration.Inf)
+    assert(AtomicAppend.read(spark, path).count() == 5L * rows)
+  }
+
+  test("silver layer writes/reads through the atomic batch discipline") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("atomic-silver").toString
+    val df = (0 until 100).map { i =>
+      (s"T_$i", java.sql.Timestamp.valueOf(f"2024-03-${1 + i % 9}%02d 10:00:00"),
+        2024, 3, 1 + i % 9)
+    }.toDF("trans_num", "trans_timestamp", "year", "month", "day")
+    graft.layers.Silver.write(df, path, batchId = Some(0L))
+    val back = graft.layers.Silver.read(spark, path)
+    assert(back.count() == 100)
+    // y/m/d partition pruning still reaches the scan inside batch dirs
+    val pruned = back.filter(F.col("day") === 3)
+    assert(pruned.count() == df.filter(F.col("day") === 3).count())
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(back.columns.contains("day"), "partition columns must survive the batch layout")
+    assert(scan.nonEmpty)
+  }
+}

@@ -35,7 +35,7 @@ class LakehouseSpec extends AnyFunSuite {
   lazy val silver: DataFrame = {
     val df = Silver.transform(bronze, None)
     Silver.write(df, work.resolve("silver").toString)
-    spark.read.parquet(work.resolve("silver").toString)
+    Silver.read(spark, work.resolve("silver").toString)
   }
 
   lazy val gold: Map[String, DataFrame] = Gold.build(silver).map {
