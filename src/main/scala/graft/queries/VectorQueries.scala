@@ -143,6 +143,25 @@ object VectorQueries extends QueryPack {
       IvfIndex.knnJoin(s, root, e.filter(F.col("vec_id") % 100 === 50),
           "vec_id", "embedding", k = 5, nProbe = 8)
         .orderBy("query_id", "rank")
+    }),
+
+    // qe10's exactness gate AT THE ROUTED-KERNEL SHAPE: C=96 >
+    // LiteralKernelMaxCells, so every vector (index build aside — MLlib
+    // assigns its own training predictions) and every query flows
+    // through the matrix assignment kernel
+    // (graft.plans.NearestCellsExpression), and nProbe=C probes every
+    // cell, which equals brute force REGARDLESS of what k-means did —
+    // the oracle hash-checks the large-C route end to end, not just the
+    // SimilaritySpec parity pins. Sparser query set (1 in 200) keeps the
+    // all-cells probe affordable in the ledger.
+    "qe11_ivf_knn_join_bigc" -> ((s, d) => {
+      import graft.operators.IvfIndex
+      val e = emb(s, d)
+      val root = Scratch.dir("graft-qe11-")
+      IvfIndex.build(e, "vec_id", "embedding", root, numCentroids = 96)
+      IvfIndex.knnJoin(s, root, e.filter(F.col("vec_id") % 200 === 25),
+          "vec_id", "embedding", k = 5, nProbe = 96)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -170,6 +189,18 @@ object VectorQueries extends QueryPack {
            JOIN norms na ON na.vec_id = a_id
            JOIN norms nb ON nb.vec_id = b_id
            WHERE a_id % 100 = 50 AND b_id <> a_id)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "qe11_ivf_knn_join_bigc" ->
+      s"""WITH $oracleDot
+         SELECT query_id, rank, neighbor_id, cos_sim FROM (
+           SELECT a_id AS query_id, b_id AS neighbor_id,
+             round(dp / (na.nrm * nb.nrm), 4) AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY a_id
+               ORDER BY round(dp / (na.nrm * nb.nrm), 4) DESC, b_id) AS INTEGER) AS rank
+           FROM pairs
+           JOIN norms na ON na.vec_id = a_id
+           JOIN norms nb ON nb.vec_id = b_id
+           WHERE a_id % 200 = 25 AND b_id <> a_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
     "qe01_knn_cosine" ->
       s"""WITH $oracleDot

@@ -23,6 +23,19 @@ import graft.runtime.GraftSession
   * files); see the `repartition(cell)` in
   * [[graft.operators.IvfIndex.build]] / appendAssigned / compact.
   *
+  * Round-13 findings (same shapes): the MATRIX kernel
+  * ([[graft.plans.NearestCellsExpression]], now the large-C routed
+  * default) beats the join kernel at every measured point — 20k×64d:
+  * 0.23 vs 0.52 s at C=16-equivalent loads, 0.16 vs 0.37 s at C=128,
+  * 0.23 vs 0.55 s at C=512 (warm, 32p); single-partition 0.59 vs
+  * 2.76 s at C=512 — and at d=1536 (modern embedding width, where the
+  * join kernel's groupBy ships every vector: 20k rows × 1536 doubles ≈
+  * 245 MB exchange) reads 0.46 vs 0.72 s at C=128 and 0.91 vs 0.98 s
+  * at C=512. The local numbers UNDERSTATE the join kernel's d-cost —
+  * a local[32] shuffle never leaves the page cache, while on a cluster
+  * that exchange crosses the network; the matrix kernel has no exchange
+  * at any d or C (the structural claim, read it off the plan).
+  *
   * Usage: runMain graft.tools.ProfileAssign [nVecs] [dims] [cells,...]
   */
 object ProfileAssign {
