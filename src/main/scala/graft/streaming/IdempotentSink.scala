@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.DataFrame
 
 /** Exactly-once parquet sink for foreachBatch.
@@ -12,34 +10,22 @@ import org.apache.spark.sql.DataFrame
   * `ON CONFLICT` / existence checks (`main.py:137-143`); the general fix
   * is to make the sink idempotent per epoch: each batch writes under a
   * `_batch=<id>` subdirectory and commits a marker file; a replayed batch
-  * sees the marker and skips. Readers glob the parent, so layout is
-  * transparent.
+  * sees the marker and skips.
+  *
+  * The layout and protocol are [[graft.layers.AtomicAppend]]'s (the
+  * streaming caller delegates to it): same atomic reader visibility,
+  * and — since round 13 — the same Hadoop-FS path resolution, so s3a://
+  * and hdfs:// sink paths work, not just local files.
   */
 object IdempotentSink {
 
   /** Returns true if written, false if the batch was already committed. */
   def writeBatch(
       df: DataFrame, basePath: String, batchId: Long,
-      partitionBy: Seq[String] = Nil): Boolean = {
-    val dir = Paths.get(basePath, s"_batch=$batchId")
-    val marker = dir.resolve("_COMMITTED")
-    if (Files.exists(marker)) false
-    else {
-      val writer = df.write.mode("overwrite") // overwrite = replay-safe mid-batch
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-        .parquet(dir.toString)
-      Files.createFile(marker)
-      true
-    }
-  }
+      partitionBy: Seq[String] = Nil): Boolean =
+    graft.layers.AtomicAppend.append(df, basePath, partitionBy, Some(batchId)).nonEmpty
 
   /** Read everything committed so far (skips half-written batches). */
-  def read(spark: org.apache.spark.sql.SparkSession, basePath: String): DataFrame = {
-    val committed = Option(new java.io.File(basePath).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && Files.exists(f.toPath.resolve("_COMMITTED")))
-      .map(_.getPath)
-    require(committed.nonEmpty, s"no committed batches under $basePath")
-    spark.read.parquet(committed: _*)
-  }
+  def read(spark: org.apache.spark.sql.SparkSession, basePath: String): DataFrame =
+    graft.layers.AtomicAppend.read(spark, basePath)
 }

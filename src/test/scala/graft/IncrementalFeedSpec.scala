@@ -269,6 +269,34 @@ class IncrementalFeedSpec extends AnyFunSuite {
     assert(rowSet(Snapshots.read(spark, viewPath, 1L)) == rowSet(rebuilt))
   }
 
+  test("ScalarSidecar round-trips HWM types exactly (micros, days, integrals, doubles)") {
+    import org.apache.spark.sql.types._
+    import graft.layers.ScalarSidecar
+    val path = TestFixtures.tmpDir("scalar-sidecar").toString
+    def roundTrip(v: Any, dt: DataType, version: Long): Any = {
+      ScalarSidecar.write(spark, path, version, v, dt)
+      spark.range(1).select(ScalarSidecar.column(spark, path, version, dt)).head().get(0)
+    }
+    // sub-millisecond timestamp: a string/millis codec would truncate the
+    // micros and re-admit already-applied rows on the next ts > hwm scan
+    val ts = java.sql.Timestamp.valueOf("2024-03-05 10:20:30.123456")
+    assert(roundTrip(ts, TimestampType, 0L) == ts)
+    val preEpoch = java.sql.Timestamp.valueOf("1901-07-01 01:02:03.000456")
+    assert(roundTrip(preEpoch, TimestampType, 1L) == preEpoch)
+    assert(roundTrip(java.sql.Date.valueOf("2024-02-29"), DateType, 2L) ==
+      java.sql.Date.valueOf("2024-02-29"))
+    assert(roundTrip(Long.MaxValue - 7L, LongType, 3L) == Long.MaxValue - 7L)
+    assert(roundTrip(0.1 + 0.2, DoubleType, 4L) == 0.1 + 0.2) // bit-exact, not 0.3
+    // replay overwrites its own version file idempotently
+    ScalarSidecar.write(spark, path, 0L, ts, TimestampType)
+    assert(roundTrip(ts, TimestampType, 0L) == ts)
+    // an unencodable type names the recovery path instead of corrupting
+    val e = intercept[IllegalArgumentException] {
+      ScalarSidecar.write(spark, path, 9L, Array[Byte](1), BinaryType)
+    }
+    assert(e.getMessage.contains("snapshot/diff path"))
+  }
+
   test("append-path mid-life auxiliary UPGRADE fails naming the rebuild recovery") {
     import spark.implicits._
     val viewPath = TestFixtures.tmpDir("appends-upgrade").resolve("view").toString
