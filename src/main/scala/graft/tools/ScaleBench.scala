@@ -114,7 +114,7 @@ object ScaleBench {
     val outJson = args.lift(1).getOrElse("docs/BENCH_SCALE.json")
     // dev iteration: arg 3 selects legs, e.g. "ann" or "text,boiler"
     val legs = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("text", "boiler", "semantic", "ann", "pipeline"))
+      .getOrElse(Set("text", "boiler", "semantic", "ann", "contract", "pipeline"))
     val load0 = graft.Bench.loadavg()
     val spark = GraftSession.get("scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -155,12 +155,12 @@ object ScaleBench {
     //     the local[32] crossover: cells ∝ n keeps per-cell cost constant
     //     (the tier is ~linear) while the exact kernel is quadratic by
     //     contract — the separation the smaller scales only hint at.
-    if (legs("semantic")) for (k <- Seq(1, 4, 16, 32, 64)) {
+    if (legs("semantic")) for (k <- Seq(1, 4, 16, 32, 64, 128)) {
       val v = replicateVecs(emb, k, dim).cache()
       val n = v.count()
       // the exact kernel is quadratic BY CONTRACT — past 32× it only
-      // re-proves that at minutes of wall-clock; the 64× row instead
-      // compares the two IVF assignment kernels against each other
+      // re-proves that at minutes of wall-clock; the larger rows instead
+      // compare the IVF assignment kernels against each other
       // (verification is exact in both, so representative equality still
       // certifies the tier end-to-end)
       val (tEx, repEx) =
@@ -176,24 +176,30 @@ object ScaleBench {
           candidatePairs = Some(IvfIndex.cellLocalPairs(spark, root, 0.9, nProbe = 2)))
           .filter(F.col("is_rep") === 1).count())
       // the two-level (coarse √C → fine) assignment kernel: cuts the
-      // n·C·d assignment term to ~n·√C·d, the flat tier's hot spot once
-      // C grows with the corpus
-      val (tIvf2, repIvf2) = time(
-        Similarity.semanticDedup(v, "vec_id", "embedding", 0.9,
-          candidatePairs = Some(IvfIndex.cellLocalPairs(spark, root, 0.9, nProbe = 2,
-            coarseProbes = 2)))
-          .filter(F.col("is_rep") === 1).count())
+      // n·C·d assignment term to ~n·√C·d — superseded as the routed
+      // default by the matrix kernel (round 13), kept as the contrast
+      // tier up to 64×; at 128× its C-literal CASE chain is the
+      // known-quadratic party and is skipped like the exact kernel
+      val (tIvf2, repIvf2) =
+        if (k <= 64) time(
+          Similarity.semanticDedup(v, "vec_id", "embedding", 0.9,
+            candidatePairs = Some(IvfIndex.cellLocalPairs(spark, root, 0.9, nProbe = 2,
+              coarseProbes = 2)))
+            .filter(F.col("is_rep") === 1).count())
+        else (-1.0, -1L)
       // skipped exact legs emit null, not a -1 sentinel: a ledger consumer
       // comparing exact_reps to ivf_reps for the equality certification
       // must be able to tell "not run" from a real value
       val exactFields =
         if (tEx < 0) """"exact_sec":null,"exact_reps":null"""
         else f""""exact_sec":$tEx%.2f,"exact_reps":$repEx"""
+      val twoLevelFields =
+        if (tIvf2 < 0) """"ivf2_pairs_sec":null,"ivf2_reps":null"""
+        else f""""ivf2_pairs_sec":$tIvf2%.2f,"ivf2_reps":$repIvf2"""
       emit(s"""{"leg":"semantic_dedup","scale":$k,"n_vecs":$n,"n_cells":${8 * k},""" +
         s"""$exactFields,""" +
         f""""ivf_build_sec":$tBuild%.2f,"ivf_pairs_sec":$tIvf%.2f,""" +
-        f""""ivf2_pairs_sec":$tIvf2%.2f,""" +
-        s""""ivf_reps":$repIvf,"ivf2_reps":$repIvf2}""")
+        s"""$twoLevelFields,"ivf_reps":$repIvf}""")
       v.unpersist()
     }
 
@@ -298,6 +304,36 @@ object ScaleBench {
       emit(s"""{"leg":"ann_recall_contract","scale":$k,"n_vecs":$n,"n_cells":$cells,""" +
         f""""target":0.9,"chosen_probe":${cal.nProbe},"chosen_recall":${cal.recall}%.3f,""" +
         s""""target_met":${cal.targetMet},"curve":$curveJson}""")
+      queries.unpersist(); v.unpersist()
+    }
+
+    // --- 4b. the serving-recall contract AT the big-C serving shape
+    // (C=512, the BENCH_STREAM large-C leg and the matrix-kernel
+    // routing regime): build + calibrateAndStore only — the stored dial
+    // the ingest stream re-resolves across drift rebuilds, demonstrated
+    // at the cell count where the literal kernel is no longer the plan
+    // (VERDICT r12 #6). Probe-only: the brute/PQ comparison legs above
+    // already cover quality at smaller C.
+    if (legs("contract")) {
+      val k = 64 // 8·k cells = 512
+      val v = replicateVecs(emb, k, dim).cache()
+      val n = v.count()
+      val queries = v.filter(F.col("vec_id") < 100 &&
+        (F.col("vec_id") % 10 === 0 || F.col("vec_id") % 10 === 1)).cache()
+      val nq = queries.count().toInt
+      val root = s"/tmp/graft-scalebench-contract-$k-${System.nanoTime()}"
+      val cells = 8 * k
+      val (tBuild, _) = time(
+        IvfIndex.build(v, "vec_id", "embedding", root, numCentroids = cells))
+      val (tCal, cal) = time(IvfIndex.calibrateAndStore(spark, root, queries,
+        "vec_id", "embedding", k = 10, targetRecall = 0.9, sampleQueries = nq))
+      val stored = IvfIndex.servingProbes(spark, root)
+      val curveJson = cal.curve.map { case (p, r, s) =>
+        f"""{"n_probe":$p,"recall":$r%.3f,"sec":$s%.2f}""" }.mkString("[", ",", "]")
+      emit(s"""{"leg":"ann_recall_contract","scale":$k,"n_vecs":$n,"n_cells":$cells,""" +
+        f""""target":0.9,"chosen_probe":${cal.nProbe},"chosen_recall":${cal.recall}%.3f,""" +
+        s""""target_met":${cal.targetMet},"stored_probe":${stored.getOrElse(-1)},""" +
+        f""""build_sec":$tBuild%.2f,"calibrate_sec":$tCal%.2f,"curve":$curveJson}""")
       queries.unpersist(); v.unpersist()
     }
 
