@@ -53,7 +53,9 @@ object IvfIndex {
       root: String,
       numCentroids: Int = 16,
       seed: Long = 42L,
-      trainFraction: Double = 1.0): Unit = {
+      trainFraction: Double = 1.0,
+      kmeansMaxIter: Int = 20,
+      kmeansInitMode: String = "k-means||"): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -74,7 +76,14 @@ object IvfIndex {
     val train =
       if (trainFraction < 1.0) vecs.sample(withReplacement = false, trainFraction, seed)
       else vecs
+    // the k-means dials are real build knobs at corpus scale: every
+    // iteration (and every k-means|| init round) is a full pass over the
+    // training set as 1-2 Spark jobs — probe RECALL depends on cell
+    // balance, not centroid optimality, so operators trade iterations
+    // against build wall-clock (and exactness gates like qe11, where the
+    // answer is centroid-independent, dial both to the floor)
     val model = new KMeans().setK(numCentroids).setSeed(seed)
+      .setMaxIter(kmeansMaxIter).setInitMode(kmeansInitMode)
       .setFeaturesCol("features").fit(train)
 
     // alongside the float vectors: int8 codes + scale (the IVF+SQ8

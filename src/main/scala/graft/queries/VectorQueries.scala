@@ -145,22 +145,29 @@ object VectorQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
-    // qe10's exactness gate AT THE ROUTED-KERNEL SHAPE: C=96 >
+    // qe10's exactness gate AT THE ROUTED-KERNEL SHAPE: C=72 >
     // LiteralKernelMaxCells, so every vector (index build aside — MLlib
     // assigns its own training predictions) and every query flows
     // through the matrix assignment kernel
     // (graft.plans.NearestCellsExpression), and nProbe=C probes every
     // cell, which equals brute force REGARDLESS of what k-means did —
     // the oracle hash-checks the large-C route end to end, not just the
-    // SimilaritySpec parity pins. Sparser query set (1 in 200) keeps the
-    // all-cells probe affordable in the ledger.
+    // SimilaritySpec parity pins. The gate's answer is centroid-
+    // independent, so the k-means trains on a 25% sample at floor
+    // iterations and C stays just past the routing threshold; the
+    // remaining ledger cost is the IN-QUERY INDEX BUILD by contract
+    // (measured: ~1 s MLlib fit overhead + ~1.8 s for the 72-dir
+    // partitioned vector write — fixed commit costs a real build
+    // amortizes; the probe itself is ~0.6 s), the same
+    // expensive-by-contract shape as qe10.
     "qe11_ivf_knn_join_bigc" -> ((s, d) => {
       import graft.operators.IvfIndex
       val e = emb(s, d)
       val root = Scratch.dir("graft-qe11-")
-      IvfIndex.build(e, "vec_id", "embedding", root, numCentroids = 96)
+      IvfIndex.build(e, "vec_id", "embedding", root, numCentroids = 72,
+        trainFraction = 0.25, kmeansMaxIter = 3, kmeansInitMode = "random")
       IvfIndex.knnJoin(s, root, e.filter(F.col("vec_id") % 200 === 25),
-          "vec_id", "embedding", k = 5, nProbe = 96)
+          "vec_id", "embedding", k = 5, nProbe = 72)
         .orderBy("query_id", "rank")
     })
   )
