@@ -606,33 +606,72 @@ object IvfIndex {
     * groups; each row ranks the G group centers, explores only the
     * `coarseProbes` nearest groups, and runs the fine argmin within them —
     * per-row cost ~(G + coarseProbes·C/G)·d instead of C·d, the n·√C
-    * assignment term at corpus scale. The selection is conditional in
-    * generated code (a CASE chain), so unexplored groups' distances are
-    * never computed. Approximate by the standard IVF argument: a vector on
-    * a coarse Voronoi face may assign to its second-best cell — probe
-    * correctness never depends on assignment optimality, only cell balance
-    * and candidate recall do (SimilaritySpec pins agreement and the
-    * coarseProbes=G ⇒ exact equivalence).
+    * assignment term at corpus scale. Since round 13 this runs as the
+    * two-level MATRIX kernel ([[graft.plans.TwoLevelNearestCellsExpression]]
+    * — the group structure rides one reference object, zero shuffle,
+    * O(1) plan, usable at the corpus-scale C the n·√C tier exists for);
+    * the historical CASE-chain literal form survives as
+    * [[assignCellsMultiTwoLevelLiteral]], the spec cross-check.
+    * Approximate by the standard IVF argument: a vector on a coarse
+    * Voronoi face may assign to its second-best cell — probe correctness
+    * never depends on assignment optimality, only cell balance and
+    * candidate recall do (SimilaritySpec pins agreement, the
+    * coarseProbes=G ⇒ exact equivalence, and expr ≡ literal bit-parity).
     */
   def assignCellsMulti(df: DataFrame, idCol: String, vecCol: String, root: String,
       nProbe: Int, coarseProbes: Int = 0): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     GraftFunctions.register(df.sparkSession)
-    if (coarseProbes <= 0) {
-      // one centroid read serves both the route decision and the kernel
-      // (ADVICE r12: routing used to count cells with its own collect)
-      val cents = loadCentroids(df.sparkSession, root)
-      if (cents.size > LiteralKernelMaxCells)
-        return assignCellsMultiExpr(df, idCol, vecCol, cents, nProbe)
-      val sorted = F.array_sort(F.array(centroidCandidates(cents): _*))
+    // one centroid read serves both the route decision and the kernel
+    // (ADVICE r12: routing used to count cells with its own collect)
+    val cents = loadCentroids(df.sparkSession, root)
+    if (coarseProbes > 0) {
+      val (centers, grouping, p) = twoLevelStructure(cents, coarseProbes, nProbe)
       return df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
-        .withColumn("cells",
-          F.transform(F.slice(sorted, 1, nProbe), c => c.getField("cell")))
+        .withColumn("cells", graft.plans.TwoLevelNearestCellsExpression.column(
+          F.col("vec"), cents, centers, grouping, p, nProbe))
     }
+    if (cents.size > LiteralKernelMaxCells)
+      return assignCellsMultiExpr(df, idCol, vecCol, cents, nProbe)
+    val sorted = F.array_sort(F.array(centroidCandidates(cents): _*))
+    df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
+      .withColumn("cells",
+        F.transform(F.slice(sorted, 1, nProbe), c => c.getField("cell")))
+  }
+
+  /** The historical CASE-chain literal form of the two-level kernel —
+    * kept ONLY as the independent cross-check for
+    * [[graft.plans.TwoLevelNearestCellsExpression]] (SimilaritySpec pins
+    * them bit-identical over the same driver-side [[twoLevelStructure]]);
+    * it is allocation-bound at hundreds of cells and not constructible
+    * at corpus-scale C, so nothing routes here.
+    */
+  private[graft] def assignCellsMultiTwoLevelLiteral(df: DataFrame, idCol: String,
+      vecCol: String, root: String, nProbe: Int, coarseProbes: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val sorted = twoLevelSortedCandidates(df.sparkSession, root, coarseProbes, nProbe)
     df.select(F.col(idCol).as("id"), asDouble(F.col(vecCol)).as("vec"))
       .withColumn("cells",
         F.transform(F.slice(sorted, 1, nProbe), c => c.getField("cell")))
+  }
+
+  /** Driver-side coarse structure shared by BOTH two-level kernels:
+    * local k-means over the sorted-by-cell centroid table (deterministic
+    * in table content, independent of parquet row order) → (group
+    * centers, per-sorted-position group assignment, raised probe count).
+    * The raise mirrors the literal kernel's original rule: enough groups
+    * that ANY choice of that many covers ≥ nProbe cells.
+    */
+  private[graft] def twoLevelStructure(cents: Seq[(Int, Array[Double])],
+      coarseProbes: Int, nProbe: Int): (Array[Array[Double]], Array[Int], Int) = {
+    val sorted = cents.sortBy(_._1)
+    val g = math.max(1, math.round(math.sqrt(sorted.size.toDouble)).toInt)
+    val (centers, member) = localKMeans(sorted.map(_._2).toArray, g)
+    val sizesAsc = centers.indices.map(gi => member.count(_ == gi)).sorted
+    var (cov, pMin) = (0, 0)
+    while (cov < nProbe && pMin < sizesAsc.size) { cov += sizesAsc(pMin); pMin += 1 }
+    val p = math.min(centers.length, math.max(coarseProbes, pMin))
+    (centers, member, p)
   }
 
   /** Above this cell count the EXACT (coarseProbes = 0) assignment routes
@@ -792,17 +831,13 @@ object IvfIndex {
   private def twoLevelSortedCandidates(spark: SparkSession, root: String,
       coarseProbes: Int, nProbe: Int): org.apache.spark.sql.Column = {
     GraftFunctions.register(spark)
-    val cents = loadCentroids(spark, root)
-    val g = math.max(1, math.round(math.sqrt(cents.size.toDouble)).toInt)
-    val (centers, member) = localKMeans(cents.map(_._2).toArray, g)
+    val sortedCents = loadCentroids(spark, root).sortBy(_._1)
+    // the SAME driver-side structure the expression kernel consumes —
+    // the two kernels must rank identical groups for the parity pin
+    val (centers, member, p) = twoLevelStructure(sortedCents, coarseProbes, nProbe)
     val groups: Seq[(Int, Seq[(Int, Array[Double])])] =
-      cents.zipWithIndex.groupBy { case (_, i) => member(i) }
+      sortedCents.zipWithIndex.groupBy { case (_, i) => member(i) }
         .map { case (gi, xs) => gi -> xs.map(_._1) }.toSeq.sortBy(_._1)
-    // enough groups that ANY choice of that many covers >= nProbe cells
-    val sizesAsc = groups.map(_._2.size).sorted
-    var (cov, pMin) = (0, 0)
-    while (cov < nProbe && pMin < sizesAsc.size) { cov += sizesAsc(pMin); pMin += 1 }
-    val p = math.min(groups.size, math.max(coarseProbes, pMin))
     val coarse = groups.map { case (gi, _) =>
       val ctr = centers(gi)
       val cArr = F.array(ctr.map(F.lit(_)).toIndexedSeq: _*)

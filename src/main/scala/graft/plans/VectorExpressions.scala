@@ -98,6 +98,7 @@ object GraftFunctions {
     NfcNormalizeExpression.register(spark)
     DotProduct.register(spark)
     NearestCellsExpression.register(spark)
+    TwoLevelNearestCellsExpression.register(spark)
     TopKAggregate.register(spark)
     FreqItemsAggregate.register(spark)
     BoundedExtremesAggregate.register(spark)

@@ -86,9 +86,11 @@ object EmbeddingIngestStream {
   // LiteralKernelMaxCells, the O(1)-plan shuffle-free MATRIX kernel above
   // (measured 8-30x faster from C=128 up, and the only constructible
   // plan at corpus-scale C). A positive coarseProbesGate opts into the
-  // approximate two-level LITERAL kernel instead; round-12 profiling
-  // found no regime where that wins per trigger, so it is an explicit
-  // dial only.
+  // approximate two-level tier — since round 13 the two-level MATRIX
+  // kernel (0.27 s at C=512 where its literal form took 29 s), the
+  // n·√C·d dial for indexes whose cell count grows with the corpus;
+  // exact assignment stays the default until C makes n·C·d itself the
+  // trigger wall.
 
   /** Ready-made `curate` hook (and the default): drops rows whose
     * embedding is null, contains a null/NaN element, or has norm below

@@ -35,6 +35,12 @@ import graft.runtime.GraftSession
   * a local[32] shuffle never leaves the page cache, while on a cluster
   * that exchange crosses the network; the matrix kernel has no exchange
   * at any d or C (the structural claim, read it off the plan).
+  * The TWO-LEVEL tier moved to the same matrix form
+  * ([[graft.plans.TwoLevelNearestCellsExpression]]): its `two` column
+  * collapsed 29.3 → 0.27 s at C=512 and runs 0.35 s at C=2048 where the
+  * CASE-chain literal needed 128 s — and on one partition at C=2048 it
+  * already edges the flat matrix kernel (1.47 vs 1.73 s), the n·√C-vs-
+  * n·C separation that widens as C grows toward the corpus-scale 10⁴⁺.
   *
   * Usage: runMain graft.tools.ProfileAssign [nVecs] [dims] [cells,...]
   */

@@ -175,18 +175,16 @@ object ScaleBench {
         Similarity.semanticDedup(v, "vec_id", "embedding", 0.9,
           candidatePairs = Some(IvfIndex.cellLocalPairs(spark, root, 0.9, nProbe = 2)))
           .filter(F.col("is_rep") === 1).count())
-      // the two-level (coarse √C → fine) assignment kernel: cuts the
-      // n·C·d assignment term to ~n·√C·d — superseded as the routed
-      // default by the matrix kernel (round 13), kept as the contrast
-      // tier up to 64×; at 128× its C-literal CASE chain is the
-      // known-quadratic party and is skipped like the exact kernel
-      val (tIvf2, repIvf2) =
-        if (k <= 64) time(
-          Similarity.semanticDedup(v, "vec_id", "embedding", 0.9,
-            candidatePairs = Some(IvfIndex.cellLocalPairs(spark, root, 0.9, nProbe = 2,
-              coarseProbes = 2)))
-            .filter(F.col("is_rep") === 1).count())
-        else (-1.0, -1L)
+      // the two-level (coarse √C → fine) assignment tier: cuts the
+      // n·C·d assignment term to ~n·√C·d — since round 13 the two-level
+      // MATRIX kernel (TwoLevelNearestCellsExpression), so it runs at
+      // every scale including 128× where its old CASE-chain literal
+      // form was not constructible in reasonable time
+      val (tIvf2, repIvf2) = time(
+        Similarity.semanticDedup(v, "vec_id", "embedding", 0.9,
+          candidatePairs = Some(IvfIndex.cellLocalPairs(spark, root, 0.9, nProbe = 2,
+            coarseProbes = 2)))
+          .filter(F.col("is_rep") === 1).count())
       // skipped exact legs emit null, not a -1 sentinel: a ledger consumer
       // comparing exact_reps to ivf_reps for the equality certification
       // must be able to tell "not run" from a real value

@@ -563,6 +563,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(repsTwo == repsFlat, "two-level candidate tier changed the dedup representatives")
   }
 
+  test("two-level matrix kernel is bit-identical to the two-level literal kernel") {
+    // assignCellsMulti(coarseProbes>0) routes through
+    // TwoLevelNearestCellsExpression since round 13; the historical
+    // CASE-chain literal kernel is the independent cross-check — both
+    // consume the same driver-side twoLevelStructure, so every
+    // (coarseProbes, nProbe) point must match bit for bit, ties and
+    // auto-raised probe budgets included
+    val root = TestFixtures.tmpDir("ivf-twolevel-expr").toString
+    IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 24)
+    def asMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getAs[Long]("id") ->
+        r.getAs[scala.collection.Seq[Int]]("cells").toList).toMap
+    for ((coarse, nProbe) <- Seq((1, 1), (2, 2), (3, 5), (2, 12), (16, 2))) {
+      val expr = asMap(IvfIndex.assignCellsMulti(emb, "vec_id", "embedding", root,
+        nProbe, coarseProbes = coarse))
+      val literal = asMap(IvfIndex.assignCellsMultiTwoLevelLiteral(
+        emb, "vec_id", "embedding", root, nProbe, coarse))
+      assert(expr == literal,
+        s"two-level kernels diverged at coarseProbes=$coarse nProbe=$nProbe")
+    }
+  }
+
   test("join and matrix assignment kernels are bit-identical to the literal kernel, ties included") {
     val root = TestFixtures.tmpDir("ivf-join-kernel").toString
     IvfIndex.build(emb, "vec_id", "embedding", root, numCentroids = 16)
