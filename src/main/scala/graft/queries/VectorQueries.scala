@@ -139,7 +139,11 @@ object VectorQueries extends QueryPack {
       import graft.operators.IvfIndex
       val e = emb(s, d)
       val root = Scratch.dir("graft-qe10-")
-      IvfIndex.build(e, "vec_id", "embedding", root, numCentroids = 8)
+      // nProbe=C probes every cell ⇒ brute-force answers regardless of
+      // centroid placement, so the k-means trains at floor cost (the
+      // same centroid-independence argument as qe11's dials)
+      IvfIndex.build(e, "vec_id", "embedding", root, numCentroids = 8,
+        trainFraction = 0.25, kmeansMaxIter = 3, kmeansInitMode = "random")
       IvfIndex.knnJoin(s, root, e.filter(F.col("vec_id") % 100 === 50),
           "vec_id", "embedding", k = 5, nProbe = 8)
         .orderBy("query_id", "rank")
