@@ -62,6 +62,60 @@ class AtomicAppendSpec extends AnyFunSuite {
     assert(AtomicAppend.read(spark, path).count() == 5L * rows)
   }
 
+  test("compact folds batches atomically; appends keep working; vacuum clears replaced dirs") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("atomic-compact").toString
+    def batch(n: Int) = (0 until 500).map(i => (n * 10000L + i, n)).toDF("id", "b")
+    (0 until 4).foreach(n => AtomicAppend.append(batch(n), path, batchId = Some(n.toLong)))
+    val before = AtomicAppend.read(spark, path).collect().map(_.toSeq).toSet
+    val folded = AtomicAppend.compact(spark, path)
+    assert(folded.contains(4L))
+    // exactly the same rows, now one live batch; ids resolve via manifest
+    assert(AtomicAppend.read(spark, path).collect().map(_.toSeq).toSet == before)
+    assert(AtomicAppend.committedIds(spark, path) == Seq(4L))
+    // a reader that listed the manifest BEFORE the flip can still scan the
+    // replaced dirs until vacuum; after vacuum only the folded dir remains
+    assert(AtomicAppend.vacuum(spark, path).toSet == Set(0L, 1L, 2L, 3L))
+    assert(AtomicAppend.read(spark, path).collect().map(_.toSeq).toSet == before)
+    // appends on a manifest table stay atomic and auto-id past the fold
+    assert(AtomicAppend.append(batch(9), path).contains(5L))
+    assert(AtomicAppend.read(spark, path).count() == 2500)
+    assert(AtomicAppend.committedIds(spark, path) == Seq(4L, 5L))
+    // a second compact folds the manifest world too
+    assert(AtomicAppend.compact(spark, path).contains(6L))
+    assert(AtomicAppend.read(spark, path).count() == 2500)
+    // below the threshold: no-op
+    assert(AtomicAppend.compact(spark, path).isEmpty)
+  }
+
+  test("crashed compact leaves the old state live; crashed append flip heals on replay") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("atomic-crash").toString
+    def batch(n: Int) = (0 until 300).map(i => (n * 10000L + i, n)).toDF("id", "b")
+    (0 until 2).foreach(n => AtomicAppend.append(batch(n), path, batchId = Some(n.toLong)))
+    // simulate a compact that wrote its folded dir but crashed BEFORE the
+    // manifest flip: an unmarked _batch=2 with the union of 0 and 1
+    AtomicAppend.read(spark, path).write.mode("overwrite").parquet(s"$path/_batch=2")
+    assert(AtomicAppend.read(spark, path).count() == 600, "debris leaked to readers")
+    assert(AtomicAppend.committedIds(spark, path) == Seq(0L, 1L))
+    // the retry derives the SAME folded id from the unchanged live set and
+    // overwrites the debris wholly
+    assert(AtomicAppend.compact(spark, path).contains(2L))
+    assert(AtomicAppend.read(spark, path).count() == 600)
+
+    // crash window between an append's marker and its manifest flip:
+    // write the dir + marker by hand (manifest untouched) — invisible —
+    // then the replayed append heals the visibility exactly once
+    batch(7).write.mode("overwrite").parquet(s"$path/_batch=3")
+    val fsP = new org.apache.hadoop.fs.Path(s"$path/_batch=3/_COMMITTED")
+    fsP.getFileSystem(spark.sessionState.newHadoopConf()).create(fsP, true).close()
+    assert(AtomicAppend.read(spark, path).count() == 600, "half-flipped append leaked")
+    assert(AtomicAppend.append(batch(7), path, batchId = Some(3L)).contains(3L))
+    assert(AtomicAppend.read(spark, path).count() == 900)
+    assert(AtomicAppend.append(batch(7), path, batchId = Some(3L)).isEmpty, "replay after heal")
+    assert(AtomicAppend.read(spark, path).count() == 900)
+  }
+
   test("silver layer writes/reads through the atomic batch discipline") {
     import spark.implicits._
     val path = TestFixtures.tmpDir("atomic-silver").toString
