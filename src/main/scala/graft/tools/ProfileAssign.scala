@@ -38,9 +38,17 @@ import graft.runtime.GraftSession
   * The TWO-LEVEL tier moved to the same matrix form
   * ([[graft.plans.TwoLevelNearestCellsExpression]]): its `two` column
   * collapsed 29.3 → 0.27 s at C=512 and runs 0.35 s at C=2048 where the
-  * CASE-chain literal needed 128 s — and on one partition at C=2048 it
-  * already edges the flat matrix kernel (1.47 vs 1.73 s), the n·√C-vs-
-  * n·C separation that widens as C grows toward the corpus-scale 10⁴⁺.
+  * CASE-chain literal needed 128 s — and on one partition at C=2048/d=64
+  * it already edges the flat matrix kernel (1.47 vs 1.73 s), the n·√C-
+  * vs-n·C separation that widens as C grows toward corpus-scale 10⁴⁺.
+  * Measured crossover honesty: at d=1536 × C=2048 (25 MB matrix — a
+  * memory-bandwidth-bound sweep per row) the two-level tier reads EVEN
+  * TO SLOWER locally (warm 5.27 vs flat 3.55 s at 32p; 51 vs 45 s at
+  * 1p): it touches ~4× fewer doubles but in per-group SCATTERED order,
+  * and the flat kernel's sequential sweep wins the prefetcher back. The
+  * two-level dial pays off in the compute-bound regime (small-to-mid d)
+  * and in flop count at C ≫ 10³; measure at the deployment's (d, C)
+  * before flipping the dial.
   *
   * Usage: runMain graft.tools.ProfileAssign [nVecs] [dims] [cells,...]
   */
