@@ -140,4 +140,23 @@ object Gold {
         Seq("city", "state", "zip")),
       "fact_transactions" -> factTransactions(silverSlice))
   }
+
+  /** Append a [[build]] result under `basePath/<table>` with atomic batch
+    * visibility ([[AtomicAppend]] — the `_delta_log` role the reference's
+    * gold writes get from Delta, `gold_job.py:224-243`): a reader
+    * concurrent with the five-table append sees each table's batch whole
+    * or not at all. Pass the orchestrator's run id for replay
+    * idempotence; read back with [[read]] (which also serves as the
+    * `existing` hook for [[build]]'s cross-run dim dedup).
+    */
+  def write(tables: Map[String, DataFrame], basePath: String,
+      batchId: Option[Long] = None): Unit =
+    tables.foreach { case (name, df) =>
+      AtomicAppend.append(df, s"$basePath/$name", Nil, batchId); ()
+    }
+
+  /** Committed batches of one gold table; None before its first commit. */
+  def read(spark: org.apache.spark.sql.SparkSession, basePath: String,
+      table: String): Option[DataFrame] =
+    AtomicAppend.readIfExists(spark, s"$basePath/$table")
 }

@@ -38,10 +38,14 @@ class LakehouseSpec extends AnyFunSuite {
     Silver.read(spark, work.resolve("silver").toString)
   }
 
-  lazy val gold: Map[String, DataFrame] = Gold.build(silver).map {
-    case (name, df) =>
-      df.write.mode("overwrite").parquet(work.resolve(name).toString)
-      name -> spark.read.parquet(work.resolve(name).toString)
+  lazy val gold: Map[String, DataFrame] = {
+    val base = work.resolve("gold").toString
+    Gold.write(Gold.build(silver), base, batchId = Some(0L))
+    // a replayed run id is a no-op, not five duplicated tables
+    Gold.write(Gold.build(silver), base, batchId = Some(0L))
+    Gold.build(silver).keys.map { name =>
+      name -> Gold.read(spark, base, name).getOrElse(fail(s"no committed $name"))
+    }.toMap
   }
 
   test("bronze: tombstones dropped, envelope decoded, partitions derived") {
