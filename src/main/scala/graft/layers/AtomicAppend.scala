@@ -1,7 +1,8 @@
 package graft.layers
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
 
 /** Atomic-visibility batch appends — the role Delta's `_delta_log` plays
   * in every reference table write (`docs/ARCHITECTURE.md:167-174`,
@@ -43,6 +44,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * write-new-state → commit-pointer, crash-safe at any instant.
   * Writers are single-maintainer per table (the engine-wide contract);
   * readers stay concurrent and lock-free on either protocol.
+  *
+  * DATA SKIPPING rides the same layout ([[BatchStats]] — the per-file
+  * stats role of Delta's `_delta_log`): `statsCols` on [[append]] writes
+  * a `_STATS` zone map (min/max/null counts) into the batch dir,
+  * [[compact]] folds zone maps exactly without rescanning, and the
+  * predicate reader `read(path, predicate)` drops every batch whose
+  * stats PROVE the predicate empty — driver-side, before any footer is
+  * opened. [[compactClustered]] (z-order fold, OPTIMIZE ZORDER BY's
+  * role) is what makes the ranges tight enough to skip on: after it, a
+  * selective predicate on any clustered column scans only the matching
+  * z-range batches. At 100 TB that layering is partition pruning →
+  * batch-dir zone maps → parquet row-group min/max, each cutting the
+  * next's input.
   */
 object AtomicAppend {
 
@@ -70,6 +84,10 @@ object AtomicAppend {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("_batch="))
       .filter(st => f.exists(new Path(st.getPath, Marker)))
       .map(_.getPath)
+      // id order, not listing order — readers and [[pruneBatches]] report
+      // deterministically on any filesystem
+      .sortBy(p => scala.util.Try(p.getName.stripPrefix("_batch=").toLong)
+        .getOrElse(Long.MaxValue))
   }
 
   private def committedDirs(spark: SparkSession, basePath: String): Seq[Path] =
@@ -77,6 +95,21 @@ object AtomicAppend {
       case Some(ids) => ids.map(id => new Path(s"$basePath/_batch=$id"))
       case None => markerDirs(spark, basePath)
     }
+
+  /** One scan over a set of committed batch dirs. `basePath` anchors
+    * partition discovery at the TABLE root: without it, a multi-batch
+    * read of a PARTITIONED table trips CONFLICTING_DIRECTORY_STRUCTURES
+    * (each batch root parses its own partition chain). Anchoring makes
+    * Spark infer `_batch` itself as a partition column — protocol
+    * metadata, not data — so it is dropped before the frame escapes
+    * (critically: [[compact]] feeds this frame straight into the folded
+    * WRITE, which must not bake a `_batch` column into the data).
+    */
+  private def scanDirs(spark: SparkSession, basePath: String,
+      dirs: Seq[Path]): DataFrame =
+    spark.read.option("basePath", basePath)
+      .parquet(dirs.map(_.toString): _*)
+      .drop("_batch")
 
   /** Ids of the committed batches at `basePath` (sorted ascending) — the
     * manifest when the table has one, the marker listing otherwise.
@@ -95,7 +128,8 @@ object AtomicAppend {
     * visibility flip (replay presents identical rows by contract).
     */
   def append(df: DataFrame, basePath: String, partitionBy: Seq[String] = Nil,
-      batchId: Option[Long] = None): Option[Long] = {
+      batchId: Option[Long] = None, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Option[Long] = {
     val spark = df.sparkSession
     val f = fs(spark, basePath)
     val manifest = manifestIds(spark, basePath)
@@ -108,6 +142,20 @@ object AtomicAppend {
       val writer = df.write.mode("overwrite") // overwrite own dir = replay-safe mid-batch
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(dir.toString)
+      // sidecars BEFORE the marker: a marker implies complete sidecars.
+      // Computed from a read-back of the landed batch (column-pruned to
+      // the sidecar columns), so they describe what is actually on
+      // disk; an empty batch has nothing to describe
+      if (statsCols.nonEmpty || bloomCols.nonEmpty)
+        scala.util.Try(spark.read.parquet(dir.toString)).foreach { landed =>
+          val stats = Option.when(statsCols.nonEmpty)(
+            BatchStats.compute(landed, statsCols))
+          stats.foreach(BatchStats.write(f, dir, _))
+          if (bloomCols.nonEmpty) {
+            val expected = stats.map(_.rows).getOrElse(landed.count())
+            BatchBloom.write(f, dir, BatchBloom.compute(landed, bloomCols, expected))
+          }
+        }
       f.create(marker, true).close()
     }
     // manifest tables: the flip IS the visibility commit. Also the heal
@@ -135,14 +183,101 @@ object AtomicAppend {
     val f = fs(spark, basePath)
     val folded = live.max + 1
     val dir = new Path(s"$basePath/_batch=$folded")
-    val writer = spark.read
-      .parquet(live.map(id => s"$basePath/_batch=$id"): _*)
+    val writer = scanDirs(spark, basePath,
+        live.map(id => new Path(s"$basePath/_batch=$id")))
       .write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dir.toString)
+    // zone maps fold for free — min of mins / max of maxes / summed null
+    // counts are EXACT for a content-preserving fold, no rescans; a live
+    // batch without stats just leaves the folded batch unprunable
+    val liveStats = live.map(id => BatchStats.read(f, new Path(s"$basePath/_batch=$id")))
+    if (liveStats.forall(_.isDefined))
+      BatchStats.write(f, dir, BatchStats.merge(liveStats.flatten))
+    // bloom sidecars do NOT merge (bit arrays are sized per batch) —
+    // recompute over the folded copy when every live batch carried one
+    val liveBloomCols = live.map(id =>
+      BatchBloom.read(f, new Path(s"$basePath/_batch=$id")).keySet)
+    if (liveBloomCols.nonEmpty && liveBloomCols.forall(_.nonEmpty)) {
+      val cols = liveBloomCols.reduce(_ intersect _).toSeq.sorted
+      if (cols.nonEmpty)
+        scala.util.Try(spark.read.parquet(dir.toString)).foreach { folded =>
+          val expected = if (liveStats.forall(_.isDefined))
+            liveStats.flatten.map(_.rows).sum.max(1L) else folded.count()
+          BatchBloom.write(f, dir, BatchBloom.compute(folded, cols, expected))
+        }
+    }
     commitManifest(spark, basePath, Seq(folded)) // THE atomic visibility flip
     f.create(new Path(dir, Marker), true).close()
     Some(folded)
+  }
+
+  /** [[compact]] that additionally Z-ORDER CLUSTERS the fold
+    * ([[ZOrder]], the OPTIMIZE ZORDER BY role): the live batches are
+    * folded into up to `numBatches` new batch directories split by
+    * z-range of `zorderBy`, each with its own zone map over `statsCols`
+    * — which is what makes [[read]]'s batch skipping BITE: after an
+    * append history ordered by arrival time, every batch spans the full
+    * value domain and nothing skips; after a clustered fold each batch
+    * covers a tight hyper-rectangle, so a selective predicate on ANY
+    * clustered column drops most batch dirs from the scan driver-side.
+    * At 100 TB this is the maintenance-cadence operation between "scan
+    * every file behind the partition" and "scan the matching z-ranges".
+    *
+    * Atomicity is [[compact]]'s discipline, k-way: the fold lands
+    * unmarked under `_cluster_tmp` (invisible — readers only resolve
+    * `_batch=` dirs), moves into place still unmarked, and ONE manifest
+    * flip makes all k new batches visible and all old ones dead; a
+    * crash at any step leaves the old state live, and the retry
+    * overwrites its own debris (ids derive from the live set, which a
+    * failed attempt never changed). Replaced dirs await [[vacuum]].
+    * Single maintainer per table; readers stay lock-free.
+    */
+  def compactClustered(spark: SparkSession, basePath: String, zorderBy: Seq[String],
+      numBatches: Int, partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bits: Int = 4,
+      minBatches: Int = 2): Option[Seq[Long]] = {
+    require(numBatches >= 1, s"numBatches must be >= 1, got $numBatches")
+    val live = committedIds(spark, basePath)
+    if (live.size < minBatches) return None
+    val f = fs(spark, basePath)
+    val df = scanDirs(spark, basePath, live.map(id => new Path(s"$basePath/_batch=$id")))
+    val tmp = new Path(s"$basePath/_cluster_tmp")
+    ZOrder.clusterKeyed(df, zorderBy, numBatches, "__zbatch", bits)
+      .write.mode("overwrite")
+      .partitionBy("__zbatch" +: partitionBy: _*)
+      .parquet(tmp.toString)
+    // empty z-ranges write no directory; batch ids are dense over the
+    // ranges that materialized
+    val present = f.listStatus(tmp).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__zbatch="))
+      .map(_.getPath.getName.stripPrefix("__zbatch=").toLong)
+      .sorted
+    // per-z-range zone maps in ONE grouped aggregate over the fold
+    val statsByZ =
+      if (statsCols.isEmpty || present.isEmpty) Map.empty[Long, BatchStats.Stats]
+      else BatchStats.computeGrouped(
+        spark.read.parquet(tmp.toString), "__zbatch", statsCols)
+    val ids = present.zipWithIndex.map { case (z, i) =>
+      val id = live.max + 1 + i
+      val dest = new Path(s"$basePath/_batch=$id")
+      if (f.exists(dest)) f.delete(dest, true) // crashed prior attempt's debris
+      require(f.rename(new Path(tmp, s"__zbatch=$z"), dest),
+        s"compactClustered: rename of z-range $z failed")
+      statsByZ.get(z).foreach(BatchStats.write(f, dest, _))
+      // per-range bloom recompute (bit arrays size per batch, no merge);
+      // a maintenance-cadence cost, one pruned scan per range
+      if (bloomCols.nonEmpty)
+        scala.util.Try(spark.read.parquet(dest.toString)).foreach { landed =>
+          val expected = statsByZ.get(z).map(_.rows).getOrElse(landed.count())
+          BatchBloom.write(f, dest, BatchBloom.compute(landed, bloomCols, expected))
+        }
+      id
+    }
+    commitManifest(spark, basePath, ids) // THE atomic visibility flip, k-way
+    ids.foreach(id => f.create(new Path(s"$basePath/_batch=$id/$Marker"), true).close())
+    f.delete(tmp, true)
+    Some(ids)
   }
 
   /** Delete batch directories no longer in the manifest (replaced by a
@@ -174,11 +309,65 @@ object AtomicAppend {
   def readIfExists(spark: SparkSession, basePath: String): Option[DataFrame] = {
     val dirs = committedDirs(spark, basePath)
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.map(_.toString): _*))
+    else Some(scanDirs(spark, basePath, dirs))
   }
 
   /** [[readIfExists]] that fails actionably on a never-written table. */
   def read(spark: SparkSession, basePath: String): DataFrame =
     readIfExists(spark, basePath).getOrElse(
       throw new IllegalArgumentException(s"no committed batches under $basePath"))
+
+  /** `read(...).filter(predicate)`, with the scan list pruned by each
+    * batch's zone map FIRST ([[BatchStats]]): a batch whose `_STATS`
+    * prove the predicate empty is dropped driver-side — no footer reads,
+    * no tasks. Semantically always `filter(predicate)` over the full
+    * committed table: skipping is sound-only (a stats-less batch, an
+    * unsupported conjunct, a type mix — everything uncertain scans), and
+    * the predicate is re-applied to the surviving batches, where it also
+    * pushes into the parquet scan as usual (row-group pruning under the
+    * batch pruning). Pair with [[compactClustered]] to make the batch
+    * ranges tight enough to skip on.
+    */
+  def read(spark: SparkSession, basePath: String, predicate: Column): DataFrame = {
+    val dirs = committedDirs(spark, basePath)
+    if (dirs.isEmpty)
+      throw new IllegalArgumentException(s"no committed batches under $basePath")
+    val (kept, _) = partitionByStats(spark, dirs, predicate)
+    if (kept.isEmpty) // every batch provably empty: the schema still binds
+      scanDirs(spark, basePath, Seq(dirs.head)).filter(predicate).filter(F.lit(false))
+    else scanDirs(spark, basePath, kept).filter(predicate)
+  }
+
+  /** The pruning decision alone, for observability and specs:
+    * (kept, skipped) committed batch ids under `predicate`.
+    */
+  def pruneBatches(spark: SparkSession, basePath: String,
+      predicate: Column): (Seq[Long], Seq[Long]) = {
+    def id(p: Path) = p.getName.stripPrefix("_batch=").toLong
+    val (kept, skipped) =
+      partitionByStats(spark, committedDirs(spark, basePath), predicate)
+    (kept.map(id), skipped.map(id))
+  }
+
+  private def partitionByStats(spark: SparkSession, dirs: Seq[Path],
+      predicate: Column): (Seq[Path], Seq[Path]) = {
+    if (dirs.isEmpty) return (dirs, Seq.empty)
+    val f = dirs.head.getFileSystem(spark.sessionState.newHadoopConf())
+    // compile ONCE from a probe plan over one batch; evaluate per batch.
+    // The probe anchors basePath at the table root like every reader, so
+    // its resolved schema matches what [[read]] serves
+    val node = BatchStats.compile(
+      scanDirs(spark, dirs.head.getParent.toString, Seq(dirs.head)).filter(predicate))
+    // bloom sidecars only ever decide Eq/IN leaves — skip their read
+    // (sketch-sized, not stats-sized) for pure range predicates
+    val tryBloom = BatchStats.usesEquality(node)
+    dirs.partition { dir =>
+      val statsEmpty = BatchStats.read(f, dir).exists(BatchStats.mustBeEmpty(_, node))
+      def bloomEmpty = tryBloom && {
+        val blooms = BatchBloom.read(f, dir)
+        blooms.nonEmpty && BatchBloom.mustBeEmpty(blooms, node)
+      }
+      !(statsEmpty || bloomEmpty)
+    }
+  }
 }

@@ -152,7 +152,13 @@ object Gold {
   def write(tables: Map[String, DataFrame], basePath: String,
       batchId: Option[Long] = None): Unit =
     tables.foreach { case (name, df) =>
-      AtomicAppend.append(df, s"$basePath/$name", Nil, batchId); ()
+      // the fact table carries a zone map on its natural scan predicates
+      // (time range, amount) so selective reads through
+      // [[AtomicAppend.read(path, predicate)]] skip whole batch dirs;
+      // dims are small and stats-free by design
+      val stats = if (name == "fact_transactions")
+        Seq("transaction_timestamp", "transaction_amount") else Nil
+      AtomicAppend.append(df, s"$basePath/$name", Nil, batchId, statsCols = stats); ()
     }
 
   /** Committed batches of one gold table; None before its first commit. */

@@ -70,7 +70,12 @@ object Silver {
     * idempotence; read the layer back with [[read]].
     */
   def write(df: DataFrame, path: String, batchId: Option[Long] = None): Unit = {
-    AtomicAppend.append(df, path, Seq("year", "month", "day"), batchId)
+    // zone map on the incremental-scan timestamp and the hot filter
+    // column: HWM slices (`trans_timestamp > hwm`) and selective amount
+    // scans skip whole committed batches via AtomicAppend's `_STATS`,
+    // under the y/m/d partition pruning the layout already gives
+    AtomicAppend.append(df, path, Seq("year", "month", "day"), batchId,
+      statsCols = Seq("trans_timestamp", "amt"))
     ()
   }
 

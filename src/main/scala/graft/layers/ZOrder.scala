@@ -61,7 +61,20 @@ object ZOrder {
     * timestamps to their epoch numbers first).
     */
   def cluster(df: DataFrame, cols: Seq[String], numFiles: Int,
-      bits: Int = 4, relErr: Double = 0.01): DataFrame = {
+      bits: Int = 4, relErr: Double = 0.01): DataFrame =
+    clusterKeyed(df, cols, numFiles, "__zpart", bits, relErr).drop("__zpart")
+
+  /** [[cluster]], keeping the range-partition index as LONG column
+    * `keyCol` (0 until numFiles) — the handle a clustered WRITE needs to
+    * split the result into one unit (file, batch dir) per z-range:
+    * [[AtomicAppend.compactClustered]] partitions its fold by it.
+    * `spark_partition_id` after the range exchange IS the z-range index;
+    * the projection adding it cannot migrate below the exchange (the
+    * expression is nondeterministic by contract) and intra-partition
+    * sorting doesn't change it.
+    */
+  def clusterKeyed(df: DataFrame, cols: Seq[String], numFiles: Int,
+      keyCol: String, bits: Int = 4, relErr: Double = 0.01): DataFrame = {
     require(cols.nonEmpty && bits >= 1 && bits <= 8)
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
     val doubled = df.select(
@@ -77,6 +90,7 @@ object ZOrder {
       .withColumn("__zval", z)
       .repartitionByRange(numFiles, F.col("__zval"))
       .sortWithinPartitions("__zval")
+      .withColumn(keyCol, F.spark_partition_id().cast("long"))
       .drop(cols.indices.map(i => s"__z$i") :+ "__zval": _*)
   }
 }

@@ -308,6 +308,77 @@ object LakehouseQueries extends QueryPack {
       graft.layers.Snapshots.read(s, viewPath).orderBy("event_type")
     }),
 
+    // ZONE-MAP DATA SKIPPING over the atomic batch protocol
+    // (AtomicAppend `_STATS` + the pruning reader + z-order clustered
+    // compaction — the per-file-stats role of Delta's `_delta_log`): the
+    // events fact arrives as three time-sliced appends (each spanning
+    // the full user/value domain), gets folded into 8 z-range batches
+    // clustered on (user_id, value), and is then read through
+    // `read(path, predicate)` — which drops every batch whose zone map
+    // proves the selective 2-column predicate empty BEFORE any scan.
+    // The oracle aggregates the same filter over the raw table directly:
+    // a hash match proves the pruned read ≡ a full filter (skipping is
+    // sound), while DataSkippingSpec pins that batches actually skip.
+    // All-BIGINT measures; value >= 150.0 is a raw IEEE compare, safe
+    // across engines (QueryPack taxonomy).
+    "ql14_data_skipping" -> ((s, d) => {
+      val aa = graft.layers.AtomicAppend
+      val base = Scratch.dir("graft-ql14-") + "/events"
+      val fact = ev(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+      val cols = Seq("ts", "user_id", "value")
+      def cut(c: org.apache.spark.sql.Column) = fact.filter(c)
+      val day11 = F.to_timestamp(F.lit("2024-01-11"))
+      val day21 = F.to_timestamp(F.lit("2024-01-21"))
+      aa.append(cut(F.col("ts") < day11), base, batchId = Some(0L), statsCols = cols)
+      aa.append(cut(F.col("ts") >= day11 && F.col("ts") < day21), base,
+        batchId = Some(1L), statsCols = cols)
+      aa.append(cut(F.col("ts") >= day21), base, batchId = Some(2L), statsCols = cols)
+      aa.compactClustered(s, base, Seq("user_id", "value"), numBatches = 8,
+        statsCols = cols)
+      val pred = F.col("user_id") >= 3L && F.col("user_id") < 9L &&
+        F.col("value") >= 100.0
+      aa.read(s, base, pred)
+        .groupBy("event_type")
+        .agg(
+          F.count(F.lit(1)).as("n_events"),
+          F.countDistinct("user_id").as("n_users"),
+          F.sum(F.floor(F.col("value")).cast("long")).as("sum_v"))
+        .orderBy("event_type")
+    }),
+
+    // BLOOM-FILTER point-lookup skipping (AtomicAppend `_BLOOM`
+    // sidecars): the needle-in-haystack shape zone maps structurally
+    // cannot prune — a SCRAMBLED high-cardinality key (odd-multiplier
+    // hash of event_id, injective below the prime modulus) spans the
+    // full min/max range in every arrival batch, so only membership
+    // proves absence. Three keyed lookups through `read(path, pred)`
+    // open only the batches whose filters say "might contain"
+    // (BloomSkipSpec pins the skip counts; the scrambling multiplier is
+    // odd and the ids sit far below the modulus, so key IN (k(11),
+    // k(4567), k(8887)) ≡ event_id IN (11, 4567, 8887) — which is the
+    // oracle's filter over the raw table). Exact integer payloads.
+    "ql15_bloom_lookup" -> ((s, d) => {
+      val aa = graft.layers.AtomicAppend
+      val base = Scratch.dir("graft-ql15-") + "/events"
+      val keyed = ev(s, d).select(
+        F.col("event_id"), F.col("ts"), F.col("user_id"), F.col("event_type"),
+        F.col("value"),
+        (F.col("event_id") * F.lit(2654435761L) % F.lit(999999937L)).as("event_key"))
+      val day11 = F.to_timestamp(F.lit("2024-01-11"))
+      val day21 = F.to_timestamp(F.lit("2024-01-21"))
+      aa.append(keyed.filter(F.col("ts") < day11), base,
+        batchId = Some(0L), statsCols = Seq("ts"), bloomCols = Seq("event_key"))
+      aa.append(keyed.filter(F.col("ts") >= day11 && F.col("ts") < day21), base,
+        batchId = Some(1L), statsCols = Seq("ts"), bloomCols = Seq("event_key"))
+      aa.append(keyed.filter(F.col("ts") >= day21), base,
+        batchId = Some(2L), statsCols = Seq("ts"), bloomCols = Seq("event_key"))
+      def k(id: Long) = id * 2654435761L % 999999937L
+      aa.read(s, base, F.col("event_key").isin(k(11), k(4567), k(8887)))
+        .select(F.col("event_id"), F.col("event_type"), F.col("user_id"),
+          F.floor(F.col("value")).cast("long").as("v"))
+        .orderBy("event_id")
+    }),
+
     // latest_metrics shape: single-row global metrics + alert ladder.
     "ql04_latest_metrics" -> ((s, d) => {
       ev(s, d).agg(
@@ -510,6 +581,20 @@ object LakehouseQueries extends QueryPack {
                  CAST(floor(value) AS BIGINT) AS v
                FROM events)
          GROUP BY 1 ORDER BY 1""",
+    "ql14_data_skipping" ->
+      """SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           sum(CAST(floor(value) AS BIGINT)) AS sum_v
+         FROM events
+         WHERE user_id >= 3 AND user_id < 9 AND value >= 100.0
+         GROUP BY event_type ORDER BY event_type""",
+    "ql15_bloom_lookup" ->
+      """SELECT event_id, event_type, user_id,
+           CAST(floor(value) AS BIGINT) AS v
+         FROM events
+         WHERE event_id IN (11, 4567, 8887)
+         ORDER BY event_id""",
     "ql06_error_patterns" ->
       """SELECT CASE WHEN value < 50 THEN 1 WHEN value < 150 THEN 2
                     WHEN value < 300 THEN 3 ELSE 4 END AS value_bin,

@@ -1,0 +1,367 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.layers.AtomicAppend
+
+/** Zone-map data skipping over [[AtomicAppend]] tables (`_STATS` per
+  * batch dir + the pruning reader) and the z-order clustered compaction
+  * that makes the ranges tight. The contract under test is SOUNDNESS
+  * FIRST: `read(path, pred)` must equal `read(path).filter(pred)` on
+  * every predicate — including the ones designed to trip a naive
+  * implementation (UTF-16 string order, double-promotion rounding above
+  * 2^52, all-null batches, opaque conjuncts) — and only then do the
+  * effectiveness assertions check that provably-empty batches actually
+  * get skipped.
+  */
+class DataSkippingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.runtime.GraftSession
+    .builder("graft-test", "8").getOrCreate()
+
+  private def assertSame(path: String, pred: Column): Unit = {
+    val pruned = AtomicAppend.read(spark, path, pred).collect().map(_.toString).sorted
+    val plain = AtomicAppend.read(spark, path).filter(pred).collect().map(_.toString).sorted
+    assert(pruned.toSeq == plain.toSeq, s"pruned read diverged for $pred")
+  }
+
+  /** The soundness oracle: every batch the reader skipped must actually
+    * contain zero matching rows when scanned directly.
+    */
+  private def assertSkipsSound(path: String, pred: Column): (Seq[Long], Seq[Long]) = {
+    val (kept, skipped) = AtomicAppend.pruneBatches(spark, path, pred)
+    skipped.foreach { id =>
+      val n = spark.read.parquet(s"$path/_batch=$id").filter(pred).count()
+      assert(n == 0, s"batch $id was skipped but holds $n matching rows for $pred")
+    }
+    (kept, skipped)
+  }
+
+  // ------------------------------------------------------- disjoint ranges
+
+  test("disjoint-range batches: comparisons and IN prune exactly the provably-empty ones") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("skip-ranges").toString
+    // batch b holds v in [100b, 100b+99], g = "g<b>"
+    (0 until 4).foreach { b =>
+      val df = (0 until 100).map(i => (100L * b + i, s"g$b")).toDF("v", "g")
+      AtomicAppend.append(df, path, batchId = Some(b.toLong), statsCols = Seq("v", "g"))
+    }
+    def check(pred: Column, expectKept: Seq[Long]): Unit = {
+      val (kept, _) = assertSkipsSound(path, pred)
+      assert(kept == expectKept, s"$pred kept $kept, expected $expectKept")
+      assertSame(path, pred)
+    }
+    check(F.col("v") === 150L, Seq(1L))
+    check(F.col("v") > 250L, Seq(2L, 3L))
+    check(F.col("v") >= 300L, Seq(3L))
+    check(F.col("v") < 100L, Seq(0L))
+    check(F.col("v") <= 100L, Seq(0L, 1L))
+    check(F.col("v").between(150L, 220L), Seq(1L, 2L))
+    check(F.col("v").isin(5L, 310L), Seq(0L, 3L))
+    check(F.col("v") === 1000L, Seq())
+    check(F.col("g") === "g2", Seq(2L))
+    check(F.col("g") === "g2" || F.col("g") === "g0", Seq(0L, 2L))
+    check(F.col("g") > "g1", Seq(2L, 3L))
+    // literal-folding path: an expression literal still prunes
+    check(F.col("v") === F.lit(50) + F.lit(100), Seq(1L))
+    // a null-comparison conjunct is empty everywhere
+    check(F.col("v") === F.lit(null).cast("long"), Seq())
+  }
+
+  test("a large IN list (InSet territory) still prunes") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("skip-inset").toString
+    (0 until 3).foreach { b =>
+      val df = (0 until 50).map(i => 100L * b + i).toDF("v")
+      AtomicAppend.append(df, path, batchId = Some(b.toLong), statsCols = Seq("v"))
+    }
+    // 15 members > the optimizer's In→InSet threshold (10)
+    val (kept, skipped) = assertSkipsSound(path, F.col("v").isin((200L until 215L): _*))
+    assert(kept == Seq(2L) && skipped == Seq(0L, 1L), s"InSet kept $kept")
+    assertSame(path, F.col("v").isin((200L until 215L): _*))
+  }
+
+  // ------------------------------------------------------------ timestamps
+
+  test("timestamp predicates prune, including through to_timestamp folding") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("skip-ts").toString
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    (0 until 3).foreach { b =>
+      val df = (0 until 24).map(h => (ts(1 + 10 * b, h), b)).toDF("ts", "b")
+      AtomicAppend.append(df, path, batchId = Some(b.toLong), statsCols = Seq("ts"))
+    }
+    // a typed timestamp literal
+    val p1 = F.col("ts") >= F.lit(ts(11, 0))
+    val (kept1, _) = assertSkipsSound(path, p1)
+    assert(kept1 == Seq(1L, 2L))
+    assertSame(path, p1)
+    // to_timestamp over a string literal: CONSTANT-FOLDED by the probe
+    // plan's optimizer, so it prunes just the same
+    val p2 = F.col("ts") > F.to_timestamp(F.lit("2024-01-21 00:00:00"))
+    val (kept2, _) = assertSkipsSound(path, p2)
+    assert(kept2 == Seq(2L))
+    assertSame(path, p2)
+  }
+
+  // ------------------------------------------------- conservative fallbacks
+
+  test("uncertainty keeps the batch: no stats, opaque conjuncts, opaque OR arms") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("skip-conservative").toString
+    AtomicAppend.append((0L until 100L).toDF("v"), path,
+      batchId = Some(0L), statsCols = Seq("v"))
+    AtomicAppend.append((100L until 200L).toDF("v"), path,
+      batchId = Some(1L)) // NO stats
+    // stats-less batch is never skipped, even when provably empty
+    val (kept, skipped) = assertSkipsSound(path, F.col("v") < 50L)
+    assert(kept.contains(1L) && skipped.isEmpty)
+    assertSame(path, F.col("v") < 50L)
+    // an opaque conjunct (function of the column) proves nothing…
+    val opaque = F.abs(F.col("v")) < 10L
+    val (keptO, skippedO) = assertSkipsSound(path, opaque)
+    assert(keptO.size == 2 && skippedO.isEmpty)
+    assertSame(path, opaque)
+    // …but its AND-sibling still prunes
+    val mixed = opaque && F.col("v") > 150L
+    val (keptM, _) = assertSkipsSound(path, mixed)
+    assert(!keptM.contains(0L), "prunable conjunct was ignored next to an opaque one")
+    assertSame(path, mixed)
+    // an OR with one opaque arm cannot prune anything
+    val orOpaque = (F.col("v") > 500L) || opaque
+    val (keptOr, skippedOr) = assertSkipsSound(path, orOpaque)
+    assert(keptOr.size == 2 && skippedOr.isEmpty)
+    assertSame(path, orOpaque)
+  }
+
+  // ------------------------------------------------------------------ nulls
+
+  test("null semantics: all-null batches, IS NULL / IS NOT NULL, null-intolerant inference") {
+    val path = TestFixtures.tmpDir("skip-nulls").toString
+    import spark.implicits._
+    val withVals = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None)).toDF("id", "v")
+    val allNull = Seq((4L, Option.empty[Long]), (5L, Option.empty[Long])).toDF("id", "v")
+    val noNull = Seq((6L, Some(30L)), (7L, Some(40L))).toDF("id", "v")
+    AtomicAppend.append(withVals, path, batchId = Some(0L), statsCols = Seq("id", "v"))
+    AtomicAppend.append(allNull, path, batchId = Some(1L), statsCols = Seq("id", "v"))
+    AtomicAppend.append(noNull, path, batchId = Some(2L), statsCols = Seq("id", "v"))
+    // comparisons never match null rows: the all-null batch prunes even
+    // when the literal sits inside its (absent) range
+    val (kept1, skipped1) = assertSkipsSound(path, F.col("v") > 0L)
+    assert(skipped1 == Seq(1L), s"all-null batch not pruned: kept $kept1")
+    assertSame(path, F.col("v") > 0L)
+    // IS NULL prunes the null-free batch, keeps the all-null one
+    val (keptN, skippedN) = assertSkipsSound(path, F.col("v").isNull)
+    assert(keptN.contains(1L) && skippedN == Seq(2L))
+    assertSame(path, F.col("v").isNull)
+    // IS NOT NULL prunes only the all-null batch
+    val (_, skippedNN) = assertSkipsSound(path, F.col("v").isNotNull)
+    assert(skippedNN == Seq(1L))
+    assertSame(path, F.col("v").isNotNull)
+    // null-safe equality against NULL ≡ IS NULL
+    val (keptNS, skippedNS) = assertSkipsSound(path, F.col("v") <=> F.lit(null).cast("long"))
+    assert(keptNS.contains(1L) && skippedNS == Seq(2L))
+    assertSame(path, F.col("v") <=> F.lit(null).cast("long"))
+  }
+
+  // --------------------------------------------------------- string order
+
+  test("string bounds compare as UTF-8 bytes, not UTF-16 code units") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("skip-utf8").toString
+    // U+FF5A (fullwidth z): UTF-16 FF5A, UTF-8 EF BD 9A.
+    // U+10000: UTF-16 D800 DC00, UTF-8 F0 90 80 80.
+    // UTF-16 order: U+10000 < U+FF5A. UTF-8 (Spark) order: U+FF5A < U+10000.
+    val fullwidthZ = "ｚ"
+    val supplementary = new String(Character.toChars(0x10000))
+    AtomicAppend.append(Seq(Tuple1(supplementary)).toDF("s"), path,
+      batchId = Some(0L), statsCols = Seq("s"))
+    AtomicAppend.append(Seq(Tuple1(fullwidthZ)).toDF("s"), path,
+      batchId = Some(1L), statsCols = Seq("s"))
+    // Spark: supplementary > fullwidthZ, so batch 0 MATCHES — a UTF-16
+    // comparison would have pruned it (unsound). Batch 1 is provably out.
+    val p1 = F.col("s") > F.lit(fullwidthZ)
+    val (kept1, skipped1) = assertSkipsSound(path, p1)
+    assert(kept1 == Seq(0L) && skipped1 == Seq(1L),
+      s"UTF-8 order violated: kept $kept1 skipped $skipped1")
+    assertSame(path, p1)
+    // and the mirror: nothing exceeds the supplementary char
+    val p2 = F.col("s") > F.lit(supplementary)
+    val (kept2, _) = assertSkipsSound(path, p2)
+    assert(kept2.isEmpty)
+    assertSame(path, p2)
+  }
+
+  // --------------------------------------------- numeric promotion guards
+
+  test("integral-vs-double predicates only prune inside the 2^52 exactness region") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("skip-promo").toString
+    val big = (1L << 53) + 1L // rounds to 2^53 under double promotion
+    AtomicAppend.append(Seq(big).toDF("v"), path,
+      batchId = Some(0L), statsCols = Seq("v"))
+    AtomicAppend.append(Seq(1L, 10L).toDF("v"), path,
+      batchId = Some(1L), statsCols = Seq("v"))
+    // Spark promotes v to double: (2^53+1).toDouble == 2^53.0 MATCHES the
+    // double literal 2^53.0 — an exact BigDecimal comparison would prune
+    // batch 0 (9007199254740993 ≠ 9007199254740992) and lose the row
+    val lit = F.lit(9007199254740992.0)
+    val (kept, skipped) = assertSkipsSound(path, F.col("v") === lit)
+    assert(kept.contains(0L), s"unsound skip above 2^52: skipped $skipped")
+    assertSame(path, F.col("v") === lit)
+    // inside the exactness region the mixed compare does prune
+    val (keptSmall, skippedSmall) = assertSkipsSound(path, F.col("v") > F.lit(100.5))
+    assert(skippedSmall.contains(1L), s"in-region mixed compare failed to prune: $keptSmall")
+    assertSame(path, F.col("v") > F.lit(100.5))
+    // long-vs-long at the same magnitude stays exact and prunes batch 0
+    val (_, skippedL) = assertSkipsSound(path, F.col("v") === F.lit(big + 2L))
+    assert(skippedL == Seq(0L, 1L))
+    assertSame(path, F.col("v") === F.lit(big + 2L))
+  }
+
+  test("special doubles: NaN bounds disable pruning, infinities stay ordered") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("skip-nan").toString
+    AtomicAppend.append(Seq(1.0, Double.NaN).toDF("v"), path,
+      batchId = Some(0L), statsCols = Seq("v")) // max = NaN (Spark orders NaN greatest)
+    AtomicAppend.append(Seq(2.0, Double.PositiveInfinity).toDF("v"), path,
+      batchId = Some(1L), statsCols = Seq("v"))
+    AtomicAppend.append(Seq(-10.0, -5.0).toDF("v"), path,
+      batchId = Some(2L), statsCols = Seq("v"))
+    // v > 100: batch 0 must NOT be skipped (its NaN row satisfies — NaN
+    // is greater than any double in Spark's ordering); batch 1 has +Inf;
+    // only batch 2 is provably below
+    val (kept, skipped) = assertSkipsSound(path, F.col("v") > 100.0)
+    assert(kept.sorted == Seq(0L, 1L) && skipped == Seq(2L))
+    assertSame(path, F.col("v") > 100.0)
+  }
+
+  // ----------------------------------------------------- lifecycle: compact
+
+  test("compact merges zone maps exactly; clustered compact makes them tight") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("skip-compact").toString
+    val rnd = new Random(7)
+    // three appends, each spanning the FULL (x, y) domain — arrival order,
+    // so per-batch ranges are useless before clustering
+    (0 until 3).foreach { b =>
+      val df = (0 until 2000)
+        .map(i => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong, s"r$b-$i"))
+        .toDF("x", "y", "payload")
+      AtomicAppend.append(df, path, batchId = Some(b.toLong), statsCols = Seq("x", "y"))
+    }
+    val before = AtomicAppend.read(spark, path).collect().map(_.toString).sorted.toSeq
+    val selective = F.col("x") < 100L && F.col("y") < 100L
+    // pre-clustering: every batch spans the domain, nothing skips
+    val (kept0, skipped0) = AtomicAppend.pruneBatches(spark, path, selective)
+    assert(skipped0.isEmpty && kept0.size == 3)
+
+    // plain compact first: merged stats must bound the data (fold of
+    // full-domain batches stays full-domain — exactness of the merge is
+    // pinned by the pruning oracle below)
+    val folded = AtomicAppend.compact(spark, path)
+    assert(folded.isDefined)
+    assert(AtomicAppend.read(spark, path).collect().map(_.toString).sorted.toSeq == before)
+    assertSame(path, selective)
+    assertSkipsSound(path, F.col("x") === 500L)
+
+    // now the z-order clustered fold: 16 batches split by (x, y) z-range
+    val ids = AtomicAppend.compactClustered(spark, path, Seq("x", "y"), 16,
+      statsCols = Seq("x", "y"), minBatches = 1)
+    assert(ids.isDefined && ids.get.size > 1, s"clustered fold produced $ids")
+    assert(AtomicAppend.read(spark, path).collect().map(_.toString).sorted.toSeq == before,
+      "clustered compaction changed table content")
+    // a selective 2-d predicate now skips MOST batches — and soundly
+    val (kept1, skipped1) = assertSkipsSound(path, selective)
+    assert(skipped1.size > kept1.size,
+      s"clustering didn't tighten ranges: kept ${kept1.size}, skipped ${skipped1.size}")
+    assertSame(path, selective)
+    // one-sided predicates skip too (z-order gives every clustered column locality)
+    val (keptX, skippedX) = assertSkipsSound(path, F.col("x") >= 900L)
+    assert(skippedX.nonEmpty, s"x-only predicate skipped nothing: kept ${keptX.size}")
+    assertSame(path, F.col("x") >= 900L)
+    // vacuum drops the replaced dirs; reads are unaffected
+    val dead = AtomicAppend.vacuum(spark, path)
+    assert(dead.nonEmpty)
+    assert(AtomicAppend.read(spark, path).collect().map(_.toString).sorted.toSeq == before)
+  }
+
+  test("append replay with stats is exactly-once and keeps the zone map") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("skip-replay").toString
+    val df = (0L until 50L).toDF("v")
+    assert(AtomicAppend.append(df, path, batchId = Some(0L), statsCols = Seq("v")).contains(0L))
+    // replay: no-op, stats intact
+    assert(AtomicAppend.append(df, path, batchId = Some(0L), statsCols = Seq("v")).isEmpty)
+    assert(AtomicAppend.read(spark, path).count() == 50)
+    val (_, skipped) = assertSkipsSound(path, F.col("v") > 1000L)
+    assert(skipped == Seq(0L), "zone map lost on replay")
+  }
+
+  test("clustered compaction survives partitioned tables") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("skip-part").toString
+    val rnd = new Random(11)
+    (0 until 2).foreach { b =>
+      val df = (0 until 1000)
+        .map(i => (rnd.nextInt(100).toLong, 2023 + rnd.nextInt(2), i.toLong))
+        .toDF("v", "year", "id")
+      AtomicAppend.append(df, path, partitionBy = Seq("year"),
+        batchId = Some(b.toLong), statsCols = Seq("v"))
+    }
+    val before = AtomicAppend.read(spark, path)
+      .select("v", "year", "id").collect().map(_.toString).sorted.toSeq
+    val ids = AtomicAppend.compactClustered(spark, path, Seq("v"), 8,
+      partitionBy = Seq("year"), statsCols = Seq("v", "year"))
+    assert(ids.isDefined)
+    val after = AtomicAppend.read(spark, path)
+      .select("v", "year", "id").collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    // partition-column predicates prune batches via stats too
+    val (_, skippedY) = assertSkipsSound(path, F.col("year") === 2025)
+    assert(skippedY.size == ids.get.size, "year=2025 should prove every batch empty")
+    val (keptV, skippedV) = assertSkipsSound(path, F.col("v") < 10L)
+    assert(skippedV.nonEmpty, s"clustered v-predicate skipped nothing: kept ${keptV.size}")
+    assertSame(path, F.col("v") < 10L && F.col("year") === 2023)
+  }
+
+  // ------------------------------------------------- randomized soundness
+
+  test("randomized predicates: pruned read ≡ filter, every skip provably empty") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("skip-random").toString
+    val rnd = new Random(2024)
+    (0 until 5).foreach { b =>
+      val df = (0 until 400).map { _ =>
+        val v = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(500).toLong - 250L)
+        val d = if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble() * 100 - 50)
+        val s = if (rnd.nextInt(10) == 0) None else Some(s"k${rnd.nextInt(100)}")
+        (v, d, s)
+      }.toDF("v", "d", "s")
+      AtomicAppend.append(df, path, batchId = Some(b.toLong), statsCols = Seq("v", "d", "s"))
+    }
+    AtomicAppend.compactClustered(spark, path, Seq("v", "d"), 12,
+      statsCols = Seq("v", "d", "s"))
+    val preds: Seq[Column] = Seq(
+      F.col("v") > -300L, F.col("v") < -200L, F.col("v") === 0L,
+      F.col("v").between(-10L, 10L), F.col("v").isin(-250L, 0L, 249L),
+      F.col("d") >= 49.5, F.col("d") < -49.5, F.col("d") > F.lit(20),
+      F.col("s") === "k50", F.col("s") > "k90", F.col("s").isNull,
+      F.col("v") > 0L && F.col("d") < 0.0,
+      (F.col("v") < -240L || F.col("v") > 240L) && F.col("d") > 0.0,
+      F.col("v").isNotNull && F.col("s") < "k2",
+      F.col("v") * 2L > 100L // opaque: must stay correct, prune nothing
+    )
+    preds.foreach { p =>
+      assertSkipsSound(path, p)
+      assertSame(path, p)
+    }
+  }
+}
