@@ -359,12 +359,13 @@ object AtomicAppend {
     val node = BatchStats.compile(
       scanDirs(spark, dirs.head.getParent.toString, Seq(dirs.head)).filter(predicate))
     // bloom sidecars only ever decide Eq/IN leaves — skip their read
-    // (sketch-sized, not stats-sized) for pure range predicates
-    val tryBloom = BatchStats.usesEquality(node)
+    // for pure range predicates, and deserialize ONLY the probed
+    // columns' sketches otherwise
+    val eqCols = BatchStats.equalityColumns(node)
     dirs.partition { dir =>
       val statsEmpty = BatchStats.read(f, dir).exists(BatchStats.mustBeEmpty(_, node))
-      def bloomEmpty = tryBloom && {
-        val blooms = BatchBloom.read(f, dir)
+      def bloomEmpty = eqCols.nonEmpty && {
+        val blooms = BatchBloom.read(f, dir, Some(eqCols))
         blooms.nonEmpty && BatchBloom.mustBeEmpty(blooms, node)
       }
       !(statsEmpty || bloomEmpty)

@@ -92,20 +92,34 @@ private[graft] object BatchBloom {
     } finally out.close()
   }
 
-  /** The batch dir's filters; empty when the sidecar is absent. */
-  def read(fs: FileSystem, batchDir: Path): Map[String, (String, BloomFilter)] = {
+  /** The batch dir's filters; empty when the sidecar is absent.
+    * `wanted` restricts deserialization to the named columns
+    * (case-insensitive) — the length prefix lets unneeded sketches be
+    * SKIPPED, not read: a query probing one key column across thousands
+    * of batch sidecars reads one sketch per batch, not every sketch.
+    * None loads all (the compaction paths, which need the full set).
+    */
+  def read(fs: FileSystem, batchDir: Path,
+      wanted: Option[Set[String]] = None): Map[String, (String, BloomFilter)] = {
     val p = new Path(batchDir, FileName)
     try {
       val in = new DataInputStream(fs.open(p))
       try {
         val n = in.readInt()
-        (0 until n).map { _ =>
+        (0 until n).flatMap { _ =>
           val name = in.readUTF()
           val family = in.readUTF()
-          val bytes = new Array[Byte](in.readInt())
-          in.readFully(bytes)
-          name -> (family,
-            BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+          val len = in.readInt()
+          if (wanted.forall(_.exists(_.equalsIgnoreCase(name)))) {
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            Some(name -> (family,
+              BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))))
+          } else {
+            var toSkip = len.toLong
+            while (toSkip > 0) toSkip -= in.skip(toSkip)
+            None
+          }
         }.toMap
       } finally in.close()
     } catch { case _: java.io.FileNotFoundException => Map.empty }

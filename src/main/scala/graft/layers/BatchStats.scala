@@ -357,15 +357,16 @@ private[graft] object BatchStats {
     case _ => false
   }
 
-  /** Does the tree contain any Eq/IN leaf a membership sidecar could
-    * decide? (Skips the `_BLOOM` read entirely for pure range scans.)
+  /** The columns behind the tree's Eq/IN leaves — the only sketches a
+    * membership sidecar needs to deserialize for this predicate (empty
+    * set = pure range scan, skip the `_BLOOM` read entirely).
     */
-  def usesEquality(node: Node): Boolean = node match {
-    case AndN(kids) => kids.exists(usesEquality)
-    case OrN(kids) => kids.exists(usesEquality)
-    case CmpN(_, "eq", _, _) => true
-    case _: InN => true
-    case _ => false
+  def equalityColumns(node: Node): Set[String] = node match {
+    case AndN(kids) => kids.flatMap(equalityColumns).toSet
+    case OrN(kids) => kids.flatMap(equalityColumns).toSet
+    case CmpN(col, "eq", _, _) => Set(col)
+    case InN(col, _) => Set(col)
+    case _ => Set.empty
   }
 
   /** True iff `stats` PROVES the batch has no row satisfying the
