@@ -1,6 +1,6 @@
 package graft.layers
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.{functions => F}
 
@@ -583,13 +583,52 @@ object IncrementalView {
       tsCol: String, groupCols: Seq[String], measureCols: Seq[String],
       minMaxCol: Option[String] = None, minMaxK: Int = 32,
       distinctCol: Option[String] = None,
+      version: Option[Long] = None): Option[Long] =
+    refreshFromAppendsCore(spark, viewPath, tsCol,
+      fact.schema(fact.schema.fieldIndex(tsCol)).dataType,
+      hwm => hwm.fold(fact)(h => fact.filter(F.col(tsCol) > h)),
+      groupCols, measureCols, minMaxCol, minMaxK, distinctCol, version)
+
+  /** [[refreshFromAppends]] over a fact stored as an [[AtomicAppend]]
+    * table (the engine's batch-append discipline): the HWM slice reads
+    * through the PRUNING reader, so when the appends carry a `tsCol`
+    * zone map (`statsCols` — [[graft.layers.Silver.write]]'s default),
+    * `tsCol > hwm` drops every already-applied batch DIRECTORY
+    * driver-side — the refresh lists and plans only the new batches, on
+    * top of the pushed filter inside the survivors. This is the
+    * composed 100 TB shape: per-refresh cost ∝ the new slice in I/O
+    * (partition/row-group pruning) AND in file-listing/planning (batch
+    * pruning), never the table's append history.
+    */
+  def refreshFromAppendsPruned(spark: SparkSession, factPath: String,
+      viewPath: String, tsCol: String, groupCols: Seq[String],
+      measureCols: Seq[String], minMaxCol: Option[String] = None,
+      minMaxK: Int = 32, distinctCol: Option[String] = None,
       version: Option[Long] = None): Option[Long] = {
+    val full = AtomicAppend.read(spark, factPath)
+    refreshFromAppendsCore(spark, viewPath, tsCol,
+      full.schema(full.schema.fieldIndex(tsCol)).dataType,
+      hwm => hwm.fold(full)(h =>
+        AtomicAppend.read(spark, factPath, F.col(tsCol) > h)),
+      groupCols, measureCols, minMaxCol, minMaxK, distinctCol, version)
+  }
+
+  /** Shared HWM-fed advance: `source(hwm)` returns the already-sliced
+    * frame — rows strictly above the boundary (or the full fact at
+    * bootstrap). Each face owns how the slice is produced (a plain
+    * filter, or [[AtomicAppend]]'s batch-pruned read).
+    */
+  private def refreshFromAppendsCore(spark: SparkSession, viewPath: String,
+      tsCol: String, tsType: org.apache.spark.sql.types.DataType,
+      source: Option[Column] => DataFrame,
+      groupCols: Seq[String], measureCols: Seq[String],
+      minMaxCol: Option[String], minMaxK: Int,
+      distinctCol: Option[String], version: Option[Long]): Option[Long] = {
     val hwmPath = viewPath + "__hwm"
     val committed = Snapshots.versions(spark, viewPath)
     val target = version.getOrElse(committed.lastOption.map(_ + 1).getOrElse(0L))
     if (committed.exists(_ >= target)) return None
     val prev = committed.filter(_ < target).lastOption
-    val tsType = fact.schema(fact.schema.fieldIndex(tsCol)).dataType
     // boundary and new-boundary are SCALARS, handled on the metadata path
     // (ScalarSidecar, driver-side file I/O) — round 12 ran a Spark write
     // job and a read+head() job per refresh for the 1-row sidecar, a
@@ -600,7 +639,7 @@ object IncrementalView {
     // consumers (summary, synopsis, value counts, bootstrap) then read,
     // so the source is scanned once per refresh, not once for stats plus
     // once for the cache fill
-    val newRows = hwmPrev.fold(fact)(h => fact.filter(F.col(tsCol) > h)).cache()
+    val newRows = source(hwmPrev).cache()
     try {
       // one pruned aggregate decides "anything new?", the new HWM, and the
       // null-ts tripwire in a single pass
