@@ -120,6 +120,106 @@ object AtomicAppend {
         .flatMap(p => scala.util.Try(p.getName.stripPrefix("_batch=").toLong).toOption)
         .sorted)
 
+  // ------------------------------------------------------------ commit log
+
+  private val VlogDir = "_VLOG"
+
+  private def vlogPath(basePath: String, v: Long) = new Path(s"$basePath/$VlogDir/v=$v")
+
+  /** Committed table versions, oldest first ([[readAsOf]]'s domain). */
+  def versions(spark: SparkSession, basePath: String): Seq[Long] = {
+    val f = fs(spark, basePath)
+    val dir = new Path(s"$basePath/$VlogDir")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filterNot(_.getPath.getName.startsWith("LATEST"))
+      .flatMap(st => scala.util.Try(st.getPath.getName.stripPrefix("v=").toLong).toOption)
+      .sorted
+  }
+
+  /** The newest version, via the `LATEST` pointer — O(1) metadata reads,
+    * never a directory listing: a standing stream commits one version
+    * per trigger, and [[logCommit]] on the next trigger must not pay
+    * O(version-count) to find where it is. Falls back to the listing
+    * for pre-pointer tables.
+    */
+  private def latestVersion(f: org.apache.hadoop.fs.FileSystem,
+      spark: SparkSession, basePath: String): Option[Long] =
+    graft.runtime.PointerFile.read(f,
+      new Path(s"$basePath/$VlogDir/LATEST"), new Path(s"$basePath/$VlogDir/LATEST.tmp"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .orElse(versions(spark, basePath).lastOption)
+
+  private def vlogIds(f: org.apache.hadoop.fs.FileSystem, basePath: String,
+      v: Long): Option[Seq[Long]] =
+    try {
+      val in = f.open(vlogPath(basePath, v))
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(if (content.isEmpty) Seq.empty
+        else content.split(",").map(_.trim.toLong).toSeq.sorted)
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Record the just-committed live batch set as the next table version
+    * (one immutable `_VLOG/v=<n>` file — the commit-history half of the
+    * `_delta_log` role; the manifest/markers are the CURRENT-state
+    * half). Idempotent: when the latest entry already equals `liveNow`
+    * (a replay, or nothing changed) no entry is written — so a crash
+    * between a visibility commit and its log entry self-heals on the
+    * next commit or replay, at the cost of the skipped intermediate
+    * state never appearing in history (every logged version IS a state
+    * the table actually held).
+    */
+  private def logCommit(spark: SparkSession, basePath: String,
+      liveNow: Seq[Long]): Unit = {
+    val f = fs(spark, basePath)
+    val latest = latestVersion(f, spark, basePath)
+    val sorted = liveNow.sorted
+    if (latest.flatMap(vlogIds(f, basePath, _)).contains(sorted)) return
+    // entry first, pointer second: a crash between the two leaves a
+    // stale pointer, and the next commit OVERWRITES the orphan entry —
+    // the skipped state simply never appears in history (same heal
+    // semantics as the entry-skipping above)
+    val next = latest.map(_ + 1).getOrElse(0L)
+    val out = f.create(vlogPath(basePath, next), true)
+    try out.write(sorted.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+    graft.runtime.PointerFile.commit(f,
+      new Path(s"$basePath/$VlogDir/LATEST"), new Path(s"$basePath/$VlogDir/LATEST.tmp"),
+      next.toString)
+  }
+
+  /** The table as of commit `version` (TIME TRAVEL — Delta's
+    * `VERSION AS OF`): scans exactly the batch set the table held at
+    * that commit. Replaced batch dirs stay on disk until [[vacuum]], so
+    * every version newer than the vacuum retention window stays
+    * readable; older versions fail actionably.
+    */
+  def readAsOf(spark: SparkSession, basePath: String, version: Long): DataFrame = {
+    val f = fs(spark, basePath)
+    val ids = vlogIds(f, basePath, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version $version under $basePath " +
+          s"(versions: ${versions(spark, basePath).mkString(",")})"))
+    val dirs = ids.map(id => new Path(s"$basePath/_batch=$id"))
+    dirs.filterNot(f.exists) match {
+      case Seq() if dirs.isEmpty =>
+        read(spark, basePath).filter(F.lit(false)) // an empty committed state
+      case Seq() => scanDirs(spark, basePath, dirs)
+      case gone => throw new IllegalArgumentException(
+        s"version $version of $basePath references vacuumed batches " +
+          s"${gone.map(_.getName).mkString(",")} — raise vacuum's retainVersions " +
+          "to keep older versions readable")
+    }
+  }
+
+  /** (version, live batch ids) pairs, oldest first. */
+  def history(spark: SparkSession, basePath: String): Seq[(Long, Seq[Long])] = {
+    val f = fs(spark, basePath)
+    versions(spark, basePath).flatMap(v => vlogIds(f, basePath, v).map(v -> _))
+  }
+
   /** Append `df` as one atomically-visible batch; returns the committed
     * batch id, or None when `batchId` was already committed (replay).
     * On a manifest table the marker commit is followed by the manifest
@@ -137,7 +237,10 @@ object AtomicAppend {
     val id = batchId.getOrElse(live.lastOption.map(_ + 1).getOrElse(0L))
     val dir = new Path(s"$basePath/_batch=$id")
     val marker = new Path(dir, Marker)
-    if (f.exists(marker) && live.contains(id)) return None // replay: fully committed
+    if (f.exists(marker) && live.contains(id)) {
+      logCommit(spark, basePath, live) // heal a crash between commit and log
+      return None // replay: fully committed
+    }
     if (!f.exists(marker)) {
       val writer = df.write.mode("overwrite") // overwrite own dir = replay-safe mid-batch
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -161,6 +264,7 @@ object AtomicAppend {
     // manifest tables: the flip IS the visibility commit. Also the heal
     // path for a replay that finds its own marker but no manifest entry.
     manifest.foreach(ids => if (!ids.contains(id)) commitManifest(spark, basePath, ids :+ id))
+    logCommit(spark, basePath, (live.toSet + id).toSeq)
     Some(id)
   }
 
@@ -209,6 +313,7 @@ object AtomicAppend {
     }
     commitManifest(spark, basePath, Seq(folded)) // THE atomic visibility flip
     f.create(new Path(dir, Marker), true).close()
+    logCommit(spark, basePath, Seq(folded))
     Some(folded)
   }
 
@@ -277,6 +382,7 @@ object AtomicAppend {
     commitManifest(spark, basePath, ids) // THE atomic visibility flip, k-way
     ids.foreach(id => f.create(new Path(s"$basePath/_batch=$id/$Marker"), true).close())
     f.delete(tmp, true)
+    logCommit(spark, basePath, ids)
     Some(ids)
   }
 
@@ -288,18 +394,39 @@ object AtomicAppend {
     * flip may still be scanning a replaced dir; run vacuum on a
     * maintenance cadence that outlives query runtimes. Returns the
     * deleted ids.
+    *
+    * `retainVersions` is the TIME-TRAVEL retention dial (Delta's
+    * `VACUUM ... RETAIN` role): batches referenced by the newest k
+    * commit-log entries are kept even when replaced, so [[readAsOf]]
+    * stays serviceable that far back; 0 (the default) keeps only the
+    * current state. Retired log entries whose batches were deleted are
+    * dropped with them — [[versions]] then lists exactly the readable
+    * range.
     */
-  def vacuum(spark: SparkSession, basePath: String): Seq[Long] =
+  def vacuum(spark: SparkSession, basePath: String,
+      retainVersions: Int = 0): Seq[Long] =
     manifestIds(spark, basePath).fold(Seq.empty[Long]) { ids =>
       val f = fs(spark, basePath)
       val base = new Path(basePath)
       if (!f.exists(base)) return Seq.empty
+      val vs = versions(spark, basePath)
+      val retained = vs.takeRight(math.max(0, retainVersions))
+      val protected_ = ids.toSet ++
+        retained.flatMap(v => vlogIds(f, basePath, v).getOrElse(Seq.empty))
       val dead = f.listStatus(base).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("_batch="))
         .flatMap(st =>
           scala.util.Try(st.getPath.getName.stripPrefix("_batch=").toLong).toOption)
-        .filterNot(ids.contains)
+        .filterNot(protected_.contains)
       dead.foreach(id => f.delete(new Path(s"$basePath/_batch=$id"), true))
+      // retire log entries that reference a deleted batch — readAsOf's
+      // domain stays exactly the readable versions
+      if (dead.nonEmpty) {
+        val deadSet = dead.toSet
+        vs.dropRight(math.max(0, retainVersions))
+          .filter(v => vlogIds(f, basePath, v).exists(_.exists(deadSet.contains)))
+          .foreach(v => f.delete(vlogPath(basePath, v), false))
+      }
       dead.sorted
     }
 
