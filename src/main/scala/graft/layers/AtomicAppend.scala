@@ -104,12 +104,74 @@ object AtomicAppend {
     * metadata, not data — so it is dropped before the frame escapes
     * (critically: [[compact]] feeds this frame straight into the folded
     * WRITE, which must not bake a `_batch` column into the data).
+    *
+    * The scan binds to the table's LOGGED schema when one exists
+    * ([[storedSchema]]): without it, Spark samples ONE footer, so a
+    * column added by a later append silently VANISHES whenever the
+    * sampled file predates it — with it, every batch reads under the
+    * full evolved schema and pre-evolution batches null-fill the new
+    * columns (partition columns are appended by discovery, as always).
     */
   private def scanDirs(spark: SparkSession, basePath: String,
-      dirs: Seq[Path]): DataFrame =
-    spark.read.option("basePath", basePath)
-      .parquet(dirs.map(_.toString): _*)
-      .drop("_batch")
+      dirs: Seq[Path]): DataFrame = {
+    val reader = spark.read.option("basePath", basePath)
+    storedSchema(spark, basePath).foreach(reader.schema)
+    reader.parquet(dirs.map(_.toString): _*).drop("_batch")
+  }
+
+  // ---------------------------------------------------------- table schema
+
+  /** The table's logged FILE schema (data columns as written inside the
+    * batch dirs — partition columns live in the directory structure),
+    * the schema-in-metadata half of Delta's log: readers bind to it
+    * instead of sampling a footer. None on tables created before the
+    * log existed (they read footer-sampled, as before).
+    */
+  def storedSchema(spark: SparkSession, basePath: String): Option[org.apache.spark.sql.types.StructType] =
+    graft.runtime.PointerFile.read(fs(spark, basePath),
+      new Path(s"$basePath/_SCHEMA"), new Path(s"$basePath/_SCHEMA.tmp"))
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Merge an incoming batch's file schema into the logged one:
+    * ADD-COLUMN evolution only — new columns append (nullable; older
+    * batches null-fill them), existing columns must keep their exact
+    * type (no silent widening/narrowing — a type change is a rewrite,
+    * route it through [[SchemaEvolution]]). Returns the schema to log.
+    */
+  private def mergeTableSchema(stored: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType,
+      basePath: String): org.apache.spark.sql.types.StructType = {
+    incoming.fields.foreach { f =>
+      stored.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { s =>
+        require(s.dataType == f.dataType,
+          s"append to $basePath changes column '${f.name}' from ${s.dataType} " +
+            s"to ${f.dataType} — type changes need a rewrite (SchemaEvolution), " +
+            "not an append")
+      }
+    }
+    val extra = incoming.fields.filterNot(f =>
+      stored.fields.exists(_.name.equalsIgnoreCase(f.name)))
+    org.apache.spark.sql.types.StructType(
+      (stored.fields ++ extra).map(_.copy(nullable = true)))
+  }
+
+  /** Log (and if needed evolve) the table schema for a batch about to
+    * become — or already — visible. Idempotent: no pointer write when
+    * nothing changed, so replays and crash-heals converge.
+    */
+  private def logSchema(spark: SparkSession, basePath: String,
+      fileSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val stored = storedSchema(spark, basePath)
+    val merged = stored
+      .map(mergeTableSchema(_, fileSchema, basePath))
+      .getOrElse(org.apache.spark.sql.types.StructType(
+        fileSchema.fields.map(_.copy(nullable = true))))
+    if (!stored.contains(merged))
+      graft.runtime.PointerFile.commit(fs(spark, basePath),
+        new Path(s"$basePath/_SCHEMA"), new Path(s"$basePath/_SCHEMA.tmp"),
+        merged.json)
+  }
 
   /** Ids of the committed batches at `basePath` (sorted ascending) — the
     * manifest when the table has one, the marker listing otherwise.
@@ -237,11 +299,18 @@ object AtomicAppend {
     val id = batchId.getOrElse(live.lastOption.map(_ + 1).getOrElse(0L))
     val dir = new Path(s"$basePath/_batch=$id")
     val marker = new Path(dir, Marker)
+    val fileSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filterNot(fd => partitionBy.exists(_.equalsIgnoreCase(fd.name))))
     if (f.exists(marker) && live.contains(id)) {
-      logCommit(spark, basePath, live) // heal a crash between commit and log
+      // heal a crash between the visibility commit and its log entries
+      logSchema(spark, basePath, fileSchema)
+      logCommit(spark, basePath, live)
       return None // replay: fully committed
     }
     if (!f.exists(marker)) {
+      // schema BEFORE visibility: once the marker lands, every reader
+      // must already bind to a schema covering this batch's columns
+      logSchema(spark, basePath, fileSchema)
       val writer = df.write.mode("overwrite") // overwrite own dir = replay-safe mid-batch
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(dir.toString)
