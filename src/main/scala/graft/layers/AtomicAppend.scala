@@ -212,16 +212,33 @@ object AtomicAppend {
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .orElse(versions(spark, basePath).lastOption)
 
-  private def vlogIds(f: org.apache.hadoop.fs.FileSystem, basePath: String,
-      v: Long): Option[Seq[Long]] =
+  /** One commit-log entry: the commit KIND and the live batch set after
+    * it. `append` commits add rows (the new batch dirs ARE the change
+    * feed); `fold` commits ([[compact]]/[[compactClustered]]) replace
+    * batches content-preservingly and contribute NOTHING to a change
+    * feed — which is why the kind must be logged, not inferred: an
+    * id-diff across a fold would re-emit the whole table.
+    */
+  private final case class VlogEntry(kind: String, ids: Seq[Long])
+
+  private def vlogEntry(f: org.apache.hadoop.fs.FileSystem, basePath: String,
+      v: Long): Option[VlogEntry] =
     try {
       val in = f.open(vlogPath(basePath, v))
       val content =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      Some(if (content.isEmpty) Seq.empty
-        else content.split(",").map(_.trim.toLong).toSeq.sorted)
+      val (kind, csv) = content.split(":", 2) match {
+        case Array(k, rest) => (k, rest)
+        case _ => ("append", content) // first-format entries were append-only
+      }
+      Some(VlogEntry(kind,
+        if (csv.isEmpty) Seq.empty
+        else csv.split(",").map(_.trim.toLong).toSeq.sorted))
     } catch { case _: java.io.FileNotFoundException => None }
+
+  private def vlogIds(f: org.apache.hadoop.fs.FileSystem, basePath: String,
+      v: Long): Option[Seq[Long]] = vlogEntry(f, basePath, v).map(_.ids)
 
   /** Record the just-committed live batch set as the next table version
     * (one immutable `_VLOG/v=<n>` file — the commit-history half of the
@@ -234,7 +251,7 @@ object AtomicAppend {
     * the table actually held).
     */
   private def logCommit(spark: SparkSession, basePath: String,
-      liveNow: Seq[Long]): Unit = {
+      liveNow: Seq[Long], kind: String = "append"): Unit = {
     val f = fs(spark, basePath)
     val latest = latestVersion(f, spark, basePath)
     val sorted = liveNow.sorted
@@ -245,7 +262,7 @@ object AtomicAppend {
     // semantics as the entry-skipping above)
     val next = latest.map(_ + 1).getOrElse(0L)
     val out = f.create(vlogPath(basePath, next), true)
-    try out.write(sorted.mkString(",").getBytes("UTF-8"))
+    try out.write(s"$kind:${sorted.mkString(",")}".getBytes("UTF-8"))
     finally out.close()
     graft.runtime.PointerFile.commit(f,
       new Path(s"$basePath/$VlogDir/LATEST"), new Path(s"$basePath/$VlogDir/LATEST.tmp"),
@@ -280,6 +297,66 @@ object AtomicAppend {
   def history(spark: SparkSession, basePath: String): Seq[(Long, Seq[Long])] = {
     val f = fs(spark, basePath)
     versions(spark, basePath).flatMap(v => vlogIds(f, basePath, v).map(v -> _))
+  }
+
+  /** The rows ADDED between two committed versions — the CHANGE FEED
+    * role of Delta's CDF for insert-only batch tables, derived from the
+    * commit log alone: an `append` commit's delta is exactly its new
+    * batch dirs; a `fold` commit ([[compact]]/[[compactClustered]])
+    * replaces batches content-preservingly and contributes nothing.
+    * This is the LATE-DATA-SAFE incremental feed: consumption is keyed
+    * on batch identity, not an event-time high-water mark, so a batch
+    * whose timestamps lag everything already consumed still arrives
+    * (the blind spot [[IncrementalView.refreshFromAppends]] documents).
+    *
+    * Soundness over completeness at the edges: a compound commit — a
+    * crashed fold healed by a later append logs one entry that both
+    * removes and adds batches — cannot be split into "replaced" vs
+    * "new" from ids alone, so it FAILS actionably instead of re-emitting
+    * folded rows as inserts; vacuumed ranges fail the same way. Returns
+    * rows from `(fromVersion, toVersion]`.
+    */
+  def changesBetween(spark: SparkSession, basePath: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
+    val f = fs(spark, basePath)
+    def entry(v: Long) = vlogEntry(f, basePath, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version $v under $basePath (vacuumed? " +
+          s"versions: ${versions(spark, basePath).mkString(",")})"))
+    val window = versions(spark, basePath)
+      .filter(v => v > fromVersion && v <= toVersion)
+    var prevIds = entry(fromVersion).ids.toSet
+    val added = Seq.newBuilder[Long]
+    window.foreach { v =>
+      val e = entry(v)
+      val newIds = e.ids.toSet
+      e.kind match {
+        case "append" =>
+          val removed = prevIds -- newIds
+          require(removed.isEmpty,
+            s"version $v of $basePath is a compound commit (an append entry " +
+              s"that also retires batches ${removed.toSeq.sorted.mkString(",")} — " +
+              "a crash-healed fold): its delta cannot be derived from ids; " +
+              "re-bootstrap this consumer from readAsOf")
+          added ++= (newIds -- prevIds).toSeq.sorted
+        case "fold" => () // content-preserving: no delta
+        case other => throw new IllegalArgumentException(
+          s"version $v of $basePath has unknown commit kind '$other'")
+      }
+      prevIds = newIds
+    }
+    val dirs = added.result().map(id => new Path(s"$basePath/_batch=$id"))
+    dirs.filterNot(f.exists) match {
+      case Seq() if dirs.isEmpty =>
+        read(spark, basePath).filter(F.lit(false)) // empty delta, schema-bound
+      case Seq() => scanDirs(spark, basePath, dirs)
+      case gone => throw new IllegalArgumentException(
+        s"the change feed $fromVersion→$toVersion of $basePath references " +
+          s"vacuumed batches ${gone.map(_.getName).mkString(",")} — raise " +
+          "vacuum's retainVersions or re-bootstrap the consumer")
+    }
   }
 
   /** Append `df` as one atomically-visible batch; returns the committed
@@ -382,7 +459,7 @@ object AtomicAppend {
     }
     commitManifest(spark, basePath, Seq(folded)) // THE atomic visibility flip
     f.create(new Path(dir, Marker), true).close()
-    logCommit(spark, basePath, Seq(folded))
+    logCommit(spark, basePath, Seq(folded), kind = "fold")
     Some(folded)
   }
 
@@ -451,7 +528,7 @@ object AtomicAppend {
     commitManifest(spark, basePath, ids) // THE atomic visibility flip, k-way
     ids.foreach(id => f.create(new Path(s"$basePath/_batch=$id/$Marker"), true).close())
     f.delete(tmp, true)
-    logCommit(spark, basePath, ids)
+    logCommit(spark, basePath, ids, kind = "fold")
     Some(ids)
   }
 

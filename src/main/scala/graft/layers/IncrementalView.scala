@@ -673,6 +673,53 @@ object IncrementalView {
     } finally newRows.unpersist()
   }
 
+  /** The VERSION-FEED twin of [[refreshFromAppends]]: advance the view
+    * from the fact table's COMMIT LOG ([[AtomicAppend.changesBetween]])
+    * instead of an event-time high-water mark. Consumption is keyed on
+    * batch identity — the view remembers the last APPLIED TABLE VERSION
+    * in a scalar sidecar — so this adapter has NO late-data blind spot:
+    * a batch whose timestamps lag everything already applied still
+    * arrives as part of its commit's delta (the HWM adapter documents
+    * exactly this hole), and compactions of the fact contribute nothing
+    * (fold commits are content-preserving by contract). Per-refresh cost
+    * ∝ the new batches — at 100 TB the delta is read by DIRECTORY
+    * identity, no timestamp filter over history at all.
+    *
+    * Crash/replay mirrors the HWM face: the table-version sidecar
+    * (`<viewPath>__tv`) commits under the view's target version BEFORE
+    * the view write; the no-op check keys on the view pointer, so a
+    * replay recomputes the same delta (changesBetween is deterministic
+    * in the commit log) and overwrites its own files. A fold-only window
+    * (table advanced, delta empty) returns None without committing —
+    * the next data-bearing refresh spans it. If vacuum retires the log
+    * entry the view last consumed, the refresh fails actionably:
+    * re-bootstrap the view (or retain more versions).
+    */
+  def refreshFromTable(spark: SparkSession, factPath: String, viewPath: String,
+      groupCols: Seq[String], measureCols: Seq[String],
+      minMaxCol: Option[String] = None, minMaxK: Int = 32,
+      distinctCol: Option[String] = None,
+      version: Option[Long] = None): Option[Long] = {
+    val tvPath = viewPath + "__tv"
+    val committed = Snapshots.versions(spark, viewPath)
+    val target = version.getOrElse(committed.lastOption.map(_ + 1).getOrElse(0L))
+    if (committed.exists(_ >= target)) return None
+    val prev = committed.filter(_ < target).lastOption
+    val tableNow = AtomicAppend.versions(spark, factPath).lastOption
+      .getOrElse(return None) // fact has no commit log yet: nothing to feed
+    val consumed = prev.map(v => ScalarSidecar.readLong(spark, tvPath, v))
+    if (consumed.contains(tableNow)) return None // fully caught up
+    val changes = consumed match {
+      case None => AtomicAppend.readAsOf(spark, factPath, tableNow) // bootstrap, pinned
+      case Some(c) => AtomicAppend.changesBetween(spark, factPath, c, tableNow)
+    }
+    if (consumed.isDefined && changes.isEmpty) return None // fold-only window
+    val next = advanceInsertOnly(spark, viewPath, prev, target, changes,
+      groupCols, measureCols, minMaxCol, minMaxK, distinctCol)
+    ScalarSidecar.write(spark, tvPath, target, tableNow, LongType)
+    Some(Snapshots.writeVersion(next, viewPath, target))
+  }
+
   /** The STREAMING twin of [[refreshFromAppends]]: advance the view with a
     * micro-batch that IS the new slice — a file-stream `foreachBatch`
     * already delivers exactly the unseen rows (checkpoint file tracking),

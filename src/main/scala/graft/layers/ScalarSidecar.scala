@@ -96,6 +96,23 @@ private[graft] object ScalarSidecar {
     finally out.close()
   }
 
+  /** The scalar at `version` as a raw driver-side Long — for sidecars
+    * the DRIVER consumes (version pointers, counters), where a literal
+    * Column would just need unwrapping again.
+    */
+  def readLong(spark: SparkSession, path: String, version: Long): Long = {
+    val f = fs(spark, path)
+    val in = f.open(file(path, version))
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    content.split("\t", 2) match {
+      case Array("integral", v) => v.toLong
+      case Array(tag, _) => throw new IllegalArgumentException(
+        s"ScalarSidecar at $path version=$version holds a '$tag', not an integral")
+    }
+  }
+
   /** The scalar at `version`, as a typed literal Column. */
   def column(spark: SparkSession, path: String, version: Long, dt: DataType): Column = {
     val f = fs(spark, path)
