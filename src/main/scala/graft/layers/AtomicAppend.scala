@@ -259,11 +259,19 @@ object AtomicAppend {
     // entry first, pointer second: a crash between the two leaves a
     // stale pointer, and the next commit OVERWRITES the orphan entry —
     // the skipped state simply never appears in history (same heal
-    // semantics as the entry-skipping above)
+    // semantics as the entry-skipping above). The entry itself lands by
+    // write-tmp → rename: readers list the directory (not just the
+    // pointer), so an in-place create would expose a torn/empty entry
+    // to a concurrent versions()/readAsOf — the one reader-visible
+    // metadata file here that must be as atomic as the PointerFiles
     val next = latest.map(_ + 1).getOrElse(0L)
-    val out = f.create(vlogPath(basePath, next), true)
+    val tmp = new Path(s"$basePath/$VlogDir/v=$next.tmp")
+    val out = f.create(tmp, true)
     try out.write(s"$kind:${sorted.mkString(",")}".getBytes("UTF-8"))
     finally out.close()
+    val dest = vlogPath(basePath, next)
+    if (f.exists(dest)) f.delete(dest, false) // crashed attempt's orphan
+    require(f.rename(tmp, dest), s"failed to commit log entry $dest")
     graft.runtime.PointerFile.commit(f,
       new Path(s"$basePath/$VlogDir/LATEST"), new Path(s"$basePath/$VlogDir/LATEST.tmp"),
       next.toString)
@@ -283,13 +291,30 @@ object AtomicAppend {
           s"(versions: ${versions(spark, basePath).mkString(",")})"))
     val dirs = ids.map(id => new Path(s"$basePath/_batch=$id"))
     dirs.filterNot(f.exists) match {
-      case Seq() if dirs.isEmpty =>
-        read(spark, basePath).filter(F.lit(false)) // an empty committed state
+      case Seq() if dirs.isEmpty => emptyFrame(spark, basePath)
       case Seq() => scanDirs(spark, basePath, dirs)
       case gone => throw new IllegalArgumentException(
         s"version $version of $basePath references vacuumed batches " +
           s"${gone.map(_.getName).mkString(",")} — raise vacuum's retainVersions " +
           "to keep older versions readable")
+    }
+  }
+
+  /** A zero-row frame bound to the table's schema at O(1) cost: one
+    * batch dir's footer (never the full listing a `read(...)` would
+    * build just to throw its rows away), or the logged schema when the
+    * table is currently empty.
+    */
+  private def emptyFrame(spark: SparkSession, basePath: String): DataFrame = {
+    val dirs = committedDirs(spark, basePath)
+    if (dirs.nonEmpty)
+      scanDirs(spark, basePath, Seq(dirs.head)).filter(F.lit(false))
+    else storedSchema(spark, basePath) match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => throw new IllegalArgumentException(
+        s"no committed batches and no logged schema under $basePath — " +
+          "cannot bind an empty frame")
     }
   }
 
@@ -349,8 +374,7 @@ object AtomicAppend {
     }
     val dirs = added.result().map(id => new Path(s"$basePath/_batch=$id"))
     dirs.filterNot(f.exists) match {
-      case Seq() if dirs.isEmpty =>
-        read(spark, basePath).filter(F.lit(false)) // empty delta, schema-bound
+      case Seq() if dirs.isEmpty => emptyFrame(spark, basePath) // empty delta
       case Seq() => scanDirs(spark, basePath, dirs)
       case gone => throw new IllegalArgumentException(
         s"the change feed $fromVersion→$toVersion of $basePath references " +
@@ -446,8 +470,10 @@ object AtomicAppend {
       BatchStats.write(f, dir, BatchStats.merge(liveStats.flatten))
     // bloom sidecars do NOT merge (bit arrays are sized per batch) —
     // recompute over the folded copy when every live batch carried one
+    // (names-only sidecar reads: deciding WHAT to recompute must not
+    // deserialize megabytes of sketches)
     val liveBloomCols = live.map(id =>
-      BatchBloom.read(f, new Path(s"$basePath/_batch=$id")).keySet)
+      BatchBloom.readNames(f, new Path(s"$basePath/_batch=$id")))
     if (liveBloomCols.nonEmpty && liveBloomCols.forall(_.nonEmpty)) {
       val cols = liveBloomCols.reduce(_ intersect _).toSeq.sorted
       if (cols.nonEmpty)
@@ -616,10 +642,13 @@ object AtomicAppend {
     */
   def pruneBatches(spark: SparkSession, basePath: String,
       predicate: Column): (Seq[Long], Seq[Long]) = {
-    def id(p: Path) = p.getName.stripPrefix("_batch=").toLong
+    // a malformed `_batch=<non-numeric>` dir is scanned by the read path
+    // (markerDirs tolerates it) — observability must not crash on it
+    def id(p: Path) =
+      scala.util.Try(p.getName.stripPrefix("_batch=").toLong).toOption
     val (kept, skipped) =
       partitionByStats(spark, committedDirs(spark, basePath), predicate)
-    (kept.map(id), skipped.map(id))
+    (kept.flatMap(id), skipped.flatMap(id))
   }
 
   private def partitionByStats(spark: SparkSession, dirs: Seq[Path],

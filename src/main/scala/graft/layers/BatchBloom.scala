@@ -97,7 +97,9 @@ private[graft] object BatchBloom {
     * (case-insensitive) — the length prefix lets unneeded sketches be
     * SKIPPED, not read: a query probing one key column across thousands
     * of batch sidecars reads one sketch per batch, not every sketch.
-    * None loads all (the compaction paths, which need the full set).
+    * None loads all. A torn/truncated sidecar reads as EMPTY — the
+    * conservative "no pruning from this batch" the contract promises,
+    * never a hang or a crash.
     */
   def read(fs: FileSystem, batchDir: Path,
       wanted: Option[Set[String]] = None): Map[String, (String, BloomFilter)] = {
@@ -116,13 +118,54 @@ private[graft] object BatchBloom {
             Some(name -> (family,
               BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))))
           } else {
-            var toSkip = len.toLong
-            while (toSkip > 0) toSkip -= in.skip(toSkip)
+            skipExactly(in, len.toLong)
             None
           }
         }.toMap
       } finally in.close()
-    } catch { case _: java.io.FileNotFoundException => Map.empty }
+    } catch {
+      case _: java.io.FileNotFoundException => Map.empty
+      // truncated/corrupt sidecar (EOF, checksum, short read): a pruning
+      // HINT degrades to "no pruning from this batch", never a failure —
+      // the data read itself still fails loudly on a broken filesystem
+      case _: java.io.IOException => Map.empty
+    }
+  }
+
+  /** The sidecar's column names WITHOUT deserializing any sketch —
+    * compaction only needs the names to decide what to recompute, and
+    * a sketch can be megabytes.
+    */
+  def readNames(fs: FileSystem, batchDir: Path): Set[String] = {
+    val p = new Path(batchDir, FileName)
+    try {
+      val in = new DataInputStream(fs.open(p))
+      try {
+        val n = in.readInt()
+        (0 until n).map { _ =>
+          val name = in.readUTF()
+          in.readUTF() // family
+          skipExactly(in, in.readInt().toLong)
+          name
+        }.toSet
+      } finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => Set.empty
+      case _: java.io.IOException => Set.empty // torn sidecar: recompute nothing
+    }
+  }
+
+  /** skip() may return 0 at EOF instead of throwing — a truncated frame
+    * must surface as EOF (handled conservatively above), not a busy loop.
+    */
+  private def skipExactly(in: DataInputStream, n: Long): Unit = {
+    var toSkip = n
+    while (toSkip > 0) {
+      val skipped = in.skip(toSkip)
+      if (skipped <= 0) throw new java.io.EOFException(
+        s"truncated _BLOOM frame: $toSkip bytes missing")
+      toSkip -= skipped
+    }
   }
 
   /** True iff the filters PROVE the batch holds no row satisfying the

@@ -605,10 +605,18 @@ object IncrementalView {
       measureCols: Seq[String], minMaxCol: Option[String] = None,
       minMaxK: Int = 32, distinctCol: Option[String] = None,
       version: Option[Long] = None): Option[Long] = {
-    val full = AtomicAppend.read(spark, factPath)
-    refreshFromAppendsCore(spark, viewPath, tsCol,
-      full.schema(full.schema.fieldIndex(tsCol)).dataType,
-      hwm => hwm.fold(full)(h =>
+    // the LOGGED schema gives tsCol's type in one metadata read — a
+    // read() here would eagerly file-list the whole table per poll just
+    // to sniff a type; a never-written fact is simply "nothing new yet"
+    val schema = AtomicAppend.storedSchema(spark, factPath)
+      .orElse(AtomicAppend.readIfExists(spark, factPath).map(_.schema))
+      .getOrElse(return None)
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(tsCol)),
+      s"fact at $factPath has no column '$tsCol' (schema: ${schema.simpleString})")
+    val tsType = schema(schema.fieldIndex(
+      schema.fieldNames.find(_.equalsIgnoreCase(tsCol)).get)).dataType
+    refreshFromAppendsCore(spark, viewPath, tsCol, tsType,
+      hwm => hwm.fold(AtomicAppend.read(spark, factPath))(h =>
         AtomicAppend.read(spark, factPath, F.col(tsCol) > h)),
       groupCols, measureCols, minMaxCol, minMaxK, distinctCol, version)
   }
@@ -707,17 +715,30 @@ object IncrementalView {
     val prev = committed.filter(_ < target).lastOption
     val tableNow = AtomicAppend.versions(spark, factPath).lastOption
       .getOrElse(return None) // fact has no commit log yet: nothing to feed
-    val consumed = prev.map(v => ScalarSidecar.readLong(spark, tvPath, v))
+    val consumed = prev.map { v =>
+      try ScalarSidecar.readLong(spark, tvPath, v)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"view $viewPath version=$v has no table-version sidecar — it was " +
+              "not maintained through the version feed (refreshFromAppends/HWM?); " +
+              "rebuild the view or keep maintaining it through its original face")
+      }
+    }
     if (consumed.contains(tableNow)) return None // fully caught up
-    val changes = consumed match {
+    // cache the delta: isEmpty plus up to four apply consumers read it
+    // (the same once-per-refresh discipline as the HWM face's slice)
+    val changes = (consumed match {
       case None => AtomicAppend.readAsOf(spark, factPath, tableNow) // bootstrap, pinned
       case Some(c) => AtomicAppend.changesBetween(spark, factPath, c, tableNow)
-    }
-    if (consumed.isDefined && changes.isEmpty) return None // fold-only window
-    val next = advanceInsertOnly(spark, viewPath, prev, target, changes,
-      groupCols, measureCols, minMaxCol, minMaxK, distinctCol)
-    ScalarSidecar.write(spark, tvPath, target, tableNow, LongType)
-    Some(Snapshots.writeVersion(next, viewPath, target))
+    }).cache()
+    try {
+      if (consumed.isDefined && changes.isEmpty) return None // fold-only window
+      val next = advanceInsertOnly(spark, viewPath, prev, target, changes,
+        groupCols, measureCols, minMaxCol, minMaxK, distinctCol)
+      ScalarSidecar.write(spark, tvPath, target, tableNow, LongType)
+      Some(Snapshots.writeVersion(next, viewPath, target))
+    } finally changes.unpersist()
   }
 
   /** The STREAMING twin of [[refreshFromAppends]]: advance the view with a

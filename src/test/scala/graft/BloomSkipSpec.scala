@@ -156,6 +156,25 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(skippedV.nonEmpty)
   }
 
+  test("a truncated _BLOOM sidecar disables pruning conservatively — no crash, no hang") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("bloom-torn").toString
+    val df = (0 until 100).map(i => (i.toLong, i * 31L)).toDF("id", "key")
+    AtomicAppend.append(df, path, batchId = Some(0L), bloomCols = Seq("id", "key"))
+    // truncate the sidecar mid-sketch
+    val p = new java.io.File(s"$path/_batch=0/_BLOOM")
+    val bytes = java.nio.file.Files.readAllBytes(p.toPath)
+    java.nio.file.Files.write(p.toPath, bytes.take(bytes.length / 2))
+    // an absent key would have pruned; the torn sidecar must KEEP the
+    // batch (and both the deserializing and the skipping read paths must
+    // survive the truncation)
+    val (kept, skipped) = assertSkipsSound(path, F.col("key") === -1L)
+    assert(kept == Seq(0L) && skipped.isEmpty, "torn sidecar must disable pruning")
+    assertSame(path, F.col("key") === -1L)
+    val (kept2, _) = assertSkipsSound(path, F.col("id") === -1L)
+    assert(kept2 == Seq(0L))
+  }
+
   test("replay keeps the sidecar; fpp false positives only ever KEEP batches") {
     import spark.implicits._
     val path = TestFixtures.tmpDir("bloom-replay").toString
