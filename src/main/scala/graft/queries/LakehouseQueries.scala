@@ -379,6 +379,39 @@ object LakehouseQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // INSERT-ONLY CHANGE FEED over the commit log
+    // (AtomicAppend.changesBetween — Delta CDF's role for batch tables):
+    // the events fact lands as four ts-sliced appends with a COMPACTION
+    // in the middle of the consumed window; the feed from the first
+    // commit must be exactly the rows of the three later appends — the
+    // logged commit KIND is what stops the fold from re-emitting the
+    // whole table (a naive id-diff across it would double everything).
+    // The oracle filters the raw table to the same ts range; a hash
+    // match proves the feed is content-exact across the fold.
+    "ql16_change_feed" -> ((s, d) => {
+      val aa = graft.layers.AtomicAppend
+      val base = Scratch.dir("graft-ql16-") + "/events"
+      val fact = ev(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+      def day(n: Int) = F.to_timestamp(F.lit(f"2024-01-$n%02d"))
+      aa.append(fact.filter(F.col("ts") < day(8)), base, batchId = Some(0L)) // v0
+      aa.append(fact.filter(F.col("ts") >= day(8) && F.col("ts") < day(15)),
+        base, batchId = Some(1L)) // v1
+      aa.append(fact.filter(F.col("ts") >= day(15) && F.col("ts") < day(22)),
+        base, batchId = Some(2L)) // v2
+      aa.compact(s, base) // v3: content-preserving fold mid-window
+      aa.append(fact.filter(F.col("ts") >= day(22)), base, batchId = Some(9L)) // v4
+      val latest = aa.versions(s, base).last
+      aa.changesBetween(s, base, 0L, latest)
+        .groupBy("event_type")
+        .agg(
+          F.count(F.lit(1)).as("n_events"),
+          F.countDistinct("user_id").as("n_users"),
+          F.sum(F.floor(F.col("value")).cast("long")).as("sum_v"),
+          F.min("event_id").as("min_id"),
+          F.max("event_id").as("max_id"))
+        .orderBy("event_type")
+    }),
+
     // latest_metrics shape: single-row global metrics + alert ladder.
     "ql04_latest_metrics" -> ((s, d) => {
       ev(s, d).agg(
@@ -588,6 +621,16 @@ object LakehouseQueries extends QueryPack {
            sum(CAST(floor(value) AS BIGINT)) AS sum_v
          FROM events
          WHERE user_id >= 3 AND user_id < 9 AND value >= 100.0
+         GROUP BY event_type ORDER BY event_type""",
+    "ql16_change_feed" ->
+      """SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           sum(CAST(floor(value) AS BIGINT)) AS sum_v,
+           min(event_id) AS min_id,
+           max(event_id) AS max_id
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08'
          GROUP BY event_type ORDER BY event_type""",
     "ql15_bloom_lookup" ->
       """SELECT event_id, event_type, user_id,
