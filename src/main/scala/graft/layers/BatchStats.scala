@@ -405,7 +405,7 @@ private[graft] object BatchStats {
       }
   }
 
-  private def provablyOutside(op: String, lo: Bound, hi: Bound, lit: Bound): Boolean = {
+  private[graft] def provablyOutside(op: String, lo: Bound, hi: Bound, lit: Bound): Boolean = {
     def lt(a: Bound, b: Bound) = cmp(a, b).exists(_ < 0)
     def le(a: Bound, b: Bound) = cmp(a, b).exists(_ <= 0)
     op match {

@@ -375,6 +375,41 @@ class DataSkippingSpec extends AnyFunSuite {
       version = Some(2L)).isEmpty)
   }
 
+  // --------------------------------------------- concurrent fold atomicity
+
+  test("a reader racing the clustered fold only ever sees the exact table content") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("skip-race").toString
+    val rnd = new Random(17)
+    (0 until 4).foreach { b =>
+      val df = (0 until 2000)
+        .map(i => (b * 2000L + i, rnd.nextInt(1000).toLong)).toDF("id", "v")
+      AtomicAppend.append(df, path, batchId = Some(b.toLong), statsCols = Seq("v"))
+    }
+    val expectRows = 8000L
+    val expectSum = (0L until 8000L).sum
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val folder = Future {
+      AtomicAppend.compactClustered(spark, path, Seq("v"), 8, statsCols = Seq("v"))
+    }(scala.concurrent.ExecutionContext.global)
+    try {
+      // the k-way manifest flip must never expose a mixed state: every
+      // poll sees the full multiset (a torn flip doubles or drops rows)
+      var polls = 0
+      while (!folder.isCompleted) {
+        val r = AtomicAppend.read(spark, path)
+          .agg(F.count(F.lit(1)), F.sum("id")).head()
+        assert(r.getLong(0) == expectRows && r.getLong(1) == expectSum,
+          s"reader saw a torn clustered fold: ${r.getLong(0)} rows / sum ${r.getLong(1)}")
+        polls += 1
+      }
+      assert(polls > 0, "fold finished before a single poll — widen the fixture")
+    } finally { Await.result(folder, Duration.Inf); () }
+    val r = AtomicAppend.read(spark, path).agg(F.count(F.lit(1)), F.sum("id")).head()
+    assert(r.getLong(0) == expectRows && r.getLong(1) == expectSum)
+  }
+
   // ------------------------------------------------- randomized soundness
 
   test("randomized predicates: pruned read ≡ filter, every skip provably empty") {

@@ -42,6 +42,105 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------- zone-map kernel soundness
+
+  /** The pruning kernel's contract, brute-forced: whenever
+    * `provablyOutside` (gated by `comparable`) says a batch can be
+    * skipped, NO value in the batch satisfies the predicate under
+    * Spark's comparison semantics (reimplemented here independently:
+    * integral↔floating promotes through Double, NaN greatest, strings
+    * as unsigned UTF-8 bytes). Exercises the traps deliberately: values
+    * and literals straddling 2^52/2^53, NaN/±Inf, supplementary-plane
+    * strings.
+    */
+  test("zone maps: a provably-outside verdict never excludes a satisfying value") {
+    import graft.layers.BatchStats
+    import graft.layers.BatchStats._
+    val ops = Seq("eq", "lt", "le", "gt", "ge")
+    val bigL: Gen[Long] = Gen.oneOf(
+      Gen.choose(-1000L, 1000L),
+      Gen.choose((1L << 52) - 3, (1L << 53) + 3),
+      Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))
+    val anyD: Gen[Double] = Gen.oneOf(
+      Gen.choose(-1e3, 1e3),
+      Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+        9007199254740992.0, 9007199254740994.0),
+      Gen.choose(-1e18, 1e18))
+    val uStr: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("ｚ", new String(Character.toChars(0x10000)), "z", "", "ключ"))
+
+    def fam(v: Any): String = v match {
+      case _: Long => Family.Integral
+      case _: Double => Family.Floating
+      case _: String => Family.Str
+    }
+    // Spark's comparison semantics, independently: the test oracle
+    def sat(v: Any, op: String, lit: Any): Boolean = {
+      def cmpNum(a: Double, b: Double): Int = java.lang.Double.compare(a, b)
+      val c: Int = (v, lit) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Long, y: Double) => cmpNum(x.toDouble, y) // Spark promotes
+        case (x: Double, y: Long) => cmpNum(x, y.toDouble)
+        case (x: Double, y: Double) => cmpNum(x, y)
+        case (x: String, y: String) =>
+          val (a, b) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+          val n = math.min(a.length, b.length)
+          var i = 0; var d = 0
+          while (i < n && d == 0) { d = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+          if (d != 0) d else a.length - b.length
+        case _ => return false // cross string/number never reaches the kernel
+      }
+      op match {
+        case "eq" => c == 0; case "lt" => c < 0; case "le" => c <= 0
+        case "gt" => c > 0; case "ge" => c >= 0
+      }
+    }
+
+    val scenario: Gen[(Seq[Any], String, Any)] = for {
+      kind <- Gen.choose(0, 2)
+      values <- kind match {
+        case 0 => Gen.nonEmptyListOf(bigL)
+        case 1 => Gen.nonEmptyListOf(anyD)
+        case _ => Gen.nonEmptyListOf(uStr)
+      }
+      op <- Gen.oneOf(ops)
+      lit <- kind match {
+        case 0 => Gen.oneOf(bigL.map(identity[Any]), anyD.map(identity[Any]))
+        case 1 => Gen.oneOf(bigL.map(identity[Any]), anyD.map(identity[Any]))
+        case _ => uStr.map(identity[Any])
+      }
+    } yield (values, op, lit)
+
+    var prunedCases = 0
+    samples(scenario, 6000).foreach { case (values, op, lit) =>
+      // bounds exactly as compute() derives them: normExternal over the
+      // family's own min/max ordering
+      def ordered(a: Any, b: Any) = sat(a, "le", b)
+      val lo = values.reduceLeft((a, b) => if (ordered(a, b)) a else b)
+      val hi = values.reduceLeft((a, b) => if (ordered(a, b)) b else a)
+      (normExternal(lo), normExternal(hi), normLiteral(
+        org.apache.spark.sql.catalyst.expressions.Literal(lit match {
+          case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case other => other
+        }, lit match {
+          case _: Long => org.apache.spark.sql.types.LongType
+          case _: Double => org.apache.spark.sql.types.DoubleType
+          case _: String => org.apache.spark.sql.types.StringType
+        }))) match {
+        case (Some(l), Some(h), Some((litFam, litB)))
+            if BatchStats.comparable(fam(values.head), litFam, Seq(l, h), litB) =>
+          if (BatchStats.provablyOutside(op, l, h, litB)) {
+            prunedCases += 1
+            values.foreach(v => assert(!sat(v, op, lit),
+              s"UNSOUND SKIP: $v satisfies $op $lit inside [$lo, $hi]"))
+          }
+        case _ => () // unusable bounds / family mismatch: kernel never prunes
+      }
+    }
+    assert(prunedCases > 100, s"property exercised only $prunedCases pruned cases")
+  }
+
   test("haversine: triangle inequality on generated triples") {
     samples(for { p <- point; q <- point; r <- point } yield (p, q, r), 200).foreach {
       case ((a1, o1), (a2, o2), (a3, o3)) =>
