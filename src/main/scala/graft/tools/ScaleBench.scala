@@ -155,7 +155,12 @@ object ScaleBench {
     //     the local[32] crossover: cells ∝ n keeps per-cell cost constant
     //     (the tier is ~linear) while the exact kernel is quadratic by
     //     contract — the separation the smaller scales only hint at.
-    if (legs("semantic")) for (k <- Seq(1, 4, 16, 32, 64, 128)) {
+    // 256× (563k vecs, C=2,048) is the current frontier octave: both
+    // quadratic-by-contract parties (exact kernel, and the flat n·C
+    // assignment's C-growth) are out of their regime there — the row
+    // compares the routed matrix kernel against the n·√C two-level tier
+    // at the cell count where their separation is the 100 TB story
+    if (legs("semantic")) for (k <- Seq(1, 4, 16, 32, 64, 128, 256)) {
       val v = replicateVecs(emb, k, dim).cache()
       val n = v.count()
       // the exact kernel is quadratic BY CONTRACT — past 32× it only
