@@ -110,12 +110,19 @@ object AtomicAppend {
     * column added by a later append silently VANISHES whenever the
     * sampled file predates it — with it, every batch reads under the
     * full evolved schema and pre-evolution batches null-fill the new
-    * columns (partition columns are appended by discovery, as always).
+    * columns. Logged PARTITION columns ([[storedPartSchema]]) bind too,
+    * under their WRITTEN types — partition-value inference would re-type
+    * them from directory names per read (and can't type them at all on
+    * an empty table); only the protocol's own `_batch` is left to
+    * discovery.
     */
   private def scanDirs(spark: SparkSession, basePath: String,
       dirs: Seq[Path]): DataFrame = {
     val reader = spark.read.option("basePath", basePath)
-    storedSchema(spark, basePath).foreach(reader.schema)
+    storedSchema(spark, basePath).foreach { s =>
+      reader.schema(org.apache.spark.sql.types.StructType(
+        s.fields ++ storedPartSchema(spark, basePath).map(_.fields).getOrElse(Array.empty)))
+    }
     reader.parquet(dirs.map(_.toString): _*).drop("_batch")
   }
 
@@ -133,18 +140,63 @@ object AtomicAppend {
       .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** The table's logged PARTITION-column schema (the columns living in
+    * the directory structure, in nesting order, under their types as
+    * WRITTEN) — what lets an EMPTY table's frame carry the same shape as
+    * a non-empty read, and every read bind partition types instead of
+    * re-inferring them from directory names. None on unpartitioned or
+    * pre-log tables.
+    */
+  def storedPartSchema(spark: SparkSession, basePath: String): Option[org.apache.spark.sql.types.StructType] =
+    graft.runtime.PointerFile.read(fs(spark, basePath),
+      new Path(s"$basePath/_PARTSCHEMA"), new Path(s"$basePath/_PARTSCHEMA.tmp"))
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  private def logPartSchema(spark: SparkSession, basePath: String,
+      df: DataFrame, partitionBy: Seq[String]): Unit =
+    if (partitionBy.nonEmpty) {
+      val parts = org.apache.spark.sql.types.StructType(partitionBy.flatMap(p =>
+        df.schema.fields.find(_.name.equalsIgnoreCase(p)).map(_.copy(nullable = true))))
+      if (!storedPartSchema(spark, basePath).contains(parts))
+        graft.runtime.PointerFile.commit(fs(spark, basePath),
+          new Path(s"$basePath/_PARTSCHEMA"), new Path(s"$basePath/_PARTSCHEMA.tmp"),
+          parts.json)
+    }
+
+  /** `dt` with every NESTED nullability flag forced permissive — the
+    * equality domain for append-compatibility checks: an aggregation or
+    * join flips a struct field's / array element's nullability without
+    * changing the logical type, and two such schemas must not fail an
+    * append as a "type change".
+    */
+  private def relaxNullability(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StructType(fields) => StructType(fields.map(f =>
+        f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
+      case ArrayType(et, _) => ArrayType(relaxNullability(et), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(relaxNullability(k), relaxNullability(v), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   /** Merge an incoming batch's file schema into the logged one:
     * ADD-COLUMN evolution only — new columns append (nullable; older
     * batches null-fill them), existing columns must keep their exact
     * type (no silent widening/narrowing — a type change is a rewrite,
-    * route it through [[SchemaEvolution]]). Returns the schema to log.
+    * route it through [[SchemaEvolution]]). Type equality ignores
+    * nullability at every nesting level (see [[relaxNullability]]); the
+    * stored field wins on a pure-nullability disagreement. Returns the
+    * schema to log.
     */
   private def mergeTableSchema(stored: org.apache.spark.sql.types.StructType,
       incoming: org.apache.spark.sql.types.StructType,
       basePath: String): org.apache.spark.sql.types.StructType = {
     incoming.fields.foreach { f =>
       stored.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { s =>
-        require(s.dataType == f.dataType,
+        require(relaxNullability(s.dataType) == relaxNullability(f.dataType),
           s"append to $basePath changes column '${f.name}' from ${s.dataType} " +
             s"to ${f.dataType} — type changes need a rewrite (SchemaEvolution), " +
             "not an append")
@@ -152,8 +204,8 @@ object AtomicAppend {
     }
     val extra = incoming.fields.filterNot(f =>
       stored.fields.exists(_.name.equalsIgnoreCase(f.name)))
-    org.apache.spark.sql.types.StructType(
-      (stored.fields ++ extra).map(_.copy(nullable = true)))
+    org.apache.spark.sql.types.StructType((stored.fields ++ extra)
+      .map(f => f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
   }
 
   /** Log (and if needed evolve) the table schema for a batch about to
@@ -165,8 +217,8 @@ object AtomicAppend {
     val stored = storedSchema(spark, basePath)
     val merged = stored
       .map(mergeTableSchema(_, fileSchema, basePath))
-      .getOrElse(org.apache.spark.sql.types.StructType(
-        fileSchema.fields.map(_.copy(nullable = true))))
+      .getOrElse(org.apache.spark.sql.types.StructType(fileSchema.fields
+        .map(f => f.copy(dataType = relaxNullability(f.dataType), nullable = true))))
     if (!stored.contains(merged))
       graft.runtime.PointerFile.commit(fs(spark, basePath),
         new Path(s"$basePath/_SCHEMA"), new Path(s"$basePath/_SCHEMA.tmp"),
@@ -253,13 +305,29 @@ object AtomicAppend {
   private def logCommit(spark: SparkSession, basePath: String,
       liveNow: Seq[Long], kind: String = "append"): Unit = {
     val f = fs(spark, basePath)
-    val latest = latestVersion(f, spark, basePath)
+    // ADOPT any orphan entries a crash left un-pointered (the entry
+    // rename landed, the LATEST update didn't): log entries are
+    // IMMUTABLE once a lister could have seen them — versions()/
+    // readAsOf resolve the directory, so overwriting the orphan would
+    // silently re-point an already-observable version at a different
+    // batch set. The orphan names a state the table really committed
+    // (logCommit runs after the visibility commit), so rolling the
+    // pointer forward to it is the truthful heal.
+    var latest = latestVersion(f, spark, basePath)
+    val pointed = latest
+    while (f.exists(vlogPath(basePath, latest.map(_ + 1).getOrElse(0L))))
+      latest = Some(latest.map(_ + 1).getOrElse(0L))
+    def healPointer(): Unit =
+      if (latest != pointed) latest.foreach(v =>
+        graft.runtime.PointerFile.commit(f,
+          new Path(s"$basePath/$VlogDir/LATEST"), new Path(s"$basePath/$VlogDir/LATEST.tmp"),
+          v.toString))
     val sorted = liveNow.sorted
-    if (latest.flatMap(vlogIds(f, basePath, _)).contains(sorted)) return
-    // entry first, pointer second: a crash between the two leaves a
-    // stale pointer, and the next commit OVERWRITES the orphan entry —
-    // the skipped state simply never appears in history (same heal
-    // semantics as the entry-skipping above). The entry itself lands by
+    if (latest.flatMap(vlogIds(f, basePath, _)).contains(sorted)) {
+      healPointer(); return // replay / adopted orphan: entry already live
+    }
+    // entry first, pointer second: a crash between the two leaves an
+    // orphan the adoption above heals. The entry itself lands by
     // write-tmp → rename: readers list the directory (not just the
     // pointer), so an in-place create would expose a torn/empty entry
     // to a concurrent versions()/readAsOf — the one reader-visible
@@ -270,7 +338,6 @@ object AtomicAppend {
     try out.write(s"$kind:${sorted.mkString(",")}".getBytes("UTF-8"))
     finally out.close()
     val dest = vlogPath(basePath, next)
-    if (f.exists(dest)) f.delete(dest, false) // crashed attempt's orphan
     require(f.rename(tmp, dest), s"failed to commit log entry $dest")
     graft.runtime.PointerFile.commit(f,
       new Path(s"$basePath/$VlogDir/LATEST"), new Path(s"$basePath/$VlogDir/LATEST.tmp"),
@@ -303,15 +370,21 @@ object AtomicAppend {
   /** A zero-row frame bound to the table's schema at O(1) cost: one
     * batch dir's footer (never the full listing a `read(...)` would
     * build just to throw its rows away), or the logged schema when the
-    * table is currently empty.
+    * table is currently empty. Partition columns join from their own
+    * log ([[storedPartSchema]]) so an empty table's shape matches a
+    * non-empty read — a union or schema-keyed cache built against the
+    * empty frame must not break when data arrives.
     */
   private def emptyFrame(spark: SparkSession, basePath: String): DataFrame = {
     val dirs = committedDirs(spark, basePath)
     if (dirs.nonEmpty)
       scanDirs(spark, basePath, Seq(dirs.head)).filter(F.lit(false))
     else storedSchema(spark, basePath) match {
-      case Some(s) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case Some(s) =>
+        val full = org.apache.spark.sql.types.StructType(
+          s.fields ++ storedPartSchema(spark, basePath).map(_.fields).getOrElse(Array.empty))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
       case None => throw new IllegalArgumentException(
         s"no committed batches and no logged schema under $basePath — " +
           "cannot bind an empty frame")
@@ -322,6 +395,19 @@ object AtomicAppend {
   def history(spark: SparkSession, basePath: String): Seq[(Long, Seq[Long])] = {
     val f = fs(spark, basePath)
     versions(spark, basePath).flatMap(v => vlogIds(f, basePath, v).map(v -> _))
+  }
+
+  /** One-line render of the commit log WITH kinds — the observability
+    * payload [[ProtocolAudit]] attaches to a divergence report:
+    * `v0:append{0} v1:fold{3} …`.
+    */
+  def describeHistory(spark: SparkSession, basePath: String): String = {
+    val f = fs(spark, basePath)
+    versions(spark, basePath).map { v =>
+      vlogEntry(f, basePath, v)
+        .map(e => s"v$v:${e.kind}{${e.ids.mkString(",")}}")
+        .getOrElse(s"v$v:?")
+    }.mkString(" ")
   }
 
   /** The rows ADDED between two committed versions — the CHANGE FEED
@@ -405,6 +491,7 @@ object AtomicAppend {
     if (f.exists(marker) && live.contains(id)) {
       // heal a crash between the visibility commit and its log entries
       logSchema(spark, basePath, fileSchema)
+      logPartSchema(spark, basePath, df, partitionBy)
       logCommit(spark, basePath, live)
       return None // replay: fully committed
     }
@@ -412,6 +499,7 @@ object AtomicAppend {
       // schema BEFORE visibility: once the marker lands, every reader
       // must already bind to a schema covering this batch's columns
       logSchema(spark, basePath, fileSchema)
+      logPartSchema(spark, basePath, df, partitionBy)
       val writer = df.write.mode("overwrite") // overwrite own dir = replay-safe mid-batch
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(dir.toString)
@@ -483,8 +571,19 @@ object AtomicAppend {
           BatchBloom.write(f, dir, BatchBloom.compute(folded, cols, expected))
         }
     }
-    commitManifest(spark, basePath, Seq(folded)) // THE atomic visibility flip
+    // marker BEFORE the flip: once a manifest exists it is authoritative
+    // (committedDirs never consults markers), so pre-marking the folded
+    // dir changes nothing a reader can see — and a crash between flip
+    // and marker can no longer leave a committed batch that
+    // marker-resolving tooling misses. A MARKER-protocol table is first
+    // UPGRADED with a content-preserving manifest naming the current
+    // live set (flipping reader RESOLUTION, not content); marking first
+    // on such a table would double the data for a concurrent
+    // marker-lister.
+    if (manifestIds(spark, basePath).isEmpty)
+      commitManifest(spark, basePath, live)
     f.create(new Path(dir, Marker), true).close()
+    commitManifest(spark, basePath, Seq(folded)) // THE atomic visibility flip
     logCommit(spark, basePath, Seq(folded), kind = "fold")
     Some(folded)
   }
@@ -520,6 +619,11 @@ object AtomicAppend {
     val f = fs(spark, basePath)
     val df = scanDirs(spark, basePath, live.map(id => new Path(s"$basePath/_batch=$id")))
     val tmp = new Path(s"$basePath/_cluster_tmp")
+    // a crashed prior attempt strands a partially-renamed tmp; the
+    // overwrite below would clear it anyway, but an explicit delete
+    // keeps the failure surface one line and covers write modes that
+    // don't (vacuum reclaims the abandoned-table case)
+    if (f.exists(tmp)) f.delete(tmp, true)
     ZOrder.clusterKeyed(df, zorderBy, numBatches, "__zbatch", bits)
       .write.mode("overwrite")
       .partitionBy("__zbatch" +: partitionBy: _*)
@@ -551,8 +655,14 @@ object AtomicAppend {
         }
       id
     }
-    commitManifest(spark, basePath, ids) // THE atomic visibility flip, k-way
+    // markers BEFORE the k-way flip — same discipline (and rationale)
+    // as [[compact]]: upgrade a marker-protocol table with a
+    // content-preserving manifest first, then pre-mark the still-
+    // invisible fold dirs, then flip once.
+    if (manifestIds(spark, basePath).isEmpty)
+      commitManifest(spark, basePath, live)
     ids.foreach(id => f.create(new Path(s"$basePath/_batch=$id/$Marker"), true).close())
+    commitManifest(spark, basePath, ids) // THE atomic visibility flip, k-way
     f.delete(tmp, true)
     logCommit(spark, basePath, ids, kind = "fold")
     Some(ids)
@@ -581,6 +691,10 @@ object AtomicAppend {
       val f = fs(spark, basePath)
       val base = new Path(basePath)
       if (!f.exists(base)) return Seq.empty
+      // a [[compactClustered]] crash after its renames strands a
+      // partial `_cluster_tmp` that no retry may ever come to clear —
+      // it is pure scratch (never reader-visible), reclaim it here
+      f.delete(new Path(base, "_cluster_tmp"), true)
       val vs = versions(spark, basePath)
       val retained = vs.takeRight(math.max(0, retainVersions))
       val protected_ = ids.toSet ++

@@ -1,0 +1,117 @@
+package graft.layers
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** In-query tripwires for the [[AtomicAppend]] fold protocol — the
+  * diagnosability layer the round-13 driver gate showed was missing:
+  * `ql14_data_skipping` / `ql16_change_feed` went red at the driver
+  * (hash mismatch, rows/schema green) while passing every local
+  * replication, and a bare hash mismatch says nothing about WHICH
+  * protocol decision diverged. Each audit compares the protocol's
+  * answer against the semantics it promises (pruned read ≡ full filter;
+  * fold ≡ content-preserving; change feed ≡ the appended rows) using an
+  * order-insensitive multiset digest, and on divergence THROWS with the
+  * protocol's own decisions — kept/skipped batch ids, per-batch stats
+  * and row counts, the commit history — so a red row in the driver's
+  * correctness report carries its diagnosis in the `err` field instead
+  * of a boolean.
+  *
+  * Audits are pure READERS (no protocol state is touched), cost a few
+  * metadata-scale jobs on the toy gate fixtures, and are OFF the 100 TB
+  * hot path — they guard oracle-gated lifecycle queries and specs, not
+  * production reads.
+  */
+object ProtocolAudit {
+
+  /** Order-insensitive multiset digest: (row count, sum of per-row
+    * `xxhash64 mod p`). Deterministic across runs, partitionings, and
+    * task orders — xxhash64 is seed-fixed and the sum is associative/
+    * commutative. Terms are reduced mod a 30-bit prime BEFORE summing
+    * so the Long sum cannot overflow below ~2^33 rows: ANSI mode
+    * (Spark 4's default) turns sum overflow into an error, and a
+    * tripwire that can itself blow up is worse than none.
+    */
+  def digest(df: DataFrame): (Long, Long) = {
+    val row = df.select(
+      F.count(F.lit(1)),
+      F.coalesce(F.sum(F.pmod(
+        F.xxhash64(df.columns.map(F.col).toSeq: _*), F.lit(1000000007L))), F.lit(0L))).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private def fmt(d: (Long, Long)) = s"rows=${d._1} sum64=${d._2}"
+
+  /** Per-batch matching-row counts under `predicate` — the
+    * which-batch-diverged payload for a pruning failure. Scans each
+    * committed dir individually (failure path only).
+    */
+  private def perBatchCounts(spark: SparkSession, basePath: String,
+      predicate: Option[Column]): String =
+    AtomicAppend.committedIds(spark, basePath).map { id =>
+      val one = spark.read.option("basePath", basePath)
+        .parquet(s"$basePath/_batch=$id").drop("_batch")
+      val n = predicate.fold(one)(one.filter(_)).count()
+      val stats = BatchStats.read(
+        new Path(basePath).getFileSystem(spark.sessionState.newHadoopConf()),
+        new Path(s"$basePath/_batch=$id"))
+        .map(s => BatchStats.encode(s).replace("\n", ";")).getOrElse("no _STATS")
+      s"batch $id: matching=$n [$stats]"
+    }.mkString(" | ")
+
+  /** Prove `read(basePath, predicate)` ≡ `read(basePath).filter(predicate)`
+    * — zone-map/bloom skipping is sound on this table, for this
+    * predicate, in THIS environment. Throws with kept/skipped ids,
+    * per-batch stats and matching counts otherwise.
+    */
+  def assertPrunedReadSound(spark: SparkSession, basePath: String,
+      predicate: Column, label: String): Unit = {
+    val pruned = digest(AtomicAppend.read(spark, basePath, predicate))
+    val full = digest(AtomicAppend.read(spark, basePath).filter(predicate))
+    if (pruned != full) {
+      val (kept, skipped) = AtomicAppend.pruneBatches(spark, basePath, predicate)
+      throw new IllegalStateException(
+        s"PROTOCOL-AUDIT[$label] UNSOUND SKIP at $basePath: pruned read " +
+          s"(${fmt(pruned)}) != full filter (${fmt(full)}); " +
+          s"kept=${kept.mkString(",")} skipped=${skipped.mkString(",")}; " +
+          perBatchCounts(spark, basePath, Some(predicate)))
+    }
+  }
+
+  /** Prove the table's committed content is the expected multiset —
+    * after a [[AtomicAppend.compact]]/[[AtomicAppend.compactClustered]],
+    * the fold preserved every row. Throws with the live batch set, the
+    * commit history, and per-batch row counts otherwise.
+    */
+  def assertTableContent(spark: SparkSession, basePath: String,
+      expected: DataFrame, label: String): Unit = {
+    val onDisk = digest(AtomicAppend.read(spark, basePath))
+    val want = digest(expected)
+    if (onDisk != want)
+      throw new IllegalStateException(
+        s"PROTOCOL-AUDIT[$label] FOLD CONTENT DRIFT at $basePath: " +
+          s"on-disk (${fmt(onDisk)}) != expected (${fmt(want)}); " +
+          s"live=${AtomicAppend.committedIds(spark, basePath).mkString(",")}; " +
+          s"history=${AtomicAppend.describeHistory(spark, basePath)}; " +
+          perBatchCounts(spark, basePath, None))
+  }
+
+  /** Prove a change feed's rows are exactly `expected` — fold commits
+    * contributed nothing, append commits contributed everything. Throws
+    * with the commit history (kinds included) and per-batch counts
+    * otherwise.
+    */
+  def assertFeedExact(spark: SparkSession, basePath: String,
+      fromVersion: Long, toVersion: Long, expected: DataFrame,
+      label: String): Unit = {
+    val feed = digest(AtomicAppend.changesBetween(spark, basePath, fromVersion, toVersion))
+    val want = digest(expected)
+    if (feed != want)
+      throw new IllegalStateException(
+        s"PROTOCOL-AUDIT[$label] FEED CONTENT DRIFT at $basePath " +
+          s"($fromVersion,$toVersion]: feed (${fmt(feed)}) != expected " +
+          s"(${fmt(want)}); history=${AtomicAppend.describeHistory(spark, basePath)}; " +
+          perBatchCounts(spark, basePath, None))
+  }
+}

@@ -319,8 +319,12 @@ object LakehouseQueries extends QueryPack {
     // The oracle aggregates the same filter over the raw table directly:
     // a hash match proves the pruned read ≡ a full filter (skipping is
     // sound), while DataSkippingSpec pins that batches actually skip.
-    // All-BIGINT measures; value >= 150.0 is a raw IEEE compare, safe
-    // across engines (QueryPack taxonomy).
+    // All-BIGINT measures; value >= 100.0 is a raw IEEE compare, safe
+    // across engines (QueryPack taxonomy). ProtocolAudit tripwires
+    // (round-14, after the r13 driver red here): if the fold drifted
+    // content or the pruned read diverges from the full filter IN THIS
+    // ENVIRONMENT, fail with kept/skipped ids + per-batch stats in the
+    // message instead of an undiagnosable hash mismatch.
     "ql14_data_skipping" -> ((s, d) => {
       val aa = graft.layers.AtomicAppend
       val base = Scratch.dir("graft-ql14-") + "/events"
@@ -337,6 +341,8 @@ object LakehouseQueries extends QueryPack {
         statsCols = cols)
       val pred = F.col("user_id") >= 3L && F.col("user_id") < 9L &&
         F.col("value") >= 100.0
+      graft.layers.ProtocolAudit.assertTableContent(s, base, fact, "ql14")
+      graft.layers.ProtocolAudit.assertPrunedReadSound(s, base, pred, "ql14")
       aa.read(s, base, pred)
         .groupBy("event_type")
         .agg(
@@ -401,6 +407,14 @@ object LakehouseQueries extends QueryPack {
       aa.compact(s, base) // v3: content-preserving fold mid-window
       aa.append(fact.filter(F.col("ts") >= day(22)), base, batchId = Some(9L)) // v4
       val latest = aa.versions(s, base).last
+      // ProtocolAudit tripwires (round-14, after the r13 driver red
+      // here): prove the fold preserved the table and the feed is
+      // content-exact IN THIS ENVIRONMENT — a divergence fails with the
+      // commit history (kinds included) + per-batch counts in the
+      // message instead of an undiagnosable hash mismatch.
+      graft.layers.ProtocolAudit.assertTableContent(s, base, fact, "ql16")
+      graft.layers.ProtocolAudit.assertFeedExact(s, base, 0L, latest,
+        fact.filter(F.col("ts") >= day(8)), "ql16")
       aa.changesBetween(s, base, 0L, latest)
         .groupBy("event_type")
         .agg(
@@ -409,6 +423,39 @@ object LakehouseQueries extends QueryPack {
           F.sum(F.floor(F.col("value")).cast("long")).as("sum_v"),
           F.min("event_id").as("min_id"),
           F.max("event_id").as("max_id"))
+        .orderBy("event_type")
+    }),
+
+    // ADD-COLUMN SCHEMA EVOLUTION through the append gate (Delta
+    // mergeSchema's role; `silver_job.py:204-227` is the reference's
+    // ad-hoc variant): a narrow batch lands, a wider batch (one new
+    // BIGINT column) appends after it, the logged table schema evolves,
+    // and the read binds EVERY batch under the evolved schema —
+    // pre-evolution rows null-fill the new column. The oracle
+    // reconstructs the same table as a UNION ALL with explicit NULL
+    // backfill; count(bonus)/sum(bonus) prove the null-fill semantics
+    // exactly (nulls excluded from both, in both engines). All-BIGINT.
+    "ql17_schema_evolution" -> ((s, d) => {
+      val aa = graft.layers.AtomicAppend
+      val base = Scratch.dir("graft-ql17-") + "/events"
+      val fact = ev(s, d).select(F.col("event_id"), F.col("ts"),
+        F.col("user_id"), F.col("event_type"),
+        F.floor(F.col("value")).cast("long").as("v"))
+      val day15 = F.to_timestamp(F.lit("2024-01-15"))
+      val narrow = fact.filter(F.col("ts") < day15)
+        .select("event_id", "user_id", "event_type", "v")
+      val wide = fact.filter(F.col("ts") >= day15)
+        .select(F.col("event_id"), F.col("user_id"), F.col("event_type"),
+          F.col("v"), (F.col("user_id") * 7L + F.col("event_id") % 13L).as("bonus"))
+      aa.append(narrow, base, batchId = Some(0L))
+      aa.append(wide, base, batchId = Some(1L)) // ADD-COLUMN: + bonus
+      aa.read(s, base)
+        .groupBy("event_type")
+        .agg(
+          F.count(F.lit(1)).as("n_events"),
+          F.sum("v").as("sum_v"),
+          F.count(F.col("bonus")).as("n_bonus"),
+          F.sum("bonus").as("sum_bonus"))
         .orderBy("event_type")
     }),
 
@@ -631,6 +678,21 @@ object LakehouseQueries extends QueryPack {
            max(event_id) AS max_id
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-08'
+         GROUP BY event_type ORDER BY event_type""",
+    "ql17_schema_evolution" ->
+      """SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           count(bonus) AS n_bonus,
+           CAST(sum(bonus) AS BIGINT) AS sum_bonus
+         FROM (
+           SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+             CAST(NULL AS BIGINT) AS bonus
+           FROM events WHERE ts < TIMESTAMP '2024-01-15'
+           UNION ALL
+           SELECT event_type, CAST(floor(value) AS BIGINT),
+             user_id * 7 + event_id % 13
+           FROM events WHERE ts >= TIMESTAMP '2024-01-15')
          GROUP BY event_type ORDER BY event_type""",
     "ql15_bloom_lookup" ->
       """SELECT event_id, event_type, user_id,

@@ -66,6 +66,31 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(AtomicAppend.read(spark, path).count() == 3)
   }
 
+  test("vacuum retention keeps exactly the promised feed windows") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("cf-vacuum").toString
+    def batch(b: Int) = (0 until 30).map(i => (b * 30L + i, s"b$b")).toDF("id", "tag")
+    AtomicAppend.append(batch(0), path, batchId = Some(0L)) // v0
+    AtomicAppend.append(batch(1), path, batchId = Some(1L)) // v1
+    AtomicAppend.append(batch(2), path, batchId = Some(2L)) // v2
+    AtomicAppend.compact(spark, path)                       // v3: fold {3}
+    AtomicAppend.append(batch(3), path, batchId = Some(9L)) // v4: {3,9}
+    // retain the newest 2 versions (v3, v4): batches 0,1,2 retire, and
+    // with them every version that referenced them
+    AtomicAppend.vacuum(spark, path, retainVersions = 2)
+    assert(AtomicAppend.versions(spark, path) == Seq(3L, 4L))
+    // (i) below retention: a feed from a vacuumed version fails loudly…
+    val e = intercept[IllegalArgumentException](
+      AtomicAppend.changesBetween(spark, path, 0L, 4L))
+    assert(e.getMessage.contains("no committed version 0") ||
+      e.getMessage.contains("vacuumed"))
+    // (ii) …and the retention boundary is exactly serviceable: the feed
+    // from the oldest retained version still works, fold contributing
+    // nothing and the post-fold append arriving whole
+    assert(rows(AtomicAppend.changesBetween(spark, path, 3L, 4L)) == rows(batch(3)))
+    assert(AtomicAppend.readAsOf(spark, path, 3L).count() == 90)
+  }
+
   test("refreshFromTable: late batches land, folds are free, replay is a no-op") {
     import spark.implicits._
     val work = TestFixtures.tmpDir("cf-ivm").toString

@@ -563,6 +563,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(repsTwo == repsFlat, "two-level candidate tier changed the dedup representatives")
   }
 
+  test("two-level accuracy contract: <=0.2% primary-assignment disagreement on clustered data") {
+    import spark.implicits._
+    // Planted fixture with real cluster structure (24 well-separated
+    // centers, tight noise) — the geometry an embedding corpus actually
+    // has, unlike the worst-case random fixture above. This pins the
+    // DOCUMENTED accuracy of the two-level tier (BENCH_STREAM's +0.07%
+    // kept-count delta) as a contract: a kernel edit that degrades
+    // coarse routing past 0.2% disagreement fails loudly here.
+    val rnd = new scala.util.Random(7)
+    val d = 16
+    val centers = Array.fill(24, d)(rnd.nextGaussian() * 10.0)
+    val planted = (0 until 2400).map { i =>
+      val c = centers(i % 24)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val root = TestFixtures.tmpDir("ivf-twolevel-acc").toString
+    IvfIndex.build(planted, "vec_id", "embedding", root, numCentroids = 24)
+    def primary(coarse: Int) = IvfIndex.assignCellsMulti(planted, "vec_id", "embedding",
+        root, nProbe = 1, coarseProbes = coarse)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getSeq[Int](r.fieldIndex("cells")).head).toMap
+    val flat = primary(0)
+    val two = primary(2) // G = round(sqrt(24)) = 5 coarse groups; probe 2
+    val disagree = flat.count { case (id, cell) => two(id) != cell }
+    info(f"two-level primary disagreement on planted data: $disagree/${flat.size}")
+    assert(disagree.toDouble / flat.size <= 0.002,
+      s"two-level tier degraded: $disagree/${flat.size} primary assignments diverge (>0.2%)")
+  }
+
   test("two-level matrix kernel is bit-identical to the two-level literal kernel") {
     // assignCellsMulti(coarseProbes>0) routes through
     // TwoLevelNearestCellsExpression since round 13; the historical
