@@ -47,8 +47,13 @@ import graft.runtime.{GraftSession, Tables}
   *      end to end at 1×/4×/8× corpus: proves the composition scales,
   *      not just the kernels.
   *
+  *   6. highd_assign — the d=1536 × C=2048 flat-vs-two-level assignment
+  *      reading (ProfileAssign's measured-crossover honesty), regenerated
+  *      per round so the claim stays standing evidence.
+  *
   * Usage: runMain graft.tools.ScaleBench [sfDir] [outJson] [legs]
-  * (`legs` = comma-set of text,boiler,semantic,ann,pipeline; default all).
+  * (`legs` = comma-set of text,boiler,semantic,ann,pipeline,highd;
+  * default all).
   * Writes the result table to `outJson` (default docs/BENCH_SCALE.json)
   * and prints each row as it lands.
   */
@@ -114,7 +119,7 @@ object ScaleBench {
     val outJson = args.lift(1).getOrElse("docs/BENCH_SCALE.json")
     // dev iteration: arg 3 selects legs, e.g. "ann" or "text,boiler"
     val legs = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("text", "boiler", "semantic", "ann", "contract", "pipeline"))
+      .getOrElse(Set("text", "boiler", "semantic", "ann", "contract", "pipeline", "highd"))
     val load0 = graft.Bench.loadavg()
     val spark = GraftSession.get("scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -374,6 +379,41 @@ object ScaleBench {
         f""""pipeline_sec":$t%.2f,"docs_per_sec":${(m("corpus") / t).toLong},""" +
         s""""near_deduped":${m("near_dedup")},"gated":${m("repetition")},""" +
         s""""packed":${m("packed")}}""")
+    }
+
+    // --- 7. highd_assign: the d=1536 × C=2048 assignment-kernel
+    //     reading regenerated per round (the ProfileAssign scaladoc's
+    //     measured-crossover honesty as standing evidence, not a
+    //     one-off): at a 25 MB centroid matrix the per-row sweep is
+    //     memory-bandwidth-bound and the flat kernel's sequential access
+    //     can beat the two-level tier's scattered member order despite
+    //     ~4× fewer doubles touched. Kernel cost is independent of
+    //     centroid QUALITY, so centroids are sampled corpus vectors —
+    //     no k-means fit inflates the leg; warm = second run.
+    if (legs("highd")) {
+      val (dHi, cHi, nHi, gHi) = (1536, 2048, 20000, 11) // g ≈ √C/4, ProfileAssign's dial
+      val hi = spark.range(nHi).select(F.col("id"),
+        F.expr(s"transform(sequence(1, $dHi), " +
+          "x -> cast(pmod(xxhash64(id, x), 2001) as double) / 1000.0 - 1.0)")
+          .as("vec"))
+        .repartition(32).cache()
+      hi.count()
+      val cents: Seq[(Int, Array[Double])] = hi.filter(F.col("id") < cHi).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+      def runFlat(): Unit = IvfIndex.assignCellsMultiExpr(hi, "id", "vec", cents, 2)
+        .select(F.sum(F.col("cells").getItem(0))).head()
+      val (centers, grouping, p) = IvfIndex.twoLevelStructure(cents, gHi, 2)
+      def runTwo(): Unit = hi
+        .withColumn("cells", graft.plans.TwoLevelNearestCellsExpression.column(
+          F.col("vec"), cents, centers, grouping, p, 2))
+        .select(F.sum(F.col("cells").getItem(0))).head()
+      val (fc, _) = time(runFlat()); val (fw, _) = time(runFlat())
+      val (tc, _) = time(runTwo()); val (tw, _) = time(runTwo())
+      emit(s"""{"leg":"highd_assign","n_vecs":$nHi,"dims":$dHi,"cells":$cHi,""" +
+        s""""coarse_probes":$gHi,""" +
+        f""""flat_cold_sec":$fc%.2f,"flat_warm_sec":$fw%.2f,""" +
+        f""""two_cold_sec":$tc%.2f,"two_warm_sec":$tw%.2f}""")
+      hi.unpersist()
     }
 
     val doc = s"""{"metric":"scale_crossover","unit":"sec","sf_dir":"$sfDir",""" +
