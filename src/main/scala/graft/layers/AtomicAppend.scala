@@ -424,7 +424,9 @@ object AtomicAppend {
     * crashed fold healed by a later append logs one entry that both
     * removes and adds batches — cannot be split into "replaced" vs
     * "new" from ids alone, so it FAILS actionably instead of re-emitting
-    * folded rows as inserts; vacuumed ranges fail the same way. Returns
+    * folded rows as inserts; vacuumed ranges and `rewrite` commits
+    * ([[deleteWhere]]/[[updateWhere]] — rows removed or changed, which
+    * an insert-only delta cannot represent) fail the same way. Returns
     * rows from `(fromVersion, toVersion]`.
     */
   def changesBetween(spark: SparkSession, basePath: String,
@@ -453,6 +455,11 @@ object AtomicAppend {
               "re-bootstrap this consumer from readAsOf")
           added ++= (newIds -- prevIds).toSeq.sorted
         case "fold" => () // content-preserving: no delta
+        case "rewrite" => throw new IllegalArgumentException(
+          s"version $v of $basePath is a copy-on-write rewrite " +
+            "(deleteWhere/updateWhere): rows were removed or changed, which an " +
+            "insert-only change feed cannot represent — re-bootstrap this " +
+            "consumer from readAsOf")
         case other => throw new IllegalArgumentException(
           s"version $v of $basePath has unknown commit kind '$other'")
       }
@@ -666,6 +673,131 @@ object AtomicAppend {
     f.delete(tmp, true)
     logCommit(spark, basePath, ids, kind = "fold")
     Some(ids)
+  }
+
+  // ------------------------------------------------- copy-on-write rewrite
+
+  /** Copy-on-write `DELETE ... WHERE` (Delta DELETE's role): removes
+    * every row where `predicate` is TRUE (false and NULL rows stay —
+    * SQL DELETE semantics), rewriting ONLY the batches whose zone maps
+    * / blooms cannot prove the predicate empty. At 100 TB a selective
+    * delete on a clustered column rewrites the matching z-range batch
+    * dirs, never the table — the same [[BatchStats]] pruning that
+    * serves reads decides the write set. Returns
+    * (rewritten ids, replacement ids); a batch whose every row matched
+    * is simply dropped from the manifest (no empty dir).
+    *
+    * Atomicity is the fold discipline: replacements land unmarked under
+    * new ids, are pre-marked, and ONE manifest flip retires every
+    * rewritten id — a reader at any instant sees the table before or
+    * after the whole delete, never a partial one. The commit logs kind
+    * `rewrite`: an insert-only change feed crossing it FAILS actionably
+    * ([[changesBetween]]) — rows were removed, which an insert-only
+    * delta cannot represent; consumers re-bootstrap from [[readAsOf]].
+    * Replaced dirs stay for time travel until [[vacuum]]. Single
+    * maintainer per table, like every commit protocol in the engine.
+    */
+  def deleteWhere(spark: SparkSession, basePath: String,
+      predicate: Column): (Seq[Long], Seq[Long]) =
+    rewriteWhere(spark, basePath, predicate, identity, keepMatches = false)
+
+  /** Copy-on-write `UPDATE ... SET ... WHERE` (Delta UPDATE's role):
+    * rows where `predicate` is TRUE get each `assignments` column
+    * replaced; all other rows (false and NULL) pass through unchanged.
+    * Touched-batch selection, atomicity, feed semantics, and vacuum
+    * interplay are exactly [[deleteWhere]]'s. Returns
+    * (rewritten ids, replacement ids).
+    */
+  def updateWhere(spark: SparkSession, basePath: String, predicate: Column,
+      assignments: Map[String, Column]): (Seq[Long], Seq[Long]) = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val transform: DataFrame => DataFrame = df => {
+      assignments.keys.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
+        s"updateWhere assigns unknown column '$c' (table has ${df.columns.mkString(",")})"))
+      df.select(df.columns.toSeq.map { c =>
+        assignments.find(_._1.equalsIgnoreCase(c)) match {
+          case Some((_, v)) =>
+            F.when(F.coalesce(predicate, F.lit(false)), v).otherwise(F.col(c)).as(c)
+          case None => F.col(c)
+        }
+      }: _*)
+    }
+    rewriteWhere(spark, basePath, predicate, transform, keepMatches = true)
+  }
+
+  /** Shared copy-on-write core: prune the batch set under `predicate`
+    * (uncertain batches rewrite — conservative), rewrite each touched
+    * batch (delete drops matching rows; update transforms them), and
+    * flip visibility once.
+    */
+  private def rewriteWhere(spark: SparkSession, basePath: String, predicate: Column,
+      transform: DataFrame => DataFrame, keepMatches: Boolean): (Seq[Long], Seq[Long]) = {
+    val f = fs(spark, basePath)
+    val live = committedIds(spark, basePath)
+    if (live.isEmpty) return (Seq.empty, Seq.empty)
+    val (touched, untouched) = pruneBatches(spark, basePath, predicate)
+    if (touched.isEmpty) return (Seq.empty, Seq.empty) // provably no matching row
+    val partCols: Seq[String] =
+      storedPartSchema(spark, basePath).map(_.fieldNames.toSeq).getOrElse {
+        // pre-_PARTSCHEMA partitioned tables: the partition columns are
+        // whatever a batch read carries beyond the logged file schema —
+        // a replacement MUST keep the table's layout or a later anchored
+        // multi-dir read trips on conflicting directory structures
+        storedSchema(spark, basePath).fold(Seq.empty[String]) { s =>
+          scanDirs(spark, basePath, Seq(new Path(s"$basePath/_batch=${touched.head}")))
+            .columns.filterNot(c => s.fieldNames.exists(_.equalsIgnoreCase(c))).toSeq
+        }
+      }
+    // sidecar contract of the ORIGINALS carries over to the replacements
+    def statsColsOf(id: Long): Seq[String] =
+      BatchStats.read(f, new Path(s"$basePath/_batch=$id"))
+        .map(_.cols.keys.toSeq.sorted).getOrElse(Nil)
+    def bloomColsOf(id: Long): Seq[String] =
+      BatchBloom.readNames(f, new Path(s"$basePath/_batch=$id")).toSeq.sorted
+    var nextId = live.max + 1
+    val replaced = Seq.newBuilder[Long]
+    val replacements = Seq.newBuilder[Long]
+    touched.foreach { id =>
+      val one = scanDirs(spark, basePath, Seq(new Path(s"$basePath/_batch=$id")))
+      val rewritten =
+        if (keepMatches) transform(one)
+        else one.filter(!F.coalesce(predicate, F.lit(false))) // NULL predicate keeps the row
+      val newId = nextId
+      val dest = new Path(s"$basePath/_batch=$newId")
+      if (f.exists(dest)) f.delete(dest, true) // crashed prior attempt's debris
+      val writer = rewritten.write.mode("overwrite")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(dest.toString)
+      // a delete that emptied the batch: drop the id, keep no empty dir
+      val landed = scala.util.Try(spark.read.option("basePath", basePath)
+        .parquet(dest.toString).drop("_batch")).toOption
+      val survivors = landed.map(_.count()).getOrElse(0L)
+      if (survivors == 0L) { f.delete(dest, true); replaced += id }
+      else {
+        landed.foreach { l =>
+          val sc = statsColsOf(id)
+          val stats = Option.when(sc.nonEmpty)(BatchStats.compute(l, sc))
+          stats.foreach(BatchStats.write(f, dest, _))
+          val bc = bloomColsOf(id)
+          if (bc.nonEmpty)
+            BatchBloom.write(f, dest,
+              BatchBloom.compute(l, bc, stats.map(_.rows).getOrElse(survivors)))
+        }
+        nextId += 1
+        replaced += id
+        replacements += newId
+      }
+    }
+    val newIds = replacements.result()
+    // same flip discipline as the folds: upgrade a marker table first,
+    // pre-mark the (invisible) replacements, flip once
+    if (manifestIds(spark, basePath).isEmpty)
+      commitManifest(spark, basePath, live)
+    newIds.foreach(id => f.create(new Path(s"$basePath/_batch=$id/$Marker"), true).close())
+    val after = (live.filterNot(replaced.result().contains) ++ newIds).sorted
+    commitManifest(spark, basePath, after)
+    logCommit(spark, basePath, after, kind = "rewrite")
+    (replaced.result(), newIds)
   }
 
   /** Delete batch directories no longer in the manifest (replaced by a

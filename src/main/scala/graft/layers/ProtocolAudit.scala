@@ -28,16 +28,19 @@ object ProtocolAudit {
   /** Order-insensitive multiset digest: (row count, sum of per-row
     * `xxhash64 mod p`). Deterministic across runs, partitionings, and
     * task orders — xxhash64 is seed-fixed and the sum is associative/
-    * commutative. Terms are reduced mod a 30-bit prime BEFORE summing
-    * so the Long sum cannot overflow below ~2^33 rows: ANSI mode
-    * (Spark 4's default) turns sum overflow into an error, and a
-    * tripwire that can itself blow up is worse than none.
+    * commutative; columns hash in NAME order so two frames with the
+    * same content but different column order digest identically (the
+    * driver's compare sorts columns the same way). Terms are reduced
+    * mod a 30-bit prime BEFORE summing so the Long sum cannot overflow
+    * below ~2^33 rows: ANSI mode (Spark 4's default) turns sum overflow
+    * into an error, and a tripwire that can itself blow up is worse
+    * than none.
     */
   def digest(df: DataFrame): (Long, Long) = {
     val row = df.select(
       F.count(F.lit(1)),
       F.coalesce(F.sum(F.pmod(
-        F.xxhash64(df.columns.map(F.col).toSeq: _*), F.lit(1000000007L))), F.lit(0L))).head()
+        F.xxhash64(df.columns.sorted.map(F.col).toSeq: _*), F.lit(1000000007L))), F.lit(0L))).head()
     (row.getLong(0), row.getLong(1))
   }
 

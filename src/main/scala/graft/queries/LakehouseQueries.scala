@@ -459,6 +459,72 @@ object LakehouseQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // COPY-ON-WRITE DELETE through the batch protocol (Delta DELETE's
+    // role): three ts-sliced appends land with (user_id, value) zone
+    // maps, a z-order fold tightens the ranges, then deleteWhere removes
+    // a selective two-column slice — the SAME pruning that serves reads
+    // picks the write set, so only the matching z-range batches rewrite
+    // (RewriteSpec pins the untouched ids). The oracle applies SQL
+    // DELETE semantics directly (keep rows where the predicate is not
+    // true); the ProtocolAudit tripwire proves the rewritten table ≡
+    // that filter IN THIS ENVIRONMENT before the payload aggregates.
+    "ql18_delete_where" -> ((s, d) => {
+      val aa = graft.layers.AtomicAppend
+      val base = Scratch.dir("graft-ql18-") + "/events"
+      val fact = ev(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+      val cols = Seq("user_id", "value")
+      val day11 = F.to_timestamp(F.lit("2024-01-11"))
+      val day21 = F.to_timestamp(F.lit("2024-01-21"))
+      aa.append(fact.filter(F.col("ts") < day11), base,
+        batchId = Some(0L), statsCols = cols)
+      aa.append(fact.filter(F.col("ts") >= day11 && F.col("ts") < day21), base,
+        batchId = Some(1L), statsCols = cols)
+      aa.append(fact.filter(F.col("ts") >= day21), base,
+        batchId = Some(2L), statsCols = cols)
+      aa.compactClustered(s, base, Seq("user_id", "value"), numBatches = 8,
+        statsCols = cols)
+      val pred = F.col("user_id") >= 3L && F.col("user_id") < 7L &&
+        F.col("value") >= 200.0
+      aa.deleteWhere(s, base, pred)
+      graft.layers.ProtocolAudit.assertTableContent(s, base,
+        fact.filter(!F.coalesce(pred, F.lit(false))), "ql18")
+      aa.read(s, base)
+        .groupBy("event_type")
+        .agg(
+          F.count(F.lit(1)).as("n_events"),
+          F.countDistinct("user_id").as("n_users"),
+          F.sum(F.floor(F.col("value")).cast("long")).as("sum_v"))
+        .orderBy("event_type")
+    }),
+
+    // COPY-ON-WRITE UPDATE (Delta UPDATE's role): flag high-value events
+    // in place — matching rows get event_type rewritten, FALSE/NULL rows
+    // pass through — then aggregate BY the rewritten column so the
+    // update's effect is the payload. The oracle computes the same
+    // transform as a CASE projection over the raw table.
+    "ql19_update_where" -> ((s, d) => {
+      val aa = graft.layers.AtomicAppend
+      val base = Scratch.dir("graft-ql19-") + "/events"
+      val fact = ev(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+      val day15 = F.to_timestamp(F.lit("2024-01-15"))
+      aa.append(fact.filter(F.col("ts") < day15), base,
+        batchId = Some(0L), statsCols = Seq("value"))
+      aa.append(fact.filter(F.col("ts") >= day15), base,
+        batchId = Some(1L), statsCols = Seq("value"))
+      aa.updateWhere(s, base, F.col("value") >= 400.0,
+        Map("event_type" -> F.lit("flagged")))
+      graft.layers.ProtocolAudit.assertTableContent(s, base,
+        fact.withColumn("event_type",
+          F.when(F.col("value") >= 400.0, "flagged").otherwise(F.col("event_type"))),
+        "ql19")
+      aa.read(s, base)
+        .groupBy("event_type")
+        .agg(
+          F.count(F.lit(1)).as("n_events"),
+          F.sum(F.floor(F.col("value")).cast("long")).as("sum_v"))
+        .orderBy("event_type")
+    }),
+
     // latest_metrics shape: single-row global metrics + alert ladder.
     "ql04_latest_metrics" -> ((s, d) => {
       ev(s, d).agg(
@@ -693,6 +759,23 @@ object LakehouseQueries extends QueryPack {
            SELECT event_type, CAST(floor(value) AS BIGINT),
              user_id * 7 + event_id % 13
            FROM events WHERE ts >= TIMESTAMP '2024-01-15')
+         GROUP BY event_type ORDER BY event_type""",
+    "ql18_delete_where" ->
+      """SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           sum(CAST(floor(value) AS BIGINT)) AS sum_v
+         FROM events
+         WHERE NOT (user_id >= 3 AND user_id < 7 AND value >= 200.0)
+         GROUP BY event_type ORDER BY event_type""",
+    "ql19_update_where" ->
+      """SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(floor(value) AS BIGINT)) AS sum_v
+         FROM (
+           SELECT CASE WHEN value >= 400.0 THEN 'flagged'
+                       ELSE event_type END AS event_type, value
+           FROM events)
          GROUP BY event_type ORDER BY event_type""",
     "ql15_bloom_lookup" ->
       """SELECT event_id, event_type, user_id,
