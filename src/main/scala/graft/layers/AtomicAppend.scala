@@ -549,50 +549,79 @@ object AtomicAppend {
       minBatches: Int = 2): Option[Long] = {
     val live = committedIds(spark, basePath)
     if (live.size < minBatches) return None
+    Some(foldSubset(spark, basePath, live, live, partitionBy))
+  }
+
+  /** Incremental BIN-PACKING compaction (Delta OPTIMIZE's file-size
+    * role, the maintenance-cadence sibling of [[compact]]): folds ONLY
+    * the live batches whose directory weighs under `maxBytes`, leaving
+    * already-right-sized batches untouched — at 100 TB the table never
+    * pays an O(table) rewrite to absorb a day of small appends; each
+    * cycle costs O(small batches), and the steady state is a bounded
+    * batch count however long the append history grows. Zone maps fold
+    * exactly; the commit logs kind `fold` (content-preserving — a
+    * change feed crossing it emits nothing, same as a full fold).
+    * Returns the folded id, or None when fewer than `minBatches` small
+    * batches exist (nothing touched).
+    */
+  def compactSmall(spark: SparkSession, basePath: String, maxBytes: Long,
+      partitionBy: Seq[String] = Nil, minBatches: Int = 2): Option[Long] = {
+    val f = fs(spark, basePath)
+    val live = committedIds(spark, basePath)
+    val small = live.filter(id =>
+      scala.util.Try(f.getContentSummary(new Path(s"$basePath/_batch=$id")).getLength)
+        .toOption.exists(_ < maxBytes))
+    if (small.size < minBatches) return None
+    Some(foldSubset(spark, basePath, live, small, partitionBy))
+  }
+
+  /** The shared fold core: write `subset`'s rows as one new batch dir,
+    * carry the sidecars over (zone maps merge exactly — min of mins /
+    * max of maxes / summed nulls, no rescans; blooms recompute, bit
+    * arrays are sized per batch), pre-mark, and flip the manifest from
+    * `live` to `(live − subset) + folded` in ONE commit. Markers land
+    * BEFORE the flip: once a manifest exists it is authoritative
+    * (committedDirs never consults markers), so pre-marking changes
+    * nothing a reader can see — a marker-protocol table is first
+    * UPGRADED with a content-preserving manifest naming the current
+    * live set (marking first there would double the data for a
+    * concurrent marker-lister). A crash at any step leaves the old
+    * state live; the retry overwrites its own debris (the folded id
+    * derives from the live set, which a failed attempt never changed).
+    */
+  private def foldSubset(spark: SparkSession, basePath: String, live: Seq[Long],
+      subset: Seq[Long], partitionBy: Seq[String]): Long = {
     val f = fs(spark, basePath)
     val folded = live.max + 1
     val dir = new Path(s"$basePath/_batch=$folded")
     val writer = scanDirs(spark, basePath,
-        live.map(id => new Path(s"$basePath/_batch=$id")))
+        subset.map(id => new Path(s"$basePath/_batch=$id")))
       .write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dir.toString)
-    // zone maps fold for free — min of mins / max of maxes / summed null
-    // counts are EXACT for a content-preserving fold, no rescans; a live
-    // batch without stats just leaves the folded batch unprunable
-    val liveStats = live.map(id => BatchStats.read(f, new Path(s"$basePath/_batch=$id")))
-    if (liveStats.forall(_.isDefined))
-      BatchStats.write(f, dir, BatchStats.merge(liveStats.flatten))
-    // bloom sidecars do NOT merge (bit arrays are sized per batch) —
-    // recompute over the folded copy when every live batch carried one
-    // (names-only sidecar reads: deciding WHAT to recompute must not
-    // deserialize megabytes of sketches)
-    val liveBloomCols = live.map(id =>
+    val subsetStats = subset.map(id => BatchStats.read(f, new Path(s"$basePath/_batch=$id")))
+    if (subsetStats.forall(_.isDefined))
+      BatchStats.write(f, dir, BatchStats.merge(subsetStats.flatten))
+    // names-only sidecar reads: deciding WHAT to recompute must not
+    // deserialize megabytes of sketches
+    val subsetBloomCols = subset.map(id =>
       BatchBloom.readNames(f, new Path(s"$basePath/_batch=$id")))
-    if (liveBloomCols.nonEmpty && liveBloomCols.forall(_.nonEmpty)) {
-      val cols = liveBloomCols.reduce(_ intersect _).toSeq.sorted
+    if (subsetBloomCols.nonEmpty && subsetBloomCols.forall(_.nonEmpty)) {
+      val cols = subsetBloomCols.reduce(_ intersect _).toSeq.sorted
       if (cols.nonEmpty)
-        scala.util.Try(spark.read.parquet(dir.toString)).foreach { folded =>
-          val expected = if (liveStats.forall(_.isDefined))
-            liveStats.flatten.map(_.rows).sum.max(1L) else folded.count()
-          BatchBloom.write(f, dir, BatchBloom.compute(folded, cols, expected))
+        scala.util.Try(spark.read.parquet(dir.toString)).foreach { foldedDf =>
+          val expected = if (subsetStats.forall(_.isDefined))
+            subsetStats.flatten.map(_.rows).sum.max(1L) else foldedDf.count()
+          BatchBloom.write(f, dir, BatchBloom.compute(foldedDf, cols, expected))
         }
     }
-    // marker BEFORE the flip: once a manifest exists it is authoritative
-    // (committedDirs never consults markers), so pre-marking the folded
-    // dir changes nothing a reader can see — and a crash between flip
-    // and marker can no longer leave a committed batch that
-    // marker-resolving tooling misses. A MARKER-protocol table is first
-    // UPGRADED with a content-preserving manifest naming the current
-    // live set (flipping reader RESOLUTION, not content); marking first
-    // on such a table would double the data for a concurrent
-    // marker-lister.
     if (manifestIds(spark, basePath).isEmpty)
       commitManifest(spark, basePath, live)
     f.create(new Path(dir, Marker), true).close()
-    commitManifest(spark, basePath, Seq(folded)) // THE atomic visibility flip
-    logCommit(spark, basePath, Seq(folded), kind = "fold")
-    Some(folded)
+    val after = (live.filterNot(subset.contains) :+ folded).sorted
+    commitManifest(spark, basePath, after) // THE atomic visibility flip
+    logCommit(spark, basePath, after, kind = "fold")
+    folded
   }
 
   /** [[compact]] that additionally Z-ORDER CLUSTERS the fold

@@ -122,6 +122,30 @@ class FoldFuzzSpec extends AnyFunSuite {
     assert(!f.exists(tmp), "vacuum left _cluster_tmp behind")
   }
 
+  test("compactSmall folds only undersized batches; right-sized batches survive by identity") {
+    val base = TestFixtures.tmpDir("fuzz-small").toString + "/t"
+    def small(b: Int) = (0 until 50)
+      .map(i => (b * 1000L + i, (b * 1000L + i) % 977L, s"s$b")).toDF("id", "k", "tag")
+    val big = (100000 until 105000)
+      .map(i => (i.toLong, i % 977L, "big")).toDF("id", "k", "tag")
+    (0 to 3).foreach(b => AtomicAppend.append(small(b), base,
+      batchId = Some(b.toLong), statsCols = Seq("k")))
+    AtomicAppend.append(big, base, batchId = Some(8L), statsCols = Seq("k")) // v4
+    val all = (0 to 3).map(small).reduce(_ unionByName _).unionByName(big)
+    val folded = AtomicAppend.compactSmall(spark, base, maxBytes = 16 * 1024) // v5
+    assert(folded.nonEmpty)
+    // the big batch keeps its ORIGINAL id — its dir was never touched
+    assert(AtomicAppend.committedIds(spark, base) == Seq(8L, folded.get))
+    ProtocolAudit.assertTableContent(spark, base, all, "fuzz-small")
+    // the folded batch's merged zone map keeps the pruned read sound
+    ProtocolAudit.assertPrunedReadSound(spark, base, F.col("k") >= 900L, "fuzz-small")
+    // a partial fold is content-preserving: the feed across it is empty
+    val feed = AtomicAppend.changesBetween(spark, base, 4L, 5L)
+    assert(feed.count() == 0 && feed.columns.toSeq == Seq("id", "k", "tag"))
+    // steady state: one small batch left (the fold itself) < minBatches
+    assert(AtomicAppend.compactSmall(spark, base, maxBytes = 16 * 1024).isEmpty)
+  }
+
   test("partition columns bind under written types — '01' stays a string") {
     val base = TestFixtures.tmpDir("fuzz-part").toString + "/t"
     val df = Seq(("01", 1L), ("01", 2L), ("2", 3L)).toDF("p", "x")
