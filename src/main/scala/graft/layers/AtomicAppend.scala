@@ -117,6 +117,21 @@ object AtomicAppend {
     * discovery.
     */
   private def scanDirs(spark: SparkSession, basePath: String,
+      dirs: Seq[Path]): DataFrame =
+    scanDirs(spark, basePath, dirs, dvCurrent(fs(spark, basePath), basePath))
+
+  /** [[scanDirs]] under an explicit deletion-vector generation — what
+    * [[readAsOf]] and the change feeds use to reconstruct the masking in
+    * force AT a version rather than now.
+    */
+  private def scanDirs(spark: SparkSession, basePath: String,
+      dirs: Seq[Path], dv: Option[Long]): DataFrame =
+    applyDv(spark, basePath, scanRaw(spark, basePath, dirs), dv)
+
+  /** The physical scan, no deletion-vector masking — the positions
+    * source for [[deleteWhereMergeOnRead]].
+    */
+  private def scanRaw(spark: SparkSession, basePath: String,
       dirs: Seq[Path]): DataFrame = {
     val reader = spark.read.option("basePath", basePath)
     storedSchema(spark, basePath).foreach { s =>
@@ -264,14 +279,18 @@ object AtomicAppend {
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .orElse(versions(spark, basePath).lastOption)
 
-  /** One commit-log entry: the commit KIND and the live batch set after
-    * it. `append` commits add rows (the new batch dirs ARE the change
-    * feed); `fold` commits ([[compact]]/[[compactClustered]]) replace
-    * batches content-preservingly and contribute NOTHING to a change
-    * feed — which is why the kind must be logged, not inferred: an
-    * id-diff across a fold would re-emit the whole table.
+  /** One commit-log entry: the commit KIND, the live batch set after
+    * it, and the DELETION-VECTOR generation in force ([[dvCurrent]] at
+    * commit time — what [[readAsOf]] applies to reconstruct the version,
+    * None = no deletions masked). `append` commits add rows (the new
+    * batch dirs ARE the change feed); `fold` commits
+    * ([[compact]]/[[compactClustered]]) replace batches
+    * content-preservingly and contribute NOTHING to a change feed —
+    * which is why the kind must be logged, not inferred: an id-diff
+    * across a fold would re-emit the whole table. Serialized as
+    * `kind[@dv=<gen>]:id,id,…`; pre-DV entries parse with `dv = None`.
     */
-  private final case class VlogEntry(kind: String, ids: Seq[Long])
+  private final case class VlogEntry(kind: String, ids: Seq[Long], dv: Option[Long])
 
   private def vlogEntry(f: org.apache.hadoop.fs.FileSystem, basePath: String,
       v: Long): Option[VlogEntry] =
@@ -280,17 +299,74 @@ object AtomicAppend {
       val content =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      val (kind, csv) = content.split(":", 2) match {
+      val (kindPart, csv) = content.split(":", 2) match {
         case Array(k, rest) => (k, rest)
         case _ => ("append", content) // first-format entries were append-only
       }
+      val (kind, dv) = kindPart.split("@dv=", 2) match {
+        case Array(k, g) => (k, scala.util.Try(g.toLong).toOption)
+        case _ => (kindPart, None)
+      }
       Some(VlogEntry(kind,
         if (csv.isEmpty) Seq.empty
-        else csv.split(",").map(_.trim.toLong).toSeq.sorted))
+        else csv.split(",").map(_.trim.toLong).toSeq.sorted, dv))
     } catch { case _: java.io.FileNotFoundException => None }
 
   private def vlogIds(f: org.apache.hadoop.fs.FileSystem, basePath: String,
       v: Long): Option[Seq[Long]] = vlogEntry(f, basePath, v).map(_.ids)
+
+  // ------------------------------------------------------ deletion vectors
+
+  private val DvDir = "_DV"
+
+  private def dvGenPath(basePath: String, g: Long) = new Path(s"$basePath/$DvDir/gen=$g")
+
+  /** The deletion-vector generation currently in force (merge-on-read
+    * deletes' visibility pointer — flipping it IS the delete's atomic
+    * commit, exactly as the `_MANIFEST` flip is an append's). None = no
+    * deletions masked.
+    */
+  def dvCurrent(spark: SparkSession, basePath: String): Option[Long] =
+    dvCurrent(fs(spark, basePath), basePath)
+
+  private def dvCurrent(f: org.apache.hadoop.fs.FileSystem,
+      basePath: String): Option[Long] =
+    graft.runtime.PointerFile.read(f,
+      new Path(s"$basePath/$DvDir/CURRENT"), new Path(s"$basePath/$DvDir/CURRENT.tmp"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+
+  private def commitDvPointer(f: org.apache.hadoop.fs.FileSystem,
+      basePath: String, g: Long): Unit =
+    graft.runtime.PointerFile.commit(f,
+      new Path(s"$basePath/$DvDir/CURRENT"), new Path(s"$basePath/$DvDir/CURRENT.tmp"),
+      g.toString)
+
+  /** A generation's (file, position) tombstones. Schema:
+    * `__dv_file` string, `__dv_pos` long.
+    */
+  private def dvFrame(spark: SparkSession, basePath: String, g: Long): DataFrame =
+    spark.read.parquet(dvGenPath(basePath, g).toString)
+
+  /** Mask `df`'s rows whose (file, row-index) the generation tombstones —
+    * a BROADCAST anti-join keyed on parquet's own `_metadata` columns,
+    * so the big side never shuffles and deleted rows cost one hash probe
+    * per row. Positions are physical and immutable for committed batch
+    * files; tombstones referencing replaced (folded/rewritten) files
+    * match nothing, which is what makes folds MATERIALIZE deletions for
+    * free.
+    */
+  private def applyDv(spark: SparkSession, basePath: String, df: DataFrame,
+      dv: Option[Long]): DataFrame =
+    dv.fold(df) { g =>
+      require(fs(spark, basePath).exists(dvGenPath(basePath, g)),
+        s"deletion-vector generation $g of $basePath is missing (vacuumed while " +
+          "a version still references it?) — raise vacuum's retainVersions")
+      df.withColumn("__dv_file", F.col("_metadata.file_path"))
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        .join(F.broadcast(dvFrame(spark, basePath, g)),
+          Seq("__dv_file", "__dv_pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+    }
 
   /** Record the just-committed live batch set as the next table version
     * (one immutable `_VLOG/v=<n>` file — the commit-history half of the
@@ -302,8 +378,31 @@ object AtomicAppend {
     * state never appearing in history (every logged version IS a state
     * the table actually held).
     */
+  /** The latest version after adopting any orphan entries (see
+    * [[logCommit]]), paired with the pointer's pre-adoption value.
+    */
+  private def adoptedLatest(f: org.apache.hadoop.fs.FileSystem, spark: SparkSession,
+      basePath: String): (Option[Long], Option[Long]) = {
+    var latest = latestVersion(f, spark, basePath)
+    val pointed = latest
+    while (f.exists(vlogPath(basePath, latest.map(_ + 1).getOrElse(0L))))
+      latest = Some(latest.map(_ + 1).getOrElse(0L))
+    (latest, pointed)
+  }
+
+  /** The version the NEXT [[logCommit]] will assign, assuming it writes
+    * an entry (the single-maintainer contract makes this a guarantee for
+    * a commit that changes the live set). Lets a writer key a sidecar —
+    * e.g. a [[changeFeed]] change file — by version BEFORE the commit,
+    * so the sidecar is already in place when the version becomes
+    * observable.
+    */
+  private def nextVersion(f: org.apache.hadoop.fs.FileSystem, spark: SparkSession,
+      basePath: String): Long =
+    adoptedLatest(f, spark, basePath)._1.map(_ + 1).getOrElse(0L)
+
   private def logCommit(spark: SparkSession, basePath: String,
-      liveNow: Seq[Long], kind: String = "append"): Unit = {
+      liveNow: Seq[Long], kind: String = "append"): Long = {
     val f = fs(spark, basePath)
     // ADOPT any orphan entries a crash left un-pointered (the entry
     // rename landed, the LATEST update didn't): log entries are
@@ -313,18 +412,22 @@ object AtomicAppend {
     // batch set. The orphan names a state the table really committed
     // (logCommit runs after the visibility commit), so rolling the
     // pointer forward to it is the truthful heal.
-    var latest = latestVersion(f, spark, basePath)
-    val pointed = latest
-    while (f.exists(vlogPath(basePath, latest.map(_ + 1).getOrElse(0L))))
-      latest = Some(latest.map(_ + 1).getOrElse(0L))
+    val (latest, pointed) = adoptedLatest(f, spark, basePath)
     def healPointer(): Unit =
       if (latest != pointed) latest.foreach(v =>
         graft.runtime.PointerFile.commit(f,
           new Path(s"$basePath/$VlogDir/LATEST"), new Path(s"$basePath/$VlogDir/LATEST.tmp"),
           v.toString))
     val sorted = liveNow.sorted
-    if (latest.flatMap(vlogIds(f, basePath, _)).contains(sorted)) {
-      healPointer(); return // replay / adopted orphan: entry already live
+    val dvNow = dvCurrent(f, basePath)
+    // FULL-entry idempotency (kind + ids + dv), not ids alone: a
+    // merge-on-read delete changes the dv generation without touching
+    // the batch set, and an ids-only compare would silently swallow its
+    // log entry — losing the version time travel and the change feed key
+    // the delete's change file by
+    if (latest.flatMap(vlogEntry(f, basePath, _))
+        .contains(VlogEntry(kind, sorted, dvNow))) {
+      healPointer(); return latest.get // replay / adopted orphan: entry already live
     }
     // entry first, pointer second: a crash between the two leaves an
     // orphan the adoption above heals. The entry itself lands by
@@ -335,13 +438,15 @@ object AtomicAppend {
     val next = latest.map(_ + 1).getOrElse(0L)
     val tmp = new Path(s"$basePath/$VlogDir/v=$next.tmp")
     val out = f.create(tmp, true)
-    try out.write(s"$kind:${sorted.mkString(",")}".getBytes("UTF-8"))
+    try out.write((s"$kind${dvNow.map(g => s"@dv=$g").getOrElse("")}:" +
+      sorted.mkString(",")).getBytes("UTF-8"))
     finally out.close()
     val dest = vlogPath(basePath, next)
     require(f.rename(tmp, dest), s"failed to commit log entry $dest")
     graft.runtime.PointerFile.commit(f,
       new Path(s"$basePath/$VlogDir/LATEST"), new Path(s"$basePath/$VlogDir/LATEST.tmp"),
       next.toString)
+    next
   }
 
   /** The table as of commit `version` (TIME TRAVEL — Delta's
@@ -352,14 +457,16 @@ object AtomicAppend {
     */
   def readAsOf(spark: SparkSession, basePath: String, version: Long): DataFrame = {
     val f = fs(spark, basePath)
-    val ids = vlogIds(f, basePath, version).getOrElse(
+    val e = vlogEntry(f, basePath, version).getOrElse(
       throw new IllegalArgumentException(
         s"no committed version $version under $basePath " +
           s"(versions: ${versions(spark, basePath).mkString(",")})"))
-    val dirs = ids.map(id => new Path(s"$basePath/_batch=$id"))
+    val dirs = e.ids.map(id => new Path(s"$basePath/_batch=$id"))
     dirs.filterNot(f.exists) match {
       case Seq() if dirs.isEmpty => emptyFrame(spark, basePath)
-      case Seq() => scanDirs(spark, basePath, dirs)
+      // the deletion-vector generation in force AT the version, not now:
+      // rows merge-on-read-deleted later must still appear here
+      case Seq() => scanDirs(spark, basePath, dirs, e.dv)
       case gone => throw new IllegalArgumentException(
         s"version $version of $basePath references vacuumed batches " +
           s"${gone.map(_.getName).mkString(",")} — raise vacuum's retainVersions " +
@@ -405,7 +512,8 @@ object AtomicAppend {
     val f = fs(spark, basePath)
     versions(spark, basePath).map { v =>
       vlogEntry(f, basePath, v)
-        .map(e => s"v$v:${e.kind}{${e.ids.mkString(",")}}")
+        .map(e => s"v$v:${e.kind}${e.dv.map(g => s"@dv=$g").getOrElse("")}" +
+          s"{${e.ids.mkString(",")}}")
         .getOrElse(s"v$v:?")
     }.mkString(" ")
   }
@@ -440,7 +548,8 @@ object AtomicAppend {
           s"versions: ${versions(spark, basePath).mkString(",")})"))
     val window = versions(spark, basePath)
       .filter(v => v > fromVersion && v <= toVersion)
-    var prevIds = entry(fromVersion).ids.toSet
+    val start = entry(fromVersion)
+    var prevIds = start.ids.toSet
     val added = Seq.newBuilder[Long]
     window.foreach { v =>
       val e = entry(v)
@@ -455,11 +564,12 @@ object AtomicAppend {
               "re-bootstrap this consumer from readAsOf")
           added ++= (newIds -- prevIds).toSeq.sorted
         case "fold" => () // content-preserving: no delta
-        case "rewrite" => throw new IllegalArgumentException(
-          s"version $v of $basePath is a copy-on-write rewrite " +
-            "(deleteWhere/updateWhere): rows were removed or changed, which an " +
-            "insert-only change feed cannot represent — re-bootstrap this " +
-            "consumer from readAsOf")
+        case "rewrite" | "mordelete" => throw new IllegalArgumentException(
+          s"version $v of $basePath is a ${e.kind} commit " +
+            "(deleteWhere/updateWhere/deleteWhereMergeOnRead): rows were removed " +
+            "or changed, which an insert-only change feed cannot represent — " +
+            "consume the row-level feed (changeFeed) instead, or re-bootstrap " +
+            "from readAsOf")
         case other => throw new IllegalArgumentException(
           s"version $v of $basePath has unknown commit kind '$other'")
       }
@@ -468,11 +578,117 @@ object AtomicAppend {
     val dirs = added.result().map(id => new Path(s"$basePath/_batch=$id"))
     dirs.filterNot(f.exists) match {
       case Seq() if dirs.isEmpty => emptyFrame(spark, basePath) // empty delta
-      case Seq() => scanDirs(spark, basePath, dirs)
+      // the window crosses no mordelete (it throws above), so the dv
+      // generation in force is CONSTANT across it: the start entry's.
+      // (A clearing fold mid-window only un-masks files the window's
+      // appends never reference — a no-op on these dirs.)
+      case Seq() => scanDirs(spark, basePath, dirs, start.dv)
       case gone => throw new IllegalArgumentException(
         s"the change feed $fromVersion→$toVersion of $basePath references " +
           s"vacuumed batches ${gone.map(_.getName).mkString(",")} — raise " +
           "vacuum's retainVersions or re-bootstrap the consumer")
+    }
+  }
+
+  // ------------------------------------------------ row-level change feed
+
+  private val CdfDir = "_CDF"
+
+  private def cdfPath(basePath: String, v: Long) = new Path(s"$basePath/$CdfDir/v=$v")
+
+  /** The ROW-LEVEL change feed — Delta CDF's `table_changes` role, the
+    * full-fidelity sibling of the insert-only [[changesBetween]]: every
+    * row changed in `(fromVersion, toVersion]`, tagged `_change_type` ∈
+    * {insert, delete, update_preimage, update_postimage} and
+    * `_commit_version`. `append` commits derive their insert rows from
+    * the commit log alone (the new batch dirs ARE the change set — zero
+    * write-side cost); `fold` commits are content-preserving and emit
+    * nothing; `rewrite` commits ([[deleteWhere]]/[[updateWhere]]) read
+    * the change file the rewrite published under `_CDF/v=<version>` —
+    * written change-set-sized at rewrite time, exactly like Delta's
+    * `_change_data` files, so a downstream incremental consumer costs
+    * O(changes), never O(table). Schema evolution across the window
+    * null-backfills (unionByName), matching the table's ADD-COLUMN
+    * semantics.
+    *
+    * Fails actionably (never silently wrong) on: a compound crash-healed
+    * commit, a vacuumed window, a pre-CDF or crash-stranded rewrite
+    * version with no change file.
+    *
+    * `fromVersion = -1` replays from the table's creation (every version
+    * contributes — Delta's `startingVersion = 0`); any other
+    * `fromVersion` must itself be a committed version, and the window is
+    * `(fromVersion, toVersion]`.
+    */
+  def changeFeed(spark: SparkSession, basePath: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changeFeed: fromVersion $fromVersion > toVersion $toVersion")
+    val f = fs(spark, basePath)
+    def entry(v: Long) = vlogEntry(f, basePath, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version $v under $basePath (vacuumed? " +
+          s"versions: ${versions(spark, basePath).mkString(",")})"))
+    val window = versions(spark, basePath)
+      .filter(v => v > fromVersion && v <= toVersion)
+    if (fromVersion < 0L) // full-history bootstrap needs the full history
+      versions(spark, basePath).headOption.foreach(first => require(first == 0L,
+        s"full-history feed of $basePath impossible: versions before $first " +
+          "were vacuumed — re-bootstrap this consumer from readAsOf"))
+    var prevIds =
+      if (fromVersion < 0L) Set.empty[Long]
+      else entry(fromVersion).ids.toSet
+    val slices = Seq.newBuilder[DataFrame]
+    window.foreach { v =>
+      val e = entry(v)
+      val newIds = e.ids.toSet
+      e.kind match {
+        case "append" =>
+          val removed = prevIds -- newIds
+          require(removed.isEmpty,
+            s"version $v of $basePath is a compound commit (an append entry " +
+              s"that also retires batches ${removed.toSeq.sorted.mkString(",")} — " +
+              "a crash-healed fold): its delta cannot be derived from ids; " +
+              "re-bootstrap this consumer from readAsOf")
+          val dirs = (newIds -- prevIds).toSeq.sorted
+            .map(id => new Path(s"$basePath/_batch=$id"))
+          dirs.filterNot(f.exists) match {
+            case Seq() => if (dirs.nonEmpty)
+              // rows as of THIS commit: the dv generation in force at v
+              // (a later merge-on-read delete re-emits its rows as
+              // `delete` changes — masking them here would lose them)
+              slices += scanDirs(spark, basePath, dirs, e.dv)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v))
+            case gone => throw new IllegalArgumentException(
+              s"the change feed $fromVersion→$toVersion of $basePath references " +
+                s"vacuumed batches ${gone.map(_.getName).mkString(",")} — raise " +
+                "vacuum's retainVersions or re-bootstrap the consumer")
+          }
+        case "fold" => () // content-preserving: no delta
+        case "rewrite" | "mordelete" =>
+          val dir = cdfPath(basePath, v)
+          if (!f.exists(dir)) throw new IllegalArgumentException(
+            s"${e.kind} version $v of $basePath has no change file under " +
+              s"$CdfDir (a pre-CDF rewrite, a vacuumed change file, or a " +
+              "crash before the sidecar published) — re-bootstrap this " +
+              "consumer from readAsOf")
+          // a rewrite whose predicate matched nothing in the uncertain
+          // batches publishes an EMPTY change file (just _SUCCESS):
+          // schema-less to parquet, but a valid empty delta
+          slices ++= scala.util.Try(spark.read.parquet(dir.toString)).toOption
+            .map(_.withColumn("_commit_version", F.lit(v)))
+        case other => throw new IllegalArgumentException(
+          s"version $v of $basePath has unknown commit kind '$other'")
+      }
+      prevIds = newIds
+    }
+    slices.result() match {
+      case Seq() =>
+        emptyFrame(spark, basePath)
+          .withColumn("_change_type", F.lit(null).cast("string"))
+          .withColumn("_commit_version", F.lit(null).cast("long"))
+      case some => some.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 
@@ -507,22 +723,31 @@ object AtomicAppend {
       // must already bind to a schema covering this batch's columns
       logSchema(spark, basePath, fileSchema)
       logPartSchema(spark, basePath, df, partitionBy)
-      val writer = df.write.mode("overwrite") // overwrite own dir = replay-safe mid-batch
+      // zone-map stats ride the write job itself (Dataset.observe —
+      // exactly-once per row, so they describe exactly the rows the
+      // write landed): an append with stats costs ONE job, not a write
+      // plus a read-back aggregate. At a steady small-append cadence
+      // that halves the job count per ingest trigger.
+      val obs = Option.when(statsCols.nonEmpty)(
+        (org.apache.spark.sql.Observation(s"graft-append-stats-$id"),
+          BatchStats.observationAggs(df, statsCols)))
+      val observed = obs.fold(df) { case (o, (_, aggs)) =>
+        df.observe(o, aggs.head, aggs.tail: _*)
+      }
+      val writer = observed.write.mode("overwrite") // overwrite own dir = replay-safe mid-batch
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(dir.toString)
-      // sidecars BEFORE the marker: a marker implies complete sidecars.
-      // Computed from a read-back of the landed batch (column-pruned to
-      // the sidecar columns), so they describe what is actually on
-      // disk; an empty batch has nothing to describe
-      if (statsCols.nonEmpty || bloomCols.nonEmpty)
+      // sidecars BEFORE the marker: a marker implies complete sidecars
+      val stats = obs.map { case (o, (fields, _)) =>
+        BatchStats.fromObserved(o.get, fields)
+      }
+      stats.foreach(BatchStats.write(f, dir, _))
+      // blooms still read back the landed batch (a bloom is an
+      // aggregation buffer, not an observable scalar), column-pruned
+      if (bloomCols.nonEmpty)
         scala.util.Try(spark.read.parquet(dir.toString)).foreach { landed =>
-          val stats = Option.when(statsCols.nonEmpty)(
-            BatchStats.compute(landed, statsCols))
-          stats.foreach(BatchStats.write(f, dir, _))
-          if (bloomCols.nonEmpty) {
-            val expected = stats.map(_.rows).getOrElse(landed.count())
-            BatchBloom.write(f, dir, BatchBloom.compute(landed, bloomCols, expected))
-          }
+          val expected = stats.map(_.rows).getOrElse(landed.count())
+          BatchBloom.write(f, dir, BatchBloom.compute(landed, bloomCols, expected))
         }
       f.create(marker, true).close()
     }
@@ -620,8 +845,20 @@ object AtomicAppend {
     f.create(new Path(dir, Marker), true).close()
     val after = (live.filterNot(subset.contains) :+ folded).sorted
     commitManifest(spark, basePath, after) // THE atomic visibility flip
+    // a FULL fold rewrote the masked scan — every tombstone is
+    // materialized, so reset the dv pointer and let new reads skip the
+    // (now no-op) anti-join; a PARTIAL fold keeps it: untouched batches
+    // still need masking. A reader between the flip and the reset
+    // applies the stale generation to the folded files — a no-op, the
+    // tombstones name replaced files.
+    if (subset.toSet == live.toSet) dvClear(f, basePath)
     logCommit(spark, basePath, after, kind = "fold")
     folded
+  }
+
+  private def dvClear(f: org.apache.hadoop.fs.FileSystem, basePath: String): Unit = {
+    f.delete(new Path(s"$basePath/$DvDir/CURRENT"), false)
+    f.delete(new Path(s"$basePath/$DvDir/CURRENT.tmp"), false)
   }
 
   /** [[compact]] that additionally Z-ORDER CLUSTERS the fold
@@ -700,11 +937,23 @@ object AtomicAppend {
     ids.foreach(id => f.create(new Path(s"$basePath/_batch=$id/$Marker"), true).close())
     commitManifest(spark, basePath, ids) // THE atomic visibility flip, k-way
     f.delete(tmp, true)
+    dvClear(f, basePath) // always a full fold: every tombstone materialized
     logCommit(spark, basePath, ids, kind = "fold")
     Some(ids)
   }
 
   // ------------------------------------------------- copy-on-write rewrite
+
+  /** The change feed reserves `_change_type`/`_commit_version`; a row
+    * operation on a table that carries either as DATA would emit an
+    * ambiguous feed.
+    */
+  private def requireNoReservedCols(spark: SparkSession, basePath: String): Unit =
+    storedSchema(spark, basePath).foreach(s =>
+      Seq("_change_type", "_commit_version").foreach(r =>
+        require(!s.fieldNames.exists(_.equalsIgnoreCase(r)),
+          s"table $basePath has a column named '$r', which the change feed " +
+            "reserves — rename it before using row-level deletes/updates")))
 
   /** Copy-on-write `DELETE ... WHERE` (Delta DELETE's role): removes
     * every row where `predicate` is TRUE (false and NULL rows stay —
@@ -728,7 +977,79 @@ object AtomicAppend {
     */
   def deleteWhere(spark: SparkSession, basePath: String,
       predicate: Column): (Seq[Long], Seq[Long]) =
-    rewriteWhere(spark, basePath, predicate, identity, keepMatches = false)
+    rewriteWhere(spark, basePath, predicate, identity, keepMatches = false,
+      changeRows = df => df.filter(F.coalesce(predicate, F.lit(false)))
+        .withColumn("_change_type", F.lit("delete")))
+
+  /** MERGE-ON-READ `DELETE ... WHERE` — Delta deletion vectors' role,
+    * the write-cheap sibling of [[deleteWhere]]: instead of rewriting
+    * every touched batch, record the matching rows' (file, row-index)
+    * positions as TOMBSTONES in a new deletion-vector generation and
+    * atomically flip the `_DV/CURRENT` pointer. A selective delete on a
+    * 100 TB table writes kilobytes of positions, never rewrites
+    * gigabytes of data; every reader masks tombstoned rows with a
+    * BROADCAST anti-join on parquet's own `_metadata` (file_path,
+    * row_index) — physical, immutable coordinates for committed batch
+    * files, so the big side never shuffles. Generations are CUMULATIVE:
+    * one read joins exactly one generation however many deletes accrued.
+    * Folds MATERIALIZE tombstones for free (they rewrite the masked
+    * scan; a full fold resets the pointer), so the standing maintenance
+    * cadence bounds the mask's size; [[vacuum]] reclaims unreferenced
+    * generations. SQL DELETE semantics (TRUE rows die, FALSE and NULL
+    * rows stay). The commit logs kind `mordelete` carrying the
+    * generation (time travel reconstructs each version under the mask in
+    * force THEN), publishes the deleted rows as `delete` rows for
+    * [[changeFeed]], and fails [[changesBetween]] actionably. Returns
+    * the number of rows tombstoned (0 = nothing matched, nothing
+    * committed). Single maintainer per table, like every commit protocol
+    * in the engine.
+    */
+  def deleteWhereMergeOnRead(spark: SparkSession, basePath: String,
+      predicate: Column): Long = {
+    val f = fs(spark, basePath)
+    val live = committedIds(spark, basePath)
+    if (live.isEmpty) return 0L
+    requireNoReservedCols(spark, basePath)
+    val (touched, _) = pruneBatches(spark, basePath, predicate)
+    if (touched.isEmpty) return 0L // provably no matching row
+    val cur = dvCurrent(f, basePath)
+    // positions of the matching rows, masked by the CURRENT generation —
+    // an already-deleted row must not re-tombstone or re-feed
+    val pos = scanRaw(spark, basePath,
+        touched.map(id => new Path(s"$basePath/_batch=$id")))
+      .withColumn("__dv_file", F.col("_metadata.file_path"))
+      .withColumn("__dv_pos", F.col("_metadata.row_index"))
+    val visible = cur.fold(pos)(g =>
+      pos.join(F.broadcast(dvFrame(spark, basePath, g)),
+        Seq("__dv_file", "__dv_pos"), "left_anti"))
+    val matched = visible.filter(F.coalesce(predicate, F.lit(false)))
+    val n = matched.count()
+    if (n == 0L) return 0L
+    val gen = cur.map(_ + 1).getOrElse(0L)
+    val genDir = dvGenPath(basePath, gen)
+    if (f.exists(genDir)) f.delete(genDir, true) // crashed prior attempt's debris
+    // positions-only, one file: the mask is selective by contract (a
+    // delete too big to broadcast belongs to copy-on-write deleteWhere)
+    cur.fold(matched.select("__dv_file", "__dv_pos"))(g =>
+        dvFrame(spark, basePath, g)
+          .unionByName(matched.select("__dv_file", "__dv_pos")))
+      .distinct().coalesce(1)
+      .write.mode("overwrite").parquet(genDir.toString)
+    // the change file, keyed by the version this commit WILL get
+    val v = nextVersion(f, spark, basePath)
+    val cdfDest = cdfPath(basePath, v)
+    if (f.exists(cdfDest)) f.delete(cdfDest, true)
+    matched.drop("__dv_file", "__dv_pos")
+      .withColumn("_change_type", F.lit("delete"))
+      .write.mode("overwrite").parquet(cdfDest.toString)
+    commitDvPointer(f, basePath, gen) // THE atomic visibility flip
+    val logged = logCommit(spark, basePath, live, kind = "mordelete")
+    require(logged == v, s"merge-on-read delete of $basePath committed as " +
+      s"version $logged but its change file was keyed $v — a concurrent " +
+      "writer broke the single-maintainer contract; the change file for " +
+      "this version is wrong")
+    n
+  }
 
   /** Copy-on-write `UPDATE ... SET ... WHERE` (Delta UPDATE's role):
     * rows where `predicate` is TRUE get each `assignments` column
@@ -751,19 +1072,37 @@ object AtomicAppend {
         }
       }: _*)
     }
-    rewriteWhere(spark, basePath, predicate, transform, keepMatches = true)
+    rewriteWhere(spark, basePath, predicate, transform, keepMatches = true,
+      changeRows = df => {
+        val matched = df.filter(F.coalesce(predicate, F.lit(false)))
+        matched.withColumn("_change_type", F.lit("update_preimage"))
+          .unionByName(transform(matched)
+            .withColumn("_change_type", F.lit("update_postimage")))
+      })
   }
 
   /** Shared copy-on-write core: prune the batch set under `predicate`
     * (uncertain batches rewrite — conservative), rewrite each touched
-    * batch (delete drops matching rows; update transforms them), and
-    * flip visibility once.
+    * batch (delete drops matching rows; update transforms them), publish
+    * the [[changeFeed]] change file, and flip visibility once.
+    *
+    * The change file (`changeRows` over exactly the touched batches —
+    * change-set-sized, one job) lands under `_CDF/v=<version>` BEFORE
+    * the flip, keyed by [[nextVersion]] (exact under the protocol's
+    * single-maintainer contract): by the time the version is observable
+    * its change file already is too. A crash before the flip leaves only
+    * scratch the retry overwrites; a crash between the flip and the log
+    * entry is the standing skipped-state heal ([[logCommit]]) — the
+    * rewrite version never enters history, and its stranded change file
+    * is [[vacuum]]'s to reclaim.
     */
   private def rewriteWhere(spark: SparkSession, basePath: String, predicate: Column,
-      transform: DataFrame => DataFrame, keepMatches: Boolean): (Seq[Long], Seq[Long]) = {
+      transform: DataFrame => DataFrame, keepMatches: Boolean,
+      changeRows: DataFrame => DataFrame): (Seq[Long], Seq[Long]) = {
     val f = fs(spark, basePath)
     val live = committedIds(spark, basePath)
     if (live.isEmpty) return (Seq.empty, Seq.empty)
+    requireNoReservedCols(spark, basePath)
     val (touched, untouched) = pruneBatches(spark, basePath, predicate)
     if (touched.isEmpty) return (Seq.empty, Seq.empty) // provably no matching row
     val partCols: Seq[String] =
@@ -794,30 +1133,42 @@ object AtomicAppend {
       val newId = nextId
       val dest = new Path(s"$basePath/_batch=$newId")
       if (f.exists(dest)) f.delete(dest, true) // crashed prior attempt's debris
-      val writer = rewritten.write.mode("overwrite")
+      // survivor count AND replacement zone map ride the rewrite job
+      // itself (Dataset.observe, same discipline as [[append]]) — no
+      // read-back count, no read-back stats aggregate
+      val sc = statsColsOf(id)
+      val obs = org.apache.spark.sql.Observation(s"graft-rewrite-$newId")
+      val (fields, aggs) = BatchStats.observationAggs(rewritten, sc)
+      val writer = rewritten.observe(obs, aggs.head, aggs.tail: _*)
+        .write.mode("overwrite")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(dest.toString)
+      val stats = BatchStats.fromObserved(obs.get, fields)
       // a delete that emptied the batch: drop the id, keep no empty dir
-      val landed = scala.util.Try(spark.read.option("basePath", basePath)
-        .parquet(dest.toString).drop("_batch")).toOption
-      val survivors = landed.map(_.count()).getOrElse(0L)
-      if (survivors == 0L) { f.delete(dest, true); replaced += id }
+      if (stats.rows == 0L) { f.delete(dest, true); replaced += id }
       else {
-        landed.foreach { l =>
-          val sc = statsColsOf(id)
-          val stats = Option.when(sc.nonEmpty)(BatchStats.compute(l, sc))
-          stats.foreach(BatchStats.write(f, dest, _))
-          val bc = bloomColsOf(id)
-          if (bc.nonEmpty)
-            BatchBloom.write(f, dest,
-              BatchBloom.compute(l, bc, stats.map(_.rows).getOrElse(survivors)))
-        }
+        if (sc.nonEmpty) BatchStats.write(f, dest, stats)
+        val bc = bloomColsOf(id)
+        if (bc.nonEmpty) // blooms are aggregation buffers: one pruned read-back
+          scala.util.Try(spark.read.option("basePath", basePath)
+            .parquet(dest.toString).drop("_batch")).foreach { landed =>
+            BatchBloom.write(f, dest, BatchBloom.compute(landed, bc, stats.rows))
+          }
         nextId += 1
         replaced += id
         replacements += newId
       }
     }
     val newIds = replacements.result()
+    // the change file: changeRows over exactly the touched batches, one
+    // change-set-sized job, keyed by the version this commit WILL get —
+    // in place before the flip makes that version observable
+    val v = nextVersion(f, spark, basePath)
+    val cdfDest = cdfPath(basePath, v)
+    if (f.exists(cdfDest)) f.delete(cdfDest, true) // crashed prior attempt's debris
+    changeRows(scanDirs(spark, basePath,
+        touched.map(id => new Path(s"$basePath/_batch=$id"))))
+      .write.mode("overwrite").parquet(cdfDest.toString)
     // same flip discipline as the folds: upgrade a marker table first,
     // pre-mark the (invisible) replacements, flip once
     if (manifestIds(spark, basePath).isEmpty)
@@ -825,7 +1176,10 @@ object AtomicAppend {
     newIds.foreach(id => f.create(new Path(s"$basePath/_batch=$id/$Marker"), true).close())
     val after = (live.filterNot(replaced.result().contains) ++ newIds).sorted
     commitManifest(spark, basePath, after)
-    logCommit(spark, basePath, after, kind = "rewrite")
+    val logged = logCommit(spark, basePath, after, kind = "rewrite")
+    require(logged == v, s"rewrite of $basePath committed as version $logged " +
+      s"but its change file was keyed $v — a concurrent writer broke the " +
+      "single-maintainer contract; the change file for this version is wrong")
     (replaced.result(), newIds)
   }
 
@@ -873,6 +1227,33 @@ object AtomicAppend {
         vs.dropRight(math.max(0, retainVersions))
           .filter(v => vlogIds(f, basePath, v).exists(_.exists(deadSet.contains)))
           .foreach(v => f.delete(vlogPath(basePath, v), false))
+      }
+      // change files of versions no longer in the log (retired above, or
+      // stranded by a rewrite that crashed between flip and log entry)
+      // go with them — the feed window and the time-travel window shrink
+      // together
+      val cdfRoot = new Path(s"$basePath/$CdfDir")
+      if (f.exists(cdfRoot)) {
+        val surviving = versions(spark, basePath).toSet
+        f.listStatus(cdfRoot).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+          .filterNot(st => scala.util.Try(st.getPath.getName.stripPrefix("v=").toLong)
+            .toOption.exists(surviving.contains))
+          .foreach(st => f.delete(st.getPath, true))
+      }
+      // deletion-vector generations referenced by NO surviving version
+      // and not in force now (retired entries' masks, a full fold's
+      // reset, a crashed delete's debris) go the same way
+      val dvRoot = new Path(s"$basePath/$DvDir")
+      if (f.exists(dvRoot)) {
+        val referenced = versions(spark, basePath)
+          .flatMap(v => vlogEntry(f, basePath, v).flatMap(_.dv)).toSet ++
+          dvCurrent(f, basePath)
+        f.listStatus(dvRoot).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+          .filterNot(st => scala.util.Try(st.getPath.getName.stripPrefix("gen=").toLong)
+            .toOption.exists(referenced.contains))
+          .foreach(st => f.delete(st.getPath, true))
       }
       dead.sorted
     }

@@ -456,6 +456,39 @@ private[graft] object BatchStats {
     Stats(rows, cols)
   }
 
+  /** The aggregate columns for computing Stats DURING a write job via
+    * `Dataset.observe` — the zero-extra-pass sibling of [[compute]]:
+    * Delta computes file stats inside its writer, and observed metrics
+    * are the Spark-native way to do the same without abandoning the
+    * plain parquet write (exactly-once per row by the Observation
+    * contract, so the stats describe exactly the rows the write landed).
+    * Returns (the stats-capable fields, the named metric columns);
+    * decode the finished query's metric map with [[fromObserved]].
+    */
+  def observationAggs(df: DataFrame, cols: Seq[String]): (Seq[StructField], Seq[Column]) = {
+    val fields = statsFields(df, cols)
+    val aggs = F.count(F.lit(1)).as("__rows") +: fields.zipWithIndex.flatMap {
+      case (f, i) => Seq(
+        F.min(F.col(f.name)).as(s"__min$i"),
+        F.max(F.col(f.name)).as(s"__max$i"),
+        F.count(F.col(f.name)).as(s"__cnt$i"))
+    }
+    (fields, aggs)
+  }
+
+  /** Decode an `Observation.get` metric map produced by
+    * [[observationAggs]]' columns into Stats.
+    */
+  def fromObserved(metrics: Map[String, Any], fields: Seq[StructField]): Stats = {
+    val rows = metrics("__rows").asInstanceOf[Long]
+    val cols = fields.zipWithIndex.map { case (f, i) =>
+      val nonNull = metrics(s"__cnt$i").asInstanceOf[Long]
+      f.name -> ColStats(familyOf(f.dataType).get, rows - nonNull,
+        normExternal(metrics(s"__min$i")), normExternal(metrics(s"__max$i")))
+    }.toMap
+    Stats(rows, cols)
+  }
+
   /** [[compute]] per group in ONE aggregate pass — the clustered
     * compaction's stats: one job over the freshly-written fold, however
     * many z-range batches it produced. `groupCol` must be integral.

@@ -525,6 +525,86 @@ object LakehouseQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // ROW-LEVEL CHANGE DATA FEED (Delta CDF's `table_changes` role, the
+    // full-fidelity sibling of ql16's insert-only feed): three appends,
+    // a copy-on-write UPDATE, then a DELETE — and the feed over the full
+    // window (-1 → latest) replays every change tagged with its
+    // _change_type. The payload aggregates the feed per change_type, so
+    // a wrong preimage, a missed postimage, or a re-emitted fold row all
+    // hash-diverge. The oracle rebuilds the same feed relationally:
+    // inserts = the raw rows, update pre/post = the UPDATE's match set
+    // before/after assignment, deletes = the DELETE's match set over the
+    // post-update image (the engine's feed must reflect the same
+    // ordering of the two rewrites). cents = scaledLong(value, 2) —
+    // one IEEE multiply + floor, the QueryPack fixed-point contract, so
+    // every measure is BIGINT end to end.
+    "ql20_change_feed_rows" -> ((s, d) => {
+      val aa = graft.layers.AtomicAppend
+      val base = Scratch.dir("graft-ql20-") + "/events"
+      val fact = ev(s, d).select(
+        F.col("event_id"), F.col("ts"), F.col("user_id"), F.col("event_type"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").as("cents"))
+      val cols = Seq("user_id", "cents")
+      val day11 = F.to_timestamp(F.lit("2024-01-11"))
+      val day21 = F.to_timestamp(F.lit("2024-01-21"))
+      aa.append(fact.filter(F.col("ts") < day11), base,
+        batchId = Some(0L), statsCols = cols)
+      aa.append(fact.filter(F.col("ts") >= day11 && F.col("ts") < day21), base,
+        batchId = Some(1L), statsCols = cols)
+      aa.append(fact.filter(F.col("ts") >= day21), base,
+        batchId = Some(2L), statsCols = cols)
+      aa.updateWhere(s, base,
+        F.col("event_type") === "click" && F.col("cents") < 5000L,
+        Map("cents" -> (F.col("cents") + 7L)))
+      aa.deleteWhere(s, base, F.col("user_id") % 10L === 3L)
+      val latest = aa.versions(s, base).last
+      aa.changeFeed(s, base, -1L, latest)
+        .groupBy(F.col("_change_type").as("change_type"))
+        .agg(
+          F.count(F.lit(1)).as("n_rows"),
+          F.sum("cents").as("sum_cents"),
+          F.countDistinct("user_id").as("n_users"),
+          F.countDistinct("event_id").as("n_ids"))
+        .orderBy("change_type")
+    }),
+
+    // MERGE-ON-READ DELETE (Delta deletion vectors' role): the first
+    // delete writes POSITIONS only (no batch rewrites — the mask is a
+    // broadcast anti-join on parquet _metadata), the clustered fold then
+    // MATERIALIZES the mask and resets it, a second delete masks the
+    // clustered batches, and the payload reads through batch pruning AND
+    // the live mask at once. The oracle is the equivalent sequential
+    // filter; ProtocolAudit proves content equality IN THIS ENVIRONMENT
+    // before the payload aggregates, so a divergence names the batch.
+    "ql21_mor_delete" -> ((s, d) => {
+      val aa = graft.layers.AtomicAppend
+      val base = Scratch.dir("graft-ql21-") + "/events"
+      val fact = ev(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+      val cols = Seq("user_id", "value")
+      val day11 = F.to_timestamp(F.lit("2024-01-11"))
+      val day21 = F.to_timestamp(F.lit("2024-01-21"))
+      aa.append(fact.filter(F.col("ts") < day11), base,
+        batchId = Some(0L), statsCols = cols)
+      aa.append(fact.filter(F.col("ts") >= day11 && F.col("ts") < day21), base,
+        batchId = Some(1L), statsCols = cols)
+      aa.append(fact.filter(F.col("ts") >= day21), base,
+        batchId = Some(2L), statsCols = cols)
+      aa.deleteWhereMergeOnRead(s, base, F.col("user_id") % 7L === 2L)
+      aa.compactClustered(s, base, Seq("user_id", "value"), numBatches = 8,
+        statsCols = cols)
+      aa.deleteWhereMergeOnRead(s, base, F.col("value") >= 900.0)
+      val kept = !(F.col("user_id") % 7L === 2L) && !(F.col("value") >= 900.0)
+      graft.layers.ProtocolAudit.assertTableContent(s, base,
+        fact.filter(kept), "ql21")
+      aa.read(s, base, F.col("user_id") >= 3L && F.col("user_id") < 60L)
+        .groupBy("event_type")
+        .agg(
+          F.count(F.lit(1)).as("n_events"),
+          F.countDistinct("user_id").as("n_users"),
+          F.sum(F.floor(F.col("value")).cast("long")).as("sum_v"))
+        .orderBy("event_type")
+    }),
+
     // latest_metrics shape: single-row global metrics + alert ladder.
     "ql04_latest_metrics" -> ((s, d) => {
       ev(s, d).agg(
@@ -777,6 +857,42 @@ object LakehouseQueries extends QueryPack {
                        ELSE event_type END AS event_type, value
            FROM events)
          GROUP BY event_type ORDER BY event_type""",
+    "ql21_mor_delete" ->
+      """SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           sum(CAST(floor(value) AS BIGINT)) AS sum_v
+         FROM events
+         WHERE user_id >= 3 AND user_id < 60
+           AND NOT (user_id % 7 = 2) AND NOT (value >= 900.0)
+         GROUP BY event_type ORDER BY event_type""",
+    "ql20_change_feed_rows" ->
+      """WITH t AS (
+           SELECT event_id, user_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         u AS (SELECT * FROM t WHERE event_type = 'click' AND cents < 5000),
+         t2 AS (
+           SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'click' AND cents < 5000
+                  THEN cents + 7 ELSE cents END AS cents
+           FROM t),
+         d AS (SELECT * FROM t2 WHERE user_id % 10 = 3),
+         feed AS (
+           SELECT 'insert' AS change_type, event_id, user_id, cents FROM t
+           UNION ALL
+           SELECT 'update_preimage', event_id, user_id, cents FROM u
+           UNION ALL
+           SELECT 'update_postimage', event_id, user_id, cents + 7 FROM u
+           UNION ALL
+           SELECT 'delete', event_id, user_id, cents FROM d)
+         SELECT change_type,
+           count(*) AS n_rows,
+           sum(cents) AS sum_cents,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_id) AS n_ids
+         FROM feed
+         GROUP BY change_type ORDER BY change_type""",
     "ql15_bloom_lookup" ->
       """SELECT event_id, event_type, user_id,
            CAST(floor(value) AS BIGINT) AS v
