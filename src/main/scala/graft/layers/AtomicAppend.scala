@@ -564,9 +564,9 @@ object AtomicAppend {
               "re-bootstrap this consumer from readAsOf")
           added ++= (newIds -- prevIds).toSeq.sorted
         case "fold" => () // content-preserving: no delta
-        case "rewrite" | "mordelete" => throw new IllegalArgumentException(
-          s"version $v of $basePath is a ${e.kind} commit " +
-            "(deleteWhere/updateWhere/deleteWhereMergeOnRead): rows were removed " +
+        case "rewrite" | "mordelete" | "merge" => throw new IllegalArgumentException(
+          s"version $v of $basePath is a ${e.kind} commit (deleteWhere/" +
+            "updateWhere/deleteWhereMergeOnRead/mergeInto): rows were removed " +
             "or changed, which an insert-only change feed cannot represent — " +
             "consume the row-level feed (changeFeed) instead, or re-bootstrap " +
             "from readAsOf")
@@ -666,7 +666,7 @@ object AtomicAppend {
                 "vacuum's retainVersions or re-bootstrap the consumer")
           }
         case "fold" => () // content-preserving: no delta
-        case "rewrite" | "mordelete" =>
+        case "rewrite" | "mordelete" | "merge" =>
           val dir = cdfPath(basePath, v)
           if (!f.exists(dir)) throw new IllegalArgumentException(
             s"${e.kind} version $v of $basePath has no change file under " +
@@ -1079,6 +1079,174 @@ object AtomicAppend {
           .unionByName(transform(matched)
             .withColumn("_change_type", F.lit("update_postimage")))
       })
+  }
+
+  /** MERGE INTO for batch tables — Delta MERGE's role, the upsert of
+    * the DML trio: rows of `source` matching a table row on `keys` take
+    * the source's values for every non-key source column (and are
+    * DELETED when `deleteWhen` fires on the matched pair — `WHEN MATCHED
+    * AND cond THEN DELETE`); unmatched source rows INSERT; everything
+    * else survives by identity.
+    *
+    * The WRITE SET is pruned by the SOURCE'S OWN KEYS: a single-key
+    * source with at most `maxInKeys` distinct keys prunes with an exact
+    * `IN` (zone maps AND blooms bite); larger or composite keys prune
+    * with per-column [min, max] ranges. On a table z-order-clustered by
+    * the merge keys, a narrow upsert therefore rewrites the few matching
+    * z-range batches, never the table — batches the pruning PROVES
+    * key-free are untouched by identity, which is also what makes the
+    * result correct with one join: a match can only live in a touched
+    * batch. The touched set merges in ONE full-outer reconstruction
+    * ([[Merge.merge]] — duplicate source keys fail loudly) and lands as
+    * ONE new batch whose zone map rides the write job; sidecar columns
+    * carry over as the intersection of the touched batches' contracts.
+    *
+    * Publishes update_preimage / update_postimage / insert (and
+    * `delete`, under `deleteWhen`) rows to the [[changeFeed]] change
+    * file, change-set-sized; the commit logs kind `merge`
+    * ([[changesBetween]] fails actionably). Atomicity is the fold
+    * discipline: one manifest flip retires every touched id. With
+    * `allowSchemaEvolution` source-only columns append to the table
+    * schema (older rows null-backfill, the ADD-COLUMN path). Returns
+    * (replaced batch ids, the new batch id); an empty source is a no-op
+    * `(Nil, None)`; a source with no possible match (empty table, or
+    * pruning proves every batch key-free) commits a plain insert append.
+    * Single maintainer per table, like every commit protocol here.
+    */
+  def mergeInto(spark: SparkSession, basePath: String, source: DataFrame,
+      keys: Seq[String], deleteWhen: Option[Column] = None,
+      allowSchemaEvolution: Boolean = false,
+      maxInKeys: Int = 1024): (Seq[Long], Option[Long]) = {
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    keys.foreach(k => require(source.columns.contains(k),
+      s"mergeInto key '$k' is not a source column (${source.columns.mkString(",")})"))
+    val f = fs(spark, basePath)
+    val live = committedIds(spark, basePath)
+    if (live.isEmpty) // first write: everything inserts
+      return (Seq.empty, append(source, basePath))
+    requireNoReservedCols(spark, basePath)
+    val src = source.cache()
+    try {
+      // one batch-sized aggregate decides the pruning shape: row count,
+      // per-key [min, max], and (single key) the distinct-key count
+      val aggs = F.count(F.lit(1)).as("__n") +:
+        keys.flatMap(k => Seq(F.min(F.col(k)), F.max(F.col(k)))) :+
+        (if (keys.size == 1) F.countDistinct(F.col(keys.head))
+         else F.lit(0L)).as("__d")
+      val row = src.agg(aggs.head, aggs.tail: _*).head()
+      if (row.getLong(0) == 0L) return (Seq.empty, None) // empty source: no-op
+      val ranges = keys.zipWithIndex.flatMap { case (k, i) =>
+        val (mn, mx) = (row.get(1 + 2 * i), row.get(2 + 2 * i))
+        Option.when(mn != null && mx != null)(
+          F.col(k) >= F.lit(mn) && F.col(k) <= F.lit(mx))
+      }
+      val touched =
+        if (ranges.size < keys.size) Seq.empty[Long] // an all-null key: no match can exist
+        else {
+          val pred =
+            if (keys.size == 1 && row.getLong(row.length - 1) <= maxInKeys) {
+              val ks = src.select(keys.head).distinct().collect()
+                .map(_.get(0)).filter(_ != null)
+              F.col(keys.head).isin(ks.toIndexedSeq: _*)
+            } else ranges.reduce(_ && _)
+          pruneBatches(spark, basePath, pred)._1
+        }
+      if (touched.isEmpty) // provably no match anywhere: a pure insert
+        return (Seq.empty, append(src, basePath))
+
+      val touchedDf = scanDirs(spark, basePath,
+        touched.map(id => new Path(s"$basePath/_batch=$id")))
+      val merged = Merge.merge(touchedDf, src, keys, deleteWhen,
+        allowSchemaEvolution = allowSchemaEvolution)
+      val partCols: Seq[String] =
+        storedPartSchema(spark, basePath).map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+      // sidecar contract: the intersection of the touched batches'
+      // columns (the fold's carry-over rule), restricted to what the
+      // merged frame still has
+      val statsCols = touched.map(id => BatchStats.read(f,
+          new Path(s"$basePath/_batch=$id"))
+          .map(_.cols.keySet).getOrElse(Set.empty[String]))
+        .reduce(_ intersect _).toSeq.sorted
+        .filter(c => merged.columns.contains(c))
+      val bloomCols = touched.map(id => BatchBloom.readNames(f,
+          new Path(s"$basePath/_batch=$id")))
+        .reduce(_ intersect _).toSeq.sorted
+        .filter(c => merged.columns.contains(c))
+      val newId = live.max + 1
+      val dest = new Path(s"$basePath/_batch=$newId")
+      if (f.exists(dest)) f.delete(dest, true) // crashed prior attempt's debris
+      // schema BEFORE visibility, as in [[append]] — evolution included
+      logSchema(spark, basePath, org.apache.spark.sql.types.StructType(
+        merged.schema.fields.filterNot(fd =>
+          partCols.exists(_.equalsIgnoreCase(fd.name)))))
+      val obs = org.apache.spark.sql.Observation(s"graft-merge-$newId")
+      val (fields, oAggs) = BatchStats.observationAggs(merged, statsCols)
+      val writer = merged.observe(obs, oAggs.head, oAggs.tail: _*)
+        .write.mode("overwrite")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(dest.toString)
+      val stats = BatchStats.fromObserved(obs.get, fields)
+      if (statsCols.nonEmpty) BatchStats.write(f, dest, stats)
+      if (bloomCols.nonEmpty)
+        scala.util.Try(spark.read.option("basePath", basePath)
+          .parquet(dest.toString).drop("_batch")).foreach { landed =>
+          BatchBloom.write(f, dest, BatchBloom.compute(landed, bloomCols, stats.rows))
+        }
+      // the change file: preimages/postimages for matched pairs, deletes
+      // under deleteWhen, inserts for source-only keys — shaped to the
+      // merged schema, change-set-sized, keyed by the version this
+      // commit WILL get
+      val v = nextVersion(f, spark, basePath)
+      val cdfDest = cdfPath(basePath, v)
+      if (f.exists(cdfDest)) f.delete(cdfDest, true)
+      mergeChangeRows(touchedDf, src, keys, deleteWhen, merged.schema)
+        .write.mode("overwrite").parquet(cdfDest.toString)
+      if (manifestIds(spark, basePath).isEmpty)
+        commitManifest(spark, basePath, live)
+      f.create(new Path(dest, Marker), true).close()
+      val after = (live.filterNot(touched.contains) :+ newId).sorted
+      commitManifest(spark, basePath, after) // THE atomic visibility flip
+      val logged = logCommit(spark, basePath, after, kind = "merge")
+      require(logged == v, s"merge into $basePath committed as version $logged " +
+        s"but its change file was keyed $v — a concurrent writer broke the " +
+        "single-maintainer contract; the change file for this version is wrong")
+      (touched, Some(newId))
+    } finally src.unpersist()
+  }
+
+  /** [[mergeInto]]'s change rows: one inner join gives the matched
+    * pairs (preimage from the target side, postimage with the source's
+    * values winning, `delete` when `deleteWhen` fires), one anti-join
+    * gives the inserts; every row shaped to `outSchema` with typed null
+    * backfill for columns a side lacks.
+    */
+  private def mergeChangeRows(target: DataFrame, source: DataFrame,
+      keys: Seq[String], deleteWhen: Option[Column],
+      outSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val updateCols = source.columns.filterNot(keys.contains).toSet
+    val targetCols = target.columns.toSet
+    val t = target.as("t")
+    val s = source.as("s")
+    val cond = keys.map(k => F.col(s"t.$k") === F.col(s"s.$k")).reduce(_ && _)
+    val matched = t.join(s, cond, "inner")
+    val delCond = deleteWhen.map(c => F.coalesce(c, F.lit(false)))
+      .getOrElse(F.lit(false))
+    def shaped(from: String => Option[Column]): Seq[Column] =
+      outSchema.fields.toSeq.map(fd =>
+        from(fd.name).getOrElse(F.lit(null).cast(fd.dataType)).as(fd.name))
+    val pre = matched
+      .select(shaped(c => Option.when(targetCols.contains(c))(F.col(s"t.$c"))) :+
+        F.when(delCond, "delete").otherwise("update_preimage").as("_change_type"): _*)
+    val post = matched.filter(!delCond)
+      .select(shaped { c =>
+        if (updateCols.contains(c)) Some(F.col(s"s.$c"))
+        else Option.when(targetCols.contains(c))(F.col(s"t.$c"))
+      } :+ F.lit("update_postimage").as("_change_type"): _*)
+    val ins = source
+      .join(target.select(keys.map(F.col): _*), keys, "left_anti")
+      .select(shaped(c => Option.when(source.columns.contains(c))(F.col(c))) :+
+        F.lit("insert").as("_change_type"): _*)
+    pre.unionByName(post).unionByName(ins)
   }
 
   /** Shared copy-on-write core: prune the batch set under `predicate`

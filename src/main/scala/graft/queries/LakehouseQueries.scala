@@ -605,6 +605,42 @@ object LakehouseQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // MERGE INTO through the batch protocol (Delta MERGE's role): the
+    // target is a per-user summary appended in three user-ranged batches
+    // (tight zone maps + blooms on the key), the source is a later date
+    // slice whose keys map to [50,99] evens (updates) or +10000 (inserts)
+    // — so key pruning rewrites ONLY the middle batch while the other two
+    // survive by identity, and unmatched keys insert. The payload is the
+    // WHOLE merged table; the oracle is DuckDB's full-outer
+    // reconstruction with source-wins coalesce. All-BIGINT measures.
+    "ql22_merge_into" -> ((s, d) => {
+      val aa = graft.layers.AtomicAppend
+      val base = Scratch.dir("graft-ql22-") + "/users"
+      val day21 = F.to_timestamp(F.lit("2024-01-21"))
+      val target = ev(s, d).filter(F.col("ts") < day21)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.floor(F.col("value")).cast("long")).as("sv"))
+      aa.append(target.filter(F.col("user_id") < 50L), base,
+        batchId = Some(0L), statsCols = Seq("user_id"), bloomCols = Seq("user_id"))
+      aa.append(target.filter(F.col("user_id") >= 50L && F.col("user_id") < 100L),
+        base, batchId = Some(1L), statsCols = Seq("user_id"), bloomCols = Seq("user_id"))
+      aa.append(target.filter(F.col("user_id") >= 100L), base,
+        batchId = Some(2L), statsCols = Seq("user_id"), bloomCols = Seq("user_id"))
+      val source = ev(s, d).filter(F.col("ts") >= day21)
+        .withColumn("user_id",
+          F.when(F.col("user_id") >= 50L && F.col("user_id") < 100L &&
+            F.col("user_id") % 2L === 0L, F.col("user_id"))
+            .otherwise(F.col("user_id") + 10000L))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.floor(F.col("value")).cast("long")).as("sv"))
+      aa.mergeInto(s, base, source, Seq("user_id"))
+      aa.read(s, base)
+        .select("user_id", "n", "sv")
+        .orderBy("user_id")
+    }),
+
     // latest_metrics shape: single-row global metrics + alert ladder.
     "ql04_latest_metrics" -> ((s, d) => {
       ev(s, d).agg(
@@ -857,6 +893,22 @@ object LakehouseQueries extends QueryPack {
                        ELSE event_type END AS event_type, value
            FROM events)
          GROUP BY event_type ORDER BY event_type""",
+    "ql22_merge_into" ->
+      """WITH t AS (
+           SELECT user_id, count(*) AS n,
+             sum(CAST(floor(value) AS BIGINT)) AS sv
+           FROM events WHERE ts < TIMESTAMP '2024-01-21' GROUP BY user_id),
+         s AS (
+           SELECT CASE WHEN user_id >= 50 AND user_id < 100 AND user_id % 2 = 0
+                       THEN user_id ELSE user_id + 10000 END AS user_id,
+             count(*) AS n,
+             sum(CAST(floor(value) AS BIGINT)) AS sv
+           FROM events WHERE ts >= TIMESTAMP '2024-01-21' GROUP BY 1)
+         SELECT coalesce(s.user_id, t.user_id) AS user_id,
+           coalesce(s.n, t.n) AS n,
+           coalesce(s.sv, t.sv) AS sv
+         FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+         ORDER BY user_id""",
     "ql21_mor_delete" ->
       """SELECT event_type,
            count(*) AS n_events,
