@@ -240,6 +240,87 @@ object AtomicAppend {
         merged.json)
   }
 
+  // -------------------------------------------------------- CHECK constraints
+
+  /** The table's CHECK constraints (Delta `ALTER TABLE … ADD CONSTRAINT
+    * … CHECK`'s role): name → SQL boolean expression, enforced on every
+    * row-adding write. SQL CHECK semantics: a row violates only when the
+    * expression is FALSE — NULL passes (write `x IS NOT NULL` to forbid
+    * nulls).
+    */
+  def checkConstraints(spark: SparkSession, basePath: String): Map[String, String] =
+    graft.runtime.PointerFile.read(fs(spark, basePath),
+      new Path(s"$basePath/_CONSTRAINTS"), new Path(s"$basePath/_CONSTRAINTS.tmp"))
+      .map(_.split("\n").filter(_.nonEmpty).map { line =>
+        val Array(n, sql) = line.split("\t", 2)
+        n -> sql
+      }.toMap).getOrElse(Map.empty)
+
+  private def commitConstraints(spark: SparkSession, basePath: String,
+      cs: Map[String, String]): Unit =
+    graft.runtime.PointerFile.commit(fs(spark, basePath),
+      new Path(s"$basePath/_CONSTRAINTS"), new Path(s"$basePath/_CONSTRAINTS.tmp"),
+      cs.toSeq.sortBy(_._1).map { case (n, sql) => s"$n\t$sql" }.mkString("\n"))
+
+  /** Add a CHECK constraint. EXISTING rows are validated first (one
+    * scan — Delta's discipline: a constraint the current data violates
+    * must not be added), then the constraint pointer flips; every
+    * subsequent row-adding write ([[append]], [[updateWhere]],
+    * [[mergeInto]]) enforces it AT ZERO EXTRA COST — the violation count
+    * rides the write job's observation, and a violating write deletes
+    * its own (never-visible) batch dir and throws before the commit.
+    */
+  def addCheckConstraint(spark: SparkSession, basePath: String,
+      name: String, sqlExpr: String): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"constraint name '$name' must be alphanumeric/_/-")
+    require(!sqlExpr.contains("\n") && !sqlExpr.contains("\t"),
+      "constraint expression must be a single line")
+    readIfExists(spark, basePath).foreach { existing =>
+      val bad = existing.filter(!F.coalesce(F.expr(sqlExpr).cast("boolean"),
+        F.lit(true))).count()
+      require(bad == 0L,
+        s"cannot add CHECK constraint '$name' CHECK ($sqlExpr) to $basePath: " +
+          s"$bad existing rows violate it")
+    }
+    commitConstraints(spark, basePath,
+      checkConstraints(spark, basePath) + (name -> sqlExpr))
+  }
+
+  /** Drop a CHECK constraint by name (unknown names fail actionably). */
+  def dropCheckConstraint(spark: SparkSession, basePath: String, name: String): Unit = {
+    val cs = checkConstraints(spark, basePath)
+    require(cs.contains(name),
+      s"no CHECK constraint '$name' on $basePath (has: ${cs.keys.toSeq.sorted.mkString(",")})")
+    commitConstraints(spark, basePath, cs - name)
+  }
+
+  /** Violation-count metric columns for a write's observation — one
+    * `count(expr IS FALSE)` per constraint, names stable for
+    * [[requireNoViolations]].
+    */
+  private def constraintAggs(cs: Map[String, String]): Seq[Column] =
+    cs.toSeq.sortBy(_._1).map { case (n, sql) =>
+      F.count(F.when(!F.coalesce(F.expr(sql).cast("boolean"), F.lit(true)),
+        F.lit(1))).as(s"__ck_$n")
+    }
+
+  /** Enforce observed constraint counts for a just-written batch dir:
+    * on violation, delete the (never-visible) dir and throw.
+    */
+  private def requireNoViolations(f: org.apache.hadoop.fs.FileSystem, dir: Path,
+      basePath: String, cs: Map[String, String], metrics: Map[String, Any]): Unit = {
+    val bad = cs.toSeq.sortBy(_._1).flatMap { case (n, sql) =>
+      val v = metrics(s"__ck_$n").asInstanceOf[Long]
+      Option.when(v > 0L)(s"'$n' CHECK ($sql): $v rows")
+    }
+    if (bad.nonEmpty) {
+      f.delete(dir, true) // the batch never became visible
+      throw new IllegalArgumentException(
+        s"write to $basePath rejected by CHECK constraints — ${bad.mkString("; ")}")
+    }
+  }
+
   /** Ids of the committed batches at `basePath` (sorted ascending) — the
     * manifest when the table has one, the marker listing otherwise.
     */
@@ -570,6 +651,9 @@ object AtomicAppend {
             "or changed, which an insert-only change feed cannot represent — " +
             "consume the row-level feed (changeFeed) instead, or re-bootstrap " +
             "from readAsOf")
+        case "restore" => throw new IllegalArgumentException(
+          s"version $v of $basePath is a restore (the table was rolled back): " +
+            "re-bootstrap this consumer from readAsOf")
         case other => throw new IllegalArgumentException(
           s"version $v of $basePath has unknown commit kind '$other'")
       }
@@ -678,6 +762,10 @@ object AtomicAppend {
           // schema-less to parquet, but a valid empty delta
           slices ++= scala.util.Try(spark.read.parquet(dir.toString)).toOption
             .map(_.withColumn("_commit_version", F.lit(v)))
+        case "restore" => throw new IllegalArgumentException(
+          s"version $v of $basePath is a restore (the table was rolled back, " +
+            "possibly removing rows no sidecar records): re-bootstrap this " +
+            "consumer from readAsOf")
         case other => throw new IllegalArgumentException(
           s"version $v of $basePath has unknown commit kind '$other'")
       }
@@ -728,19 +816,24 @@ object AtomicAppend {
       // write landed): an append with stats costs ONE job, not a write
       // plus a read-back aggregate. At a steady small-append cadence
       // that halves the job count per ingest trigger.
-      val obs = Option.when(statsCols.nonEmpty)(
+      val constraints = checkConstraints(spark, basePath)
+      val obs = Option.when(statsCols.nonEmpty || constraints.nonEmpty)(
         (org.apache.spark.sql.Observation(s"graft-append-stats-$id"),
           BatchStats.observationAggs(df, statsCols)))
       val observed = obs.fold(df) { case (o, (_, aggs)) =>
-        df.observe(o, aggs.head, aggs.tail: _*)
+        val all = aggs ++ constraintAggs(constraints)
+        df.observe(o, all.head, all.tail: _*)
       }
       val writer = observed.write.mode("overwrite") // overwrite own dir = replay-safe mid-batch
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(dir.toString)
-      // sidecars BEFORE the marker: a marker implies complete sidecars
-      val stats = obs.map { case (o, (fields, _)) =>
-        BatchStats.fromObserved(o.get, fields)
-      }
+      // constraint gate, then sidecars, then the marker: a marker
+      // implies a validated batch with complete sidecars
+      val metrics = obs.map { case (o, (fields, _)) => (fields, o.get) }
+      metrics.foreach { case (_, m) =>
+        requireNoViolations(f, dir, basePath, constraints, m) }
+      val stats = metrics.filter(_ => statsCols.nonEmpty)
+        .map { case (fields, m) => BatchStats.fromObserved(m, fields) }
       stats.foreach(BatchStats.write(f, dir, _))
       // blooms still read back the landed batch (a bloom is an
       // aggregation buffer, not an observable scalar), column-pruned
@@ -1179,13 +1272,17 @@ object AtomicAppend {
       logSchema(spark, basePath, org.apache.spark.sql.types.StructType(
         merged.schema.fields.filterNot(fd =>
           partCols.exists(_.equalsIgnoreCase(fd.name)))))
+      val constraints = checkConstraints(spark, basePath)
       val obs = org.apache.spark.sql.Observation(s"graft-merge-$newId")
       val (fields, oAggs) = BatchStats.observationAggs(merged, statsCols)
-      val writer = merged.observe(obs, oAggs.head, oAggs.tail: _*)
+      val allAggs = oAggs ++ constraintAggs(constraints)
+      val writer = merged.observe(obs, allAggs.head, allAggs.tail: _*)
         .write.mode("overwrite")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(dest.toString)
-      val stats = BatchStats.fromObserved(obs.get, fields)
+      val metrics = obs.get
+      requireNoViolations(f, dest, basePath, constraints, metrics)
+      val stats = BatchStats.fromObserved(metrics, fields)
       if (statsCols.nonEmpty) BatchStats.write(f, dest, stats)
       if (bloomCols.nonEmpty)
         scala.util.Try(spark.read.option("basePath", basePath)
@@ -1271,6 +1368,7 @@ object AtomicAppend {
     val live = committedIds(spark, basePath)
     if (live.isEmpty) return (Seq.empty, Seq.empty)
     requireNoReservedCols(spark, basePath)
+    val constraints = checkConstraints(spark, basePath)
     val (touched, untouched) = pruneBatches(spark, basePath, predicate)
     if (touched.isEmpty) return (Seq.empty, Seq.empty) // provably no matching row
     val partCols: Seq[String] =
@@ -1301,17 +1399,20 @@ object AtomicAppend {
       val newId = nextId
       val dest = new Path(s"$basePath/_batch=$newId")
       if (f.exists(dest)) f.delete(dest, true) // crashed prior attempt's debris
-      // survivor count AND replacement zone map ride the rewrite job
-      // itself (Dataset.observe, same discipline as [[append]]) — no
-      // read-back count, no read-back stats aggregate
+      // survivor count, replacement zone map AND constraint gate ride
+      // the rewrite job itself (Dataset.observe, same discipline as
+      // [[append]]) — no read-back count, no read-back stats aggregate
       val sc = statsColsOf(id)
       val obs = org.apache.spark.sql.Observation(s"graft-rewrite-$newId")
       val (fields, aggs) = BatchStats.observationAggs(rewritten, sc)
-      val writer = rewritten.observe(obs, aggs.head, aggs.tail: _*)
+      val all = aggs ++ constraintAggs(constraints)
+      val writer = rewritten.observe(obs, all.head, all.tail: _*)
         .write.mode("overwrite")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(dest.toString)
-      val stats = BatchStats.fromObserved(obs.get, fields)
+      val metrics = obs.get
+      requireNoViolations(f, dest, basePath, constraints, metrics)
+      val stats = BatchStats.fromObserved(metrics, fields)
       // a delete that emptied the batch: drop the id, keep no empty dir
       if (stats.rows == 0L) { f.delete(dest, true); replaced += id }
       else {
@@ -1349,6 +1450,42 @@ object AtomicAppend {
       s"but its change file was keyed $v — a concurrent writer broke the " +
       "single-maintainer contract; the change file for this version is wrong")
     (replaced.result(), newIds)
+  }
+
+  /** RESTORE the table to a committed version — Delta `RESTORE TABLE …
+    * TO VERSION AS OF`'s role, and the cheap half of it: the restored
+    * version's batch dirs are still on disk (retention permitting), so
+    * the restore is METADATA-ONLY — one manifest flip back to that
+    * version's batch set and the deletion-vector pointer back to the
+    * mask in force then. No data moves at any table size. The restore
+    * itself commits as a NEW version (kind `restore` — history only
+    * moves forward; the rolled-back versions stay readable for audit
+    * until vacuum), which both change feeds refuse actionably (a
+    * restore can remove rows). Fails actionably when the target
+    * version's batches were vacuumed. Returns the new version.
+    */
+  def restore(spark: SparkSession, basePath: String, version: Long): Long = {
+    val f = fs(spark, basePath)
+    val e = vlogEntry(f, basePath, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version $version under $basePath " +
+          s"(versions: ${versions(spark, basePath).mkString(",")})"))
+    val gone = e.ids.map(id => new Path(s"$basePath/_batch=$id")).filterNot(f.exists)
+    require(gone.isEmpty,
+      s"cannot restore $basePath to version $version: batches " +
+        s"${gone.map(_.getName).mkString(",")} were vacuumed — raise vacuum's " +
+        "retainVersions to keep restore targets on disk")
+    e.dv.foreach(g => require(f.exists(dvGenPath(basePath, g)),
+      s"cannot restore $basePath to version $version: its deletion-vector " +
+        s"generation $g was vacuumed"))
+    if (manifestIds(spark, basePath).isEmpty) // marker-protocol table: upgrade
+      commitManifest(spark, basePath, committedIds(spark, basePath))
+    commitManifest(spark, basePath, e.ids) // THE atomic visibility flip
+    e.dv match {
+      case Some(g) => commitDvPointer(f, basePath, g)
+      case None => dvClear(f, basePath)
+    }
+    logCommit(spark, basePath, e.ids, kind = "restore")
   }
 
   /** Delete batch directories no longer in the manifest (replaced by a
