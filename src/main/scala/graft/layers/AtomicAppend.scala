@@ -1118,9 +1118,23 @@ object AtomicAppend {
     val matched = visible.filter(F.coalesce(predicate, F.lit(false)))
     val n = matched.count()
     if (n == 0L) return 0L
-    val gen = cur.map(_ + 1).getOrElse(0L)
+    // generation numbers are MONOTONIC over every gen dir on disk, not
+    // `current + 1`: after a full fold resets the pointer, `current` is
+    // None while retained log entries still REFERENCE the old
+    // generations — reusing their numbers would silently re-point time
+    // travel at the wrong mask. A crashed attempt's unpointered,
+    // unlogged dir is skipped over the same way (vacuum reclaims it)
+    val gen = {
+      val dvRoot = new Path(s"$basePath/$DvDir")
+      val onDisk =
+        if (!f.exists(dvRoot)) Seq.empty
+        else f.listStatus(dvRoot).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+          .flatMap(st => scala.util.Try(
+            st.getPath.getName.stripPrefix("gen=").toLong).toOption)
+      ((onDisk ++ cur).maxOption).map(_ + 1L).getOrElse(0L)
+    }
     val genDir = dvGenPath(basePath, gen)
-    if (f.exists(genDir)) f.delete(genDir, true) // crashed prior attempt's debris
     // positions-only, one file: the mask is selective by contract (a
     // delete too big to broadcast belongs to copy-on-write deleteWhere)
     cur.fold(matched.select("__dv_file", "__dv_pos"))(g =>

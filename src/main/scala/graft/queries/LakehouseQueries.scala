@@ -592,8 +592,8 @@ object LakehouseQueries extends QueryPack {
       aa.deleteWhereMergeOnRead(s, base, F.col("user_id") % 7L === 2L)
       aa.compactClustered(s, base, Seq("user_id", "value"), numBatches = 8,
         statsCols = cols)
-      aa.deleteWhereMergeOnRead(s, base, F.col("value") >= 900.0)
-      val kept = !(F.col("user_id") % 7L === 2L) && !(F.col("value") >= 900.0)
+      aa.deleteWhereMergeOnRead(s, base, F.col("value") >= 300.0)
+      val kept = !(F.col("user_id") % 7L === 2L) && !(F.col("value") >= 300.0)
       graft.layers.ProtocolAudit.assertTableContent(s, base,
         fact.filter(kept), "ql21")
       aa.read(s, base, F.col("user_id") >= 3L && F.col("user_id") < 60L)
@@ -916,7 +916,7 @@ object LakehouseQueries extends QueryPack {
            sum(CAST(floor(value) AS BIGINT)) AS sum_v
          FROM events
          WHERE user_id >= 3 AND user_id < 60
-           AND NOT (user_id % 7 = 2) AND NOT (value >= 900.0)
+           AND NOT (user_id % 7 = 2) AND NOT (value >= 300.0)
          GROUP BY event_type ORDER BY event_type""",
     "ql20_change_feed_rows" ->
       """WITH t AS (

@@ -416,9 +416,33 @@ object ScaleBench {
       hi.unpersist()
     }
 
+    // MERGE, don't overwrite: a partial run (e.g. the per-round `highd`
+    // regeneration) replaces only the leg rows it re-measured — the
+    // full-suite evidence from earlier runs must survive a one-leg
+    // refresh. Row identity is the `leg` field; every leg this run
+    // produced displaces all prior rows of the same leg.
+    val producedLegs = rows.map { r =>
+      val m = """"leg":"([^"]+)"""".r.findFirstMatchIn(r)
+      m.map(_.group(1)).getOrElse("")
+    }.toSet
+    val kept: Seq[String] = {
+      val p = java.nio.file.Paths.get(outJson)
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        scala.util.Try {
+          val root = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+          val arr = root.get("rows")
+          (0 until arr.size()).map(arr.get)
+            .filterNot(n => producedLegs.contains(
+              Option(n.get("leg")).map(_.asText()).getOrElse("")))
+            .map(_.toString)
+        }.getOrElse(Seq.empty)
+      }
+    }
     val doc = s"""{"metric":"scale_crossover","unit":"sec","sf_dir":"$sfDir",""" +
       s""""load_start":$load0,"load_end":${graft.Bench.loadavg()},""" +
-      s""""rows":[${rows.mkString(",\n ")}]}"""
+      s""""rows":[${(kept ++ rows).mkString(",\n ")}]}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson), doc.getBytes("UTF-8"))
     spark.stop()
   }

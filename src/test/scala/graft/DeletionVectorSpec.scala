@@ -136,6 +136,26 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(rows(AtomicAppend.read(spark, path)) == rows(expected))
   }
 
+  test("a delete after a clearing fold never reuses a retired generation number") {
+    import spark.implicits._
+    val path = TestFixtures.tmpDir("dv-genmono").toString
+    val batch0 = (0 until 30).map(i => (i.toLong, s"t$i")).toDF("id", "tag")
+    AtomicAppend.append(batch0, path, batchId = Some(0L))                // v0
+    AtomicAppend.deleteWhereMergeOnRead(spark, path, F.col("id") < 5L)   // v1: gen 0
+    AtomicAppend.compact(spark, path)                                    // v2: fold, pointer reset
+    AtomicAppend.append(batch0.withColumn("id", F.col("id") + 100L),
+      path, batchId = Some(9L))                                          // v3
+    AtomicAppend.deleteWhereMergeOnRead(spark, path, F.col("id") >= 120L) // v4: must be gen 1
+    assert(AtomicAppend.dvCurrent(spark, path).contains(1L),
+      "generation numbers must be monotonic across a pointer reset — " +
+        "reusing gen 0 would clobber the mask v1 still references")
+    // time travel to the pre-fold masked version still sees ITS mask
+    assert(rows(AtomicAppend.readAsOf(spark, path, 1L)) ==
+      rows(batch0.filter(F.col("id") >= 5L)))
+    // and the current state carries only the new mask
+    assert(AtomicAppend.read(spark, path).count() == 25 + 20)
+  }
+
   test("CoW rewrites over a live mask do not resurrect masked rows") {
     import spark.implicits._
     val path = TestFixtures.tmpDir("dv-cow").toString
