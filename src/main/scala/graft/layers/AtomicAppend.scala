@@ -818,7 +818,7 @@ object AtomicAppend {
       // that halves the job count per ingest trigger.
       val constraints = checkConstraints(spark, basePath)
       val obs = Option.when(statsCols.nonEmpty || constraints.nonEmpty)(
-        (org.apache.spark.sql.Observation(s"graft-append-stats-$id"),
+        (org.apache.spark.sql.Observation(), // fresh UUID name: fixed names collide across concurrent writers on one session
           BatchStats.observationAggs(df, statsCols)))
       val observed = obs.fold(df) { case (o, (_, aggs)) =>
         val all = aggs ++ constraintAggs(constraints)
@@ -1287,7 +1287,7 @@ object AtomicAppend {
         merged.schema.fields.filterNot(fd =>
           partCols.exists(_.equalsIgnoreCase(fd.name)))))
       val constraints = checkConstraints(spark, basePath)
-      val obs = org.apache.spark.sql.Observation(s"graft-merge-$newId")
+      val obs = org.apache.spark.sql.Observation() // fresh UUID name (see append)
       val (fields, oAggs) = BatchStats.observationAggs(merged, statsCols)
       val allAggs = oAggs ++ constraintAggs(constraints)
       val writer = merged.observe(obs, allAggs.head, allAggs.tail: _*)
@@ -1417,7 +1417,7 @@ object AtomicAppend {
       // the rewrite job itself (Dataset.observe, same discipline as
       // [[append]]) — no read-back count, no read-back stats aggregate
       val sc = statsColsOf(id)
-      val obs = org.apache.spark.sql.Observation(s"graft-rewrite-$newId")
+      val obs = org.apache.spark.sql.Observation() // fresh UUID name (see append)
       val (fields, aggs) = BatchStats.observationAggs(rewritten, sc)
       val all = aggs ++ constraintAggs(constraints)
       val writer = rewritten.observe(obs, all.head, all.tail: _*)

@@ -115,6 +115,39 @@ object FraudMl {
   def promotionGate(m: Metrics): Boolean =
     m.accuracy >= 0.90 && m.f1 >= 0.85 && m.auc >= 0.90
 
+  /** Drop every fitted stage's MLlib training summary IN PLACE. A
+    * freshly-fit classification model keeps a `trainingSummary` whose
+    * summary object pins the LIVE SparkSession — and the session's
+    * observation manager is not `Serializable`, so any task-serialized
+    * scoring closure whose walk reaches the summary (the model rides in
+    * the scoring UDF's captured args; a materialized `canonicalized`
+    * expression copy is enough to expose it) dies with
+    * `NotSerializableException: ObservationManager`. The engine computes
+    * its own [[Metrics]] from predictions and never reads MLlib
+    * summaries, and `copy(ParamMap.empty)` explicitly CARRIES the
+    * summary over, so stripping the private field is the one reliable
+    * serving-hygiene fix: a model that crosses the wire must not drag
+    * the driver's session behind it. (Persisted models never have one —
+    * `ModelRegistry` round-trips are naturally clean.)
+    */
+  def stripTrainingSummaries(model: PipelineModel): PipelineModel = {
+    model.stages.foreach(stripTrainingSummary)
+    model
+  }
+
+  /** Per-stage half of [[stripTrainingSummaries]] — also the hygiene
+    * for directly-fit models (the IVF k-means, whose summary likewise
+    * pins a live DataFrame and with it the session).
+    */
+  def stripTrainingSummary(stage: AnyRef): Unit = {
+    scala.util.Try {
+      val f = stage.getClass.getDeclaredField("trainingSummary")
+      f.setAccessible(true)
+      f.set(stage, None)
+    } // models without the field (assembler, scaler) simply pass
+    ()
+  }
+
   /** End-to-end training run on a silver-shaped frame. */
   def train(silver: DataFrame, algorithm: String = "rf", seed: Long = 42L):
       (PipelineModel, Metrics, DataFrame) = {
@@ -122,7 +155,7 @@ object FraudMl {
       silver.select((featureCols :+ "is_fraud").map(F.col): _*), featureCols)
     val balanced = balance(data, seed = seed).cache()
     val Array(train, test) = balanced.randomSplit(Array(0.8, 0.2), seed)
-    val model = pipeline(algorithm).fit(train)
+    val model = stripTrainingSummaries(pipeline(algorithm).fit(train))
     val preds = model.transform(test)
     (model, evaluate(preds), confusionMatrix(preds))
   }

@@ -85,6 +85,9 @@ object IvfIndex {
     val model = new KMeans().setK(numCentroids).setSeed(seed)
       .setMaxIter(kmeansMaxIter).setInitMode(kmeansInitMode)
       .setFeaturesCol("features").fit(train)
+    // the freshly-fit summary pins a live DataFrame (and the session) —
+    // never let it ride into the transform closure (FraudMl's hygiene)
+    graft.ml.FraudMl.stripTrainingSummary(model)
 
     // alongside the float vectors: int8 codes + scale (the IVF+SQ8
     // layout) — parquet column pruning means a quantized scan never
