@@ -10,9 +10,50 @@ sfDir), sort columns by name, sort rows, compare cell values.
 import sys, os, json, glob
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# DuckDB result-column type -> equivalence class; the Spark parquet schema
+# (arrow types) maps into the same classes. A class mismatch is a driver-side
+# hash divergence even when values compare equal (r14: 7 queries red ONLY at
+# the driver because sum(BIGINT) widens to HUGEINT in DuckDB).
+BANNED_DUCK = ("HUGEINT", "UHUGEINT", "INT128", "DECIMAL")
+DUCK_CLASS = {
+    "BOOLEAN": "bool", "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int",
+    "BIGINT": "int", "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int",
+    "UBIGINT": "int", "FLOAT": "float", "DOUBLE": "float", "VARCHAR": "str",
+    "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+}
+def arrow_class(t):
+    s = str(t)
+    if s.startswith(("int", "uint")): return "int"
+    if s.startswith(("float", "double", "halffloat")): return "float"
+    if s in ("string", "large_string", "utf8"): return "str"
+    if s.startswith("timestamp"): return "ts"
+    if s.startswith("date"): return "date"
+    if s == "bool": return "bool"
+    return s
+
+def type_check(name, duck_rel, spark_files):
+    """Fail on DuckDB types the driver's hash cannot match (HUGEINT/DECIMAL)
+    and on any class mismatch vs the Spark parquet result schema."""
+    duck_types = dict(zip(duck_rel.columns, [str(t) for t in duck_rel.types]))
+    errs = [f"oracle col {c} has banned DuckDB type {t}"
+            for c, t in duck_types.items() if any(b in t.upper() for b in BANNED_DUCK)]
+    schema = pq.read_schema(sorted(spark_files)[0])
+    spark_types = {f.name: arrow_class(f.type) for f in schema}
+    # DATE and TIMESTAMP both land as datetime64 in the driver's pandas
+    # compare (ql01 is driver-green with duck DATE vs spark timestamp);
+    # int-vs-float or int-vs-HUGEINT do NOT normalize — those fail.
+    def canon(cl): return "ts" if cl == "date" else cl
+    for c, t in duck_types.items():
+        dc = DUCK_CLASS.get(t.upper())
+        sc = spark_types.get(c)
+        if dc is not None and sc is not None and canon(dc) != canon(sc):
+            errs.append(f"col {c}: duck {t} ({dc}) vs spark {sc}")
+    return errs
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -40,9 +81,13 @@ def main(sf_dir, out_dir):
             print(f"rows-only  {name}: {len(spark_df)} rows"); n_noracle += 1
             continue
         try:
-            duck_df = con.execute(oracle[name]).fetchdf()
+            rel = con.sql(oracle[name])
+            terrs = type_check(name, rel, files)
+            duck_df = rel.fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: oracle error {e}"); n_bad += 1; continue
+        if terrs:
+            print(f"FAIL  {name}: TYPE {'; '.join(terrs)}"); n_bad += 1; continue
         s, d = norm(spark_df), norm(duck_df)
         if list(s.columns) != list(d.columns):
             print(f"FAIL  {name}: cols spark={list(s.columns)} duck={list(d.columns)}")

@@ -25,6 +25,20 @@ import org.apache.spark.sql.{functions => F}
   */
 object ProtocolAudit {
 
+  /** Gate-path audits are OPT-IN since round 15: the round-14 driver
+    * divergence was root-caused to oracle-side HUGEINT typing (not the
+    * fold protocol), so the in-query digest passes — two extra
+    * full-content reads per lifecycle query — no longer buy diagnosis
+    * on the hot gate. Set `-Dgraft.protocol.audit=1` (or env
+    * `GRAFT_PROTOCOL_AUDIT=1`) to re-arm them in `Verify`/`Bench`;
+    * FoldFuzzSpec/RewriteSpec call the asserts directly and keep the
+    * standing determinism guard regardless.
+    */
+  def inGate: Boolean =
+    sys.props.get("graft.protocol.audit")
+      .orElse(sys.env.get("GRAFT_PROTOCOL_AUDIT"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
   /** Order-insensitive multiset digest: (row count, sum of per-row
     * `xxhash64 mod p`). Deterministic across runs, partitionings, and
     * task orders — xxhash64 is seed-fixed and the sum is associative/

@@ -341,8 +341,10 @@ object LakehouseQueries extends QueryPack {
         statsCols = cols)
       val pred = F.col("user_id") >= 3L && F.col("user_id") < 9L &&
         F.col("value") >= 100.0
-      graft.layers.ProtocolAudit.assertTableContent(s, base, fact, "ql14")
-      graft.layers.ProtocolAudit.assertPrunedReadSound(s, base, pred, "ql14")
+      if (graft.layers.ProtocolAudit.inGate) {
+        graft.layers.ProtocolAudit.assertTableContent(s, base, fact, "ql14")
+        graft.layers.ProtocolAudit.assertPrunedReadSound(s, base, pred, "ql14")
+      }
       aa.read(s, base, pred)
         .groupBy("event_type")
         .agg(
@@ -412,9 +414,11 @@ object LakehouseQueries extends QueryPack {
       // content-exact IN THIS ENVIRONMENT — a divergence fails with the
       // commit history (kinds included) + per-batch counts in the
       // message instead of an undiagnosable hash mismatch.
-      graft.layers.ProtocolAudit.assertTableContent(s, base, fact, "ql16")
-      graft.layers.ProtocolAudit.assertFeedExact(s, base, 0L, latest,
-        fact.filter(F.col("ts") >= day(8)), "ql16")
+      if (graft.layers.ProtocolAudit.inGate) {
+        graft.layers.ProtocolAudit.assertTableContent(s, base, fact, "ql16")
+        graft.layers.ProtocolAudit.assertFeedExact(s, base, 0L, latest,
+          fact.filter(F.col("ts") >= day(8)), "ql16")
+      }
       aa.changesBetween(s, base, 0L, latest)
         .groupBy("event_type")
         .agg(
@@ -486,8 +490,9 @@ object LakehouseQueries extends QueryPack {
       val pred = F.col("user_id") >= 3L && F.col("user_id") < 7L &&
         F.col("value") >= 200.0
       aa.deleteWhere(s, base, pred)
-      graft.layers.ProtocolAudit.assertTableContent(s, base,
-        fact.filter(!F.coalesce(pred, F.lit(false))), "ql18")
+      if (graft.layers.ProtocolAudit.inGate)
+        graft.layers.ProtocolAudit.assertTableContent(s, base,
+          fact.filter(!F.coalesce(pred, F.lit(false))), "ql18")
       aa.read(s, base)
         .groupBy("event_type")
         .agg(
@@ -513,10 +518,11 @@ object LakehouseQueries extends QueryPack {
         batchId = Some(1L), statsCols = Seq("value"))
       aa.updateWhere(s, base, F.col("value") >= 400.0,
         Map("event_type" -> F.lit("flagged")))
-      graft.layers.ProtocolAudit.assertTableContent(s, base,
-        fact.withColumn("event_type",
-          F.when(F.col("value") >= 400.0, "flagged").otherwise(F.col("event_type"))),
-        "ql19")
+      if (graft.layers.ProtocolAudit.inGate)
+        graft.layers.ProtocolAudit.assertTableContent(s, base,
+          fact.withColumn("event_type",
+            F.when(F.col("value") >= 400.0, "flagged").otherwise(F.col("event_type"))),
+          "ql19")
       aa.read(s, base)
         .groupBy("event_type")
         .agg(
@@ -594,8 +600,9 @@ object LakehouseQueries extends QueryPack {
         statsCols = cols)
       aa.deleteWhereMergeOnRead(s, base, F.col("value") >= 300.0)
       val kept = !(F.col("user_id") % 7L === 2L) && !(F.col("value") >= 300.0)
-      graft.layers.ProtocolAudit.assertTableContent(s, base,
-        fact.filter(kept), "ql21")
+      if (graft.layers.ProtocolAudit.inGate)
+        graft.layers.ProtocolAudit.assertTableContent(s, base,
+          fact.filter(kept), "ql21")
       aa.read(s, base, F.col("user_id") >= 3L && F.col("user_id") < 60L)
         .groupBy("event_type")
         .agg(
@@ -847,7 +854,7 @@ object LakehouseQueries extends QueryPack {
       """SELECT event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           sum(CAST(floor(value) AS BIGINT)) AS sum_v
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v
          FROM events
          WHERE user_id >= 3 AND user_id < 9 AND value >= 100.0
          GROUP BY event_type ORDER BY event_type""",
@@ -855,7 +862,7 @@ object LakehouseQueries extends QueryPack {
       """SELECT event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           sum(CAST(floor(value) AS BIGINT)) AS sum_v,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v,
            min(event_id) AS min_id,
            max(event_id) AS max_id
          FROM events
@@ -880,14 +887,14 @@ object LakehouseQueries extends QueryPack {
       """SELECT event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           sum(CAST(floor(value) AS BIGINT)) AS sum_v
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v
          FROM events
          WHERE NOT (user_id >= 3 AND user_id < 7 AND value >= 200.0)
          GROUP BY event_type ORDER BY event_type""",
     "ql19_update_where" ->
       """SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(floor(value) AS BIGINT)) AS sum_v
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v
          FROM (
            SELECT CASE WHEN value >= 400.0 THEN 'flagged'
                        ELSE event_type END AS event_type, value
@@ -896,13 +903,13 @@ object LakehouseQueries extends QueryPack {
     "ql22_merge_into" ->
       """WITH t AS (
            SELECT user_id, count(*) AS n,
-             sum(CAST(floor(value) AS BIGINT)) AS sv
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv
            FROM events WHERE ts < TIMESTAMP '2024-01-21' GROUP BY user_id),
          s AS (
            SELECT CASE WHEN user_id >= 50 AND user_id < 100 AND user_id % 2 = 0
                        THEN user_id ELSE user_id + 10000 END AS user_id,
              count(*) AS n,
-             sum(CAST(floor(value) AS BIGINT)) AS sv
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sv
            FROM events WHERE ts >= TIMESTAMP '2024-01-21' GROUP BY 1)
          SELECT coalesce(s.user_id, t.user_id) AS user_id,
            coalesce(s.n, t.n) AS n,
@@ -913,7 +920,7 @@ object LakehouseQueries extends QueryPack {
       """SELECT event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           sum(CAST(floor(value) AS BIGINT)) AS sum_v
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v
          FROM events
          WHERE user_id >= 3 AND user_id < 60
            AND NOT (user_id % 7 = 2) AND NOT (value >= 300.0)
@@ -940,7 +947,7 @@ object LakehouseQueries extends QueryPack {
            SELECT 'delete', event_id, user_id, cents FROM d)
          SELECT change_type,
            count(*) AS n_rows,
-           sum(cents) AS sum_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
            count(DISTINCT user_id) AS n_users,
            count(DISTINCT event_id) AS n_ids
          FROM feed
