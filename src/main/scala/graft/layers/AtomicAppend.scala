@@ -631,12 +631,24 @@ object AtomicAppend {
       .filter(v => v > fromVersion && v <= toVersion)
     val start = entry(fromVersion)
     var prevIds = start.ids.toSet
+    var prevDv = start.dv
     val added = Seq.newBuilder[Long]
     window.foreach { v =>
       val e = entry(v)
       val newIds = e.ids.toSet
       e.kind match {
         case "append" =>
+          // an append never moves the deletion-vector pointer: a changed
+          // generation here means a merge-on-read delete crashed between
+          // its visibility flip and its log entry — the delete is in
+          // force but was never logged, so this feed would silently skip
+          // rows it removed. Fail actionably (the advice-r14 window).
+          require(e.dv == prevDv,
+            s"version $v of $basePath is an append whose deletion-vector " +
+              s"generation moved ($prevDv -> ${e.dv}): a merge-on-read delete " +
+              "crashed between its pointer flip and its log entry, so its " +
+              "removed rows were never published — re-bootstrap this " +
+              "consumer from readAsOf")
           val removed = prevIds -- newIds
           require(removed.isEmpty,
             s"version $v of $basePath is a compound commit (an append entry " +
@@ -658,6 +670,7 @@ object AtomicAppend {
           s"version $v of $basePath has unknown commit kind '$other'")
       }
       prevIds = newIds
+      prevDv = e.dv
     }
     val dirs = added.result().map(id => new Path(s"$basePath/_batch=$id"))
     dirs.filterNot(f.exists) match {
@@ -722,12 +735,28 @@ object AtomicAppend {
     var prevIds =
       if (fromVersion < 0L) Set.empty[Long]
       else entry(fromVersion).ids.toSet
+    var prevDv =
+      if (fromVersion < 0L) Option.empty[Long]
+      else entry(fromVersion).dv
+    // append/rewrite/merge commits never move the deletion-vector
+    // pointer; a moved generation under one of those kinds means a
+    // merge-on-read delete crashed between its visibility flip and its
+    // log entry — its delete rows were never published, and this feed
+    // would silently omit them. Fail actionably (the advice-r14 window).
+    def requireDvStable(v: Long, e: VlogEntry): Unit =
+      require(e.dv == prevDv,
+        s"version $v of $basePath is a ${e.kind} whose deletion-vector " +
+          s"generation moved ($prevDv -> ${e.dv}): a merge-on-read delete " +
+          "crashed between its pointer flip and its log entry, so its " +
+          "removed rows were never published — re-bootstrap this consumer " +
+          "from readAsOf")
     val slices = Seq.newBuilder[DataFrame]
     window.foreach { v =>
       val e = entry(v)
       val newIds = e.ids.toSet
       e.kind match {
         case "append" =>
+          requireDvStable(v, e)
           val removed = prevIds -- newIds
           require(removed.isEmpty,
             s"version $v of $basePath is a compound commit (an append entry " +
@@ -751,6 +780,7 @@ object AtomicAppend {
           }
         case "fold" => () // content-preserving: no delta
         case "rewrite" | "mordelete" | "merge" =>
+          if (e.kind != "mordelete") requireDvStable(v, e)
           val dir = cdfPath(basePath, v)
           if (!f.exists(dir)) throw new IllegalArgumentException(
             s"${e.kind} version $v of $basePath has no change file under " +
@@ -758,10 +788,18 @@ object AtomicAppend {
               "crash before the sidecar published) — re-bootstrap this " +
               "consumer from readAsOf")
           // a rewrite whose predicate matched nothing in the uncertain
-          // batches publishes an EMPTY change file (just _SUCCESS):
-          // schema-less to parquet, but a valid empty delta
-          slices ++= scala.util.Try(spark.read.parquet(dir.toString)).toOption
-            .map(_.withColumn("_commit_version", F.lit(v)))
+          // batches publishes an EMPTY change file (just _SUCCESS) —
+          // schema-less to parquet, but a valid empty delta. ONLY that
+          // case may read as empty: a corrupt change file, a transient
+          // FS error, or a permission failure must propagate, not
+          // silently drop a version's changes from the feed.
+          val hasData = f.listStatus(dir).exists { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          if (hasData)
+            slices += spark.read.parquet(dir.toString)
+              .withColumn("_commit_version", F.lit(v))
         case "restore" => throw new IllegalArgumentException(
           s"version $v of $basePath is a restore (the table was rolled back, " +
             "possibly removing rows no sidecar records): re-bootstrap this " +
@@ -770,6 +808,7 @@ object AtomicAppend {
           s"version $v of $basePath has unknown commit kind '$other'")
       }
       prevIds = newIds
+      prevDv = e.dv
     }
     slices.result() match {
       case Seq() =>
@@ -792,9 +831,16 @@ object AtomicAppend {
       bloomCols: Seq[String] = Nil): Option[Long] = {
     val spark = df.sparkSession
     val f = fs(spark, basePath)
+    healRestoreIntent(spark, basePath)
     val manifest = manifestIds(spark, basePath)
     val live = manifest.getOrElse(committedIds(spark, basePath))
-    val id = batchId.getOrElse(live.lastOption.map(_ + 1).getOrElse(0L))
+    // auto-ids allocate above every on-disk dir, not just the live set:
+    // after a delete retires the highest id (dir kept for time travel,
+    // marker intact), `live.max + 1` would land ON the retired dir —
+    // the replay heal below would then adopt its OLD content into the
+    // manifest, silently resurrecting deleted rows
+    val id = batchId.getOrElse(
+      nextBatchId(f, spark, basePath, live, includeLog = false))
     val dir = new Path(s"$basePath/_batch=$id")
     val marker = new Path(dir, Marker)
     val fileSchema = org.apache.spark.sql.types.StructType(
@@ -865,6 +911,7 @@ object AtomicAppend {
     */
   def compact(spark: SparkSession, basePath: String, partitionBy: Seq[String] = Nil,
       minBatches: Int = 2): Option[Long] = {
+    healRestoreIntent(spark, basePath)
     val live = committedIds(spark, basePath)
     if (live.size < minBatches) return None
     Some(foldSubset(spark, basePath, live, live, partitionBy))
@@ -885,12 +932,49 @@ object AtomicAppend {
   def compactSmall(spark: SparkSession, basePath: String, maxBytes: Long,
       partitionBy: Seq[String] = Nil, minBatches: Int = 2): Option[Long] = {
     val f = fs(spark, basePath)
+    healRestoreIntent(spark, basePath)
     val live = committedIds(spark, basePath)
     val small = live.filter(id =>
       scala.util.Try(f.getContentSummary(new Path(s"$basePath/_batch=$id")).getLength)
         .toOption.exists(_ < maxBytes))
     if (small.size < minBatches) return None
     Some(foldSubset(spark, basePath, live, small, partitionBy))
+  }
+
+  /** The first batch id strictly above every id the table has EVER
+    * referenced and may still serve: the live set, every `_batch=` dir
+    * on disk (retired dirs awaiting [[vacuum]] — still read by
+    * [[readAsOf]]/[[restore]]/[[changeFeed]]), and every id a surviving
+    * `_VLOG` entry names (covers a dir deleted by a vacuum that crashed
+    * before retiring the entry). `live.max + 1` alone is WRONG once a
+    * rewrite can retire the highest id with no replacement (a delete
+    * that emptied the batch): the retired dir stays on disk for
+    * history, and an allocator blind to it would treat that committed
+    * dir as its own crashed debris and destroy it — readAsOf, restore,
+    * and the change feed would then silently serve the NEW content for
+    * old versions. The vlog scan is one tiny file per version, paid
+    * only on maintenance-cadence commits (folds/rewrites/merges), never
+    * on reads or plain appends.
+    */
+  private def nextBatchId(f: org.apache.hadoop.fs.FileSystem, spark: SparkSession,
+      basePath: String, live: Seq[Long], includeLog: Boolean): Long = {
+    val base = new Path(basePath)
+    val onDisk =
+      if (!f.exists(base)) Seq.empty[Long]
+      else f.listStatus(base).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_batch="))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("_batch=").toLong).toOption)
+    // the vlog leg only adds ids whose dirs a CRASHED vacuum deleted
+    // before retiring their entries — versions already contractually
+    // dead. Maintenance commits pay it for belt-and-braces; the
+    // per-trigger append hot path skips it (one listing, no O(versions)
+    // reads).
+    val logged =
+      if (!includeLog) Seq.empty[Long]
+      else versions(spark, basePath)
+        .flatMap(v => vlogIds(f, basePath, v).getOrElse(Seq.empty))
+    (live ++ onDisk ++ logged).maxOption.map(_ + 1L).getOrElse(0L)
   }
 
   /** The shared fold core: write `subset`'s rows as one new batch dir,
@@ -910,7 +994,7 @@ object AtomicAppend {
   private def foldSubset(spark: SparkSession, basePath: String, live: Seq[Long],
       subset: Seq[Long], partitionBy: Seq[String]): Long = {
     val f = fs(spark, basePath)
-    val folded = live.max + 1
+    val folded = nextBatchId(f, spark, basePath, live, includeLog = true)
     val dir = new Path(s"$basePath/_batch=$folded")
     val writer = scanDirs(spark, basePath,
         subset.map(id => new Path(s"$basePath/_batch=$id")))
@@ -980,6 +1064,7 @@ object AtomicAppend {
       bloomCols: Seq[String] = Nil, bits: Int = 4,
       minBatches: Int = 2): Option[Seq[Long]] = {
     require(numBatches >= 1, s"numBatches must be >= 1, got $numBatches")
+    healRestoreIntent(spark, basePath)
     val live = committedIds(spark, basePath)
     if (live.size < minBatches) return None
     val f = fs(spark, basePath)
@@ -1005,8 +1090,9 @@ object AtomicAppend {
       if (statsCols.isEmpty || present.isEmpty) Map.empty[Long, BatchStats.Stats]
       else BatchStats.computeGrouped(
         spark.read.parquet(tmp.toString), "__zbatch", statsCols)
+    val firstId = nextBatchId(f, spark, basePath, live, includeLog = true)
     val ids = present.zipWithIndex.map { case (z, i) =>
-      val id = live.max + 1 + i
+      val id = firstId + i
       val dest = new Path(s"$basePath/_batch=$id")
       if (f.exists(dest)) f.delete(dest, true) // crashed prior attempt's debris
       require(f.rename(new Path(tmp, s"__zbatch=$z"), dest),
@@ -1100,6 +1186,7 @@ object AtomicAppend {
   def deleteWhereMergeOnRead(spark: SparkSession, basePath: String,
       predicate: Column): Long = {
     val f = fs(spark, basePath)
+    healRestoreIntent(spark, basePath)
     val live = committedIds(spark, basePath)
     if (live.isEmpty) return 0L
     requireNoReservedCols(spark, basePath)
@@ -1228,6 +1315,7 @@ object AtomicAppend {
     keys.foreach(k => require(source.columns.contains(k),
       s"mergeInto key '$k' is not a source column (${source.columns.mkString(",")})"))
     val f = fs(spark, basePath)
+    healRestoreIntent(spark, basePath)
     val live = committedIds(spark, basePath)
     if (live.isEmpty) // first write: everything inserts
       return (Seq.empty, append(source, basePath))
@@ -1279,9 +1367,9 @@ object AtomicAppend {
           new Path(s"$basePath/_batch=$id")))
         .reduce(_ intersect _).toSeq.sorted
         .filter(c => merged.columns.contains(c))
-      val newId = live.max + 1
+      val newId = nextBatchId(f, spark, basePath, live, includeLog = true)
       val dest = new Path(s"$basePath/_batch=$newId")
-      if (f.exists(dest)) f.delete(dest, true) // crashed prior attempt's debris
+      if (f.exists(dest)) f.delete(dest, true) // unreachable by allocation; last-line guard
       // schema BEFORE visibility, as in [[append]] — evolution included
       logSchema(spark, basePath, org.apache.spark.sql.types.StructType(
         merged.schema.fields.filterNot(fd =>
@@ -1379,6 +1467,7 @@ object AtomicAppend {
       transform: DataFrame => DataFrame, keepMatches: Boolean,
       changeRows: DataFrame => DataFrame): (Seq[Long], Seq[Long]) = {
     val f = fs(spark, basePath)
+    healRestoreIntent(spark, basePath)
     val live = committedIds(spark, basePath)
     if (live.isEmpty) return (Seq.empty, Seq.empty)
     requireNoReservedCols(spark, basePath)
@@ -1402,7 +1491,7 @@ object AtomicAppend {
         .map(_.cols.keys.toSeq.sorted).getOrElse(Nil)
     def bloomColsOf(id: Long): Seq[String] =
       BatchBloom.readNames(f, new Path(s"$basePath/_batch=$id")).toSeq.sorted
-    var nextId = live.max + 1
+    var nextId = nextBatchId(f, spark, basePath, live, includeLog = true)
     val replaced = Seq.newBuilder[Long]
     val replacements = Seq.newBuilder[Long]
     touched.foreach { id =>
@@ -1478,8 +1567,43 @@ object AtomicAppend {
     * restore can remove rows). Fails actionably when the target
     * version's batches were vacuumed. Returns the new version.
     */
+  /** A RESTORE is a two-pointer commit (manifest flip + deletion-vector
+    * pointer flip) and no ordering of the two is atomic for a crash: the
+    * half-restored state (restored batch set under the wrong mask) must
+    * never PERSIST as adopted truth. The intent file names the target
+    * version before either flip; every mutating entry point heals a
+    * pending intent by rolling the restore FORWARD (re-applying both
+    * flips and the log entry — all idempotent) before doing its own
+    * work, so the mixed state survives at most until the next commit. A
+    * reader inside the crash window can still observe the mix — the
+    * documented cost of keeping readers lock-free; consumers needing a
+    * consistent point-in-time use [[readAsOf]].
+    */
+  private def restoreIntentPath(basePath: String) = new Path(s"$basePath/_RESTORE_INTENT")
+
+  private def healRestoreIntent(spark: SparkSession, basePath: String): Unit = {
+    val f = fs(spark, basePath)
+    graft.runtime.PointerFile.read(f, restoreIntentPath(basePath),
+        new Path(s"$basePath/_RESTORE_INTENT.tmp"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .foreach { target =>
+        vlogEntry(f, basePath, target) match {
+          case Some(e) =>
+            commitManifest(spark, basePath, e.ids)
+            e.dv match {
+              case Some(g) => commitDvPointer(f, basePath, g)
+              case None => dvClear(f, basePath)
+            }
+            logCommit(spark, basePath, e.ids, kind = "restore")
+          case None => () // target vacuumed since: nothing restorable to finish
+        }
+        f.delete(restoreIntentPath(basePath), false)
+      }
+  }
+
   def restore(spark: SparkSession, basePath: String, version: Long): Long = {
     val f = fs(spark, basePath)
+    healRestoreIntent(spark, basePath)
     val e = vlogEntry(f, basePath, version).getOrElse(
       throw new IllegalArgumentException(
         s"no committed version $version under $basePath " +
@@ -1494,12 +1618,18 @@ object AtomicAppend {
         s"generation $g was vacuumed"))
     if (manifestIds(spark, basePath).isEmpty) // marker-protocol table: upgrade
       commitManifest(spark, basePath, committedIds(spark, basePath))
-    commitManifest(spark, basePath, e.ids) // THE atomic visibility flip
+    // intent BEFORE either flip: a crash at any point after this line
+    // rolls forward at the next mutating entry point (healRestoreIntent)
+    graft.runtime.PointerFile.commit(f, restoreIntentPath(basePath),
+      new Path(s"$basePath/_RESTORE_INTENT.tmp"), version.toString)
+    commitManifest(spark, basePath, e.ids) // visibility flip 1 of 2
     e.dv match {
-      case Some(g) => commitDvPointer(f, basePath, g)
+      case Some(g) => commitDvPointer(f, basePath, g) // flip 2 of 2
       case None => dvClear(f, basePath)
     }
-    logCommit(spark, basePath, e.ids, kind = "restore")
+    val v = logCommit(spark, basePath, e.ids, kind = "restore")
+    f.delete(restoreIntentPath(basePath), false)
+    v
   }
 
   /** Delete batch directories no longer in the manifest (replaced by a
@@ -1520,7 +1650,8 @@ object AtomicAppend {
     * range.
     */
   def vacuum(spark: SparkSession, basePath: String,
-      retainVersions: Int = 0): Seq[Long] =
+      retainVersions: Int = 0): Seq[Long] = {
+    healRestoreIntent(spark, basePath) // never reap against a half-restored state
     manifestIds(spark, basePath).fold(Seq.empty[Long]) { ids =>
       val f = fs(spark, basePath)
       val base = new Path(basePath)
@@ -1539,14 +1670,20 @@ object AtomicAppend {
           scala.util.Try(st.getPath.getName.stripPrefix("_batch=").toLong).toOption)
         .filterNot(protected_.contains)
       dead.foreach(id => f.delete(new Path(s"$basePath/_batch=$id"), true))
-      // retire log entries that reference a deleted batch — readAsOf's
-      // domain stays exactly the readable versions
-      if (dead.nonEmpty) {
-        val deadSet = dead.toSet
-        vs.dropRight(math.max(0, retainVersions))
-          .filter(v => vlogIds(f, basePath, v).exists(_.exists(deadSet.contains)))
-          .foreach(v => f.delete(vlogPath(basePath, v), false))
-      }
+      // retire log entries that reference a batch no longer on disk —
+      // readAsOf's domain stays exactly the readable versions. Checked
+      // against the DISK, not just this run's `dead` set: a prior vacuum
+      // that crashed between its dir deletes and this pass left entries
+      // referencing gone dirs, and the next run must finish the retire
+      // (nextBatchId's vlog leg guards the in-between window)
+      val onDiskNow = f.listStatus(base).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_batch="))
+        .flatMap(st =>
+          scala.util.Try(st.getPath.getName.stripPrefix("_batch=").toLong).toOption)
+        .toSet
+      vs.dropRight(math.max(0, retainVersions))
+        .filter(v => vlogIds(f, basePath, v).exists(_.exists(!onDiskNow.contains(_))))
+        .foreach(v => f.delete(vlogPath(basePath, v), false))
       // change files of versions no longer in the log (retired above, or
       // stranded by a rewrite that crashed between flip and log entry)
       // go with them — the feed window and the time-travel window shrink
@@ -1576,6 +1713,7 @@ object AtomicAppend {
       }
       dead.sorted
     }
+  }
 
   /** Everything committed so far — never a torn batch. None when no batch
     * has ever committed (distinguishes "empty table" from "no table").

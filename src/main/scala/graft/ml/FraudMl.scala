@@ -139,14 +139,37 @@ object FraudMl {
     * for directly-fit models (the IVF k-means, whose summary likewise
     * pins a live DataFrame and with it the session).
     */
-  def stripTrainingSummary(stage: AnyRef): Unit = {
-    scala.util.Try {
-      val f = stage.getClass.getDeclaredField("trainingSummary")
-      f.setAccessible(true)
-      f.set(stage, None)
-    } // models without the field (assembler, scaler) simply pass
-    ()
-  }
+  // the trait that CARRIES summaries is private[spark] at the Scala
+  // level but a public interface in bytecode — key the strip on it via
+  // JVM reflection (resolved once; None if this Spark build lacks it)
+  private val hasTrainingSummaryCls: Option[Class[_]] =
+    scala.util.Try(
+      Class.forName("org.apache.spark.ml.util.HasTrainingSummary")).toOption
+
+  def stripTrainingSummary(stage: AnyRef): Unit =
+    // keyed on the summary-carrying trait, not a blind Try: a Spark
+    // upgrade that renames the field, or a denied setAccessible, must
+    // fail HERE (where the cause is obvious) rather than silently skip
+    // the strip and resurface as an undiagnosable
+    // NotSerializableException at task-serialization time
+    if (hasTrainingSummaryCls.exists(_.isInstance(stage))) {
+      try {
+        val f = stage.getClass.getDeclaredField("trainingSummary")
+        f.setAccessible(true)
+        f.set(stage, None)
+      } catch {
+        case e: Exception => throw new IllegalStateException(
+          s"cannot strip the training summary from ${stage.getClass.getName}: " +
+            "the model would drag the live SparkSession into task " +
+            "serialization (NotSerializableException: ObservationManager) — " +
+            "a Spark upgrade likely moved/renamed the summary field", e)
+      }
+      val still = hasTrainingSummaryCls.get.getMethod("hasSummary")
+        .invoke(stage).asInstanceOf[Boolean]
+      require(!still,
+        s"training summary of ${stage.getClass.getName} survived the strip — " +
+          "the reflective field no longer backs hasSummary")
+    } // stages without summaries (assembler, scaler) pass
 
   /** End-to-end training run on a silver-shaped frame. */
   def train(silver: DataFrame, algorithm: String = "rf", seed: Long = 42L):

@@ -98,21 +98,24 @@ class AtomicAppendSpec extends AnyFunSuite {
     AtomicAppend.read(spark, path).write.mode("overwrite").parquet(s"$path/_batch=2")
     assert(AtomicAppend.read(spark, path).count() == 600, "debris leaked to readers")
     assert(AtomicAppend.committedIds(spark, path) == Seq(0L, 1L))
-    // the retry derives the SAME folded id from the unchanged live set and
-    // overwrites the debris wholly
-    assert(AtomicAppend.compact(spark, path).contains(2L))
+    // the retry allocates ABOVE the debris (ids are never reused once a
+    // dir exists on disk — the same rule that protects retired history
+    // dirs, see IdReuseSpec); the stranded dir stays invisible until
+    // vacuum reclaims it
+    assert(AtomicAppend.compact(spark, path).contains(3L))
     assert(AtomicAppend.read(spark, path).count() == 600)
+    assert(AtomicAppend.vacuum(spark, path).contains(2L), "debris not reclaimed")
 
     // crash window between an append's marker and its manifest flip:
     // write the dir + marker by hand (manifest untouched) — invisible —
     // then the replayed append heals the visibility exactly once
-    batch(7).write.mode("overwrite").parquet(s"$path/_batch=3")
-    val fsP = new org.apache.hadoop.fs.Path(s"$path/_batch=3/_COMMITTED")
+    batch(7).write.mode("overwrite").parquet(s"$path/_batch=4")
+    val fsP = new org.apache.hadoop.fs.Path(s"$path/_batch=4/_COMMITTED")
     fsP.getFileSystem(spark.sessionState.newHadoopConf()).create(fsP, true).close()
     assert(AtomicAppend.read(spark, path).count() == 600, "half-flipped append leaked")
-    assert(AtomicAppend.append(batch(7), path, batchId = Some(3L)).contains(3L))
+    assert(AtomicAppend.append(batch(7), path, batchId = Some(4L)).contains(4L))
     assert(AtomicAppend.read(spark, path).count() == 900)
-    assert(AtomicAppend.append(batch(7), path, batchId = Some(3L)).isEmpty, "replay after heal")
+    assert(AtomicAppend.append(batch(7), path, batchId = Some(4L)).isEmpty, "replay after heal")
     assert(AtomicAppend.read(spark, path).count() == 900)
   }
 
