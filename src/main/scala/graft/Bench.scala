@@ -107,6 +107,25 @@ object Bench {
         == SparkEntry.queries.size,
       "short query ids must stay unique — rename the colliding query")
 
+    // QUIET-WAIT (round 15, after BENCH_r14 landed as a hot-box artifact
+    // at load 2.41 and broke round-over-round comparability): when the
+    // box is busy at start, wait in bounded 30 s steps — up to 10 min —
+    // for the 1-minute load to drop below the hot threshold before any
+    // timed work. A bench that starts hot measures the OTHER workload;
+    // ten minutes of waiting is cheaper than a round of misleading
+    // numbers. SPARK_GRAFT_NO_WAIT=1 skips (dev iteration).
+    if (!sys.env.get("SPARK_GRAFT_NO_WAIT").contains("1")) {
+      var waited = 0
+      while (Bench.loadavg() >= 1.5 && waited < 600) {
+        System.err.println(f"[bench] load ${Bench.loadavg()}%.2f >= 1.5 — " +
+          s"waiting for a quiet box (${waited}s/600s)")
+        Thread.sleep(30000); waited += 30
+      }
+      if (Bench.loadavg() >= 1.5)
+        System.err.println("[bench] box never went quiet within 10 min — " +
+          "proceeding; the artifact will be marked hot")
+    }
+
     // sampled BEFORE the warm pass: the warm pass itself saturates the
     // box, so a later sample would always read high and identify nothing
     val load: Double = Bench.loadavg()

@@ -62,8 +62,20 @@ object AtomicAppend {
 
   private val Marker = "_COMMITTED"
 
-  private def fs(spark: SparkSession, path: String) =
+  private[layers] def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Every mutator here assumes ONE maintainer: its manifest flips and
+    * log renames are last-writer-wins, so driving an [[OccTable]]-marked
+    * table through this protocol could overwrite a concurrent optimistic
+    * commit. Refuse up front, actionably.
+    */
+  private def requireSingleMaintainer(f: org.apache.hadoop.fs.FileSystem,
+      basePath: String): Unit =
+    require(!f.exists(new Path(s"$basePath/_OCC")),
+      s"$basePath is a multi-writer (OCC) table — drive writes through " +
+        "graft.layers.OccTable; the single-maintainer mutators would race " +
+        "its optimistic commits")
 
   private def manifestIds(spark: SparkSession, basePath: String): Option[Seq[Long]] =
     graft.runtime.PointerFile.read(fs(spark, basePath),
@@ -124,7 +136,7 @@ object AtomicAppend {
     * [[readAsOf]] and the change feeds use to reconstruct the masking in
     * force AT a version rather than now.
     */
-  private def scanDirs(spark: SparkSession, basePath: String,
+  private[layers] def scanDirs(spark: SparkSession, basePath: String,
       dirs: Seq[Path], dv: Option[Long]): DataFrame =
     applyDv(spark, basePath, scanRaw(spark, basePath, dirs), dv)
 
@@ -227,7 +239,7 @@ object AtomicAppend {
     * become — or already — visible. Idempotent: no pointer write when
     * nothing changed, so replays and crash-heals converge.
     */
-  private def logSchema(spark: SparkSession, basePath: String,
+  private[layers] def logSchema(spark: SparkSession, basePath: String,
       fileSchema: org.apache.spark.sql.types.StructType): Unit = {
     val stored = storedSchema(spark, basePath)
     val merged = stored
@@ -334,7 +346,7 @@ object AtomicAppend {
 
   private val VlogDir = "_VLOG"
 
-  private def vlogPath(basePath: String, v: Long) = new Path(s"$basePath/$VlogDir/v=$v")
+  private[layers] def vlogPath(basePath: String, v: Long) = new Path(s"$basePath/$VlogDir/v=$v")
 
   /** Committed table versions, oldest first ([[readAsOf]]'s domain). */
   def versions(spark: SparkSession, basePath: String): Seq[Long] = {
@@ -371,9 +383,9 @@ object AtomicAppend {
     * across a fold would re-emit the whole table. Serialized as
     * `kind[@dv=<gen>]:id,id,…`; pre-DV entries parse with `dv = None`.
     */
-  private final case class VlogEntry(kind: String, ids: Seq[Long], dv: Option[Long])
+  private[layers] final case class VlogEntry(kind: String, ids: Seq[Long], dv: Option[Long])
 
-  private def vlogEntry(f: org.apache.hadoop.fs.FileSystem, basePath: String,
+  private[layers] def vlogEntry(f: org.apache.hadoop.fs.FileSystem, basePath: String,
       v: Long): Option[VlogEntry] =
     try {
       val in = f.open(vlogPath(basePath, v))
@@ -563,7 +575,7 @@ object AtomicAppend {
     * non-empty read — a union or schema-keyed cache built against the
     * empty frame must not break when data arrives.
     */
-  private def emptyFrame(spark: SparkSession, basePath: String): DataFrame = {
+  private[layers] def emptyFrame(spark: SparkSession, basePath: String): DataFrame = {
     val dirs = committedDirs(spark, basePath)
     if (dirs.nonEmpty)
       scanDirs(spark, basePath, Seq(dirs.head)).filter(F.lit(false))
@@ -831,6 +843,7 @@ object AtomicAppend {
       bloomCols: Seq[String] = Nil): Option[Long] = {
     val spark = df.sparkSession
     val f = fs(spark, basePath)
+    requireSingleMaintainer(f, basePath)
     healRestoreIntent(spark, basePath)
     val manifest = manifestIds(spark, basePath)
     val live = manifest.getOrElse(committedIds(spark, basePath))
@@ -911,6 +924,7 @@ object AtomicAppend {
     */
   def compact(spark: SparkSession, basePath: String, partitionBy: Seq[String] = Nil,
       minBatches: Int = 2): Option[Long] = {
+    requireSingleMaintainer(fs(spark, basePath), basePath)
     healRestoreIntent(spark, basePath)
     val live = committedIds(spark, basePath)
     if (live.size < minBatches) return None
@@ -932,6 +946,7 @@ object AtomicAppend {
   def compactSmall(spark: SparkSession, basePath: String, maxBytes: Long,
       partitionBy: Seq[String] = Nil, minBatches: Int = 2): Option[Long] = {
     val f = fs(spark, basePath)
+    requireSingleMaintainer(f, basePath)
     healRestoreIntent(spark, basePath)
     val live = committedIds(spark, basePath)
     val small = live.filter(id =>
@@ -1064,6 +1079,7 @@ object AtomicAppend {
       bloomCols: Seq[String] = Nil, bits: Int = 4,
       minBatches: Int = 2): Option[Seq[Long]] = {
     require(numBatches >= 1, s"numBatches must be >= 1, got $numBatches")
+    requireSingleMaintainer(fs(spark, basePath), basePath)
     healRestoreIntent(spark, basePath)
     val live = committedIds(spark, basePath)
     if (live.size < minBatches) return None
@@ -1186,6 +1202,7 @@ object AtomicAppend {
   def deleteWhereMergeOnRead(spark: SparkSession, basePath: String,
       predicate: Column): Long = {
     val f = fs(spark, basePath)
+    requireSingleMaintainer(f, basePath)
     healRestoreIntent(spark, basePath)
     val live = committedIds(spark, basePath)
     if (live.isEmpty) return 0L
@@ -1315,6 +1332,7 @@ object AtomicAppend {
     keys.foreach(k => require(source.columns.contains(k),
       s"mergeInto key '$k' is not a source column (${source.columns.mkString(",")})"))
     val f = fs(spark, basePath)
+    requireSingleMaintainer(f, basePath)
     healRestoreIntent(spark, basePath)
     val live = committedIds(spark, basePath)
     if (live.isEmpty) // first write: everything inserts
@@ -1467,6 +1485,7 @@ object AtomicAppend {
       transform: DataFrame => DataFrame, keepMatches: Boolean,
       changeRows: DataFrame => DataFrame): (Seq[Long], Seq[Long]) = {
     val f = fs(spark, basePath)
+    requireSingleMaintainer(f, basePath)
     healRestoreIntent(spark, basePath)
     val live = committedIds(spark, basePath)
     if (live.isEmpty) return (Seq.empty, Seq.empty)
@@ -1603,6 +1622,7 @@ object AtomicAppend {
 
   def restore(spark: SparkSession, basePath: String, version: Long): Long = {
     val f = fs(spark, basePath)
+    requireSingleMaintainer(f, basePath)
     healRestoreIntent(spark, basePath)
     val e = vlogEntry(f, basePath, version).getOrElse(
       throw new IllegalArgumentException(
