@@ -1784,7 +1784,7 @@ object AtomicAppend {
     (kept.flatMap(id), skipped.flatMap(id))
   }
 
-  private def partitionByStats(spark: SparkSession, dirs: Seq[Path],
+  private[layers] def partitionByStats(spark: SparkSession, dirs: Seq[Path],
       predicate: Column): (Seq[Path], Seq[Path]) = {
     if (dirs.isEmpty) return (dirs, Seq.empty)
     val f = dirs.head.getFileSystem(spark.sessionState.newHadoopConf())

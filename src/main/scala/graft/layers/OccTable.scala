@@ -293,6 +293,99 @@ object OccTable {
     }
   }
 
+  /** [[read]] with the scan list pruned by each batch's zone map —
+    * the OCC face of [[AtomicAppend.read(spark, basePath, predicate)]]
+    * (that one resolves the manifest, which OCC tables don't keep).
+    */
+  def read(spark: SparkSession, basePath: String, predicate: Column): DataFrame = {
+    val ids = currentIds(spark, basePath)
+    if (ids.isEmpty)
+      throw new IllegalArgumentException(s"no committed versions under $basePath")
+    val dirs = ids.map(id => new Path(s"$basePath/_batch=$id"))
+    val (kept, _) = AtomicAppend.partitionByStats(spark, dirs, predicate)
+    if (kept.isEmpty)
+      AtomicAppend.scanDirs(spark, basePath, Seq(dirs.head), None)
+        .filter(predicate).filter(F.lit(false))
+    else AtomicAppend.scanDirs(spark, basePath, kept, None).filter(predicate)
+  }
+
+  /** Copy-on-write `DELETE ... WHERE` under optimistic concurrency: the
+    * snapshot's touched batches (zone-map pruned, as in the
+    * single-maintainer protocol) rewrite under fresh claimed ids, and
+    * the commit races through the same create-if-absent loop.
+    *
+    * Delta's conflict matrix, honestly applied: a DELETE's correctness
+    * depends on having seen every row its predicate could match, so a
+    * CONCURRENT APPEND is a true conflict for it (the appended rows were
+    * never evaluated — Delta Serializable semantics; its
+    * WriteSerializable relaxation admits blind appends, which this v1
+    * does not). The rebase rule is therefore strict equality on the
+    * batch set: any commit that landed since the snapshot aborts the
+    * delete, the staged replacements are cleaned up, and the caller
+    * re-runs against the new tip. Returns (replaced ids, replacement
+    * ids, version); (Nil, Nil, -1) when nothing matched.
+    */
+  def deleteWhere(spark: SparkSession, basePath: String,
+      predicate: Column): (Seq[Long], Seq[Long], Long) =
+    deleteWherePrepared(spark, basePath, predicate, currentIds(spark, basePath))
+
+  /** [[deleteWhere]]'s rewrite + commit given an already-taken snapshot
+    * — separated so a spec can interleave a conflicting commit between
+    * snapshot and attempt deterministically.
+    */
+  private[graft] def deleteWherePrepared(spark: SparkSession, basePath: String,
+      predicate: Column, snapshot: Seq[Long]): (Seq[Long], Seq[Long], Long) = {
+    val f = fs(spark, basePath)
+    if (snapshot.isEmpty) return (Seq.empty, Seq.empty, -1L)
+    val dirs = snapshot.map(id => new Path(s"$basePath/_batch=$id"))
+    val (keptDirs, _) = AtomicAppend.partitionByStats(spark, dirs, predicate)
+    val touched = keptDirs.flatMap(p =>
+      scala.util.Try(p.getName.stripPrefix("_batch=").toLong).toOption)
+    if (touched.isEmpty) return (Seq.empty, Seq.empty, -1L)
+    val replaced = Seq.newBuilder[Long]
+    val replacements = Seq.newBuilder[Long]
+    touched.foreach { id =>
+      val one = AtomicAppend.scanDirs(spark, basePath,
+        Seq(new Path(s"$basePath/_batch=$id")), None)
+      val survivors = one.filter(!F.coalesce(predicate, F.lit(false)))
+      val newId = claimBatchId(f, basePath)
+      val dest = new Path(s"$basePath/_batch=$newId")
+      val srcStats = BatchStats.read(f, new Path(s"$basePath/_batch=$id"))
+      val statsCols = srcStats.map(_.cols.keys.toSeq.sorted).getOrElse(Nil)
+      val obs = org.apache.spark.sql.Observation()
+      val (fields, aggs) = BatchStats.observationAggs(survivors, statsCols)
+      survivors.observe(obs, aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(dest.toString)
+      val stats = BatchStats.fromObserved(obs.get, fields)
+      if (stats.rows == 0L) { // emptied: drop the id, keep no dir
+        f.delete(dest, true)
+        f.delete(new Path(s"$basePath/_IDCLAIM/$newId"), false)
+        replaced += id
+      } else {
+        if (statsCols.nonEmpty) BatchStats.write(f, dest, stats)
+        replaced += id; replacements += newId
+      }
+    }
+    val replacedSet = replaced.result().toSet
+    val newIds = replacements.result()
+    try {
+      val v = commitLoop(f, basePath, "rewrite", tipIds =>
+        // strict-equality conflict rule (Serializable DELETE): any
+        // commit since the snapshot — even a blind append — aborts
+        if (tipIds.sorted == snapshot.sorted)
+          Some(tipIds.filterNot(replacedSet.contains) ++ newIds)
+        else None)
+      (replaced.result(), newIds, v)
+    } catch {
+      case e: ConcurrentCommitException =>
+        newIds.foreach { id =>
+          f.delete(new Path(s"$basePath/_batch=$id"), true)
+          f.delete(new Path(s"$basePath/_IDCLAIM/$id"), false)
+        }
+        throw e
+    }
+  }
+
   /** Claims and replaced batch dirs that no surviving version references
     * — OCC's vacuum sibling ([[AtomicAppend.vacuum]] is manifest-keyed
     * and does not apply). Retains the newest `retainVersions` entries'

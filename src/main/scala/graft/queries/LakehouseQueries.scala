@@ -648,6 +648,37 @@ object LakehouseQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // MULTI-WRITER OPTIMISTIC COMMITS (OccTable — Delta's optimistic
+    // commit protocol role): the events fact lands through the OCC path
+    // — each commit an atomic create-if-absent _VLOG entry, visibility
+    // resolved at the adopted log tip, no manifest — as three ts-sliced
+    // appends, an optimistic fold, and a post-fold append (a commit that
+    // must rebase its live set over the fold's). The payload reads the
+    // tip; the oracle aggregates the raw table — a hash match proves the
+    // OCC commit chain is content-exact end to end. (The RACING half of
+    // the protocol — concurrent writers, conflict aborts — is
+    // OccTableSpec's; a correctness gate needs a deterministic run.)
+    "ql23_occ_commits" -> ((s, d) => {
+      val occ = graft.layers.OccTable
+      val base = Scratch.dir("graft-ql23-") + "/events"
+      occ.create(s, base)
+      val fact = ev(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+      val day11 = F.to_timestamp(F.lit("2024-01-11"))
+      val day21 = F.to_timestamp(F.lit("2024-01-21"))
+      occ.append(fact.filter(F.col("ts") < day11), base, statsCols = Seq("user_id"))
+      occ.append(fact.filter(F.col("ts") >= day11 && F.col("ts") < day21), base,
+        statsCols = Seq("user_id"))
+      occ.compact(s, base)
+      occ.append(fact.filter(F.col("ts") >= day21), base, statsCols = Seq("user_id"))
+      occ.read(s, base)
+        .groupBy("event_type")
+        .agg(
+          F.count(F.lit(1)).as("n_events"),
+          F.countDistinct("user_id").as("n_users"),
+          F.sum(F.floor(F.col("value")).cast("long")).as("sum_v"))
+        .orderBy("event_type")
+    }),
+
     // latest_metrics shape: single-row global metrics + alert ladder.
     "ql04_latest_metrics" -> ((s, d) => {
       ev(s, d).agg(
@@ -952,6 +983,13 @@ object LakehouseQueries extends QueryPack {
            count(DISTINCT event_id) AS n_ids
          FROM feed
          GROUP BY change_type ORDER BY change_type""",
+    "ql23_occ_commits" ->
+      """SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v
+         FROM events
+         GROUP BY event_type ORDER BY event_type""",
     "ql15_bloom_lookup" ->
       """SELECT event_id, event_type, user_id,
            CAST(floor(value) AS BIGINT) AS v

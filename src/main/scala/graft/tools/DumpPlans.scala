@@ -59,7 +59,11 @@ object DumpPlans {
     // broadcast-anti-join deletion mask UNDER the batch pruning (the big
     // side must never shuffle), ql22's single full-outer merge
     "ql17_schema_evolution", "ql18_delete_where", "ql19_update_where",
-    "ql20_change_feed_rows", "ql21_mor_delete", "ql22_merge_into")
+    "ql20_change_feed_rows", "ql21_mor_delete", "ql22_merge_into",
+    // round 15: the optimistic-commit lifecycle — the dumped plan is the
+    // adopted-log-tip read after appends + an OCC fold + a post-fold
+    // rebased append
+    "ql23_occ_commits")
 
   /** Strip the identifiers that churn between runs and unrelated edits —
     * expression ids (`#123`), node/codegen numbering (`(12)`,

@@ -125,6 +125,45 @@ class OccTableSpec extends AnyFunSuite {
       AtomicAppend.readAsOf(spark, path, foldV - 1).count())
   }
 
+  test("occ deleteWhere removes matching rows, rewrites only touched batches") {
+    val path = TestFixtures.tmpDir("occ-delete").toString
+    OccTable.create(spark, path)
+    // disjoint id ranges with zone maps so pruning can prove batches empty
+    (0 until 3).foreach(w => OccTable.append(batch(w), path, statsCols = Seq("id")))
+    val before = OccTable.currentIds(spark, path)
+    val (replaced, replacements, v) = OccTable.deleteWhere(spark, path,
+      F.col("id") >= 10000L && F.col("id") < 10040L) // inside writer 1's range only
+    assert(replaced.size == 1 && replacements.size == 1, s"($replaced, $replacements)")
+    assert(v == OccTable.versions(spark, path).last)
+    // untouched batches keep their ids
+    assert((before.toSet -- replaced).subsetOf(OccTable.currentIds(spark, path).toSet))
+    assert(OccTable.read(spark, path).count() == 260L)
+    assert(OccTable.read(spark, path,
+      F.col("id") >= 10000L && F.col("id") < 10040L).count() == 0L)
+    // a no-match delete is a no-op (nothing committed)
+    val (r2, n2, v2) = OccTable.deleteWhere(spark, path, F.col("id") >= 999999L)
+    assert(r2.isEmpty && n2.isEmpty && v2 == -1L)
+    assert(OccTable.versions(spark, path).last == v)
+  }
+
+  test("occ deleteWhere aborts when ANY commit landed since its snapshot") {
+    val path = TestFixtures.tmpDir("occ-delete-conflict").toString
+    OccTable.create(spark, path)
+    (0 until 2).foreach(w => OccTable.append(batch(w), path, statsCols = Seq("id")))
+    val snapshot = OccTable.currentIds(spark, path)
+    // even a BLIND APPEND conflicts with a DELETE (Serializable rule:
+    // the appended rows were never evaluated by the predicate)
+    OccTable.append(batch(2), path, statsCols = Seq("id"))
+    val e = intercept[OccTable.ConcurrentCommitException](
+      OccTable.deleteWherePrepared(spark, path, F.col("id") < 5L, snapshot))
+    assert(e.getMessage.contains("cannot rebase"), e.getMessage)
+    // nothing visible changed; no staged debris at the tip
+    assert(OccTable.read(spark, path).count() == 300L)
+    // the re-run against the fresh tip succeeds
+    val (_, _, v) = OccTable.deleteWhere(spark, path, F.col("id") < 5L)
+    assert(v >= 0L && OccTable.read(spark, path).count() == 295L)
+  }
+
   test("zone maps ride occ appends and folds (pruned reads stay sound)") {
     val path = TestFixtures.tmpDir("occ-stats").toString
     OccTable.create(spark, path)
