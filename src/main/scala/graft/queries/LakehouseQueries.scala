@@ -547,22 +547,34 @@ object LakehouseQueries extends QueryPack {
     "ql20_change_feed_rows" -> ((s, d) => {
       val aa = graft.layers.AtomicAppend
       val base = Scratch.dir("graft-ql20-") + "/events"
+      def phase[T](tag: String)(body: => T): T =
+        if (sys.env.contains("GRAFT_PHASE_TIMING")) {
+          val t0 = System.nanoTime(); val r = body
+          System.err.println(f"[ql20-phase] $tag ${(System.nanoTime()-t0)/1e9}%.2fs")
+          r
+        } else body
       val fact = ev(s, d).select(
         F.col("event_id"), F.col("ts"), F.col("user_id"), F.col("event_type"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").as("cents"))
       val cols = Seq("user_id", "cents")
       val day11 = F.to_timestamp(F.lit("2024-01-11"))
       val day21 = F.to_timestamp(F.lit("2024-01-21"))
-      aa.append(fact.filter(F.col("ts") < day11), base,
-        batchId = Some(0L), statsCols = cols)
-      aa.append(fact.filter(F.col("ts") >= day11 && F.col("ts") < day21), base,
-        batchId = Some(1L), statsCols = cols)
-      aa.append(fact.filter(F.col("ts") >= day21), base,
-        batchId = Some(2L), statsCols = cols)
-      aa.updateWhere(s, base,
-        F.col("event_type") === "click" && F.col("cents") < 5000L,
-        Map("cents" -> (F.col("cents") + 7L)))
-      aa.deleteWhere(s, base, F.col("user_id") % 10L === 3L)
+      phase("appends") {
+        aa.append(fact.filter(F.col("ts") < day11), base,
+          batchId = Some(0L), statsCols = cols)
+        aa.append(fact.filter(F.col("ts") >= day11 && F.col("ts") < day21), base,
+          batchId = Some(1L), statsCols = cols)
+        aa.append(fact.filter(F.col("ts") >= day21), base,
+          batchId = Some(2L), statsCols = cols)
+      }
+      phase("update") {
+        aa.updateWhere(s, base,
+          F.col("event_type") === "click" && F.col("cents") < 5000L,
+          Map("cents" -> (F.col("cents") + 7L)))
+      }
+      phase("delete") {
+        aa.deleteWhere(s, base, F.col("user_id") % 10L === 3L)
+      }
       val latest = aa.versions(s, base).last
       aa.changeFeed(s, base, -1L, latest)
         .groupBy(F.col("_change_type").as("change_type"))
