@@ -197,7 +197,7 @@ object AtomicAppend {
     * changing the logical type, and two such schemas must not fail an
     * append as a "type change".
     */
-  private def relaxNullability(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+  private[layers] def relaxNullability(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     dt match {
       case StructType(fields) => StructType(fields.map(f =>

@@ -88,8 +88,7 @@ object OccTable {
     * full-content-or-nothing, exclusive. Returns false when another
     * writer won the slot.
     */
-  private def atomicPut(f: FileSystem, basePath: String, content: String,
-      dest: Path): Boolean = {
+  private def atomicPut(f: FileSystem, content: String, dest: Path): Boolean = {
     val tmp = new Path(dest.getParent, s".${dest.getName}.${UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
@@ -158,6 +157,29 @@ object OccTable {
   def readAsOf(spark: SparkSession, basePath: String, version: Long): DataFrame =
     AtomicAppend.readAsOf(spark, basePath, version)
 
+  /** OCC-safe schema publish. The single-maintainer `logSchema` commits
+    * through a SHARED-tmp pointer: two first-ever concurrent appenders
+    * can interleave create(overwrite)/rename and expose an EMPTY
+    * `_SCHEMA` to a concurrent reader (observed: DataType.fromJson on
+    * "" mid-race). Here the FIRST publish goes through the exclusive
+    * create-if-absent primitive — one winner, whole content, losers
+    * converge by re-reading. A table that already has a schema
+    * delegates to `logSchema` (no write when the merged schema equals
+    * the stored one — the identical-schema steady state); concurrent
+    * EVOLUTION stays out of OCC v1 scope.
+    */
+  private def logSchemaOcc(spark: SparkSession, f: FileSystem,
+      basePath: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    AtomicAppend.storedSchema(spark, basePath) match {
+      case Some(_) => AtomicAppend.logSchema(spark, basePath, schema)
+      case None =>
+        val relaxed = org.apache.spark.sql.types.StructType(schema.fields.map(fd =>
+          fd.copy(dataType = AtomicAppend.relaxNullability(fd.dataType),
+            nullable = true)))
+        atomicPut(f, relaxed.json, new Path(s"$basePath/_SCHEMA"))
+        // winner or loser, a whole schema is now in place
+    }
+
   // ------------------------------------------------------ id claims
 
   /** Claim a batch id no other writer can stage into: exclusive create
@@ -175,7 +197,7 @@ object OccTable {
         .getOrElse(Seq.empty)
     }
     var id = (claimed ++ tipMax).maxOption.map(_ + 1L).getOrElse(0L)
-    while (!atomicPut(f, basePath, "", new Path(claimDir, id.toString)))
+    while (!atomicPut(f, "", new Path(claimDir, id.toString)))
       id += 1L
     id
   }
@@ -203,7 +225,7 @@ object OccTable {
         case Some(newIds) =>
           val next = t.map(_ + 1L).getOrElse(0L)
           val content = s"$kind:${newIds.sorted.mkString(",")}"
-          if (atomicPut(f, basePath, content,
+          if (atomicPut(f, content,
               AtomicAppend.vlogPath(basePath, next))) {
             advancePointer(f, basePath, next)
             return next
@@ -228,13 +250,7 @@ object OccTable {
     create(spark, basePath)
     val id = claimBatchId(f, basePath)
     val dir = new Path(s"$basePath/_batch=$id")
-    // the schema log rides a shared-tmp pointer (single-maintainer
-    // discipline); the table's FIRST two concurrent appends can race the
-    // rename. Identical schemas converge on retry; true concurrent
-    // EVOLUTION needs coordination and stays out of OCC v1 scope.
-    try AtomicAppend.logSchema(spark, basePath, df.schema)
-    catch { case _: Exception =>
-      AtomicAppend.logSchema(spark, basePath, df.schema) }
+    logSchemaOcc(spark, f, basePath, df.schema)
     val obs = Option.when(statsCols.nonEmpty)(
       (org.apache.spark.sql.Observation(), BatchStats.observationAggs(df, statsCols)))
     val observed = obs.fold(df) { case (o, (_, aggs)) =>

@@ -164,6 +164,40 @@ class OccTableSpec extends AnyFunSuite {
     assert(v >= 0L && OccTable.read(spark, path).count() == 295L)
   }
 
+  test("a table tail streams FROM an occ table while writers race (no loss, no dupes)") {
+    // TableTailStream is vlog-driven (versions/changesBetween/readAsOf),
+    // so the Delta streaming-source role composes with OCC with zero new
+    // code — this pins it: racing appenders + a polling consumer
+    // converge to exactly-once delivery across optimistic commits.
+    import graft.streaming.TableTailStream
+    val work = TestFixtures.tmpDir("occ-tail").toString
+    val table = s"$work/t"
+    val ptr = s"$work/ptr"
+    OccTable.create(spark, table)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def poll() = TableTailStream.pollOnce(spark, table, ptr) {
+      (df, _, _) => seen ++= df.select("id").collect().map(_.getLong(0))
+    }
+    val writers = 4
+    val pool = Executors.newFixedThreadPool(writers)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val commits = (0 until writers).map(w => Future(OccTable.append(batch(w), table)))
+      // consume while the race is in flight, then drain after it settles
+      poll()
+      Await.result(Future.sequence(commits), 120.seconds)
+      poll(); poll()
+      assert(seen.size == writers * 100, s"lost or duplicated rows: ${seen.size}")
+      assert(seen.toSet.size == writers * 100, "duplicate delivery")
+      assert(TableTailStream.lastApplied(spark, ptr) ==
+        OccTable.versions(spark, table).last)
+      // an optimistic fold crosses the tail silently
+      seen.clear()
+      OccTable.compact(spark, table)
+      assert(poll().nonEmpty && seen.isEmpty, "a fold must contribute nothing")
+    } finally pool.shutdown()
+  }
+
   test("zone maps ride occ appends and folds (pruned reads stay sound)") {
     val path = TestFixtures.tmpDir("occ-stats").toString
     OccTable.create(spark, path)
