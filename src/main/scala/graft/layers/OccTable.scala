@@ -144,6 +144,12 @@ object OccTable {
   def versions(spark: SparkSession, basePath: String): Seq[Long] =
     AtomicAppend.versions(spark, basePath)
 
+  def history(spark: SparkSession, basePath: String): Seq[(Long, Seq[Long])] =
+    AtomicAppend.history(spark, basePath)
+
+  def describeHistory(spark: SparkSession, basePath: String): String =
+    AtomicAppend.describeHistory(spark, basePath)
+
   /** Everything committed at the adopted tip — the OCC read path (the
     * manifest is never consulted; see the class doc).
     */
@@ -345,12 +351,41 @@ object OccTable {
       predicate: Column): (Seq[Long], Seq[Long], Long) =
     deleteWherePrepared(spark, basePath, predicate, currentIds(spark, basePath))
 
+  /** Copy-on-write `UPDATE ... SET ... WHERE` under the same optimistic
+    * discipline and the same strict Serializable conflict rule as
+    * [[deleteWhere]] (an UPDATE's correctness equally depends on having
+    * evaluated every row its predicate could match). TRUE rows get each
+    * assignment applied; FALSE/NULL rows pass through.
+    */
+  def updateWhere(spark: SparkSession, basePath: String, predicate: Column,
+      assignments: Map[String, Column]): (Seq[Long], Seq[Long], Long) = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    rewritePrepared(spark, basePath, predicate, currentIds(spark, basePath),
+      rewriteOne = df => {
+        assignments.keys.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
+          s"updateWhere assigns unknown column '$c' (table has ${df.columns.mkString(",")})"))
+        df.select(df.columns.toSeq.map { c =>
+          assignments.find(_._1.equalsIgnoreCase(c)) match {
+            case Some((_, v)) =>
+              F.when(F.coalesce(predicate, F.lit(false)), v).otherwise(F.col(c)).as(c)
+            case None => F.col(c)
+          }
+        }: _*)
+      })
+  }
+
   /** [[deleteWhere]]'s rewrite + commit given an already-taken snapshot
     * — separated so a spec can interleave a conflicting commit between
     * snapshot and attempt deterministically.
     */
   private[graft] def deleteWherePrepared(spark: SparkSession, basePath: String,
-      predicate: Column, snapshot: Seq[Long]): (Seq[Long], Seq[Long], Long) = {
+      predicate: Column, snapshot: Seq[Long]): (Seq[Long], Seq[Long], Long) =
+    rewritePrepared(spark, basePath, predicate, snapshot,
+      rewriteOne = df => df.filter(!F.coalesce(predicate, F.lit(false))))
+
+  private def rewritePrepared(spark: SparkSession, basePath: String,
+      predicate: Column, snapshot: Seq[Long],
+      rewriteOne: DataFrame => DataFrame): (Seq[Long], Seq[Long], Long) = {
     val f = fs(spark, basePath)
     if (snapshot.isEmpty) return (Seq.empty, Seq.empty, -1L)
     val dirs = snapshot.map(id => new Path(s"$basePath/_batch=$id"))
@@ -363,7 +398,7 @@ object OccTable {
     touched.foreach { id =>
       val one = AtomicAppend.scanDirs(spark, basePath,
         Seq(new Path(s"$basePath/_batch=$id")), None)
-      val survivors = one.filter(!F.coalesce(predicate, F.lit(false)))
+      val survivors = rewriteOne(one)
       val newId = claimBatchId(f, basePath)
       val dest = new Path(s"$basePath/_batch=$newId")
       val srcStats = BatchStats.read(f, new Path(s"$basePath/_batch=$id"))
@@ -386,8 +421,8 @@ object OccTable {
     val newIds = replacements.result()
     try {
       val v = commitLoop(f, basePath, "rewrite", tipIds =>
-        // strict-equality conflict rule (Serializable DELETE): any
-        // commit since the snapshot — even a blind append — aborts
+        // strict-equality conflict rule (Serializable DELETE/UPDATE):
+        // any commit since the snapshot — even a blind append — aborts
         if (tipIds.sorted == snapshot.sorted)
           Some(tipIds.filterNot(replacedSet.contains) ++ newIds)
         else None)

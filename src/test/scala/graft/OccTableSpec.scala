@@ -146,6 +146,23 @@ class OccTableSpec extends AnyFunSuite {
     assert(OccTable.versions(spark, path).last == v)
   }
 
+  test("occ updateWhere transforms matching rows under the same conflict rule") {
+    val path = TestFixtures.tmpDir("occ-update").toString
+    OccTable.create(spark, path)
+    (0 until 2).foreach(w => OccTable.append(batch(w), path, statsCols = Seq("id")))
+    val (replaced, replacements, v) = OccTable.updateWhere(spark, path,
+      F.col("id") < 5L, Map("w" -> F.lit(99L)))
+    assert(replaced == Seq(0L) && replacements.size == 1, s"($replaced, $replacements)")
+    assert(v >= 0L)
+    val now = OccTable.read(spark, path)
+    assert(now.filter(F.col("w") === 99L).count() == 5L)
+    assert(now.count() == 200L)
+    // history fails the insert-only feed actionably across the rewrite
+    intercept[IllegalArgumentException](
+      AtomicAppend.changesBetween(spark, path, 0L, v).collect())
+    assert(OccTable.describeHistory(spark, path).contains("rewrite"))
+  }
+
   test("occ deleteWhere aborts when ANY commit landed since its snapshot") {
     val path = TestFixtures.tmpDir("occ-delete-conflict").toString
     OccTable.create(spark, path)
