@@ -47,10 +47,15 @@ import org.apache.spark.sql.{functions => F}
   * same exclusive-create primitive under `_IDCLAIM/`, so two writers
   * can never stage into one directory.
   *
-  * v1 scope: concurrent `append` + `compact` (the multi-writer reality
-  * of parallel ingest pipelines) and single-maintainer-compatible
-  * reads. Row-level DML / deletion vectors on OCC tables remain with
-  * the single-maintainer protocol.
+  * Scope: concurrent `append` + `compact` (the multi-writer reality of
+  * parallel ingest pipelines) rebase; copy-on-write `deleteWhere` /
+  * `updateWhere` commit under the strict SERIALIZABLE conflict rule
+  * (any commit since their snapshot aborts them — a DML's correctness
+  * depends on having evaluated every row its predicate could match;
+  * WriteSerializable's blind-append relaxation is deliberately not
+  * taken). Deletion vectors / CDF change files stay with the
+  * single-maintainer protocol — their sidecars are keyed by a version
+  * the writer cannot predict under contention.
   */
 object OccTable {
 
