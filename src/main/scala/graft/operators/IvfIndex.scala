@@ -89,14 +89,32 @@ object IvfIndex {
     // never let it ride into the transform closure (FraudMl's hygiene)
     graft.ml.FraudMl.stripTrainingSummary(model)
 
+    // corpus assignment rides the SAME exact codegen kernel the ingest
+    // path uses ([[assignCells]]'s routing: literal argmin below
+    // [[LiteralKernelMaxCells]], matrix kernel above) instead of MLlib's
+    // row-at-a-time `transform` UDF — the n·C·d term is the build's data
+    // pass, and the UDF path pays Vector boxing + non-codegen eval per
+    // row (guide §4; measured 1.04 s → kernel speed on qe11's map
+    // stage). Tie policy matches MLlib's findClosest (distance asc, then
+    // cell asc), and qe10/qe11 probe every cell so the gate answer is
+    // assignment-independent by construction either way.
+    val cents: Seq[(Int, Array[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
+    val assigned =
+      if (cents.size > LiteralKernelMaxCells)
+        assignCellsMultiExpr(vecs, "id", "vec", cents, 1)
+          .withColumn("cell", F.col("cells").getItem(0)).drop("cells")
+      else vecs.select(F.col("id"), F.col("vec"))
+        .withColumn("cell", F.least(centroidCandidates(cents): _*).getField("cell"))
+
     // alongside the float vectors: int8 codes + scale (the IVF+SQ8
     // layout) — parquet column pruning means a quantized scan never
     // reads the float column at all
-    model.transform(vecs)
+    assigned
       .select(F.col("id"), F.col("vec"),
         F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))).as("nrm"),
         (F.array_max(F.transform(F.col("vec"), x => F.abs(x))) / 127.0).as("q_scale"),
-        F.col("prediction").as("cell"))
+        F.col("cell"))
       .withColumn("q_codes",
         F.transform(F.col("vec"), x => F.round(x / F.col("q_scale")).cast("byte")))
       .withColumn("epoch", F.lit(BuildEpoch))
@@ -105,14 +123,12 @@ object IvfIndex {
       // tasks × C files per build (measured as the large-C ingest wall).
       // With it each cell lands whole in one task → one file per cell
       // (maxRecordsPerFile still splits a genuinely huge cell).
-      .repartition(F.col("cell"))
+      .transform(clusterByCell(_, numCentroids))
       .write.mode("overwrite").partitionBy("epoch", "cell").parquet(s"$root/vectors")
 
     val spark = df.sparkSession
     import spark.implicits._
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
+    cents.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids.parquet")
 
     // the build corpus's id digest seeds the batch-sized collision guard
@@ -228,8 +244,12 @@ object IvfIndex {
       // cell-cluster the fold (see [[build]]): a batch arriving in p tasks
       // would otherwise write up to p × C files per trigger — at C in the
       // hundreds that file churn IS the trigger's wall-clock, and the
-      // accumulated small files are what [[compact]] later pays to fold
-      .repartition(F.col("cell"))
+      // accumulated small files are what [[compact]] later pays to fold.
+      // Parallelism-sized count (NOT the centroid table — appendAssigned
+      // must not pay a second centroid read): any explicit count keeps
+      // each cell whole in one task; see [[clusterByCell]] for why the
+      // count must be explicit at all.
+      .transform(clusterByCell(_, spark.sparkContext.defaultParallelism))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic") // replay-safe: replaces only this epoch's dirs
       .partitionBy("epoch", "cell")
@@ -296,7 +316,7 @@ object IvfIndex {
       .dropDuplicates("id")
       // the dedup shuffle keys on id, so its output mixes cells — cluster
       // by cell before the partitioned staging write (see [[build]])
-      .repartition(F.col("cell"))
+      .transform(clusterByCell(_, loadCentroids(spark, root).size))
       .write.mode("overwrite").partitionBy("cell").parquet(staging)
 
     val consolidated = spark.read.parquet(staging)
@@ -1015,6 +1035,20 @@ object IvfIndex {
   /** Centroid count of the index — metadata-sized (C rows). */
   def numCells(spark: SparkSession, root: String): Int =
     spark.read.parquet(s"$root/centroids.parquet").count().toInt
+
+  /** Cell-clustered exchange with an EXPLICIT partition count (round-15):
+    * `repartition(F.col("cell"))` with the count left implicit is an
+    * AQE-coalescible exchange, and on a small build/trigger batch AQE
+    * coalesces the write's input to ONE task — which then opens the C
+    * per-cell parquet writers strictly in sequence (measured on qe11's
+    * 72-cell build write: 1.3–2.1 s implicit vs 0.45 s at any explicit
+    * count 8–72; the whole gap is serialized writer setup, not data).
+    * An explicit count pins the exchange (AQE respects user-specified
+    * numbers), keeping writer setup parallel while each cell still lands
+    * whole in exactly one task → one file per (epoch, cell) either way.
+    */
+  private def clusterByCell(df: DataFrame, numTasks: Int): DataFrame =
+    df.repartition(math.max(1, numTasks), F.col("cell"))
 
   /** One (distance, cell) struct Column per centroid — ||v−c||² with the
     * row-constant v·v dropped. The centroid table is metadata (C rows),
