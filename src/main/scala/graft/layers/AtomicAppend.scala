@@ -388,7 +388,7 @@ object AtomicAppend {
   private[layers] def vlogEntry(f: org.apache.hadoop.fs.FileSystem, basePath: String,
       v: Long): Option[VlogEntry] =
     try {
-      val in = f.open(vlogPath(basePath, v))
+      val in = graft.runtime.MetaIO.open(f, vlogPath(basePath, v))
       val content =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
@@ -530,7 +530,7 @@ object AtomicAppend {
     // metadata file here that must be as atomic as the PointerFiles
     val next = latest.map(_ + 1).getOrElse(0L)
     val tmp = new Path(s"$basePath/$VlogDir/v=$next.tmp")
-    val out = f.create(tmp, true)
+    val out = graft.runtime.MetaIO.create(f, tmp)
     try out.write((s"$kind${dvNow.map(g => s"@dv=$g").getOrElse("")}:" +
       sorted.mkString(",")).getBytes("UTF-8"))
     finally out.close()
@@ -901,7 +901,7 @@ object AtomicAppend {
           val expected = stats.map(_.rows).getOrElse(landed.count())
           BatchBloom.write(f, dir, BatchBloom.compute(landed, bloomCols, expected))
         }
-      f.create(marker, true).close()
+      graft.runtime.MetaIO.create(f, marker).close()
     }
     // manifest tables: the flip IS the visibility commit. Also the heal
     // path for a replay that finds its own marker but no manifest entry.
@@ -1034,7 +1034,7 @@ object AtomicAppend {
     }
     if (manifestIds(spark, basePath).isEmpty)
       commitManifest(spark, basePath, live)
-    f.create(new Path(dir, Marker), true).close()
+    graft.runtime.MetaIO.create(f, new Path(dir, Marker)).close()
     val after = (live.filterNot(subset.contains) :+ folded).sorted
     commitManifest(spark, basePath, after) // THE atomic visibility flip
     // a FULL fold rewrote the masked scan — every tombstone is
@@ -1129,7 +1129,7 @@ object AtomicAppend {
     // invisible fold dirs, then flip once.
     if (manifestIds(spark, basePath).isEmpty)
       commitManifest(spark, basePath, live)
-    ids.foreach(id => f.create(new Path(s"$basePath/_batch=$id/$Marker"), true).close())
+    ids.foreach(id => graft.runtime.MetaIO.create(f, new Path(s"$basePath/_batch=$id/$Marker")).close())
     commitManifest(spark, basePath, ids) // THE atomic visibility flip, k-way
     f.delete(tmp, true)
     dvClear(f, basePath) // always a full fold: every tombstone materialized
@@ -1420,7 +1420,7 @@ object AtomicAppend {
         .write.mode("overwrite").parquet(cdfDest.toString)
       if (manifestIds(spark, basePath).isEmpty)
         commitManifest(spark, basePath, live)
-      f.create(new Path(dest, Marker), true).close()
+      graft.runtime.MetaIO.create(f, new Path(dest, Marker)).close()
       val after = (live.filterNot(touched.contains) :+ newId).sorted
       commitManifest(spark, basePath, after) // THE atomic visibility flip
       val logged = logCommit(spark, basePath, after, kind = "merge")
@@ -1564,7 +1564,7 @@ object AtomicAppend {
     // pre-mark the (invisible) replacements, flip once
     if (manifestIds(spark, basePath).isEmpty)
       commitManifest(spark, basePath, live)
-    newIds.foreach(id => f.create(new Path(s"$basePath/_batch=$id/$Marker"), true).close())
+    newIds.foreach(id => graft.runtime.MetaIO.create(f, new Path(s"$basePath/_batch=$id/$Marker")).close())
     val after = (live.filterNot(replaced.result().contains) ++ newIds).sorted
     commitManifest(spark, basePath, after)
     val logged = logCommit(spark, basePath, after, kind = "rewrite")

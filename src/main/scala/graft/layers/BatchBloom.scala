@@ -77,7 +77,7 @@ private[graft] object BatchBloom {
   def write(fs: FileSystem, batchDir: Path,
       blooms: Map[String, (String, BloomFilter)]): Unit = {
     if (blooms.isEmpty) return
-    val out = new DataOutputStream(fs.create(new Path(batchDir, FileName), true))
+    val out = new DataOutputStream(graft.runtime.MetaIO.create(fs, new Path(batchDir, FileName)))
     try {
       out.writeInt(blooms.size)
       blooms.toSeq.sortBy(_._1).foreach { case (name, (family, bf)) =>
@@ -105,7 +105,7 @@ private[graft] object BatchBloom {
       wanted: Option[Set[String]] = None): Map[String, (String, BloomFilter)] = {
     val p = new Path(batchDir, FileName)
     try {
-      val in = new DataInputStream(fs.open(p))
+      val in = new DataInputStream(graft.runtime.MetaIO.open(fs, p))
       try {
         val n = in.readInt()
         (0 until n).flatMap { _ =>
@@ -139,7 +139,7 @@ private[graft] object BatchBloom {
   def readNames(fs: FileSystem, batchDir: Path): Set[String] = {
     val p = new Path(batchDir, FileName)
     try {
-      val in = new DataInputStream(fs.open(p))
+      val in = new DataInputStream(graft.runtime.MetaIO.open(fs, p))
       try {
         val n = in.readInt()
         (0 until n).map { _ =>

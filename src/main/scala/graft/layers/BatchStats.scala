@@ -594,7 +594,7 @@ private[graft] object BatchStats {
 
   /** Idempotently write `stats` as the batch dir's `_STATS` file. */
   def write(fs: FileSystem, batchDir: Path, stats: Stats): Unit = {
-    val out = fs.create(new Path(batchDir, FileName), true)
+    val out = graft.runtime.MetaIO.create(fs, new Path(batchDir, FileName))
     try out.write(encode(stats).getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -603,7 +603,7 @@ private[graft] object BatchStats {
   def read(fs: FileSystem, batchDir: Path): Option[Stats] = {
     val p = new Path(batchDir, FileName)
     try {
-      val in = fs.open(p)
+      val in = graft.runtime.MetaIO.open(fs, p)
       val content =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()

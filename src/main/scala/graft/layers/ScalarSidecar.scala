@@ -91,7 +91,7 @@ private[graft] object ScalarSidecar {
   def write(spark: SparkSession, path: String, version: Long,
       value: Any, dt: DataType): Unit = {
     val f = fs(spark, path)
-    val out = f.create(file(path, version), true)
+    val out = graft.runtime.MetaIO.create(f, file(path, version))
     try out.write(encode(value, dt).getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -102,7 +102,7 @@ private[graft] object ScalarSidecar {
     */
   def readLong(spark: SparkSession, path: String, version: Long): Long = {
     val f = fs(spark, path)
-    val in = f.open(file(path, version))
+    val in = graft.runtime.MetaIO.open(f, file(path, version))
     val content =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -116,7 +116,7 @@ private[graft] object ScalarSidecar {
   /** The scalar at `version`, as a typed literal Column. */
   def column(spark: SparkSession, path: String, version: Long, dt: DataType): Column = {
     val f = fs(spark, path)
-    val in = f.open(file(path, version))
+    val in = graft.runtime.MetaIO.open(f, file(path, version))
     val content =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()

@@ -56,6 +56,9 @@ object Snapshots {
     require(v >= 0, s"version must be non-negative, got $v")
     val spark = df.sparkSession
     df.write.mode("overwrite").parquet(s"$path/version=$v")
+    // the writer knows the schema for free — later reads of this version
+    // dir skip the footer-inference job (round-15 optimization)
+    graft.runtime.ParquetSchemaMemo.seed(spark, s"$path/version=$v", df.schema)
     if (pointer(spark, path).forall(_ < v))
       graft.runtime.PointerFile.commit(fs(spark, path),
         new Path(s"$path/LATEST"), new Path(s"$path/LATEST.tmp"), v.toString)
@@ -91,7 +94,7 @@ object Snapshots {
         throw new IllegalArgumentException(s"no committed snapshot at $path"))
     require(versions(spark, path).contains(v),
       s"version $v is not available at $path (vacuumed or never committed)")
-    spark.read.parquet(s"$path/version=$v")
+    graft.runtime.ParquetSchemaMemo.read(spark, s"$path/version=$v")
   }
 
   /** Drop all but the newest `keepLast` committed versions; the latest

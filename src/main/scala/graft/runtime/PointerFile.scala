@@ -29,7 +29,7 @@ private[graft] object PointerFile {
   def read(fs: FileSystem, main: Path, tmp: Path): Option[String] = {
     def tryOpen(p: Path): Option[String] =
       try {
-        val in = fs.open(p)
+        val in = MetaIO.open(fs, p)
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
         finally in.close()
       } catch { case _: java.io.FileNotFoundException => None }
@@ -39,11 +39,14 @@ private[graft] object PointerFile {
     once().orElse(once())
   }
 
-  /** Commit `content` as the pointer's new value. */
+  /** Commit `content` as the pointer's new value. On a local filesystem
+    * the flip is ONE atomic replace (java.nio, see [[MetaIO.replace]]) —
+    * strictly tighter than the delete→rename below, which remains the
+    * portable path for filesystems without atomic replacing renames.
+    */
   def commit(fs: FileSystem, main: Path, tmp: Path, content: String): Unit = {
-    val out = fs.create(tmp, true)
+    val out = MetaIO.create(fs, tmp)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(main)) fs.delete(main, false)
-    require(fs.rename(tmp, main), s"failed to commit pointer at $main")
+    require(MetaIO.replace(fs, tmp, main), s"failed to commit pointer at $main")
   }
 }

@@ -26,6 +26,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // schema inference is paid once per distinct directory STATE, not once
+  // per query — see [[ParquetSchemaMemo]] (round-15 optimization)
+  private def readTable(spark: SparkSession, path: String): DataFrame =
+    ParquetSchemaMemo.read(spark, path)
+
   /** Dimension tables small enough to broadcast at ANY scale factor —
     * region/nation are bounded by geography (25 nations), not by SF.
     */
@@ -41,7 +46,7 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, dir)
-    else normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+    else normalizeNtz(readTable(spark, s"$dir/$name.parquet"))
 
   /** In the NANOS regime events.ts is rejected by Spark's reader: read it
     * as long and truncate to µs with integer division — identical to
@@ -50,7 +55,7 @@ object Tables {
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/events.parquet")
+    val df = readTable(spark, s"$dir/events.parquet")
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     else normalizeNtz(df)
