@@ -435,10 +435,18 @@ object AtomicAppend {
       g.toString)
 
   /** A generation's (file, position) tombstones. Schema:
-    * `__dv_file` string, `__dv_pos` long.
+    * `__dv_file` string, `__dv_pos` long — FIXED by the engine (the
+    * writer is [[deleteWhereMergeOnRead]]), so the read binds it
+    * explicitly instead of paying a footer-inference job per mask read
+    * (round-15 optimization).
     */
   private def dvFrame(spark: SparkSession, basePath: String, g: Long): DataFrame =
-    spark.read.parquet(dvGenPath(basePath, g).toString)
+    spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__dv_file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__dv_pos",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(dvGenPath(basePath, g).toString)
 
   /** Mask `df`'s rows whose (file, row-index) the generation tombstones —
     * a BROADCAST anti-join keyed on parquet's own `_metadata` columns,
@@ -1219,7 +1227,14 @@ object AtomicAppend {
     val visible = cur.fold(pos)(g =>
       pos.join(F.broadcast(dvFrame(spark, basePath, g)),
         Seq("__dv_file", "__dv_pos"), "left_anti"))
-    val matched = visible.filter(F.coalesce(predicate, F.lit(false)))
+    // cached: the match set feeds THREE consumers (the count gate, the
+    // mask write, the change file) — uncached, each re-ran the scan +
+    // anti-join + filter (round-15 profiling: three serialized full
+    // passes per MOR delete). The set is selective by contract (a
+    // delete too big to hold belongs to copy-on-write deleteWhere), so
+    // the cache is mask-sized; unpersisted on every exit path.
+    val matched = visible.filter(F.coalesce(predicate, F.lit(false))).cache()
+    try {
     val n = matched.count()
     if (n == 0L) return 0L
     // generation numbers are MONOTONIC over every gen dir on disk, not
@@ -1239,20 +1254,38 @@ object AtomicAppend {
       ((onDisk ++ cur).maxOption).map(_ + 1L).getOrElse(0L)
     }
     val genDir = dvGenPath(basePath, gen)
-    // positions-only, one file: the mask is selective by contract (a
-    // delete too big to broadcast belongs to copy-on-write deleteWhere)
-    cur.fold(matched.select("__dv_file", "__dv_pos"))(g =>
-        dvFrame(spark, basePath, g)
-          .unionByName(matched.select("__dv_file", "__dv_pos")))
-      .distinct().coalesce(1)
-      .write.mode("overwrite").parquet(genDir.toString)
-    // the change file, keyed by the version this commit WILL get
     val v = nextVersion(f, spark, basePath)
     val cdfDest = cdfPath(basePath, v)
     if (f.exists(cdfDest)) f.delete(cdfDest, true)
-    matched.drop("__dv_file", "__dv_pos")
-      .withColumn("_change_type", F.lit("delete"))
-      .write.mode("overwrite").parquet(cdfDest.toString)
+    // the mask write and the change file are INDEPENDENT writes of
+    // still-invisible files, both consuming the cached match set — run
+    // them concurrently (guide §2.6; commitTwo's await-on-every-exit
+    // discipline) and flip the pointer only after BOTH have landed,
+    // exactly the serial ordering's crash surface.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      // positions-only, one file: the mask is selective by contract (a
+      // delete too big to broadcast belongs to copy-on-write deleteWhere)
+      val maskFut = Future {
+        cur.fold(matched.select("__dv_file", "__dv_pos"))(g =>
+            dvFrame(spark, basePath, g)
+              .unionByName(matched.select("__dv_file", "__dv_pos")))
+          .distinct().coalesce(1)
+          .write.mode("overwrite").parquet(genDir.toString)
+      }(scala.concurrent.ExecutionContext.global)
+      var primary: Throwable = null
+      try
+        // the change file, keyed by the version this commit WILL get
+        matched.drop("__dv_file", "__dv_pos")
+          .withColumn("_change_type", F.lit("delete"))
+          .write.mode("overwrite").parquet(cdfDest.toString)
+      catch { case t: Throwable => primary = t; throw t }
+      finally {
+        try { Await.result(maskFut, Duration.Inf); () }
+        catch { case t: Throwable => if (primary == null) throw t }
+      }
+    }
     commitDvPointer(f, basePath, gen) // THE atomic visibility flip
     val logged = logCommit(spark, basePath, live, kind = "mordelete")
     require(logged == v, s"merge-on-read delete of $basePath committed as " +
@@ -1260,6 +1293,7 @@ object AtomicAppend {
       "writer broke the single-maintainer contract; the change file for " +
       "this version is wrong")
     n
+    } finally { matched.unpersist(); () }
   }
 
   /** Copy-on-write `UPDATE ... SET ... WHERE` (Delta UPDATE's role):
@@ -1510,15 +1544,16 @@ object AtomicAppend {
         .map(_.cols.keys.toSeq.sorted).getOrElse(Nil)
     def bloomColsOf(id: Long): Seq[String] =
       BatchBloom.readNames(f, new Path(s"$basePath/_batch=$id")).toSeq.sorted
-    var nextId = nextBatchId(f, spark, basePath, live, includeLog = true)
-    val replaced = Seq.newBuilder[Long]
-    val replacements = Seq.newBuilder[Long]
-    touched.foreach { id =>
+    val firstId = nextBatchId(f, spark, basePath, live, includeLog = true)
+    // one independent rewrite job per touched batch; returns the
+    // replacement id, or None when the rewrite emptied the batch (the
+    // id is dropped with no replacement — its tentative newId stays
+    // unused, a harmless gap in the id space)
+    def rewriteOne(id: Long, newId: Long): Option[Long] = {
       val one = scanDirs(spark, basePath, Seq(new Path(s"$basePath/_batch=$id")))
       val rewritten =
         if (keepMatches) transform(one)
         else one.filter(!F.coalesce(predicate, F.lit(false))) // NULL predicate keeps the row
-      val newId = nextId
       val dest = new Path(s"$basePath/_batch=$newId")
       if (f.exists(dest)) f.delete(dest, true) // crashed prior attempt's debris
       // survivor count, replacement zone map AND constraint gate ride
@@ -1536,7 +1571,7 @@ object AtomicAppend {
       requireNoViolations(f, dest, basePath, constraints, metrics)
       val stats = BatchStats.fromObserved(metrics, fields)
       // a delete that emptied the batch: drop the id, keep no empty dir
-      if (stats.rows == 0L) { f.delete(dest, true); replaced += id }
+      if (stats.rows == 0L) { f.delete(dest, true); None }
       else {
         if (sc.nonEmpty) BatchStats.write(f, dest, stats)
         val bc = bloomColsOf(id)
@@ -1545,10 +1580,41 @@ object AtomicAppend {
             .parquet(dest.toString).drop("_batch")).foreach { landed =>
             BatchBloom.write(f, dest, BatchBloom.compute(landed, bc, stats.rows))
           }
-        nextId += 1
-        replaced += id
-        replacements += newId
+        Some(newId)
       }
+    }
+    // the per-batch rewrites are INDEPENDENT writes to still-invisible
+    // directories — overlap them (guide §2.6: submit independent jobs
+    // from a small pool so one job's task tail back-fills with the
+    // next's work) instead of paying their latencies serially; round-15
+    // profiling showed ql20's six rewrite jobs strictly serialized at
+    // ~0.15 s each. Ids are assigned tentatively up front (firstId + i);
+    // visibility still happens only at the single manifest flip below,
+    // so the crash/failure surface is unchanged — an abandoned write is
+    // the same invisible debris a crashed serial attempt left. Every
+    // future is awaited on every exit path (commitTwo's discipline), so
+    // no write is in flight past this frame even on failure.
+    val outcomes: Seq[(Long, Option[Long])] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, math.max(1, touched.size)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = touched.zipWithIndex.map { case (id, i) =>
+          Future((id, rewriteOne(id, firstId + i)))
+        }
+        val settled = futs.map(fut =>
+          Await.ready(fut, Duration.Inf).value.get)
+        settled.collectFirst { case scala.util.Failure(t) => throw t }
+        settled.map(_.get)
+      } finally pool.shutdown()
+    }
+    val replaced = Seq.newBuilder[Long]
+    val replacements = Seq.newBuilder[Long]
+    outcomes.foreach { case (id, kept) =>
+      replaced += id
+      kept.foreach(replacements += _)
     }
     val newIds = replacements.result()
     // the change file: changeRows over exactly the touched batches, one

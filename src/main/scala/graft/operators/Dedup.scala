@@ -328,10 +328,15 @@ object Dedup {
     // jobs entirely and pin the shuffle-only plan.
     val applyBound = candidateBounded && {
       val nDocs = sigs.count()
-      val nCandIds = cands
-        .select(F.explode(F.array(F.col("a_id"), F.col("b_id"))).as("id"))
-        .distinct().count()
-      nCandIds * 2 < nDocs
+      // a PAIR count bounds the distinct-id count (ids <= 2·pairs)
+      // without the explode+distinct shuffle the round-14 gate paid
+      // (round-15: two ~0.2 s jobs on qd07/qd32 became one plain count
+      // over the cache the verify materializes anyway). 4·pairs < docs
+      // implies 2·ids < docs — same broadcast-safety guarantee, slightly
+      // more conservative (falls back to the shuffle-only plan a bit
+      // earlier on self-similar corpora, which is the safe direction).
+      val nCandPairs = cands.count()
+      nCandPairs * 4 < nDocs
     }
     (jaccardVerify(cands, sh, counts, minJ, applyBound),
       () => {

@@ -81,13 +81,47 @@ object IvfIndex {
     // training set as 1-2 Spark jobs — probe RECALL depends on cell
     // balance, not centroid optimality, so operators trade iterations
     // against build wall-clock (and exactness gates like qe11, where the
-    // answer is centroid-independent, dial both to the floor)
-    val model = new KMeans().setK(numCentroids).setSeed(seed)
-      .setMaxIter(kmeansMaxIter).setInitMode(kmeansInitMode)
-      .setFeaturesCol("features").fit(train)
-    // the freshly-fit summary pins a live DataFrame (and the session) —
-    // never let it ride into the transform closure (FraudMl's hygiene)
-    graft.ml.FraudMl.stripTrainingSummary(model)
+    // answer is centroid-independent, dial both to the floor).
+    //
+    // FIT ROUTING (round-15 optimization, guide §1.2 "per-task work"):
+    // coarse-quantizer training needs only a BOUNDED sample — ~256
+    // vectors per centroid is the standard IVF training budget; more
+    // moves centroids negligibly while every MLlib fit iteration is a
+    // full distributed pass (measured ~1 s of qe11's ledger row at 3
+    // iterations). When that bounded sample fits comfortably on the
+    // driver (byte-guarded below), collect it ONCE and run [[localKMeans]]
+    // there — one Spark job instead of MLlib's init + per-iteration
+    // jobs, with empty-cluster re-seeding keeping exactly C centers.
+    // Above the byte guard (huge d·C products — the 256× scale legs) the
+    // distributed MLlib fit remains, so the path stays 100 TB-safe:
+    // probe CORRECTNESS is centroid-independent either way (vectors land
+    // in SOME cell; readers probe by the same centroid table).
+    val localCap = math.min(131072L, math.max(8192L, 256L * numCentroids))
+    val dim: Int = train.select(F.size(F.col("vec"))).head(1).headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"IvfIndex.build: empty training set (trainFraction=$trainFraction) — " +
+          "build needs at least one vector to fit centroids"))
+    val localBytesOk = localCap * dim * 8L <= (128L << 20)
+    val cents: Seq[(Int, Array[Double])] =
+      if (localBytesOk) {
+        val sample: Array[Array[Double]] = train
+          .select(F.col("vec").cast("array<double>"))
+          .limit(localCap.toInt)
+          .collect()
+          .map(_.getSeq[Double](0).toArray)
+        val (centers, _) = localKMeans(sample, numCentroids,
+          iters = math.max(kmeansMaxIter, 1), seed = seed)
+        centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      } else {
+        val model = new KMeans().setK(numCentroids).setSeed(seed)
+          .setMaxIter(kmeansMaxIter).setInitMode(kmeansInitMode)
+          .setFeaturesCol("features").fit(train)
+        // the freshly-fit summary pins a live DataFrame (and the session) —
+        // never let it ride into the transform closure (FraudMl's hygiene)
+        graft.ml.FraudMl.stripTrainingSummary(model)
+        model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
+      }
 
     // corpus assignment rides the SAME exact codegen kernel the ingest
     // path uses ([[assignCells]]'s routing: literal argmin below
@@ -98,8 +132,6 @@ object IvfIndex {
     // stage). Tie policy matches MLlib's findClosest (distance asc, then
     // cell asc), and qe10/qe11 probe every cell so the gate answer is
     // assignment-independent by construction either way.
-    val cents: Seq[(Int, Array[Double])] =
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
     val assigned =
       if (cents.size > LiteralKernelMaxCells)
         assignCellsMultiExpr(vecs, "id", "vec", cents, 1)
