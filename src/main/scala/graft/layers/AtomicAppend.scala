@@ -903,12 +903,19 @@ object AtomicAppend {
         .map { case (fields, m) => BatchStats.fromObserved(m, fields) }
       stats.foreach(BatchStats.write(f, dir, _))
       // blooms still read back the landed batch (a bloom is an
-      // aggregation buffer, not an observable scalar), column-pruned
-      if (bloomCols.nonEmpty)
-        scala.util.Try(spark.read.parquet(dir.toString)).foreach { landed =>
+      // aggregation buffer, not an observable scalar), column-pruned;
+      // the read binds the schema this append just logged instead of
+      // re-inferring it from the footer it just wrote (round-15 —
+      // partitioned dirs keep inference for the partition columns)
+      if (bloomCols.nonEmpty) {
+        val reader =
+          if (partitionBy.isEmpty) spark.read.schema(fileSchema)
+          else spark.read
+        scala.util.Try(reader.parquet(dir.toString)).foreach { landed =>
           val expected = stats.map(_.rows).getOrElse(landed.count())
           BatchBloom.write(f, dir, BatchBloom.compute(landed, bloomCols, expected))
         }
+      }
       graft.runtime.MetaIO.create(f, marker).close()
     }
     // manifest tables: the flip IS the visibility commit. Also the heal
@@ -1427,31 +1434,48 @@ object AtomicAppend {
         merged.schema.fields.filterNot(fd =>
           partCols.exists(_.equalsIgnoreCase(fd.name)))))
       val constraints = checkConstraints(spark, basePath)
-      val obs = org.apache.spark.sql.Observation() // fresh UUID name (see append)
-      val (fields, oAggs) = BatchStats.observationAggs(merged, statsCols)
-      val allAggs = oAggs ++ constraintAggs(constraints)
-      val writer = merged.observe(obs, allAggs.head, allAggs.tail: _*)
-        .write.mode("overwrite")
-      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-        .parquet(dest.toString)
-      val metrics = obs.get
-      requireNoViolations(f, dest, basePath, constraints, metrics)
-      val stats = BatchStats.fromObserved(metrics, fields)
-      if (statsCols.nonEmpty) BatchStats.write(f, dest, stats)
-      if (bloomCols.nonEmpty)
-        scala.util.Try(spark.read.option("basePath", basePath)
-          .parquet(dest.toString).drop("_batch")).foreach { landed =>
-          BatchBloom.write(f, dest, BatchBloom.compute(landed, bloomCols, stats.rows))
-        }
-      // the change file: preimages/postimages for matched pairs, deletes
+      // the change file (preimages/postimages for matched pairs, deletes
       // under deleteWhen, inserts for source-only keys — shaped to the
       // merged schema, change-set-sized, keyed by the version this
-      // commit WILL get
+      // commit WILL get) derives from touchedDf+src, NOT from the merged
+      // write — two independent writes of still-invisible files, run
+      // concurrently (guide §2.6, commitTwo's await-on-every-exit
+      // discipline) and only then the single visibility flip below.
       val v = nextVersion(f, spark, basePath)
       val cdfDest = cdfPath(basePath, v)
       if (f.exists(cdfDest)) f.delete(cdfDest, true)
-      mergeChangeRows(touchedDf, src, keys, deleteWhen, merged.schema)
-        .write.mode("overwrite").parquet(cdfDest.toString)
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val cdfFut = Future {
+          mergeChangeRows(touchedDf, src, keys, deleteWhen, merged.schema)
+            .write.mode("overwrite").parquet(cdfDest.toString)
+        }(scala.concurrent.ExecutionContext.global)
+        var primary: Throwable = null
+        try {
+          val obs = org.apache.spark.sql.Observation() // fresh UUID name (see append)
+          val (fields, oAggs) = BatchStats.observationAggs(merged, statsCols)
+          val allAggs = oAggs ++ constraintAggs(constraints)
+          val writer = merged.observe(obs, allAggs.head, allAggs.tail: _*)
+            .write.mode("overwrite")
+          (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+            .parquet(dest.toString)
+          val metrics = obs.get
+          requireNoViolations(f, dest, basePath, constraints, metrics)
+          val st = BatchStats.fromObserved(metrics, fields)
+          if (statsCols.nonEmpty) BatchStats.write(f, dest, st)
+          if (bloomCols.nonEmpty)
+            scala.util.Try(spark.read.option("basePath", basePath)
+              .parquet(dest.toString).drop("_batch")).foreach { landed =>
+              BatchBloom.write(f, dest, BatchBloom.compute(landed, bloomCols, st.rows))
+            }
+          ()
+        } catch { case t: Throwable => primary = t; throw t }
+        finally {
+          try { Await.result(cdfFut, Duration.Inf); () }
+          catch { case t: Throwable => if (primary == null) throw t }
+        }
+      }
       if (manifestIds(spark, basePath).isEmpty)
         commitManifest(spark, basePath, live)
       graft.runtime.MetaIO.create(f, new Path(dest, Marker)).close()
