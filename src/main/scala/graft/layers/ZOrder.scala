@@ -102,33 +102,14 @@ object ZOrder {
     // route range i to shuffle partition i exactly: repartition() hashes
     // its key, and hashing 0..n-1 directly collides (guide §2.5 — some
     // partitions get 2-3 ranges, others none, serializing the clustered
-    // write). Remap each range index to a pre-searched salt whose
-    // murmur3 lands on its own partition — deterministic identity
-    // routing through the stock hash exchange.
-    val salts = identitySalts(numFiles)
+    // write). [[graft.runtime.HashRouting]] remaps each range index to a
+    // pre-searched salt whose murmur3 lands on its own partition —
+    // deterministic identity routing through the stock hash exchange.
     withZ
       .withColumn(keyCol, bucketOf(F.col("__zval"), zsplits).cast("long"))
       .repartition(numFiles,
-        F.element_at(F.lit(salts), F.col(keyCol).cast("int") + 1))
+        graft.runtime.HashRouting.route(F.col(keyCol), numFiles))
       .sortWithinPartitions("__zval")
       .drop(cols.indices.map(i => s"__z$i") :+ "__zval": _*)
-  }
-
-  /** For each partition index i < n, the smallest non-negative long whose
-    * Murmur3 hash (seed 42 — HashPartitioning's) lands on partition i:
-    * `pmod(hash(salt_i), n) == i`. Driver-side, O(n·n) expected tries.
-    */
-  private def identitySalts(n: Int): Array[Long] = {
-    val out = new Array[Long](n)
-    val found = new Array[Boolean](n)
-    var s = 0L
-    var remaining = n
-    while (remaining > 0) {
-      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(s, 42)
-      val p = ((h % n) + n) % n
-      if (!found(p)) { found(p) = true; out(p) = s; remaining -= 1 }
-      s += 1
-    }
-    out
   }
 }

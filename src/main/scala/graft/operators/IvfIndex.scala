@@ -169,15 +169,48 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite")
       .partitionBy("epoch").parquet(s"$root/digests")
 
-    // seed the cell-occupancy metadata (see [[cellOccupancy]]): counting
-    // the just-written vectors references only the partition column, so
-    // the scan reads parquet footers, not vector data — a one-off at
-    // build time; appends keep it current from their own batch frames
-    spark.read.parquet(s"$root/vectors").groupBy("cell")
-      .agg(F.count(F.lit(1)).as("n"))
-      .withColumn("epoch", F.lit(BuildEpoch))
-      .coalesce(1).write.mode("overwrite")
-      .partitionBy("epoch").parquet(s"$root/cellcounts")
+    // seed the cell-occupancy metadata (see [[cellOccupancy]]): the
+    // counts come straight from the just-written files' parquet FOOTERS,
+    // read on the driver (round-15 — the previous partition-column scan
+    // was already footer-only on the executors, but paid a parallel
+    // listing job + a scan job per build; C cell dirs with ~one file
+    // each are metadata scale, the same tier as the centroid table).
+    // Falls back to the distributed count above ~4096 files.
+    locally {
+      val conf = spark.sessionState.newHadoopConf()
+      val rootP = new org.apache.hadoop.fs.Path(s"$root/vectors/epoch=$BuildEpoch")
+      val fsys = rootP.getFileSystem(conf)
+      val cellDirs = fsys.listStatus(rootP).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      val files = cellDirs.flatMap(d => fsys.listStatus(d.getPath).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")))
+      import spark.implicits._
+      if (files.size <= 4096) {
+        val counts: Seq[(Int, Long)] = cellDirs.map { d =>
+          val cell = d.getPath.getName.stripPrefix("cell=").toInt
+          val n = fsys.listStatus(d.getPath).toSeq
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+            .map { st =>
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(st, conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRecordCount finally r.close()
+            }.sum
+          (cell, n)
+        }
+        counts.toDF("cell", "n")
+          .withColumn("epoch", F.lit(BuildEpoch))
+          .coalesce(1).write.mode("overwrite")
+          .partitionBy("epoch").parquet(s"$root/cellcounts")
+      } else
+        spark.read.parquet(s"$root/vectors").groupBy("cell")
+          .agg(F.count(F.lit(1)).as("n"))
+          .withColumn("epoch", F.lit(BuildEpoch))
+          .coalesce(1).write.mode("overwrite")
+          .partitionBy("epoch").parquet(s"$root/cellcounts")
+    }
   }
 
   /** Incremental ingest: assign NEW vectors to the EXISTING centroids and
@@ -1079,8 +1112,14 @@ object IvfIndex {
     * numbers), keeping writer setup parallel while each cell still lands
     * whole in exactly one task → one file per (epoch, cell) either way.
     */
-  private def clusterByCell(df: DataFrame, numTasks: Int): DataFrame =
-    df.repartition(math.max(1, numTasks), F.col("cell"))
+  private def clusterByCell(df: DataFrame, numTasks: Int): DataFrame = {
+    val n = math.max(1, numTasks)
+    // identity-routed (guide §2.5 via [[graft.runtime.HashRouting]]):
+    // hashing the dense cell ids directly collides, leaving some write
+    // tasks 2-4 cells and others none — routed, cell k lands alone on
+    // partition pmod(k, n), so a C-task build write really runs C-wide
+    df.repartition(n, graft.runtime.HashRouting.route(F.col("cell"), n))
+  }
 
   /** One (distance, cell) struct Column per centroid — ||v−c||² with the
     * row-constant v·v dropped. The centroid table is metadata (C rows),
