@@ -91,10 +91,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // testdata timestamps are unadjusted MICROS; read as TimestampType,
       // not NTZ (see GraftSession) — scan-time decision keeps pushdown
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // GraftSession's canonical conf (round-15: the bench session had
+      // drifted from the engine's documented settings surface — identical
+      // on a real cluster, see GraftSession's scaladoc): subset-key
+      // co-partitioning is the contract NearDupIndex's bucketed joins
+      // rely on to skip their reshuffle.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -17,6 +17,9 @@ object Verify {
       // testdata timestamps are unadjusted MICROS; read as TimestampType,
       // not NTZ (see GraftSession) — scan-time decision keeps pushdown
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // GraftSession's canonical conf (round-15, same note as Bench)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
