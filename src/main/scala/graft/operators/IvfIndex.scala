@@ -187,6 +187,10 @@ object IvfIndex {
           !st.getPath.getName.startsWith(".")))
       import spark.implicits._
       if (files.size <= 4096) {
+        // options built ONCE: ParquetFileReader.open(InputFile) would
+        // otherwise construct a fresh Hadoop Configuration PER FILE —
+        // profiled as an XML re-parse + jar-resource inflate per footer
+        val readOpts = org.apache.parquet.HadoopReadOptions.builder(conf).build()
         val counts: Seq[(Int, Long)] = cellDirs.map { d =>
           val cell = d.getPath.getName.stripPrefix("cell=").toInt
           val n = fsys.listStatus(d.getPath).toSeq
@@ -195,7 +199,7 @@ object IvfIndex {
             .map { st =>
               val in = org.apache.parquet.hadoop.util.HadoopInputFile
                 .fromStatus(st, conf)
-              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              val r = new org.apache.parquet.hadoop.ParquetFileReader(in, readOpts)
               try r.getRecordCount finally r.close()
             }.sum
           (cell, n)
