@@ -878,44 +878,8 @@ object AtomicAppend {
       // must already bind to a schema covering this batch's columns
       logSchema(spark, basePath, fileSchema)
       logPartSchema(spark, basePath, df, partitionBy)
-      // zone-map stats ride the write job itself (Dataset.observe —
-      // exactly-once per row, so they describe exactly the rows the
-      // write landed): an append with stats costs ONE job, not a write
-      // plus a read-back aggregate. At a steady small-append cadence
-      // that halves the job count per ingest trigger.
-      val constraints = checkConstraints(spark, basePath)
-      val obs = Option.when(statsCols.nonEmpty || constraints.nonEmpty)(
-        (org.apache.spark.sql.Observation(), // fresh UUID name: fixed names collide across concurrent writers on one session
-          BatchStats.observationAggs(df, statsCols)))
-      val observed = obs.fold(df) { case (o, (_, aggs)) =>
-        val all = aggs ++ constraintAggs(constraints)
-        df.observe(o, all.head, all.tail: _*)
-      }
-      val writer = observed.write.mode("overwrite") // overwrite own dir = replay-safe mid-batch
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-        .parquet(dir.toString)
-      // constraint gate, then sidecars, then the marker: a marker
-      // implies a validated batch with complete sidecars
-      val metrics = obs.map { case (o, (fields, _)) => (fields, o.get) }
-      metrics.foreach { case (_, m) =>
-        requireNoViolations(f, dir, basePath, constraints, m) }
-      val stats = metrics.filter(_ => statsCols.nonEmpty)
-        .map { case (fields, m) => BatchStats.fromObserved(m, fields) }
-      stats.foreach(BatchStats.write(f, dir, _))
-      // blooms still read back the landed batch (a bloom is an
-      // aggregation buffer, not an observable scalar), column-pruned;
-      // the read binds the schema this append just logged instead of
-      // re-inferring it from the footer it just wrote (round-15 —
-      // partitioned dirs keep inference for the partition columns)
-      if (bloomCols.nonEmpty) {
-        val reader =
-          if (partitionBy.isEmpty) spark.read.schema(fileSchema)
-          else spark.read
-        scala.util.Try(reader.parquet(dir.toString)).foreach { landed =>
-          val expected = stats.map(_.rows).getOrElse(landed.count())
-          BatchBloom.write(f, dir, BatchBloom.compute(landed, bloomCols, expected))
-        }
-      }
+      landBatchDir(df, basePath, dir, partitionBy, statsCols, bloomCols,
+        checkConstraints(spark, basePath), fileSchema)
       graft.runtime.MetaIO.create(f, marker).close()
     }
     // manifest tables: the flip IS the visibility commit. Also the heal
@@ -923,6 +887,141 @@ object AtomicAppend {
     manifest.foreach(ids => if (!ids.contains(id)) commitManifest(spark, basePath, ids :+ id))
     logCommit(spark, basePath, (live.toSet + id).toSeq)
     Some(id)
+  }
+
+  /** Land one batch's data + sidecars into its (still-invisible) batch
+    * dir — everything [[append]] does between schema logging and the
+    * marker: the write itself (zone-map stats and CHECK-constraint
+    * counts riding it as a Dataset.observe, so an append with stats
+    * costs ONE job, not a write plus a read-back aggregate), the
+    * constraint gate, the stats sidecar, and the bloom read-back (a
+    * bloom is an aggregation buffer, not an observable scalar;
+    * column-pruned, bound to the logged schema instead of re-inferring
+    * the footer it just wrote). The caller owns marker creation and the
+    * visibility commit — which is what lets [[appendAll]] run several
+    * of these concurrently while committing strictly in order.
+    */
+  private def landBatchDir(df: DataFrame, basePath: String, dir: Path,
+      partitionBy: Seq[String], statsCols: Seq[String], bloomCols: Seq[String],
+      constraints: Map[String, String],
+      fileSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, basePath)
+    val obs = Option.when(statsCols.nonEmpty || constraints.nonEmpty)(
+      (org.apache.spark.sql.Observation(), // fresh UUID name: fixed names collide across concurrent writers on one session
+        BatchStats.observationAggs(df, statsCols)))
+    val observed = obs.fold(df) { case (o, (_, aggs)) =>
+      val all = aggs ++ constraintAggs(constraints)
+      df.observe(o, all.head, all.tail: _*)
+    }
+    val writer = observed.write.mode("overwrite") // overwrite own dir = replay-safe mid-batch
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dir.toString)
+    // constraint gate, then sidecars, then (in the caller) the marker: a
+    // marker implies a validated batch with complete sidecars
+    val metrics = obs.map { case (o, (fields, _)) => (fields, o.get) }
+    metrics.foreach { case (_, m) =>
+      requireNoViolations(f, dir, basePath, constraints, m) }
+    val stats = metrics.filter(_ => statsCols.nonEmpty)
+      .map { case (fields, m) => BatchStats.fromObserved(m, fields) }
+    stats.foreach(BatchStats.write(f, dir, _))
+    if (bloomCols.nonEmpty) {
+      val reader =
+        if (partitionBy.isEmpty) spark.read.schema(fileSchema)
+        else spark.read
+      scala.util.Try(reader.parquet(dir.toString)).foreach { landed =>
+        val expected = stats.map(_.rows).getOrElse(landed.count())
+        BatchBloom.write(f, dir, BatchBloom.compute(landed, bloomCols, expected))
+      }
+    }
+  }
+
+  /** Append several batches as ONE overlapped operation — equivalent to
+    * calling [[append]] once per element (same final content, same
+    * one-version-per-batch commit history, same sidecars), but the
+    * batch DATA writes run concurrently (guide §2.6: independent jobs
+    * back-fill each other's task tails — round-16 profiling showed each
+    * multi-append query paying 3 strictly serialized ~0.2 s write jobs)
+    * while every visibility commit (marker, manifest flip, log entry)
+    * stays strictly serial in input order: a reader still observes the
+    * batches appearing one at a time, in order, and a change-feed
+    * consumer still sees one `append` version per batch.
+    *
+    * Protocol deltas vs the sequential loop, both on the SAFE side:
+    *   - the union schema of every batch is logged before any data
+    *     lands (a sequential loop logs batch i's columns before batch
+    *     i's visibility; ADD-COLUMN evolution makes the early union
+    *     observably identical — extra columns null-fill);
+    *   - failure is all-or-nothing for VISIBILITY: if any write fails
+    *     (constraint violations included), no batch commits — every
+    *     landed dir stays unmarked/invisible, exactly a crashed
+    *     attempt's debris that the retry overwrites — where the
+    *     sequential loop would have committed the batches preceding
+    *     the failing one.
+    *
+    * Batch ids are caller-owned ([[append]]'s `batchId` discipline;
+    * they must be distinct and not collide with retired dirs). A batch
+    * whose id is already committed replays to a heal, like [[append]].
+    * Returns one entry per input: Some(id) when newly committed, None
+    * on replay.
+    */
+  def appendAll(basePath: String, batches: Seq[(DataFrame, Long)],
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Seq[Option[Long]] = {
+    require(batches.nonEmpty, "appendAll needs at least one batch")
+    require(batches.map(_._2).distinct.size == batches.size,
+      s"appendAll batch ids must be distinct, got ${batches.map(_._2).mkString(",")}")
+    val spark = batches.head._1.sparkSession
+    val f = fs(spark, basePath)
+    requireSingleMaintainer(f, basePath)
+    healRestoreIntent(spark, basePath)
+    val live0 = manifestIds(spark, basePath).getOrElse(committedIds(spark, basePath))
+    val fileSchemas = batches.map { case (df, _) =>
+      org.apache.spark.sql.types.StructType(df.schema.fields
+        .filterNot(fd => partitionBy.exists(_.equalsIgnoreCase(fd.name))))
+    }
+    // schema BEFORE any visibility — the union of every batch, logged up
+    // front so the concurrent writes below need no driver coordination
+    batches.zip(fileSchemas).foreach { case ((df, _), sch) =>
+      logSchema(spark, basePath, sch)
+      logPartSchema(spark, basePath, df, partitionBy)
+    }
+    val constraints = checkConstraints(spark, basePath)
+    val needWrite = batches.zip(fileSchemas).filter { case ((_, id), _) =>
+      !f.exists(new Path(s"$basePath/_batch=$id/$Marker")) }
+    // phase 1: land every missing batch dir concurrently — all invisible
+    // (no markers), so a crash or failure anywhere leaves only debris.
+    // Every future is awaited on every exit path (commitTwo's
+    // discipline): no write is in flight past this frame even on failure.
+    if (needWrite.nonEmpty) {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, needWrite.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = needWrite.map { case ((df, id), sch) =>
+          Future(landBatchDir(df, basePath, new Path(s"$basePath/_batch=$id"),
+            partitionBy, statsCols, bloomCols, constraints, sch))
+        }
+        val settled = futs.map(fut => Await.ready(fut, Duration.Inf).value.get)
+        settled.collectFirst { case scala.util.Failure(t) => throw t }
+      } finally pool.shutdown()
+    }
+    // phase 2: strictly serial visibility in input order — marker, then
+    // the manifest flip (manifest tables: the flip IS the commit; also
+    // the heal for a marker stranded by a crash), then the log entry
+    var live = live0
+    batches.map { case (_, id) =>
+      val replay = live.contains(id)
+      val marker = new Path(s"$basePath/_batch=$id/$Marker")
+      if (!f.exists(marker)) graft.runtime.MetaIO.create(f, marker).close()
+      manifestIds(spark, basePath).foreach(ids =>
+        if (!ids.contains(id)) commitManifest(spark, basePath, ids :+ id))
+      live = (live.toSet + id).toSeq.sorted
+      logCommit(spark, basePath, live)
+      if (replay) None else Some(id)
+    }
   }
 
   /** Fold all committed batches into ONE batch directory, atomically:

@@ -333,10 +333,12 @@ object LakehouseQueries extends QueryPack {
       def cut(c: org.apache.spark.sql.Column) = fact.filter(c)
       val day11 = F.to_timestamp(F.lit("2024-01-11"))
       val day21 = F.to_timestamp(F.lit("2024-01-21"))
-      aa.append(cut(F.col("ts") < day11), base, batchId = Some(0L), statsCols = cols)
-      aa.append(cut(F.col("ts") >= day11 && F.col("ts") < day21), base,
-        batchId = Some(1L), statsCols = cols)
-      aa.append(cut(F.col("ts") >= day21), base, batchId = Some(2L), statsCols = cols)
+      // one overlapped landing, serial visibility — identical content and
+      // commit history to three sequential appends (round-16, guide §2.6)
+      aa.appendAll(base, Seq(
+        (cut(F.col("ts") < day11), 0L),
+        (cut(F.col("ts") >= day11 && F.col("ts") < day21), 1L),
+        (cut(F.col("ts") >= day21), 2L)), statsCols = cols)
       aa.compactClustered(s, base, Seq("user_id", "value"), numBatches = 8,
         statsCols = cols)
       val pred = F.col("user_id") >= 3L && F.col("user_id") < 9L &&
@@ -374,12 +376,11 @@ object LakehouseQueries extends QueryPack {
         (F.col("event_id") * F.lit(2654435761L) % F.lit(999999937L)).as("event_key"))
       val day11 = F.to_timestamp(F.lit("2024-01-11"))
       val day21 = F.to_timestamp(F.lit("2024-01-21"))
-      aa.append(keyed.filter(F.col("ts") < day11), base,
-        batchId = Some(0L), statsCols = Seq("ts"), bloomCols = Seq("event_key"))
-      aa.append(keyed.filter(F.col("ts") >= day11 && F.col("ts") < day21), base,
-        batchId = Some(1L), statsCols = Seq("ts"), bloomCols = Seq("event_key"))
-      aa.append(keyed.filter(F.col("ts") >= day21), base,
-        batchId = Some(2L), statsCols = Seq("ts"), bloomCols = Seq("event_key"))
+      aa.appendAll(base, Seq(
+        (keyed.filter(F.col("ts") < day11), 0L),
+        (keyed.filter(F.col("ts") >= day11 && F.col("ts") < day21), 1L),
+        (keyed.filter(F.col("ts") >= day21), 2L)),
+        statsCols = Seq("ts"), bloomCols = Seq("event_key"))
       def k(id: Long) = id * 2654435761L % 999999937L
       aa.read(s, base, F.col("event_key").isin(k(11), k(4567), k(8887)))
         .select(F.col("event_id"), F.col("event_type"), F.col("user_id"),
@@ -401,11 +402,10 @@ object LakehouseQueries extends QueryPack {
       val base = Scratch.dir("graft-ql16-") + "/events"
       val fact = ev(s, d).select("event_id", "ts", "user_id", "event_type", "value")
       def day(n: Int) = F.to_timestamp(F.lit(f"2024-01-$n%02d"))
-      aa.append(fact.filter(F.col("ts") < day(8)), base, batchId = Some(0L)) // v0
-      aa.append(fact.filter(F.col("ts") >= day(8) && F.col("ts") < day(15)),
-        base, batchId = Some(1L)) // v1
-      aa.append(fact.filter(F.col("ts") >= day(15) && F.col("ts") < day(22)),
-        base, batchId = Some(2L)) // v2
+      aa.appendAll(base, Seq(
+        (fact.filter(F.col("ts") < day(8)), 0L), // v0
+        (fact.filter(F.col("ts") >= day(8) && F.col("ts") < day(15)), 1L), // v1
+        (fact.filter(F.col("ts") >= day(15) && F.col("ts") < day(22)), 2L))) // v2
       aa.compact(s, base) // v3: content-preserving fold mid-window
       aa.append(fact.filter(F.col("ts") >= day(22)), base, batchId = Some(9L)) // v4
       val latest = aa.versions(s, base).last
@@ -479,12 +479,10 @@ object LakehouseQueries extends QueryPack {
       val cols = Seq("user_id", "value")
       val day11 = F.to_timestamp(F.lit("2024-01-11"))
       val day21 = F.to_timestamp(F.lit("2024-01-21"))
-      aa.append(fact.filter(F.col("ts") < day11), base,
-        batchId = Some(0L), statsCols = cols)
-      aa.append(fact.filter(F.col("ts") >= day11 && F.col("ts") < day21), base,
-        batchId = Some(1L), statsCols = cols)
-      aa.append(fact.filter(F.col("ts") >= day21), base,
-        batchId = Some(2L), statsCols = cols)
+      aa.appendAll(base, Seq(
+        (fact.filter(F.col("ts") < day11), 0L),
+        (fact.filter(F.col("ts") >= day11 && F.col("ts") < day21), 1L),
+        (fact.filter(F.col("ts") >= day21), 2L)), statsCols = cols)
       aa.compactClustered(s, base, Seq("user_id", "value"), numBatches = 8,
         statsCols = cols)
       val pred = F.col("user_id") >= 3L && F.col("user_id") < 7L &&
@@ -512,10 +510,9 @@ object LakehouseQueries extends QueryPack {
       val base = Scratch.dir("graft-ql19-") + "/events"
       val fact = ev(s, d).select("event_id", "ts", "user_id", "event_type", "value")
       val day15 = F.to_timestamp(F.lit("2024-01-15"))
-      aa.append(fact.filter(F.col("ts") < day15), base,
-        batchId = Some(0L), statsCols = Seq("value"))
-      aa.append(fact.filter(F.col("ts") >= day15), base,
-        batchId = Some(1L), statsCols = Seq("value"))
+      aa.appendAll(base, Seq(
+        (fact.filter(F.col("ts") < day15), 0L),
+        (fact.filter(F.col("ts") >= day15), 1L)), statsCols = Seq("value"))
       aa.updateWhere(s, base, F.col("value") >= 400.0,
         Map("event_type" -> F.lit("flagged")))
       if (graft.layers.ProtocolAudit.inGate)
@@ -560,12 +557,10 @@ object LakehouseQueries extends QueryPack {
       val day11 = F.to_timestamp(F.lit("2024-01-11"))
       val day21 = F.to_timestamp(F.lit("2024-01-21"))
       phase("appends") {
-        aa.append(fact.filter(F.col("ts") < day11), base,
-          batchId = Some(0L), statsCols = cols)
-        aa.append(fact.filter(F.col("ts") >= day11 && F.col("ts") < day21), base,
-          batchId = Some(1L), statsCols = cols)
-        aa.append(fact.filter(F.col("ts") >= day21), base,
-          batchId = Some(2L), statsCols = cols)
+        aa.appendAll(base, Seq(
+          (fact.filter(F.col("ts") < day11), 0L),
+          (fact.filter(F.col("ts") >= day11 && F.col("ts") < day21), 1L),
+          (fact.filter(F.col("ts") >= day21), 2L)), statsCols = cols)
       }
       phase("update") {
         aa.updateWhere(s, base,
@@ -601,12 +596,10 @@ object LakehouseQueries extends QueryPack {
       val cols = Seq("user_id", "value")
       val day11 = F.to_timestamp(F.lit("2024-01-11"))
       val day21 = F.to_timestamp(F.lit("2024-01-21"))
-      aa.append(fact.filter(F.col("ts") < day11), base,
-        batchId = Some(0L), statsCols = cols)
-      aa.append(fact.filter(F.col("ts") >= day11 && F.col("ts") < day21), base,
-        batchId = Some(1L), statsCols = cols)
-      aa.append(fact.filter(F.col("ts") >= day21), base,
-        batchId = Some(2L), statsCols = cols)
+      aa.appendAll(base, Seq(
+        (fact.filter(F.col("ts") < day11), 0L),
+        (fact.filter(F.col("ts") >= day11 && F.col("ts") < day21), 1L),
+        (fact.filter(F.col("ts") >= day21), 2L)), statsCols = cols)
       aa.deleteWhereMergeOnRead(s, base, F.col("user_id") % 7L === 2L)
       aa.compactClustered(s, base, Seq("user_id", "value"), numBatches = 8,
         statsCols = cols)
@@ -640,12 +633,11 @@ object LakehouseQueries extends QueryPack {
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).as("n"),
           F.sum(F.floor(F.col("value")).cast("long")).as("sv"))
-      aa.append(target.filter(F.col("user_id") < 50L), base,
-        batchId = Some(0L), statsCols = Seq("user_id"), bloomCols = Seq("user_id"))
-      aa.append(target.filter(F.col("user_id") >= 50L && F.col("user_id") < 100L),
-        base, batchId = Some(1L), statsCols = Seq("user_id"), bloomCols = Seq("user_id"))
-      aa.append(target.filter(F.col("user_id") >= 100L), base,
-        batchId = Some(2L), statsCols = Seq("user_id"), bloomCols = Seq("user_id"))
+      aa.appendAll(base, Seq(
+        (target.filter(F.col("user_id") < 50L), 0L),
+        (target.filter(F.col("user_id") >= 50L && F.col("user_id") < 100L), 1L),
+        (target.filter(F.col("user_id") >= 100L), 2L)),
+        statsCols = Seq("user_id"), bloomCols = Seq("user_id"))
       val source = ev(s, d).filter(F.col("ts") >= day21)
         .withColumn("user_id",
           F.when(F.col("user_id") >= 50L && F.col("user_id") < 100L &&

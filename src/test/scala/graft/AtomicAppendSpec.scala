@@ -119,6 +119,57 @@ class AtomicAppendSpec extends AnyFunSuite {
     assert(AtomicAppend.read(spark, path).count() == 900)
   }
 
+  test("appendAll ≡ sequential appends: content, commit history, sidecars, replay") {
+    import spark.implicits._
+    val seqPath = TestFixtures.tmpDir("appendall-seq").toString
+    val allPath = TestFixtures.tmpDir("appendall-par").toString
+    def slice(n: Int) = (0 until 500).map(i => (n * 1000L + i, (i % 9).toLong))
+      .toDF("id", "v")
+
+    (0 until 3).foreach(n => AtomicAppend.append(slice(n), seqPath,
+      batchId = Some(n.toLong), statsCols = Seq("v"), bloomCols = Seq("id")))
+    val out = AtomicAppend.appendAll(allPath,
+      (0 until 3).map(n => (slice(n), n.toLong)),
+      statsCols = Seq("v"), bloomCols = Seq("id"))
+    assert(out == Seq(Some(0L), Some(1L), Some(2L)))
+
+    // identical content, batch set, and one-version-per-batch history
+    assert(AtomicAppend.read(spark, allPath).orderBy("id").collect().toSeq
+      == AtomicAppend.read(spark, seqPath).orderBy("id").collect().toSeq)
+    assert(AtomicAppend.committedIds(spark, allPath)
+      == AtomicAppend.committedIds(spark, seqPath))
+    assert(AtomicAppend.versions(spark, allPath)
+      == AtomicAppend.versions(spark, seqPath))
+    (0L to 2L).foreach { v =>
+      assert(AtomicAppend.readAsOf(spark, allPath, v).count()
+        == AtomicAppend.readAsOf(spark, seqPath, v).count(),
+        s"time travel to version $v diverges")
+    }
+    // zone maps and blooms landed for every batch — pruning still bites
+    val fsys = new org.apache.hadoop.fs.Path(allPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0 to 2).foreach { n =>
+      val dir = new org.apache.hadoop.fs.Path(s"$allPath/_batch=$n")
+      assert(graft.layers.BatchStats.read(fsys, dir).isDefined, s"no stats on batch $n")
+      assert(graft.layers.BatchBloom.readNames(fsys, dir).contains("id"),
+        s"no bloom on batch $n")
+    }
+    // keyed read opens only the batch whose stats/bloom say "might match"
+    assert(AtomicAppend.read(spark, allPath, F.col("id") === 1042L).count() == 1L)
+
+    // a full replay is a no-op per batch; a partial replay (one new id)
+    // commits exactly the new batch — append's heal discipline
+    assert(AtomicAppend.appendAll(allPath,
+      (0 until 3).map(n => (slice(n), n.toLong)),
+      statsCols = Seq("v"), bloomCols = Seq("id")) == Seq(None, None, None))
+    assert(AtomicAppend.read(spark, allPath).count() == 1500)
+    assert(AtomicAppend.appendAll(allPath, Seq((slice(1), 1L), (slice(3), 3L)),
+      statsCols = Seq("v"), bloomCols = Seq("id")) == Seq(None, Some(3L)))
+    assert(AtomicAppend.read(spark, allPath).count() == 2000)
+    assert(AtomicAppend.versions(spark, allPath).size
+      == AtomicAppend.versions(spark, seqPath).size + 1)
+  }
+
   test("silver layer writes/reads through the atomic batch discipline") {
     import spark.implicits._
     val path = TestFixtures.tmpDir("atomic-silver").toString
