@@ -248,33 +248,47 @@ object IncrementalView {
   def applyInsertsExtremes(aux: DataFrame, inserts: DataFrame,
       groupCols: Seq[String], col: String, k: Int): DataFrame = {
     val names = extCols(col)
+    // Pre-reduce the inserts to a per-group DELTA SYNOPSIS with the
+    // bounded_extremes aggregate itself (round-16, guide §2.3 "aggregate
+    // before you shuffle"): the former collect_list shipped EVERY insert
+    // value across the exchange only to fold it into a k-bounded state
+    // row-side — ql13's slices put ~10⁵ longs per group on the wire for
+    // a k=32 synopsis. The aggregate's map-side partial bounds what
+    // crosses at ≤2k values (+taus) per group per map task, and its
+    // [[BoundedExtremes.merge]] is the same commutative monoid the
+    // partial aggregation already relies on, so
+    // merge(old, bounded_extremes(batch)) ≡ foldLeft(old, batch)(insert)
+    // exactly: a batch value outside the delta's retained set has ≥ k
+    // batch values below (above) it, so the fold would evict it too, and
+    // the delta's tau carries the evicted mass into the merged bound.
     val (deltas, dKeys) = renamed(
-      inserts
-        .filter(F.col(col).isNotNull)
-        .select(groupCols.map(F.col) :+ F.col(col).cast("long").as("v"): _*)
-        .groupBy(groupCols.map(F.col): _*)
-        .agg(F.collect_list(F.col("v")).as("__vs")),
+      bootstrapExtremes(
+        inserts.filter(F.col(col).isNotNull)
+          .select(groupCols.map(F.col) :+ F.col(col).cast("long").as(col): _*),
+        groupCols, col, k),
       groupCols, "__d_")
-    val joined = aux.join(deltas, nsCond(groupCols, dKeys), "full_outer")
+    val dNames = names.map(n => s"__dx_$n")
+    val deltasRenamed = names.zip(dNames).foldLeft(deltas) {
+      case (d, (a, b)) => d.withColumnRenamed(a, b)
+    }
+    val joined = aux.join(deltasRenamed, nsCond(groupCols, dKeys), "full_outer")
       .select(groupCols.zip(dKeys).map {
         case (a, b) => F.coalesce(F.col(a), F.col(b)).as(a)
-      } ++ (names :+ "__vs").map(F.col): _*)
+      } ++ (names ++ dNames).map(F.col): _*)
     val groupFields = groupCols.map(n => joined.schema(joined.schema.fieldIndex(n)))
     val outSchema = StructType(groupFields ++ BoundedExtremes.structType.fields.zip(names)
       .map { case (f, n) => f.copy(name = n) })
     val gIdx = groupCols.map(joined.schema.fieldIndex)
-    val Seq(iLo, iLoTau, iHi, iHiTau) = names.map(joined.schema.fieldIndex)
-    val iVs = joined.schema.fieldIndex("__vs")
+    def sideAt(r: Row, iVals: Int, iTau: Int): BoundedExtremes.Side =
+      BoundedExtremes.Side(r.getSeq[Long](iVals).toVector,
+        if (r.isNullAt(iTau)) None else Some(r.getLong(iTau)))
+    def stateAt(r: Row, idx: Seq[Int]): BoundedExtremes.State =
+      if (r.isNullAt(idx(0))) BoundedExtremes.empty
+      else BoundedExtremes.State(sideAt(r, idx(0), idx(1)), sideAt(r, idx(2), idx(3)))
+    val oldIdx = names.map(joined.schema.fieldIndex)
+    val dIdx = dNames.map(joined.schema.fieldIndex)
     joined.map { r =>
-      val st0 =
-        if (r.isNullAt(iLo)) BoundedExtremes.empty
-        else BoundedExtremes.State(
-          BoundedExtremes.Side(r.getSeq[Long](iLo).toVector,
-            if (r.isNullAt(iLoTau)) None else Some(r.getLong(iLoTau))),
-          BoundedExtremes.Side(r.getSeq[Long](iHi).toVector,
-            if (r.isNullAt(iHiTau)) None else Some(r.getLong(iHiTau))))
-      val vs = if (r.isNullAt(iVs)) Seq.empty[Long] else r.getSeq[Long](iVs)
-      val st = vs.foldLeft(st0)((s, v) => BoundedExtremes.insert(s, v, k))
+      val st = BoundedExtremes.merge(stateAt(r, oldIdx), stateAt(r, dIdx), k)
       Row.fromSeq(gIdx.map(r.get) ++ Seq(
         st.lo.vals, st.lo.tau.orNull, st.hi.vals, st.hi.tau.orNull))
     }(Encoders.row(outSchema))
@@ -782,14 +796,35 @@ object IncrementalView {
       distinctCol: Option[String]): DataFrame = {
     val auxPath = viewPath + "__aux"
     val valsPath = viewPath + "__vals"
+    // The base summary (the bootstrap summarize / the summable apply) is
+    // MATERIALIZED concurrently with the auxiliary commits (round-16,
+    // guide §2.6 — stack sampling put 51% of ql13's wall in strictly
+    // serialized writeVersion actions): its aggregation shares no input
+    // with either auxiliary write beyond the cached slice, so running it
+    // as the third overlapped task moves the summary's shuffle off the
+    // final view write's critical path — the view write that remains is
+    // a view-sized join of three materialized/committed relations. Each
+    // relation is still computed exactly once (the 3-way recompute
+    // variant was A/B'd and REJECTED: duplicated aggregations cost more
+    // than the overlap bought). Skipped when there is no auxiliary to
+    // overlap with — materializing would only add a job.
+    def overlapped(summary: => DataFrame,
+        aux: Option[() => Unit], vals: Option[() => Unit]): DataFrame =
+      if (aux.isEmpty && vals.isEmpty) summary
+      else {
+        var sumM: DataFrame = null
+        runAllAwaiting((aux.toSeq ++ vals.toSeq) :+
+          (() => { sumM = materialize(summary) }: Unit))
+        sumM
+      }
     prev match {
       case None =>
-        commitTwo(
-          minMaxCol.map(m => () => Snapshots.writeVersion(
-            bootstrapExtremes(newRows, groupCols, m, minMaxK), auxPath, target)),
-          distinctCol.map(c => () => Snapshots.writeVersion(
-            summarize(newRows, groupCols :+ c, Nil), valsPath, target)))
-        val s0 = summarize(newRows, groupCols, measureCols)
+        val s0 = overlapped(
+          summarize(newRows, groupCols, measureCols),
+          minMaxCol.map(m => () => { Snapshots.writeVersion(
+            bootstrapExtremes(newRows, groupCols, m, minMaxK), auxPath, target); () }),
+          distinctCol.map(c => () => { Snapshots.writeVersion(
+            summarize(newRows, groupCols :+ c, Nil), valsPath, target); () }))
         val s1 = minMaxCol.fold(s0)(m =>
           withExtremes(s0, Snapshots.read(spark, auxPath, target), groupCols, m))
         distinctCol.fold(s1)(c =>
@@ -799,7 +834,6 @@ object IncrementalView {
         val derived = minMaxCol.toSeq.flatMap(m => Seq(s"${m}_min", s"${m}_max")) ++
           distinctCol.map(c => s"${c}_distinct")
         val oldSummary = storedSummary(spark, viewPath, v, groupCols, measureCols, derived)
-        val newSummary = applyChanges(oldSummary, feed, groupCols, measureCols)
         // unlike refresh's diff path, a mid-life auxiliary UPGRADE cannot
         // backfill here: there is no versioned base to reconstruct the
         // historical state from (appends were consumed as they arrived).
@@ -812,14 +846,15 @@ object IncrementalView {
               "rebuild the view from the full fact (fresh viewPath) to add it")
         minMaxCol.foreach(m => requireAux(auxPath, s"minMaxCol=$m"))
         distinctCol.foreach(c => requireAux(valsPath, s"distinctCol=$c"))
-        commitTwo(
-          minMaxCol.map(m => () => Snapshots.writeVersion(
+        val newSummary = overlapped(
+          applyChanges(oldSummary, feed, groupCols, measureCols),
+          minMaxCol.map(m => () => { Snapshots.writeVersion(
             applyInsertsExtremes(Snapshots.read(spark, auxPath, v), newRows,
               groupCols, m, minMaxK),
-            auxPath, target)),
-          distinctCol.map(c => () => Snapshots.writeVersion(
+            auxPath, target); () }),
+          distinctCol.map(c => () => { Snapshots.writeVersion(
             applyChanges(Snapshots.read(spark, valsPath, v), feed, groupCols :+ c, Nil),
-            valsPath, target)))
+            valsPath, target); () }))
         val s1 = minMaxCol.fold(newSummary)(m =>
           withExtremes(newSummary, Snapshots.read(spark, auxPath, target), groupCols, m))
         distinctCol.fold(s1)(c =>
@@ -827,28 +862,24 @@ object IncrementalView {
     }
   }
 
-  /** Run two independent auxiliary commits concurrently (the synopsis and
-    * the value-count relations share no path and no ordering — each is an
-    * idempotent overwrite of its own version directory), halving the
-    * serial write latency of the refresh lifecycle (VERDICT r12 #2: the
-    * per-refresh cost is commit/job-count overhead, not plan cost). Same
-    * await-on-every-exit-path discipline as
-    * [[graft.streaming.CorpusIngestStream]]'s land∥fold overlap: the
-    * second commit's failure stays primary, but the first is always
-    * awaited so no write is left in flight past this frame.
+  /** Run independent idempotent tasks concurrently. Every task is
+    * awaited on every exit path — no write is in flight past this frame
+    * even on failure — and the first failure propagates.
     */
-  private def commitTwo(a: Option[() => Long], b: Option[() => Long]): Unit = (a, b) match {
-    case (Some(fa), Some(fb)) =>
-      import scala.concurrent.{Await, Future}
+  private def runAllAwaiting(tasks: Seq[() => Unit]): Unit = tasks match {
+    case Seq() => ()
+    case Seq(one) => one()
+    case many =>
+      import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      val fut = Future(fa())(scala.concurrent.ExecutionContext.global)
-      var primary: Throwable = null
-      try fb()
-      catch { case t: Throwable => primary = t; throw t }
-      finally {
-        try { Await.result(fut, Duration.Inf); () }
-        catch { case t: Throwable => if (primary == null) throw t }
-      }
-    case _ => a.orElse(b).foreach { f => f(); () }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(many.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = many.map(t => Future(t()))
+        val settled = futs.map(fut => Await.ready(fut, Duration.Inf).value.get)
+        settled.collectFirst { case scala.util.Failure(t) => throw t }
+        ()
+      } finally pool.shutdown()
   }
+
 }

@@ -53,12 +53,31 @@ object Snapshots {
     * but cannot roll LATEST back.
     */
   def writeVersion(df: DataFrame, path: String, v: Long): Long = {
+    writeVersionData(df, path, v)
+    commitVersion(df.sparkSession, path, v)
+  }
+
+  /** The DATA half of [[writeVersion]]: land `version=N` (idempotent
+    * overwrite of its own directory, still invisible — no pointer moves)
+    * and seed the schema memo. Pair with [[commitVersion]]. Splitting
+    * the two is what lets a maintainer overlap SEVERAL versions' data
+    * writes (independent Spark jobs, guide §2.6) and still flip the
+    * pointers in the crash-ordering its protocol requires — a crash
+    * before the flip leaves only invisible debris the retry overwrites.
+    */
+  def writeVersionData(df: DataFrame, path: String, v: Long): Unit = {
     require(v >= 0, s"version must be non-negative, got $v")
-    val spark = df.sparkSession
     df.write.mode("overwrite").parquet(s"$path/version=$v")
     // the writer knows the schema for free — later reads of this version
     // dir skip the footer-inference job (round-15 optimization)
-    graft.runtime.ParquetSchemaMemo.seed(spark, s"$path/version=$v", df.schema)
+    graft.runtime.ParquetSchemaMemo.seed(df.sparkSession, s"$path/version=$v", df.schema)
+  }
+
+  /** The POINTER half of [[writeVersion]] — the visibility commit. The
+    * pointer only ever advances (`max(current, v)`), so replaying an old
+    * version restores its directory but cannot roll LATEST back.
+    */
+  def commitVersion(spark: SparkSession, path: String, v: Long): Long = {
     if (pointer(spark, path).forall(_ < v))
       graft.runtime.PointerFile.commit(fs(spark, path),
         new Path(s"$path/LATEST"), new Path(s"$path/LATEST.tmp"), v.toString)
