@@ -16,6 +16,24 @@ object LakehouseQueries extends QueryPack {
 
   private def ev(s: SparkSession, d: String): DataFrame = CoreQueries.events(s, d)
 
+  /** Evaluate two INDEPENDENT driver actions concurrently (guide §2.6 —
+    * the incremental-view chains are serialized tiny materializations of
+    * pure stage latency; overlapping each independent pair back-fills the
+    * idle cores). The first runs on a daemon-backed future, the second on
+    * the calling thread; both are awaited on every exit path.
+    */
+  private[queries] def par2[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val fut = Future(a)(scala.concurrent.ExecutionContext.global)
+    var primary: Throwable = null
+    val bv =
+      try b
+      catch { case t: Throwable => primary = t; throw t }
+      finally if (primary != null) Await.ready(fut, Duration.Inf)
+    (Await.result(fut, Duration.Inf), bv)
+  }
+
   private val err = "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -234,17 +252,22 @@ object LakehouseQueries extends QueryPack {
       val aux0 = iv.bootstrapExtremes(IvmFixture.version(o, 0, withBucket = false), grp, "price", 2)
       // each feed drives BOTH the summable apply and the synopsis apply,
       // and the sum chain is consumed again downstream — materialize the
-      // feeds once (change-set-sized), mirroring refresh's feed cache
+      // feeds once (change-set-sized), mirroring refresh's feed cache.
+      // The two feed materializations are INDEPENDENT actions (both read
+      // only `orders`), as are the v0→v1 synopsis apply and the v1→v2
+      // summable apply once sum1 exists — overlap each independent pair
+      // (round-16, guide §2.6: this chain is ~8 serialized tiny actions
+      // of pure driver/stage latency, plan-identical across rounds)
       val (f01, f12) = IvmFixture.feeds(o, withBucket = false)
-      val d01 = f01.localCheckpoint()
+      val (d01, d12) = LakehouseQueries.par2(f01.localCheckpoint(), f12.localCheckpoint())
       // the advanced summaries are view-sized (18 rows) but their lineage
       // reaches back through the feeds to the base scans — each is
       // consumed by the synopsis apply AND the next application, so
       // materialize them too (refresh reads them from snapshots instead)
       val sum1 = iv.applyChanges(sum0, d01, grp, Seq("price")).localCheckpoint()
-      val (aux1, _) = iv.applyChangesExtremes(aux0, d01, sum1, v1, grp, "price", 2)
-      val d12 = f12.localCheckpoint()
-      val sum2 = iv.applyChanges(sum1, d12, grp, Seq("price")).localCheckpoint()
+      val ((aux1, _), sum2) = LakehouseQueries.par2(
+        iv.applyChangesExtremes(aux0, d01, sum1, v1, grp, "price", 2),
+        iv.applyChanges(sum1, d12, grp, Seq("price")).localCheckpoint())
       val (aux2, _) = iv.applyChangesExtremes(aux1, d12, sum2, v2, grp, "price", 2)
       iv.withExtremes(sum2, aux2, grp, "price")
         .orderBy("o_orderstatus", "o_orderpriority")
@@ -268,12 +291,14 @@ object LakehouseQueries extends QueryPack {
       val iv = graft.layers.IncrementalView
       val sum0 = iv.summarize(v0, grp, Seq("price"))
       val aux0 = iv.summarize(v0, grp :+ "price_bucket", Nil)
-      // writer-side feeds, same provenance story as ql11
+      // writer-side feeds, same provenance story as ql11; the two feed
+      // materializations and the two v0→v1 applies are independent
+      // action pairs — overlap each (round-16, guide §2.6, see ql11)
       val (f01, f12) = IvmFixture.feeds(o, withBucket = true)
-      val d01 = f01.localCheckpoint()
-      val sum1 = iv.applyChanges(sum0, d01, grp, Seq("price")).localCheckpoint()
-      val aux1 = iv.applyChanges(aux0, d01, grp :+ "price_bucket", Nil).localCheckpoint()
-      val d12 = f12.localCheckpoint()
+      val (d01, d12) = LakehouseQueries.par2(f01.localCheckpoint(), f12.localCheckpoint())
+      val (sum1, aux1) = LakehouseQueries.par2(
+        iv.applyChanges(sum0, d01, grp, Seq("price")).localCheckpoint(),
+        iv.applyChanges(aux0, d01, grp :+ "price_bucket", Nil).localCheckpoint())
       val sum2 = iv.applyChanges(sum1, d12, grp, Seq("price"))
       val aux2 = iv.applyChanges(aux1, d12, grp :+ "price_bucket", Nil)
       iv.withDistinctCount(sum2, aux2, grp, "price_bucket")
