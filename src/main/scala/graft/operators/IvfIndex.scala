@@ -97,17 +97,28 @@ object IvfIndex {
     // probe CORRECTNESS is centroid-independent either way (vectors land
     // in SOME cell; readers probe by the same centroid table).
     val localCap = math.min(131072L, math.max(8192L, 256L * numCentroids))
-    val dim: Int = train.select(F.size(F.col("vec"))).head(1).headOption
+    // null vectors carry no training signal and would NPE the size probe
+    // (round-16, advice item): drop them from the fit — assignment below
+    // still sees every row
+    val trainNonNull = train.filter(F.col("vec").isNotNull)
+    val dim: Int = trainNonNull.select(F.size(F.col("vec"))).head(1).headOption
       .map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException(
         s"IvfIndex.build: empty training set (trainFraction=$trainFraction) — " +
-          "build needs at least one vector to fit centroids"))
+          "build needs at least one non-null vector to fit centroids"))
     val localBytesOk = localCap * dim * 8L <= (128L << 20)
     val cents: Seq[(Int, Array[Double])] =
       if (localBytesOk) {
-        val sample: Array[Array[Double]] = train
-          .select(F.col("vec").cast("array<double>"))
+        // bounded sample by HASH ORDER, not limit() (round-16, advice
+        // item): limit takes a prefix of whichever partitions answer
+        // first — on a sorted/skewed corpus the coarse quantizer would
+        // train on one region and unbalance cell occupancy. orderBy(hash)
+        // + limit plans as TakeOrdered (per-partition top-k, no full
+        // sort shuffle) and is a deterministic pseudo-random subset.
+        val sample: Array[Array[Double]] = trainNonNull
+          .orderBy(F.xxhash64(F.col("id")), F.col("id"))
           .limit(localCap.toInt)
+          .select(F.col("vec").cast("array<double>"))
           .collect()
           .map(_.getSeq[Double](0).toArray)
         val (centers, _) = localKMeans(sample, numCentroids,
@@ -139,35 +150,43 @@ object IvfIndex {
       else vecs.select(F.col("id"), F.col("vec"))
         .withColumn("cell", F.least(centroidCandidates(cents): _*).getField("cell"))
 
-    // alongside the float vectors: int8 codes + scale (the IVF+SQ8
-    // layout) — parquet column pruning means a quantized scan never
-    // reads the float column at all
-    assigned
-      .select(F.col("id"), F.col("vec"),
-        F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))).as("nrm"),
-        (F.array_max(F.transform(F.col("vec"), x => F.abs(x))) / 127.0).as("q_scale"),
-        F.col("cell"))
-      .withColumn("q_codes",
-        F.transform(F.col("vec"), x => F.round(x / F.col("q_scale")).cast("byte")))
-      .withColumn("epoch", F.lit(BuildEpoch))
-      // cluster by cell before the partitioned write: without it every
-      // input task writes one file into every cell dir it touches —
-      // tasks × C files per build (measured as the large-C ingest wall).
-      // With it each cell lands whole in one task → one file per cell
-      // (maxRecordsPerFile still splits a genuinely huge cell).
-      .transform(clusterByCell(_, numCentroids))
-      .write.mode("overwrite").partitionBy("epoch", "cell").parquet(s"$root/vectors")
-
+    // The three build outputs below are INDEPENDENT writes (vectors from
+    // `assigned`, the centroid table from the driver-held `cents`, the
+    // id digest from `vecs`) — overlap them (round-16, guide §2.6)
+    // instead of paying their latencies serially; only the cell-count
+    // sidecar waits, because it reads the landed vector files' footers.
+    // Crash ordering stays safe: the digests dir was deleted up front
+    // (the dangerous state is an OLD digest next to NEW vectors), and a
+    // digest describing MORE ids than the landed vectors only routes an
+    // append's screen to the exact scan, which is authoritative.
     val spark = df.sparkSession
     import spark.implicits._
-    cents.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids.parquet")
-
-    // the build corpus's id digest seeds the batch-sized collision guard
-    // (see [[IdDigest]]); appends fold one more digest row per epoch
-    IdDigest.digestFrame(vecs.select("id"), "id", BuildEpoch)
-      .coalesce(1).write.mode("overwrite")
-      .partitionBy("epoch").parquet(s"$root/digests")
+    Par.awaitAll(Seq(
+      // alongside the float vectors: int8 codes + scale (the IVF+SQ8
+      // layout) — parquet column pruning means a quantized scan never
+      // reads the float column at all
+      () => assigned
+        .select(F.col("id"), F.col("vec"),
+          F.sqrt(F.call_function("vec_dot", F.col("vec"), F.col("vec"))).as("nrm"),
+          (F.array_max(F.transform(F.col("vec"), x => F.abs(x))) / 127.0).as("q_scale"),
+          F.col("cell"))
+        .withColumn("q_codes",
+          F.transform(F.col("vec"), x => F.round(x / F.col("q_scale")).cast("byte")))
+        .withColumn("epoch", F.lit(BuildEpoch))
+        // cluster by cell before the partitioned write: without it every
+        // input task writes one file into every cell dir it touches —
+        // tasks × C files per build (measured as the large-C ingest wall).
+        // With it each cell lands whole in one task → one file per cell
+        // (maxRecordsPerFile still splits a genuinely huge cell).
+        .transform(clusterByCell(_, numCentroids))
+        .write.mode("overwrite").partitionBy("epoch", "cell").parquet(s"$root/vectors"),
+      () => cents.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids.parquet"),
+      // the build corpus's id digest seeds the batch-sized collision guard
+      // (see [[IdDigest]]); appends fold one more digest row per epoch
+      () => IdDigest.digestFrame(vecs.select("id"), "id", BuildEpoch)
+        .coalesce(1).write.mode("overwrite")
+        .partitionBy("epoch").parquet(s"$root/digests")))
 
     // seed the cell-occupancy metadata (see [[cellOccupancy]]): the
     // counts come straight from the just-written files' parquet FOOTERS,
@@ -302,43 +321,49 @@ object IvfIndex {
             s"(sample: ${collisions.mkString(",")}); ids must be unique across the index lifetime")
       }
     }
-    assigned
-      .select(F.col("id"), F.col("vec"), F.col("nrm"),
-        (F.array_max(F.transform(F.col("vec"), x => F.abs(x))) / 127.0).as("q_scale"),
-        F.col("cell"))
-      .withColumn("q_codes",
-        F.transform(F.col("vec"), x => F.round(x / F.col("q_scale")).cast("byte")))
-      .select("id", "vec", "nrm", "q_scale", "q_codes", "cell")
-      .withColumn("epoch", F.lit(epoch))
-      // cell-cluster the fold (see [[build]]): a batch arriving in p tasks
-      // would otherwise write up to p × C files per trigger — at C in the
-      // hundreds that file churn IS the trigger's wall-clock, and the
-      // accumulated small files are what [[compact]] later pays to fold.
-      // Parallelism-sized count (NOT the centroid table — appendAssigned
-      // must not pay a second centroid read): any explicit count keeps
-      // each cell whole in one task; see [[clusterByCell]] for why the
-      // count must be explicit at all.
-      .transform(clusterByCell(_, spark.sparkContext.defaultParallelism))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic") // replay-safe: replaces only this epoch's dirs
-      .partitionBy("epoch", "cell")
-      .parquet(s"$root/vectors")
-
-    // fold this epoch's id digest under the same overwrite discipline —
-    // replay rewrites the identical row, the guard above excluded it
-    IdDigest.digestFrame(assigned.select("id"), "id", epoch)
-      .coalesce(1).write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("epoch").parquet(s"$root/digests")
-
-    // fold this epoch's cell occupancy row-set (batch-sized agg) so the
-    // drift monitor ([[maxCellShare]]) stays metadata-only; same replay
-    // discipline as the digest
-    assigned.groupBy("cell").agg(F.count(F.lit(1)).as("n"))
-      .withColumn("epoch", F.lit(epoch))
-      .coalesce(1).write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("epoch").parquet(s"$root/cellcounts")
+    // The epoch's three writes (vectors, id digest, cell occupancy) all
+    // derive from `assigned` alone and land in disjoint roots — overlap
+    // them (round-16, guide §2.6; this is the ingest trigger's serial
+    // tail). Replay stays the discipline: each is a dynamic overwrite of
+    // exactly this epoch's partitions, and a digest/count landing before
+    // the vectors only routes a concurrent screen to the exact scan,
+    // which reads the authoritative vector files.
+    Par.awaitAll(Seq(
+      () => assigned
+        .select(F.col("id"), F.col("vec"), F.col("nrm"),
+          (F.array_max(F.transform(F.col("vec"), x => F.abs(x))) / 127.0).as("q_scale"),
+          F.col("cell"))
+        .withColumn("q_codes",
+          F.transform(F.col("vec"), x => F.round(x / F.col("q_scale")).cast("byte")))
+        .select("id", "vec", "nrm", "q_scale", "q_codes", "cell")
+        .withColumn("epoch", F.lit(epoch))
+        // cell-cluster the fold (see [[build]]): a batch arriving in p tasks
+        // would otherwise write up to p × C files per trigger — at C in the
+        // hundreds that file churn IS the trigger's wall-clock, and the
+        // accumulated small files are what [[compact]] later pays to fold.
+        // Parallelism-sized count (NOT the centroid table — appendAssigned
+        // must not pay a second centroid read): any explicit count keeps
+        // each cell whole in one task; see [[clusterByCell]] for why the
+        // count must be explicit at all.
+        .transform(clusterByCell(_, spark.sparkContext.defaultParallelism))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic") // replay-safe: replaces only this epoch's dirs
+        .partitionBy("epoch", "cell")
+        .parquet(s"$root/vectors"),
+      // fold this epoch's id digest under the same overwrite discipline —
+      // replay rewrites the identical row, the guard above excluded it
+      () => IdDigest.digestFrame(assigned.select("id"), "id", epoch)
+        .coalesce(1).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch").parquet(s"$root/digests"),
+      // fold this epoch's cell occupancy row-set (batch-sized agg) so the
+      // drift monitor ([[maxCellShare]]) stays metadata-only; same replay
+      // discipline as the digest
+      () => assigned.groupBy("cell").agg(F.count(F.lit(1)).as("n"))
+        .withColumn("epoch", F.lit(epoch))
+        .coalesce(1).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch").parquet(s"$root/cellcounts")))
   }
 
   /** Fold every epoch <= `upToEpoch` into the single consolidated

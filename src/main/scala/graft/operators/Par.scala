@@ -40,4 +40,27 @@ private[graft] object Par {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p, key)
   }
+
+  /** Run independent driver actions concurrently (guide §2.6: submit
+    * independent jobs from a small pool so one job's task tail back-fills
+    * with the next's work). Every task is awaited on every exit path —
+    * no action is in flight past this frame even on failure — and the
+    * first failure propagates. Callers own idempotence: each task must
+    * be an overwrite of its own (still-invisible) output.
+    */
+  def awaitAll(tasks: Seq[() => Unit]): Unit = tasks match {
+    case Seq() => ()
+    case Seq(one) => one()
+    case many =>
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(many.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = many.map(t => Future(t()))
+        val settled = futs.map(fut => Await.ready(fut, Duration.Inf).value.get)
+        settled.collectFirst { case scala.util.Failure(t) => throw t }
+        ()
+      } finally pool.shutdown()
+  }
 }
