@@ -69,8 +69,15 @@ object Snapshots {
     require(v >= 0, s"version must be non-negative, got $v")
     df.write.mode("overwrite").parquet(s"$path/version=$v")
     // the writer knows the schema for free — later reads of this version
-    // dir skip the footer-inference job (round-15 optimization)
-    graft.runtime.ParquetSchemaMemo.seed(df.sparkSession, s"$path/version=$v", df.schema)
+    // dir skip the footer-inference job (round-15 optimization). Seed the
+    // schema AS INFERENCE WOULD PRODUCE IT (round-16 advice): the parquet
+    // round-trip forces nullability and erases char/varchar, so a memo
+    // hit must not surface a schema a cold read never could.
+    val normalized = AtomicAppend.relaxNullability(
+      org.apache.spark.sql.catalyst.util.CharVarcharUtils
+        .replaceCharVarcharWithString(df.schema))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    graft.runtime.ParquetSchemaMemo.seed(df.sparkSession, s"$path/version=$v", normalized)
   }
 
   /** The POINTER half of [[writeVersion]] — the visibility commit. The

@@ -64,14 +64,16 @@ object ZOrder {
       bits: Int = 4, relErr: Double = 0.01): DataFrame =
     clusterKeyed(df, cols, numFiles, "__zpart", bits, relErr).drop("__zpart")
 
-  /** [[cluster]], keeping the range-partition index as LONG column
-    * `keyCol` (0 until numFiles) — the handle a clustered WRITE needs to
-    * split the result into one unit (file, batch dir) per z-range:
-    * [[AtomicAppend.compactClustered]] partitions its fold by it.
-    * `spark_partition_id` after the range exchange IS the z-range index;
-    * the projection adding it cannot migrate below the exchange (the
-    * expression is nondeterministic by contract) and intra-partition
-    * sorting doesn't change it.
+  /** [[cluster]], keeping the z-range index as LONG column `keyCol`
+    * (0 until numFiles) — the handle a clustered WRITE needs to split
+    * the result into one unit (file, batch dir) per z-range:
+    * [[AtomicAppend.compactClustered]] partitions its fold by it. The
+    * index is a plain VALUE — `bucketOf(__zval, zsplits)`, breakpoints
+    * from one narrow quantile pass — deterministic by construction, and
+    * the rows reach their write tasks through a [[graft.runtime.HashRouting]]
+    * identity-routed hash exchange (round-15; this replaced the earlier
+    * `spark_partition_id`-after-range-exchange mechanism and its
+    * nondeterministic-projection caveat).
     */
   def clusterKeyed(df: DataFrame, cols: Seq[String], numFiles: Int,
       keyCol: String, bits: Int = 4, relErr: Double = 0.01): DataFrame = {

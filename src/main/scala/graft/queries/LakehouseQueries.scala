@@ -694,9 +694,15 @@ object LakehouseQueries extends QueryPack {
       val fact = ev(s, d).select("event_id", "ts", "user_id", "event_type", "value")
       val day11 = F.to_timestamp(F.lit("2024-01-11"))
       val day21 = F.to_timestamp(F.lit("2024-01-21"))
-      occ.append(fact.filter(F.col("ts") < day11), base, statsCols = Seq("user_id"))
-      occ.append(fact.filter(F.col("ts") >= day11 && F.col("ts") < day21), base,
-        statsCols = Seq("user_id"))
+      // the first two appends run as genuinely CONCURRENT writers —
+      // exactly the multi-writer contention the OCC protocol exists for
+      // (claimBatchId + CAS commit loop; OccFuzzSpec's surface). Final
+      // content is the union either way; only the interleaving of the
+      // two commit log entries varies, which no reader observes.
+      LakehouseQueries.par2(
+        occ.append(fact.filter(F.col("ts") < day11), base, statsCols = Seq("user_id")),
+        occ.append(fact.filter(F.col("ts") >= day11 && F.col("ts") < day21), base,
+          statsCols = Seq("user_id")))
       occ.compact(s, base)
       occ.append(fact.filter(F.col("ts") >= day21), base, statsCols = Seq("user_id"))
       occ.read(s, base)

@@ -74,7 +74,16 @@ private[graft] object MetaIO {
           Files.move(s, d, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
           true
-        } catch { case _: java.io.IOException => false }
+        } catch {
+          // a local filesystem without atomic replacing renames must fall
+          // back to the portable delete-then-rename, not hard-fail every
+          // pointer commit (round-16 advice); any OTHER IOException still
+          // reports failure to the caller
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            if (fs.exists(dst)) fs.delete(dst, false)
+            fs.rename(src, dst)
+          case _: java.io.IOException => false
+        }
       case _ =>
         if (fs.exists(dst)) fs.delete(dst, false)
         fs.rename(src, dst)

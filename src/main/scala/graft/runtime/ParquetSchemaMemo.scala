@@ -24,11 +24,23 @@ object ParquetSchemaMemo {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, StructType)]()
 
+  /** Fingerprint = fold of the TOP-LEVEL listing (names, lengths,
+    * mtimes). CONTRACT (round-16 advice): callers memo only FLAT
+    * parquet directories — files directly under `path`, no partition
+    * subdirectories — because an in-place rewrite two levels down need
+    * not change any top-level entry, so a stale schema would validate.
+    * The fingerprint enforces this by refusing to memo a path with
+    * subdirectories (returns the never-memo sentinel). Every current
+    * call site (Tables' bare tables, Snapshots' `version=N` dirs) is
+    * flat; a partitioned layout falls back to normal inference.
+    */
   private def fingerprint(spark: SparkSession, path: String): Long =
     try {
       val p = new Path(path)
       val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-      f.listStatus(p).foldLeft(0L) { (acc, st) =>
+      val listing = f.listStatus(p)
+      if (listing.exists(_.isDirectory)) Long.MinValue // non-flat: never memo
+      else listing.foldLeft(0L) { (acc, st) =>
         acc * 1000003L + st.getPath.getName.hashCode.toLong * 31L +
           st.getLen * 7L + st.getModificationTime
       }

@@ -74,6 +74,42 @@ class SimilaritySpec extends AnyFunSuite {
     joined.values.foreach(rows => assert(rows.size == 5))
   }
 
+  test("blocked kernel's SQ8 prefilter is sound: pairs ≡ brute force at the threshold") {
+    import spark.implicits._
+    // stress the quantization bound where it could lose a pair: cosines
+    // planted densely AROUND the threshold (scaled copies + small-angle
+    // perturbations), plus magnitude outliers (one huge element shrinks
+    // every other code toward 0 — the worst case for scale = max|v|/127)
+    val rnd = new scala.util.Random(23L)
+    val dim = 64
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = (0 until 60).flatMap { c =>
+      val a = unit()
+      val b = unit()
+      // mix so that cos(a, m) sweeps through ~[0.30, 0.50] — a band
+      // straddling minCos = 0.4 on both sides
+      (0 until 4).map { m =>
+        val t = 0.30 + 0.05 * m + rnd.nextDouble() * 0.02
+        val v = a.zip(b).map { case (x, y) => t * x + math.sqrt(1 - t * t) * y }
+        // magnitude outlier every 7th vector: one element 50× the rest
+        val w = if ((c * 4 + m) % 7 == 0) { val u = v.clone(); u(3) *= 50.0; u } else v
+        (c * 4L + m, w.toSeq)
+      }
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def pairSet(d: org.apache.spark.sql.DataFrame) = d.select("a_id", "b_id", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = pairSet(Similarity.cosinePairs(df, "vec_id", "embedding", 0.4))
+    val blocked = pairSet(Similarity.cosinePairsBlocked(df, "vec_id", "embedding", 0.4))
+    assert(brute.nonEmpty, "fixture planted no threshold-crossing pairs")
+    assert(blocked == brute,
+      s"prefilter changed the result: missing=${(brute -- blocked).take(5)} " +
+        s"extra=${(blocked -- brute).take(5)}")
+  }
+
   test("RP-LSH finds near-dup pairs with high recall on clustered vectors") {
     import spark.implicits._
     // 40 clusters × 5 members: members are the base + small noise, so
