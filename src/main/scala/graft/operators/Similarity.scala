@@ -133,50 +133,20 @@ object Similarity {
     // broadcast join, i.e. a NARROW stage — off a single-row-group file
     // the whole N·B replication (and the shuffle write feeding the block
     // join) would run in one task
-    // SQ8 proxy columns, computed ONCE per vector (round-16, guide
-    // §2.3/§4 and the IVF layout): the O(N²/2) pair stage decides most
-    // pairs with the byte kernel below and pays the exact double-lane
-    // dot only for the survivors.
-    val absMax = F.array_max(F.transform(F.col("vec"), x => F.abs(x)))
     val base = Par.spread(df.select(F.col(idCol), F.col(vecCol)), F.col(idCol))
       .select(F.col(idCol).as("id"), F.col(vecCol).as("vec"),
         norm(F.col(vecCol)).as("nrm"),
         F.pmod(F.hash(F.col(idCol)), F.lit(blockCount)).as("blk"))
-      // the zero vector quantizes under scale 1 (codes 0) — it pairs with
-      // nothing either way (cos divides by its zero norm)
-      .withColumn("q_scale", F.when(absMax > 0.0, absMax / 127.0).otherwise(F.lit(1.0)))
-      .withColumn("q_codes",
-        F.transform(F.col("vec"), x => F.round(x / F.col("q_scale")).cast("byte")))
-      .withColumn("q_l1",
-        F.aggregate(F.col("q_codes"), F.lit(0L), (acc, c) => acc + F.abs(c.cast("long"))))
-      .withColumn("q_d", F.size(F.col("vec")).cast("double"))
-    def side(p: String, blkAs: String) = base.select(
-      F.col("id").as(s"${p}id"), F.col("vec").as(s"${p}vec"),
-      F.col("nrm").as(s"${p}norm"), F.col("q_scale").as(s"${p}qs"),
-      F.col("q_codes").as(s"${p}qc"), F.col("q_l1").as(s"${p}l1"),
-      F.col("q_d").as(s"${p}d"), F.col("blk").as(blkAs))
-    val lhs = side("a_", "ba").join(blockPairs, "ba")
-    val rhs = side("b_", "bb").join(blockPairs, "bb")
-    // SOUND quantized prefilter: with v_i = s·q_i + e_i, |e_i| ≤ s/2
-    // (round-half-away ⇒ |v − s·q| ≤ s/2), the exact dot obeys
-    //   |dot(a,b) − sa·sb·D| ≤ sa·sb·((L1a + L1b)/2 + d/4),
-    // so any pair with rounded cos ≥ minCos (i.e. exact cos ≥
-    // minCos − 5e-5) satisfies the inequality below; the `+ 1` code
-    // unit (~1e-5 of cos here) swallows double-arithmetic slop with
-    // margin. False positives only — the exact filter after it is
-    // unchanged, so the emitted pairs are identical to the pure
-    // double kernel's.
-    val quantBound =
-      F.col("a_qs") * F.col("b_qs") *
-        (F.call_function("vec_dot_i8", F.col("a_qc"), F.col("b_qc")).cast("double") +
-          (F.col("a_l1") + F.col("b_l1")).cast("double") / 2.0 + F.col("a_d") / 4.0 +
-          F.lit(1.0)) >=
-        (F.lit(minCos) - F.lit(1e-4)) * F.col("a_norm") * F.col("b_norm")
+    val lhs = base.select(F.col("id").as("a_id"), F.col("vec").as("a_vec"),
+        F.col("nrm").as("a_norm"), F.col("blk").as("ba"))
+      .join(blockPairs, "ba")
+    val rhs = base.select(F.col("id").as("b_id"), F.col("vec").as("b_vec"),
+        F.col("nrm").as("b_norm"), F.col("blk").as("bb"))
+      .join(blockPairs, "bb")
     lhs.join(rhs, Seq("ba", "bb"))
       // distinct blocks meet once (each unordered pair lands in exactly one
       // ordered block pair); the diagonal needs the id tiebreak
       .filter(F.col("ba") < F.col("bb") || F.col("a_id") < F.col("b_id"))
-      .filter(quantBound)
       .withColumn("cos_sim",
         F.round(dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")), 4))
       .filter(F.col("cos_sim") >= minCos)

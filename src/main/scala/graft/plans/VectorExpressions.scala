@@ -90,64 +90,6 @@ object DotProduct {
       "scala_udf")
 }
 
-/** Native integer dot product over `array<tinyint>` SQ8 code columns —
-  * the quantized sibling of [[DotProduct]] (round-16, guide §4/§2.3):
-  * a byte-lane multiply-accumulate in a primitive while-loop (exact in
-  * long arithmetic — |codes| ≤ 127, d ≤ 2^44 before overflow could even
-  * be approached), so a quantized PREFILTER over candidate pairs costs
-  * an eighth of the memory traffic and integer (JIT-vectorizable) math
-  * instead of the double-lane exact kernel, which then runs only on the
-  * survivors ([[graft.operators.Similarity.cosinePairsBlocked]]).
-  */
-case class Int8DotProduct(left: Expression, right: Expression) extends BinaryExpression {
-
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override def prettyName: String = "vec_dot_i8"
-
-  // lazily validated (like [[DotProduct]]'s element-type probe): the
-  // constructor runs on still-unresolved children during analysis
-  private lazy val validated: Boolean = {
-    Seq(left, right).foreach(e => e.dataType match {
-      case ArrayType(org.apache.spark.sql.types.ByteType, _) => ()
-      case other => throw new IllegalArgumentException(
-        s"vec_dot_i8 expects array<tinyint>, got $other")
-    })
-    true
-  }
-
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    validated
-    Int8DotProduct.dotBB(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    validated
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Int8DotProduct.dotBB($a, $b)")
-  }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-}
-
-object Int8DotProduct {
-
-  def dotBB(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
-    var s = 0L; var i = 0
-    while (i < n) { s += a.getByte(i).toLong * b.getByte(i).toLong; i += 1 }
-    s
-  }
-
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot_i8",
-      exprs => {
-        require(exprs.length == 2, "vec_dot_i8(a, b)")
-        Int8DotProduct(exprs(0), exprs(1))
-      },
-      "scala_udf")
-}
-
 /** One-stop idempotent registration of the engine's native expressions. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -155,7 +97,6 @@ object GraftFunctions {
     DeflateRatioExpression.register(spark)
     NfcNormalizeExpression.register(spark)
     DotProduct.register(spark)
-    Int8DotProduct.register(spark)
     NearestCellsExpression.register(spark)
     TwoLevelNearestCellsExpression.register(spark)
     TopKAggregate.register(spark)
